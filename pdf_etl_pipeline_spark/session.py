@@ -1,0 +1,63 @@
+"""SparkSession construction and runtime tuning.
+
+The driver harness owns its own SparkSession; everything here must also be
+safely applicable to a session we did not build (``tune`` only touches
+runtime-settable confs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied defensively to any session we run on.
+# - UTC timezone: parquet timestamps must compare bit-identical with the
+#   DuckDB oracle (duckdb timestamps are naive/UTC).
+# - AQE on: runtime coalescing + skew-join splitting — the local stand-in for
+#   what we rely on at cluster scale.
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-owned or ours)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable on this build — keep going
+    return spark
+
+
+def get_spark(app_name: str = "pdf_etl_pipeline_spark", cpus: int | None = None) -> SparkSession:
+    """Build a local session sized for this machine.
+
+    ``local[N]`` is a single JVM: ``spark.driver.memory`` is the only memory
+    knob. Shuffle partitions ≈ cores — at cluster scale this would instead be
+    sized so each task's shuffle block fits executor memory (~128 MB/task).
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic table (TESTDATA.md) as a DataFrame."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
