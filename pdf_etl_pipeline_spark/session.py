@@ -61,3 +61,24 @@ def get_spark(app_name: str = "pdf_etl_pipeline_spark", cpus: int | None = None)
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table (TESTDATA.md) as a DataFrame."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str):
+    """Read the ``events`` table, handling its TIMESTAMP(NANOS) parquet type.
+
+    Spark has no nanosecond timestamp: the column is read as raw INT64 nanos
+    (``nanosAsLong``) and floored to microseconds with integer ``div`` —
+    double division would *round* the microsecond (observable drift vs the
+    oracle). The original nanos are kept as ``ts_ns`` for exact arithmetic.
+
+    Event-time query outputs are emitted as epoch-second BIGINTs (not
+    timestamps) so the DuckDB oracle — which keeps full nanosecond
+    precision — hashes identically.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
