@@ -1,0 +1,300 @@
+"""Parser catalog queries — T1–T12 over pre-extracted fixture lines
+(FIXTURES.md §2/§5), with independent DuckDB re-implementations as oracles
+for the SQL-expressible parsers (T1–T3, T5, T6, T9). T7/T8 and the full
+dispatch union are rows-only (driver's weaker check) plus pytest fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf_etl_pipeline_spark.catalog import register
+from pdf_etl_pipeline_spark.catalog._ducksql import (
+    d_first_extract,
+    d_first_line,
+    d_mined_date,
+    d_parse_date,
+    d_parse_float,
+)
+from pdf_etl_pipeline_spark.parsers import fixtures as FX
+from pdf_etl_pipeline_spark.parsers.invoice import parse_invoices
+from pdf_etl_pipeline_spark.parsers.nc import (
+    parse_award_letter,
+    parse_bid_tabs,
+    parse_bids_as_read,
+    parse_documents_by_type,
+    parse_invitation,
+    parse_item_c,
+)
+from pdf_etl_pipeline_spark.session import tune
+
+_PROCESSED = "2023-06-01"
+
+
+def _docs_values(docs) -> str:
+    rows = ",\n  ".join(
+        "('" + path.replace("'", "''") + "', " + FX.duck_lines_literal(lines) + ")"
+        for path, lines in docs
+    )
+    return f"docs(path, lines) AS (VALUES\n  {rows}\n)"
+
+
+# ---------------------------------------------------------------------------
+# T1+T2+T3: invoice pipeline over the 3 invoice fixtures
+# ---------------------------------------------------------------------------
+_ITEM_RE = (
+    r"^([0-9]+)\.\s+(.+?)\s+([0-9,]+(?:\.[0-9]+)?)\.?\s+"
+    r"([0-9,]+(?:\.[0-9]+)?)\.?\s+([0-9,]+(?:\.[0-9]+)?)\.?\s*$"
+)
+_TIN_RE2 = r"(^|[^G])TIN[:\s]+([0-9]{6,})"
+
+_bill_to = d_first_extract("lines", r"Bill\s+to:\s*(.+?)\s*$")
+_inv_no = (
+    "COALESCE("
+    + d_first_extract("lines", r"Invoice\s*#\s*(\S+)")
+    + ", "
+    + d_first_extract("lines", r"\b([RT][0-9]{6,})\b")
+    + ", "
+    + d_first_extract("lines", r"GST\s+ID\s+No\s*:?\s*([0-9]{6,})")
+    + ")"
+)
+_inv_date = (
+    "COALESCE("
+    + d_parse_date(d_first_extract("lines", r"Invoice\s+Date:\s*(.+?)\s*$"))
+    + ", "
+    + d_mined_date("lines")
+    + ")"
+)
+_due_date = d_parse_date(d_first_extract("lines", r"Due\s+Date:\s*(.+?)\s*$"))
+_gst_line = d_first_line("lines", r"GST\s+[0-9]+(\.[0-9]+)?\s*%")
+_tax_label = (
+    "TRY_CAST(nullif(regexp_extract(" + _gst_line + ", '([0-9]+\\.?[0-9]*)\\s*%', 1), '') AS DOUBLE)"
+)
+_tax_amount = d_parse_float(
+    "nullif(regexp_extract(" + _gst_line + ", '([0-9,]+\\.[0-9]{2})\\s*$', 1), '')"
+)
+_subtotal = d_parse_float(d_first_extract("lines", r"^Sub\s*Total\s+\$?([0-9,]+(?:\.[0-9]+)?)"))
+_total_raw = d_parse_float(d_first_extract("lines", r"^Total\s+\$?([0-9,]+(?:\.[0-9]+)?)"))
+_hdr_pos = (
+    "list_position(list_transform(lines, l -> "
+    "regexp_matches(l, '^ID\\s+DESCRIPTION\\s+QTY\\s+PRICE\\s+TOTAL')), true)"
+)
+_qty = d_parse_float("regexp_extract(item_line, '" + _ITEM_RE + "', 3)")
+_price = d_parse_float("regexp_extract(item_line, '" + _ITEM_RE + "', 4)")
+_total = d_parse_float("regexp_extract(item_line, '" + _ITEM_RE + "', 5)")
+
+_INVOICE_ORACLE = f"""
+WITH {_docs_values(FX.INVOICE_DOCS)},
+meta AS (
+  SELECT path, lines,
+    lines[1] AS supplier_name,
+    list_filter(list_transform(lines, l -> regexp_extract(l, '{_TIN_RE2}', 2)), x -> x <> '') AS tins,
+    nullif(regexp_replace({_bill_to}, '^M/s:\\s*', ''), '') AS client_name,
+    {_inv_no} AS invoice_number,
+    {_inv_date} AS invoice_date,
+    {_due_date} AS due_date,
+    {_tax_label} AS tax_label,
+    {_tax_amount} AS tax_amount,
+    {_subtotal} AS subtotal_amount,
+    {_total_raw} AS total_raw,
+    {_hdr_pos} AS hdr
+  FROM docs
+),
+items AS (
+  SELECT *, unnest(list_filter(lines[hdr+1:], l -> regexp_matches(l, '{_ITEM_RE}'))) AS item_line
+  FROM meta WHERE hdr IS NOT NULL AND hdr > 0
+)
+SELECT
+  1 AS company_id, 'USA' AS country, DATE '{_PROCESSED}' AS processed_date,
+  supplier_name, tins[1] AS supplier_tin, client_name, tins[2] AS client_tin,
+  invoice_number, invoice_date, due_date,
+  regexp_extract(item_line, '{_ITEM_RE}', 2) AS description,
+  {_qty} AS qty,
+  {_price} AS price,
+  {_total} AS total,
+  tax_label, tax_amount,
+  COALESCE(total_raw, COALESCE(subtotal_amount, 0.0) + COALESCE(tax_amount, 0.0)) AS total_amount,
+  path AS file
+FROM items
+ORDER BY file, description"""
+
+
+@register(
+    "t1_t3_invoice_pipeline",
+    oracle=_INVOICE_ORACLE,
+    doc="T1 metadata + T2 section slice + T3 line grammar, end-to-end on 3 fixture invoices; oracle is an independent DuckDB list/regex program",
+)
+def t1_t3_invoice_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    out = parse_invoices(FX.corpus_df(spark, FX.INVOICE_DOCS), processed_date=_PROCESSED)
+    return out.orderBy("file", "description")
+
+
+# ---------------------------------------------------------------------------
+# T5: award letter
+# ---------------------------------------------------------------------------
+_state = d_first_extract("lines", r"^STATE OF ([A-Z ]+?)\s*$")
+_owner = "nullif(" + d_first_line("lines", r"DEPARTMENT OF (TRANSPORTATION|HIGHWAYS)") + ", '')"
+_contract_no = d_first_extract("lines", r"Contract No\.?\s+(\S+)")
+_fed_aid = d_first_extract("lines", r"Federal Aid No\.?:?\s+(.+?)\s*$")
+_county = d_first_extract("lines", r"County:\s+(.+?)\s*$")
+_descr = d_first_extract("lines", r"Description:\s+(.+?)\s*$")
+_vendor = d_first_extract("lines", r"inform you that (.+?),? has been")
+_letting = d_parse_date(d_first_extract("lines", r"submitted on ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})"))
+_amt_same = d_first_extract("lines", r"in the amount of\s*\$([0-9,]+\.[0-9]{2})")
+_amt_next = (
+    "nullif(regexp_extract(lines[list_position(list_transform(lines, "
+    "l -> regexp_matches(l, 'in the amount of')), true) + 1], "
+    "'\\$([0-9,]+\\.[0-9]{2})', 1), '')"
+)
+_award_value = d_parse_float("COALESCE(" + _amt_same + ", " + _amt_next + ")")
+
+_AWARD_ORACLE = f"""
+WITH {_docs_values([FX.NC_AWARD_LETTER])}
+SELECT
+  'nc_award_letter' AS doc_type, path AS file,
+  {_state} AS state,
+  {_owner} AS owner,
+  {_contract_no} AS contract_id,
+  {_fed_aid} AS project_number,
+  {_county} AS county,
+  {_descr} AS description,
+  {_vendor} AS vendor,
+  {_letting} AS letting_date,
+  {_award_value} AS award_value
+FROM docs"""
+
+
+@register(
+    "t5_award_letter",
+    oracle=_AWARD_ORACLE,
+    doc="T5 award-letter single-row parser (incl. next-line award-amount fallback)",
+)
+def t5_award_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return parse_award_letter(FX.corpus_df(spark, [FX.NC_AWARD_LETTER]))
+
+
+# ---------------------------------------------------------------------------
+# T9: invitation to bid
+# ---------------------------------------------------------------------------
+_COMBO = r"^(DA[0-9]{5,})\s*[–-]\s*(.+?), in (.+?) County"
+_division = d_first_extract("lines", r"in Division (\w+)")
+_combo1 = d_first_extract("lines", _COMBO, 1)
+_combo2 = d_first_extract("lines", _COMBO, 2)
+_combo3 = d_first_extract("lines", _COMBO, 3)
+_avail = d_parse_date(d_first_extract("lines", r"Date of Availability for this Contract is (.+?)\s*$"))
+_compl = d_parse_date(d_first_extract("lines", r"Completion Date for this Contract is (.+?)\s*$"))
+_open = d_parse_date(d_first_extract("lines", r"Bid Opening will be held on (.+?)\s*$"))
+
+_INVITATION_ORACLE = f"""
+WITH {_docs_values([FX.NC_INVITATION])}
+SELECT
+  'nc_invitation_to_bid' AS doc_type, path AS file,
+  {_state} AS state,
+  {_owner} AS owner,
+  {_division} AS division,
+  {_combo1} AS contract_id,
+  {_combo2} AS proposal_description,
+  {_combo3} AS county,
+  {_avail} AS date_available,
+  {_compl} AS completion_date,
+  {_open} AS letting_date
+FROM docs"""
+
+
+@register(
+    "t9_invitation_to_bid",
+    oracle=_INVITATION_ORACLE,
+    doc="T9 invitation-to-bid single-row parser (contract/description combo grammar)",
+)
+def t9_invitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return parse_invitation(FX.corpus_df(spark, [FX.NC_INVITATION]))
+
+
+# ---------------------------------------------------------------------------
+# T6: bids as read (n contractor rows)
+# ---------------------------------------------------------------------------
+_BIDDER_RE = r"^([A-Z][A-Za-z .&-]+?)\s+([0-9,]+\.[0-9]{2})\s*$"
+_b_date = d_parse_date(d_first_extract("lines", r"Bid Opening\s+([0-9]{1,2}/[0-9]{1,2}/[0-9]{4})"))
+_b_time = d_first_extract("lines", r"^Time\s+(.+?)\s*$")
+_b_contract = d_first_extract("lines", r"^Contract\s+(\w+)\s*$")
+_b_desc = d_first_extract("lines", r"Description:?\s*(.+?)\s*$")
+_b_est = d_parse_float(d_first_extract("lines", r"ENGINEERS ESTIMATE\s+\$?([0-9,]+\.[0-9]{2})"))
+_b_nbids = (
+    "TRY_CAST(" + d_first_extract("lines", r"TOTAL BIDS RECEIVED:?\s*\(([0-9]+)\)") + " AS INTEGER)"
+)
+_b_amount = d_parse_float("regexp_extract(b, '" + _BIDDER_RE + "', 2)")
+
+_BIDS_ORACLE = f"""
+WITH {_docs_values([FX.NC_BIDS_AS_READ])},
+hdr AS (
+  SELECT path, lines,
+    {_b_date} AS letting_date,
+    {_b_time} AS letting_time,
+    {_b_contract} AS contract_id,
+    {_b_desc} AS description,
+    {_b_est} AS engineers_estimate,
+    {_b_nbids} AS total_bids_received
+  FROM docs
+)
+SELECT 'nc_bids_as_read' AS doc_type, path AS file,
+  letting_date, letting_time, contract_id, description,
+  engineers_estimate, total_bids_received,
+  regexp_extract(b, '{_BIDDER_RE}', 1) AS contractor_name,
+  {_b_amount} AS amount_bid
+FROM (
+  SELECT *, unnest(list_filter(lines,
+      l -> regexp_matches(l, '{_BIDDER_RE}') AND NOT regexp_matches(l, 'ESTIMATE|TOTAL BIDS'))) AS b
+  FROM hdr
+)
+ORDER BY contractor_name"""
+
+
+@register(
+    "t6_bids_as_read",
+    oracle=_BIDS_ORACLE,
+    doc="T6 bids-as-read UDTF: header fields × exploded contractor money lines",
+)
+def t6_bids_as_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return parse_bids_as_read(FX.corpus_df(spark, [FX.NC_BIDS_AS_READ])).orderBy(
+        "contractor_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# T7 / T8 / T11: rows-only (non-trivially SQL-expressible; pytest covers
+# exact values against hand-written expectations)
+# ---------------------------------------------------------------------------
+@register(
+    "t7_bid_tabs",
+    doc="T7 bid tabs: items × bidders positional join (rows-only; exact values in tests/test_parsers.py)",
+)
+def t7_bid_tabs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return parse_bid_tabs(FX.corpus_df(spark, [FX.NC_BID_TABS])).orderBy(
+        "line_no", "vendor_name"
+    )
+
+
+@register(
+    "t8_item_c",
+    doc="T8 item C: sentinel-block segmentation × vendor rows (rows-only; exact values in tests/test_parsers.py)",
+)
+def t8_item_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return parse_item_c(FX.corpus_df(spark, [FX.NC_ITEM_C])).orderBy(
+        "block_id", "vendor_name"
+    )
+
+
+@register(
+    "t11_dispatch_union",
+    doc="T11/T12/U1: detect → per-type parser → unionByName across heterogeneous schemas (rows-only)",
+)
+def t11_dispatch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    out = parse_documents_by_type(FX.corpus_df(spark, FX.INVOICE_DOCS + FX.ALL_NC_DOCS))
+    return out.orderBy("doc_type", "file")

@@ -1,0 +1,37 @@
+"""Operator tests: gap sessionization (W2) incl. the OCR word-grouping form."""
+
+from pdf_etl_pipeline_spark.operators.sessionize import group_ocr_words, sessionize_events
+from pdf_etl_pipeline_spark.session import load_events
+
+
+def test_group_ocr_words_reading_order(spark):
+    # FIXTURES.md §3 word-box shape: words on two visual lines (Δy0 ≤ 10
+    # merges), emitted in (y0, x0) reading order with min/max bbox.
+    words = spark.createDataFrame(
+        [
+            ("r.jpg", 10, 102, 40, 112, "D.I.Y."),
+            ("r.jpg", 0, 100, 8, 110, "MR."),
+            ("r.jpg", 50, 105, 90, 115, "SDN"),
+            ("r.jpg", 0, 140, 30, 150, "GST"),
+            ("r.jpg", 35, 143, 60, 153, "ID"),
+            ("other.jpg", 0, 10, 5, 20, "X"),
+        ],
+        "filename string, x0 int, y0 int, x2 int, y2 int, line string",
+    )
+    out = group_ocr_words(words).collect()
+    assert [(r.filename, r.line) for r in out] == [
+        ("other.jpg", "X"),
+        ("r.jpg", "MR. D.I.Y. SDN"),
+        ("r.jpg", "GST ID"),
+    ]
+    first = [r for r in out if r.line.startswith("MR.")][0]
+    assert (first.x0, first.y0, first.x2, first.y2) == (0, 100, 90, 115)
+
+
+def test_sessionize_events_gap(spark, sf_dir):
+    sessions = sessionize_events(load_events(spark, sf_dir), gap_seconds=1800)
+    rows = sessions.limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1

@@ -1,0 +1,156 @@
+"""Parser tests against FIXTURES.md-shaped documents — exact values for the
+rows-only catalog entries (T7/T8) and structural checks for the rest."""
+
+import datetime
+
+from pdf_etl_pipeline_spark.parsers import fixtures as FX
+from pdf_etl_pipeline_spark.parsers.invoice import parse_invoices
+from pdf_etl_pipeline_spark.parsers.nc import (
+    detect_doc_type,
+    parse_award_letter,
+    parse_bid_tabs,
+    parse_bids_as_read,
+    parse_documents_by_type,
+    parse_invitation,
+    parse_item_c,
+)
+
+from pyspark.sql import functions as F
+
+
+def by(rows, **kv):
+    out = [r for r in rows if all(getattr(r, k) == v for k, v in kv.items())]
+    assert out, f"no row with {kv}"
+    return out[0]
+
+
+def test_invoice_full_pipeline(spark):
+    rows = parse_invoices(
+        FX.corpus_df(spark, FX.INVOICE_DOCS), processed_date="2023-06-01"
+    ).collect()
+    assert len(rows) == 6
+    r = by(rows, description="AX-1000 Digi Mouse Wireless")
+    assert r.supplier_name == "J.K. Computers"
+    assert r.supplier_tin == "14122226789"
+    assert r.client_name == "Mirtha M. Reeve"
+    assert r.client_tin == "14125436789"
+    assert r.invoice_number == "100"
+    assert r.invoice_date == datetime.date(2021, 1, 20)
+    assert r.due_date == datetime.date(2021, 2, 10)
+    assert (r.qty, r.price, r.total) == (1.0, 7400.0, 7400.0)
+    assert (r.tax_label, r.tax_amount, r.total_amount) == (8.0, 1520.0, 20520.0)
+
+    # GTIN line must not leak into TINs (negative lookbehind)
+    r2 = by(rows, description="Stapler Heavy Duty")
+    assert r2.supplier_tin == "99887766551"
+    assert r2.client_tin is None
+
+    # degenerate doc: receipt-id invoice number, mined date, fix_null_total
+    r3 = by(rows, description="Drain Snake Rental")
+    assert r3.invoice_number == "R000183898"
+    assert r3.invoice_date == datetime.date(2021, 3, 12)
+    assert r3.total_amount == 84.8
+
+
+def test_detect_doc_type(spark):
+    df = FX.corpus_df(spark, FX.ALL_DOCS).select(
+        "path", detect_doc_type(F.col("path"), F.col("lines")).alias("t")
+    )
+    got = {r.path.split("/")[-1]: r.t for r in df.collect()}
+    assert got["award letter DA00569.pdf"] == "nc_award_letter"
+    assert got["bid tabs DA00569.pdf"] == "nc_bid_tabs"
+    assert got["bids as read 12089199.pdf"] == "nc_bids_as_read"
+    assert got["item c.pdf"] == "nc_item_c"
+    assert got["invitation to bid DA00569.pdf"] == "nc_invitation_to_bid"
+    assert got["sample1.pdf"] == "invoice"
+
+
+def test_award_letter(spark):
+    r = parse_award_letter(FX.corpus_df(spark, [FX.NC_AWARD_LETTER])).collect()[0]
+    assert r.contract_id == "DA00569"
+    assert r.county == "Craven"
+    assert r.vendor == "Lyon Shipyard, Inc."
+    assert r.letting_date == datetime.date(2023, 5, 3)
+    # award amount comes from the next-line fallback
+    assert r.award_value == 1487760.0
+
+
+def test_invitation(spark):
+    r = parse_invitation(FX.corpus_df(spark, [FX.NC_INVITATION])).collect()[0]
+    assert r.contract_id == "DA00569"
+    assert r.proposal_description == "Work Barge Skyco Drydock"
+    assert r.county == "Craven"
+    assert r.division == "One"
+    assert r.date_available == datetime.date(2023, 10, 2)
+    assert r.completion_date == datetime.date(2024, 2, 16)
+    assert r.letting_date == datetime.date(2023, 5, 3)
+
+
+def test_bids_as_read(spark):
+    rows = parse_bids_as_read(FX.corpus_df(spark, [FX.NC_BIDS_AS_READ])).collect()
+    assert len(rows) == 3
+    r = by(rows, contractor_name="BARNHILL CONTRACTING CO")
+    assert r.amount_bid == 4659248.5
+    assert r.engineers_estimate == 5100000.0
+    assert r.total_bids_received == 3
+    assert r.contract_id == "12089199"
+    assert r.letting_date == datetime.date(2023, 3, 15)
+
+
+def test_bids_as_read_null_fallback(spark):
+    empty_doc = [("x.pdf", ["CONTRACT BIDS AS READ", "nothing parsed"])]
+    rows = parse_bids_as_read(FX.corpus_df(spark, empty_doc)).collect()
+    assert len(rows) == 1  # all-null fallback row survives (posexplode_outer)
+    assert rows[0].contractor_name is None
+
+
+def test_bid_tabs_positional_join(spark):
+    rows = parse_bid_tabs(FX.corpus_df(spark, [FX.NC_BID_TABS])).collect()
+    assert len(rows) == 4  # 2 items × 2 bidders
+    r = by(rows, line_no="0001", vendor_name="LYON SHIPYARD INC")
+    assert (r.unit_price, r.amount_bid) == (595.0, 4760.0)
+    assert r.qty == 8.0 and r.unit == "DAY"
+    r = by(rows, line_no="0001", vendor_name="COLONNAS SHIPYARD INC")
+    assert (r.unit_price, r.amount_bid) == (443.63, 3549.04)
+    # Lump Sum line: only one money pair present → second bidder gets nulls
+    r = by(rows, line_no="0009", vendor_name="LYON SHIPYARD INC")
+    assert (r.unit_price, r.amount_bid) == (90790.0, 87841.0)
+    assert r.qty is None and r.unit == "LS"
+    assert r.contract_id == "DA00569"
+    assert r.letting_date == datetime.date(2023, 5, 3)
+
+
+def test_item_c_blocks(spark):
+    rows = parse_item_c(FX.corpus_df(spark, [FX.NC_ITEM_C])).collect()
+    assert len(rows) == 3
+    r = by(rows, block_id=1, vendor_name="LYON SHIPYARD INC")
+    assert r.contract_id == "DA00569"
+    assert r.project_number == "16.33001"
+    assert r.estimate == 2224050.0
+    assert r.date_available == datetime.date(2023, 10, 2)
+    assert r.final_completion == datetime.date(2024, 2, 16)
+    assert (r.vendor_city, r.vendor_total, r.pct_diff) == ("NORFOLK, VA", 1487760.0, -33.1)
+    assert r.estimate_total == 2886830.8
+    r2 = by(rows, block_id=2)
+    assert r2.contract_id == "DA00570"
+    assert r2.vendor_name == "BARNHILL CONTRACTING CO"
+
+
+def test_dispatch_union_schema(spark):
+    out = parse_documents_by_type(FX.corpus_df(spark, FX.INVOICE_DOCS + FX.ALL_NC_DOCS))
+    rows = out.collect()
+    assert len(rows) == 18
+    types = {r.doc_type for r in rows}
+    assert types == {
+        "invoice",
+        "nc_award_letter",
+        "nc_bid_tabs",
+        "nc_bids_as_read",
+        "nc_invitation_to_bid",
+        "nc_item_c",
+    }
+    # heterogeneous union: invoice-only column null for NC rows and vice versa
+    award = by(rows, doc_type="nc_award_letter")
+    assert award.supplier_name is None
+    inv = by(rows, doc_type="invoice", description="Stapler Heavy Duty")
+    assert inv.award_value is None
