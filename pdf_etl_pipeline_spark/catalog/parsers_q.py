@@ -298,3 +298,165 @@ def t11_dispatch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     out = parse_documents_by_type(FX.corpus_df(spark, FX.INVOICE_DOCS + FX.ALL_NC_DOCS))
     return out.orderBy("doc_type", "file")
+
+
+# ---------------------------------------------------------------------------
+# T4: receipt parser (F15 price grammars + F16 qty inference + A6 item sum)
+# ---------------------------------------------------------------------------
+from pdf_etl_pipeline_spark.parsers import receipt as R  # noqa: E402
+from pdf_etl_pipeline_spark.operators.sessionize import group_ocr_words  # noqa: E402
+
+_rp = {f"P{i}": getattr(R, f"P{i}") for i in (1, 2, 3, 4)}
+_any_item = R.ANY_ITEM
+_tax_re = R.TAX_LINE
+
+
+def _case4(g1: str, g2: str, g3: str, g4: str) -> str:
+    """first-match-wins CASE over the four grammars; gN = group to pull
+    ('' = literal 1 for P2 qty, '-' = NULL)."""
+    out = ["CASE"]
+    for pat_name, g in zip(("P1", "P2", "P3", "P4"), (g1, g2, g3, g4)):
+        pat = _rp[pat_name]
+        if g == "-":
+            out.append(f"WHEN regexp_matches(l, '{pat}') THEN NULL")
+        elif g == "1lit":
+            out.append(f"WHEN regexp_matches(l, '{pat}') THEN '1'")
+        else:
+            out.append(f"WHEN regexp_matches(l, '{pat}') THEN regexp_extract(l, '{pat}', {g})")
+    out.append("ELSE NULL END")
+    return " ".join(out)
+
+
+_d_sku = _case4("1", "1", "1", "-")
+_d_qty = d_parse_float(_case4("2", "1lit", "3", "1"))
+_d_price = d_parse_float(_case4("3", "2", "2", "2"))
+_d_total = d_parse_float(_case4("4", "3", "4", "3"))
+_d_taxline = d_first_line("lines", _tax_re)
+_d_n1 = d_parse_float(f"regexp_extract({_d_taxline}, '{_tax_re}', 1)")
+_d_n2 = d_parse_float(f"regexp_extract({_d_taxline}, '{_tax_re}', 3)")
+_d_rate = d_parse_float(f"regexp_extract({_d_taxline}, '{_tax_re}', 2)")
+_d_totline = d_parse_float(d_first_extract("lines", r"^TOTAL\b.*?([0-9,]+\.[0-9]{2})\s*$"))
+_d_suffix = d_first_line("lines", R.SUPPLIER_SUFFIX)
+_d_addr = d_first_line("lines", R.ADDRESS_HINT)
+_d_invno = (
+    "COALESCE("
+    + d_first_extract("lines", r"GST\s+ID\s+No\s*:?\s*([0-9]{6,})")
+    + ", "
+    + d_first_extract("lines", r"\b([RT][0-9]{6,})\b")
+    + ")"
+)
+
+_RECEIPT_ORACLE = f"""
+WITH {_docs_values([FX.RECEIPT_LINES])},
+meta AS (
+  SELECT path, lines,
+    COALESCE(nullif({_d_suffix}, ''), lines[1]) AS supplier_name,
+    nullif({_d_addr}, '') AS supplier_address,
+    {_d_invno} AS invoice_number,
+    {d_mined_date('lines')} AS invoice_date,
+    {_d_rate} AS tax_label,
+    least({_d_n1}, {_d_n2}) AS tax_amount,
+    greatest({_d_n1}, {_d_n2}) AS subtotal_amount,
+    {_d_totline} AS total_line,
+    list_filter(lines, l -> regexp_matches(l, '{_any_item}')) AS item_lines
+  FROM docs
+),
+withsum AS (
+  SELECT *,
+    COALESCE(total_line, COALESCE(subtotal_amount, 0.0) + COALESCE(tax_amount, 0.0)) AS total_amount,
+    list_sum(list_transform(item_lines, l -> COALESCE({_d_total}, 0.0))) + 0.0 AS items_total
+  FROM meta
+),
+items AS (SELECT *, unnest(item_lines) AS l FROM withsum),
+parsed AS (
+  SELECT *,
+    {_d_sku} AS description,
+    {_d_qty} AS qty0,
+    {_d_price} AS price,
+    {_d_total} AS total,
+    {_d_total} / nullif({_d_price}, 0) AS ratio
+  FROM items
+)
+SELECT 1 AS company_id, 'USA' AS country, DATE '{_PROCESSED}' AS processed_date,
+  supplier_name, supplier_address, invoice_number, invoice_date,
+  description,
+  CASE WHEN (qty0 IS NULL OR abs(qty0 * price - total) > 0.02)
+            AND ratio IS NOT NULL AND abs(ratio - round(ratio)) < 0.02
+            AND ratio >= 0.5 AND ratio <= 999
+       THEN round(ratio) ELSE qty0 END AS qty,
+  price, total, tax_label, tax_amount, subtotal_amount, total_amount,
+  items_total, path AS file
+FROM parsed
+ORDER BY description NULLS FIRST, total"""
+
+
+@register(
+    "t4_receipt_products",
+    oracle=_RECEIPT_ORACLE,
+    doc="T4 receipt parser: F15 price-line grammars (first-match-wins), tax/subtotal disambiguation, F16 qty inference, A6 item-sum",
+)
+def t4_receipt_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    out = R.parse_receipts(
+        FX.corpus_df(spark, [FX.RECEIPT_LINES]), processed_date=_PROCESSED
+    )
+    from pyspark.sql import functions as F
+
+    return out.orderBy(F.asc_nulls_first("description"), "total")
+
+
+# ---------------------------------------------------------------------------
+# W2 proper: OCR word-box grouping (spatial sessionization) with oracle
+# ---------------------------------------------------------------------------
+_WORDS = [
+    ("r.jpg", 0, 100, 8, 110, "MR."),
+    ("r.jpg", 10, 102, 40, 112, "D.I.Y."),
+    ("r.jpg", 50, 105, 90, 115, "SDN"),
+    ("r.jpg", 95, 104, 120, 114, "BHD"),
+    ("r.jpg", 0, 140, 30, 150, "GST"),
+    ("r.jpg", 35, 143, 60, 153, "ID"),
+    ("r.jpg", 65, 141, 99, 151, "No"),
+    ("r.jpg", 0, 170, 60, 180, "9556268000210"),
+    ("r.jpg", 70, 171, 80, 181, "3"),
+    ("r.jpg", 90, 169, 95, 179, "X"),
+    ("r.jpg", 100, 172, 130, 182, "15.00"),
+    ("r.jpg", 140, 170, 170, 180, "45.00"),
+    ("s.jpg", 5, 10, 25, 20, "PYEDRAIN"),
+    ("s.jpg", 30, 12, 70, 22, "PLUMBING"),
+    ("s.jpg", 5, 45, 40, 55, "TOTAL"),
+    ("s.jpg", 45, 44, 80, 54, "84.80"),
+]
+_words_rows = ",\n  ".join(
+    f"('{f}', {a}, {b}, {c}, {d}, '{t}')" for f, a, b, c, d, t in _WORDS
+)
+
+_OCR_GROUP_ORACLE = f"""
+WITH w(filename, x0, y0, x2, y2, line) AS (VALUES
+  {_words_rows}
+),
+g AS (
+  SELECT *, CASE WHEN lag(y0) OVER win IS NULL OR y0 - lag(y0) OVER win > 10
+                 THEN 1 ELSE 0 END AS ns
+  FROM w WINDOW win AS (PARTITION BY filename ORDER BY y0, x0)
+),
+s AS (
+  SELECT *, CAST(SUM(ns) OVER (PARTITION BY filename ORDER BY y0, x0
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS line_id
+  FROM g
+)
+SELECT filename, line_id, MIN(x0) AS x0, MIN(y0) AS y0, MAX(x2) AS x2, MAX(y2) AS y2,
+       string_agg(line, ' ' ORDER BY x0) AS line
+FROM s GROUP BY filename, line_id ORDER BY filename, line_id"""
+
+
+@register(
+    "w2_ocr_group_words",
+    oracle=_OCR_GROUP_ORACLE,
+    doc="W2 proper: OCR word boxes → visual lines via spatial gap sessionization (reference group_ocr_words)",
+)
+def w2_ocr_group_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    words = spark.createDataFrame(
+        _WORDS, "filename string, x0 int, y0 int, x2 int, y2 int, line string"
+    )
+    return group_ocr_words(words)

@@ -310,9 +310,21 @@ def parse_documents_by_type(docs: DataFrame, lines_col: str = "lines") -> DataFr
     by name (U1). Unknown types pass through as raw text (reference
     lib/parse_utils.py:1938-1945)."""
     from pdf_etl_pipeline_spark.parsers.invoice import parse_invoices
+    from pdf_etl_pipeline_spark.parsers.receipt import parse_receipts
 
-    typed = docs.withColumn("doc_type", detect_doc_type(F.col("path"), F.col(lines_col)))
+    # P4 extension dispatch (reference lib/pipeline_runner.py:57,68): images
+    # go through the OCR/receipt path, everything else through text parsers
+    is_image = F.lower(F.col("path")).rlike(r"\.(jpg|jpeg|png)$")
+    typed = docs.withColumn(
+        "doc_type",
+        F.when(is_image, "receipt").otherwise(
+            detect_doc_type(F.col("path"), F.col(lines_col))
+        ),
+    )
     branches = [
+        parse_receipts(typed.filter(F.col("doc_type") == "receipt")).withColumn(
+            "doc_type", F.lit("receipt")
+        ),
         parse_award_letter(typed.filter(F.col("doc_type") == "nc_award_letter")),
         parse_invitation(typed.filter(F.col("doc_type") == "nc_invitation_to_bid")),
         parse_bids_as_read(typed.filter(F.col("doc_type") == "nc_bids_as_read")),

@@ -1,0 +1,142 @@
+"""Receipt parser — T4 ``extract_product_info`` (SURVEY.md §2.8;
+reference /root/reference/lib/parse_utils.py:318-809) plus the F15
+price-line grammars (PRICE_PATTERNS, lib/parse_utils.py:366-394).
+
+Consumes OCR-grouped visual lines (output of
+``operators.sessionize.group_ocr_words`` — W2) or fixture lines, and emits
+canonical invoice rows. Entirely native Column expressions: the six
+first-match-wins line grammars become one ``coalesce``/``when`` chain per
+line inside an array ``transform``.
+
+Deliberate divergence from the reference, documented per SURVEY §7.3(d):
+``processed_date`` is an explicit parameter, not ``date.today()``
+(lib/parse_utils.py:785 nondeterminism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.functions import scalars as S
+from pdf_etl_pipeline_spark.parsers.lines import cascade, first_extract, first_matching_line
+
+M = r"[\d,]+\.\d{2}"
+# F15 grammars, first-match-wins (reference PRICE_PATTERNS order):
+#   P1: SKU qty X price total     "9556268000210 3 X 15.00 45.00"
+#   P2: SKU X price total (qty=1) "9072363 X 29.90 29.90"
+#   P3: SKU price qty X total     "9021937 3.90 1 X 3.90"
+#   P4: qty X price total         "1 X 29.90 29.90"
+P1 = rf"^(\d{{5,}})\s+(\d+)\s+X\s+({M}|\d+\.\d+)\s+({M}|\d+\.\d+)$"
+P2 = rf"^(\d{{5,}})\s+X\s+({M}|\d+\.\d+)\s+({M}|\d+\.\d+)$"
+P3 = rf"^(\d{{5,}})\s+({M}|\d+\.\d+)\s+(\d+)\s+X\s+({M}|\d+\.\d+)$"
+P4 = rf"^(\d+)\s+X\s+({M}|\d+\.\d+)\s+({M}|\d+\.\d+)$"
+ANY_ITEM = rf"({P1})|({P2})|({P3})|({P4})"
+
+# "2.55 S@6% 42.45 GST": the two numbers around the rate — smaller is the
+# tax, larger the subtotal (reference disambiguation, lib/parse_utils.py:591)
+TAX_LINE = r"^([\d,]+\.\d+)\s+S?@?(\d+(?:\.\d+)?)%\s+([\d,]+\.\d+)\s+GST"
+
+SUPPLIER_SUFFIX = r"\b(SDN BHD|BHD|LTD|INC|LLC|ENTERPRISE|TRADING|PLUMBING|HARDWARE)\b"
+ADDRESS_HINT = r"\b(LOT|JALAN|STREET|ROAD|AVENUE|AVE|KAWASAN|SELANGOR|LANE)\b"
+
+
+def _item_struct(l: Column) -> Column:
+    qty = (
+        F.when(l.rlike(P1), F.regexp_extract(l, P1, 2))
+        .when(l.rlike(P2), F.lit("1"))
+        .when(l.rlike(P3), F.regexp_extract(l, P3, 3))
+        .when(l.rlike(P4), F.regexp_extract(l, P4, 1))
+    )
+    price = (
+        F.when(l.rlike(P1), F.regexp_extract(l, P1, 3))
+        .when(l.rlike(P2), F.regexp_extract(l, P2, 2))
+        .when(l.rlike(P3), F.regexp_extract(l, P3, 2))
+        .when(l.rlike(P4), F.regexp_extract(l, P4, 2))
+    )
+    total = (
+        F.when(l.rlike(P1), F.regexp_extract(l, P1, 4))
+        .when(l.rlike(P2), F.regexp_extract(l, P2, 3))
+        .when(l.rlike(P3), F.regexp_extract(l, P3, 4))
+        .when(l.rlike(P4), F.regexp_extract(l, P4, 3))
+    )
+    sku = (
+        F.when(l.rlike(P1), F.regexp_extract(l, P1, 1))
+        .when(l.rlike(P2), F.regexp_extract(l, P2, 1))
+        .when(l.rlike(P3), F.regexp_extract(l, P3, 1))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return F.struct(
+        sku.alias("sku"),
+        S.parse_float(qty).alias("qty"),
+        S.parse_float(price).alias("price"),
+        S.parse_float(total).alias("total"),
+    )
+
+
+def parse_receipts(
+    docs: DataFrame,
+    lines_col: str = "lines",
+    path_col: str = "path",
+    company_id: int = 1,
+    country: str = "USA",
+    processed_date: str | None = None,
+) -> DataFrame:
+    lines = F.col(lines_col)
+    tax_line = first_matching_line(lines, TAX_LINE)
+    n1 = S.parse_float(F.regexp_extract(tax_line, TAX_LINE, 1))
+    n2 = S.parse_float(F.regexp_extract(tax_line, TAX_LINE, 3))
+    item_lines = F.filter(lines, lambda l: l.rlike(ANY_ITEM))
+
+    base = docs.select(
+        F.col(path_col).alias("file"),
+        F.coalesce(
+            first_matching_line(lines, SUPPLIER_SUFFIX), F.try_element_at(lines, F.lit(1))
+        ).alias("supplier_name"),
+        first_matching_line(lines, ADDRESS_HINT).alias("supplier_address"),
+        cascade(lines, r"GST\s+ID\s+No\s*:?\s*(\d{6,})", r"\b([RT]\d{6,})\b").alias(
+            "invoice_number"
+        ),
+        S.find_dates_in_lines(lines).alias("invoice_date"),
+        S.parse_float(F.regexp_extract(tax_line, TAX_LINE, 2)).alias("_rate"),
+        F.least(n1, n2).alias("tax_amount"),
+        F.greatest(n1, n2).alias("subtotal_amount"),
+        S.parse_float(
+            first_extract(lines, rf"^TOTAL\b.*?({M})\s*$")
+        ).alias("_total_line"),
+        F.transform(item_lines, _item_struct).alias("_items"),
+    )
+    # A6: per-receipt subtotal = sum of item totals (fallback when no tax line)
+    items_sum = F.aggregate(
+        F.col("_items"), F.lit(0.0), lambda acc, it: acc + F.coalesce(it["total"], F.lit(0.0))
+    )
+    enriched = base.withColumn(
+        "total_amount",
+        S.fix_null_total(F.col("_total_line"), F.col("subtotal_amount"), F.col("tax_amount")),
+    ).withColumn("_items_sum", items_sum)
+
+    exploded = enriched.select("*", F.posexplode_outer("_items").alias("pos", "item")).drop(
+        "_items"
+    )
+    qty_fixed = S.infer_qty(F.col("item.qty"), F.col("item.price"), F.col("item.total"))
+    return exploded.select(
+        F.lit(company_id).alias("company_id"),
+        F.lit(country).alias("country"),
+        (
+            F.lit(processed_date).cast("date") if processed_date else F.current_date()
+        ).alias("processed_date"),
+        F.col("supplier_name"),
+        F.col("supplier_address"),
+        F.col("invoice_number"),
+        F.col("invoice_date"),
+        F.coalesce(F.col("item.sku"), F.lit(None).cast("string")).alias("description"),
+        qty_fixed.alias("qty"),
+        F.col("item.price").alias("price"),
+        F.col("item.total").alias("total"),
+        F.col("_rate").alias("tax_label"),
+        F.col("tax_amount"),
+        F.col("subtotal_amount"),
+        F.col("total_amount"),
+        F.col("_items_sum").alias("items_total"),
+        F.col("file"),
+    )

@@ -137,12 +137,13 @@ def test_item_c_blocks(spark):
 
 
 def test_dispatch_union_schema(spark):
-    out = parse_documents_by_type(FX.corpus_df(spark, FX.INVOICE_DOCS + FX.ALL_NC_DOCS))
+    out = parse_documents_by_type(FX.corpus_df(spark, FX.ALL_DOCS))
     rows = out.collect()
-    assert len(rows) == 18
+    assert len(rows) == 22  # 6 invoice + 1 award + 4 bid-tab + 3 bids + 1 invit + 3 item-c + 4 receipt
     types = {r.doc_type for r in rows}
     assert types == {
         "invoice",
+        "receipt",
         "nc_award_letter",
         "nc_bid_tabs",
         "nc_bids_as_read",
@@ -154,3 +155,30 @@ def test_dispatch_union_schema(spark):
     assert award.supplier_name is None
     inv = by(rows, doc_type="invoice", description="Stapler Heavy Duty")
     assert inv.award_value is None
+
+
+def test_receipt_parser(spark):
+    from pdf_etl_pipeline_spark.parsers.receipt import parse_receipts
+    import datetime
+
+    rows = parse_receipts(
+        FX.corpus_df(spark, [FX.RECEIPT_LINES]), processed_date="2023-06-01"
+    ).collect()
+    assert len(rows) == 4
+    r = by(rows, description="9556268000210")
+    assert (r.qty, r.price, r.total) == (3.0, 15.0, 45.0)
+    assert r.supplier_name == "MR. D.I.Y. SDN BHD"
+    assert r.invoice_number == "000306020352"
+    assert r.invoice_date == datetime.date(2018, 3, 12)
+    assert (r.tax_label, r.tax_amount, r.subtotal_amount) == (6.0, 2.55, 42.45)
+    assert r.total_amount == 45.0
+    # P2 grammar: qty defaults to 1
+    r2 = by(rows, description="9072363")
+    assert (r2.qty, r2.price, r2.total) == (1.0, 29.9, 29.9)
+    # P3 grammar: price before qty
+    r3 = by(rows, description="9021937")
+    assert (r3.qty, r3.price, r3.total) == (1.0, 3.9, 3.9)
+    # P4 grammar: no SKU
+    r4 = [r for r in rows if r.description is None][0]
+    assert (r4.qty, r4.price, r4.total) == (1.0, 29.9, 29.9)
+    assert abs(rows[0].items_total - 108.7) < 1e-9
