@@ -1,0 +1,90 @@
+"""Structured Streaming jobs — SURVEY.md §2.9 (absent in the reference;
+its closest behavior is incremental re-run + insert-dedup, which maps to a
+file-source stream + ``foreachBatch`` anti-join upsert).
+
+Every transformation here uses Spark's unified API: the same function body
+works on a batch DataFrame (driver correctness checks run it in batch mode)
+and on a ``readStream`` DataFrame (watermarks/output-modes then apply).
+
+Scale notes: streaming state (window aggs, dedup) is keyed by
+(window, event_type) / event_id — watermarks bound state size; at high
+volume the state store partitions by ``spark.sql.shuffle.partitions``,
+sized like any other shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.operators.dedup_sink import insert_dataframe
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of event parquet drops (micros timestamps)."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .load(source_dir)
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding when ``slide`` given) event-time window
+    aggregation with a late-data watermark."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return events.groupBy(win.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Event-time session windows per user (the streaming analog of the
+    OCR gap-grouping operator)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return events.groupBy(F.session_window("ts", gap).alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exactly-once-ish dedup on event_id within the watermark —
+    the streaming twin of the sink anti-join."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return events.dropDuplicates(["event_id"])
+
+
+def upsert_stream(
+    events: DataFrame, sink_path: str, keys: tuple[str, ...] = ("event_id",)
+):
+    """foreachBatch dedup-append: each micro-batch goes through the same
+    anti-join insert as the batch sink (reference S7 semantics,
+    db_connection.py:41-47, made incremental)."""
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        insert_dataframe(batch_df, sink_path, keys=keys)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(_batch)
+        .trigger(availableNow=True)
+    )
