@@ -1,0 +1,75 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full pipeline runs, no driver-side
+collect cost). Query set spans the engine's surface: scan-agg (A8), joins
+(A3/J1), windows (W2/W5), streaming-shape (ST2), and the LLM-data ops
+(MinHash-LSH, ANN, text stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pdf_etl_pipeline_spark.catalog import load_registry
+from pdf_etl_pipeline_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "a8_pricing_summary",
+    "a3_top_suppliers",
+    "a2_invoice_value",
+    "j1_dedup_anti_join",
+    "w2_sessionize_events",
+    "w5_topk_per_group",
+    "st2_sliding_window",
+    "dd1_exact_dedup",
+    "dd3_minhash_lsh",
+    "ss1_cosine_topk",
+    "tx2_text_stats",
+    "t11_dispatch_union",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    registry = load_registry()
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # queries, not session bring-up
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Dedup catalog — exact / n-gram Jaccard / MinHash-LSH / SimHash /
+embedding-cosine over the ``documents`` and ``embeddings`` tables, each
+with a DuckDB oracle that reproduces the identical hash arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf_etl_pipeline_spark.catalog import register
+from pdf_etl_pipeline_spark.llmdata import dedup as DD
+from pdf_etl_pipeline_spark.session import load_table, tune
+
+_TOKS = DD.tokens_sql("text")
+_SIG = DD.minhash_signature_sql("text")
+_COS = DD.cosine_sql("va", "vb")
+
+
+# --- DD1: exact -------------------------------------------------------------
+@register(
+    "dd1_exact_dedup",
+    oracle="""
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""",
+    doc="DD1 exact dedup via content-hash groupBy (min-doc-id survivor)",
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return DD.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# --- DD2: token-set Jaccard -------------------------------------------------
+@register(
+    "dd2_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+sizes AS (SELECT doc_id, len({_TOKS}) AS n_tok FROM documents),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_tok + sb.n_tok - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_tok + sb.n_tok - n_common) >= 0.5
+ORDER BY doc_a, doc_b""",
+    doc="DD2 token-set Jaccard ≥0.5 via inverted-index self-join (max_df pruning available for scale)",
+)
+def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return DD.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# --- DD3: MinHash + LSH -----------------------------------------------------
+@register(
+    "dd3_minhash_lsh",
+    oracle=f"""
+WITH sigs AS (
+  SELECT doc_id, {_TOKS} AS toks, {_SIG} AS sig FROM documents
+),
+banded AS (
+  SELECT doc_id, toks, band,
+         array_to_string(sig[band * {DD.ROWS_PER_BAND} + 1 : (band + 1) * {DD.ROWS_PER_BAND}], '-') AS key
+  FROM sigs, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) bb(band)
+),
+cands AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.toks) AS ta, any_value(b.toks) AS tb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(ta, tb)) /
+             (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6) AS jaccard
+FROM cands
+WHERE len(list_intersect(ta, tb)) /
+      (len(ta) + len(tb) - len(list_intersect(ta, tb))) >= 0.5
+ORDER BY doc_a, doc_b""",
+    doc="DD3 MinHash(32 perms)+LSH(8 bands): candidates share a band key, verified with true Jaccard",
+)
+def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# --- DD4: SimHash fingerprints ----------------------------------------------
+_HASHES = f"list_transform({_TOKS}, t -> " + DD.portable_hash32_sql("t") + ")"
+_bits = " + ".join(
+    f"CASE WHEN len(list_filter(hs, h -> (h & {1 << i}) <> 0)) * 2 >= len(hs) THEN {1 << i} ELSE 0 END"
+    for i in range(32)
+)
+
+@register(
+    "dd4_simhash",
+    oracle=f"""
+SELECT doc_id, CAST({_bits} AS BIGINT) AS simhash
+FROM (SELECT doc_id, {_HASHES} AS hs FROM documents)
+ORDER BY doc_id""",
+    doc="DD4 32-bit SimHash fingerprint (majority-vote bits over token hashes)",
+)
+def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return DD.simhash_relation(load_table(spark, sf_dir, "documents"))
+
+
+# --- DD5: embedding cosine near-dups ----------------------------------------
+@register(
+    "dd5_embedding_dups",
+    oracle=f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+SELECT id_a, id_b, round({_COS}, 6) AS cosine
+FROM a JOIN b ON id_a < id_b
+WHERE {_COS} >= 0.9
+ORDER BY id_a, id_b""",
+    doc="DD5 embedding near-dup pairs, cosine ≥ 0.9 (brute verifier; LSH candidates at scale)",
+)
+def dd5_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return DD.embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.9)

@@ -1,0 +1,107 @@
+"""Text-analysis catalog — language-ID, quality stats, token counting,
+fingerprinting over ``documents``, each with an arithmetic-identical
+DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.catalog import register
+from pdf_etl_pipeline_spark.llmdata import text as TX
+from pdf_etl_pipeline_spark.llmdata.dedup import P31, PERM_A, PERM_B
+from pdf_etl_pipeline_spark.functions.scalars import portable_hash32_sql
+from pdf_etl_pipeline_spark.session import load_table, tune
+
+_TOKS = TX.tokens_sql("text", distinct=False)
+_EN = ", ".join(repr(w) for w in TX.LANG_MARKERS["en"])
+
+
+# --- TX1: language identification -------------------------------------------
+@register(
+    "tx1_lang_id",
+    oracle=f"""
+SELECT doc_id, lang AS lang_true, {TX.lang_id_sql('text')} AS lang_pred
+FROM documents ORDER BY doc_id""",
+    doc="TX1 n-gram/stopword-hit language ID with CJK codepoint fallback",
+)
+def tx1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        TX.lang_id("text").alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+# --- TX2: quality stats ------------------------------------------------------
+@register(
+    "tx2_text_stats",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars_m,
+         len({_TOKS}) AS n_tokens,
+         len(list_distinct({_TOKS})) AS n_distinct_tokens,
+         list_reduce(list_prepend(0, list_transform({_TOKS}, t -> length(t))), (a, b) -> a + b) AS sum_len,
+         length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         len(list_filter({_TOKS}, t -> t IN ({_EN}))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars_m, n_tokens, n_distinct_tokens,
+  round(sum_len / nullif(n_tokens, 0), 6) AS avg_word_len,
+  round(n_distinct_tokens / nullif(n_tokens, 0), 6) AS type_token_ratio,
+  round(stop_hits / nullif(n_tokens, 0), 6) AS stopword_ratio,
+  round(punct / nullif(n_chars_m, 0), 6) AS punct_ratio,
+  round(digits / nullif(n_chars_m, 0), 6) AS digit_ratio,
+  round(
+    least(n_tokens / 20.0, 1.0) * 0.3
+    + COALESCE(n_distinct_tokens / nullif(n_tokens, 0), 0.0) * 0.3
+    + CASE WHEN sum_len / nullif(n_tokens, 0) >= 3
+               AND sum_len / nullif(n_tokens, 0) <= 8 THEN 0.2 ELSE 0.0 END
+    + COALESCE(stop_hits / nullif(n_tokens, 0), 0.0) * 0.2
+    - COALESCE(digits / nullif(n_chars_m, 0), 0.0) * 0.2, 6) AS quality_score
+FROM base ORDER BY doc_id""",
+    doc="TX2 quality-scoring feature set (length, diversity, stopword/punct/digit ratios, composite score)",
+)
+def tx2_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return TX.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --- TX3: token counting ------------------------------------------------------
+@register(
+    "tx3_token_count",
+    oracle=f"""
+SELECT doc_id,
+       len({_TOKS}) AS ws_tokens,
+       len(regexp_extract_all(text, '{TX.BPE_RE}')) AS bpe_tokens
+FROM documents ORDER BY doc_id""",
+    doc="TX3 whitespace + BPE-ish regex token counts (JVM-side regexp_count)",
+)
+def tx3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return TX.token_count_bpe(load_table(spark, sf_dir, "documents"))
+
+
+# --- TX4: fingerprinting ------------------------------------------------------
+_norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+_h8 = portable_hash32_sql("s") + f" % {P31}"
+
+@register(
+    "tx4_fingerprint",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_norm} AS norm FROM documents)
+SELECT doc_id,
+  md5(norm) AS fp_md5,
+  list_min(list_transform(
+    list_transform(range(1, greatest(length(norm) - 7, 1) + 1), i -> substring(norm, i, 8)),
+    s -> ({PERM_A[0]} * ({_h8}) + {PERM_B[0]}) % {P31})) AS fp_minshingle
+FROM base ORDER BY doc_id""",
+    doc="TX4 document fingerprints: md5 of normalized text + min 8-gram shingle hash (winnowing-style)",
+)
+def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return TX.fingerprint(load_table(spark, sf_dir, "documents"))

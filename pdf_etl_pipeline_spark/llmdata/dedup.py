@@ -1,0 +1,245 @@
+"""Training-data deduplication at 100 TB scale (north-star op set).
+
+Five dedup families over the ``documents`` / ``embeddings`` tables:
+
+- **exact** — md5 groupBy. One shuffle on the digest; at 100 TB this is the
+  cheapest possible dedup (map-side partial agg, ~16-byte keys).
+- **n-gram Jaccard** — inverted-index token self-join. Scale controls:
+  document-frequency pruning (drop tokens appearing in > max_df docs — they
+  generate O(df²) candidate pairs and carry no signal) and the a<b triangle
+  constraint. Without pruning a stopword token alone produces a quadratic
+  blowup.
+- **MinHash + LSH** — the sub-quadratic path: 32 permutations → 8 bands of
+  4 → candidates share a band key → verified with true Jaccard. Candidate
+  generation is a self-join on (band, key): at scale the band key is the
+  shuffle key and collisions are rare by construction, so the join output
+  is ~linear in the number of true near-dup pairs.
+- **SimHash** — 32-bit per-doc fingerprint; near-dups differ in ≤ k bits.
+  Pairing at scale: join on rotated fingerprint bands (pigeonhole), here we
+  emit the fingerprint relation itself (the join is the same LSH shape).
+- **embedding cosine** — brute-force O(n²) verification locally; the scale
+  path is random-hyperplane LSH (``similarity.py``) feeding the same
+  verifier.
+
+Every hash is the engine-portable md5-fold (``functions.scalars.
+portable_hash32``) so the DuckDB oracle reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.functions.scalars import portable_hash32, portable_hash32_sql
+
+P31 = 2_147_483_647  # Mersenne prime 2^31-1
+NUM_PERM = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_PERM // BANDS
+# Deterministic permutation constants — same formula embedded in the SQL
+# oracle (Knuth multiplicative constants mod p).
+PERM_A = [(2654435761 * (i + 1)) % P31 for i in range(NUM_PERM)]
+PERM_B = [(40503 * (i + 7) + 97) % P31 for i in range(NUM_PERM)]
+
+
+def tokens_col(text: Column | str, distinct: bool = True) -> Column:
+    """Shared tokenization: lowercase, split on non-alphanumeric runs."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
+    return F.array_distinct(toks) if distinct else toks
+
+
+def tokens_sql(expr: str, distinct: bool = True) -> str:
+    inner = f"list_filter(string_split_regex(lower({expr}), '[^a-z0-9]+'), x -> x <> '')"
+    return f"list_distinct({inner})" if distinct else inner
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one surviving doc id per distinct text."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram / token Jaccard
+# ---------------------------------------------------------------------------
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, max_df: int | None = None) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard via inverted-index self-join.
+
+    ``max_df`` drops tokens appearing in more than that many documents
+    before the join — the 100 TB guard against stopword-driven quadratic
+    candidate blowup (off by default so the oracle stays a pure program).
+    """
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    if max_df is not None:
+        rare = toks.groupBy("tok").count().filter(F.col("count") <= max_df).select("tok")
+        toks = toks.join(F.broadcast(rare), "tok")
+    sizes = docs.select("doc_id", F.size(tokens_col("text")).alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+def minhash_signature(text: Column | str) -> Column:
+    """32-perm MinHash signature as array<long>, entirely native:
+    sig[i] = min over tokens of (a_i * (h(tok) mod p) + b_i) mod p."""
+    toks = tokens_col(text)
+    hashes = F.transform(toks, lambda t: portable_hash32(t) % P31)
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % P31
+
+    return F.array(
+        *[F.array_min(F.transform(hashes, perm(a, b))) for a, b in zip(PERM_A, PERM_B)]
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band, verified with true Jaccard."""
+    with_sig = docs.select(
+        "doc_id", tokens_col("text").alias("toks"), minhash_signature("text").alias("sig")
+    )
+    bands = with_sig.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.slice("sig", b * ROWS_PER_BAND + 1, ROWS_PER_BAND), "-"
+                        ).alias("key"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "toks", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.toks").alias("ta"),
+            F.col("b.toks").alias("tb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        cands.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+def simhash32(text: Column | str) -> Column:
+    """32-bit SimHash: bit i set when ≥ half the tokens have bit i set in
+    their portable hash (majority vote, ties → set)."""
+    toks = tokens_col(text)
+    hashes = F.transform(toks, lambda t: portable_hash32(t))
+    n = F.size(hashes)
+    def bit_set(mask: int):
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    bits = [
+        F.when(
+            F.size(F.filter(hashes, bit_set(1 << i))) * 2 >= n,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(32)
+    ]
+    total = bits[0]
+    for extra in bits[1:]:
+        total = total + extra
+    return total
+
+
+def simhash_relation(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", simhash32("text").alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicates (brute verification; LSH path in similarity.py)
+# ---------------------------------------------------------------------------
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Sequential-fold cosine — identical op order to the SQL oracle so
+    doubles match bit-for-bit."""
+    a, b = _as_double(a), _as_double(b)
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """All pairs with cosine ≥ threshold (O(n²) verifier; at scale candidates
+    come from hyperplane-LSH buckets, similarity.py)."""
+    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments for the DuckDB oracle (identical arithmetic)
+# ---------------------------------------------------------------------------
+def minhash_signature_sql(text_expr: str) -> str:
+    h = portable_hash32_sql("t") + f" % {P31}"
+    perms = ", ".join(
+        f"list_min(list_transform({tokens_sql(text_expr)}, t -> ({a} * ({h}) + {b}) % {P31}))"
+        for a, b in zip(PERM_A, PERM_B)
+    )
+    return f"[{perms}]"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    prod = f"list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    na = f"sqrt(list_reduce(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))"
+    nb = f"sqrt(list_reduce(list_transform(range(1, len({b}) + 1), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y))"
+    return f"(list_reduce({prod}, (x, y) -> x + y) / ({na} * {nb}))"

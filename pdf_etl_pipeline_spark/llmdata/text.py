@@ -1,0 +1,132 @@
+"""Text analysis for training-data pipelines (north-star op set):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All native Column expressions — these run inside whole-stage codegen over
+the document scan, so at 100 TB they add no shuffle and no Python workers;
+cost is one pass over the text bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.functions.scalars import portable_hash32, portable_hash32_sql
+from pdf_etl_pipeline_spark.llmdata.dedup import P31, PERM_A, PERM_B, tokens_col, tokens_sql
+
+# Stopword marker lists per language (tiny on purpose — the heuristic is
+# hit-count argmax, deterministic and portable).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est"],
+    "es": ["el", "los", "las", "y", "de", "que", "una", "es"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+}
+
+# BPE-ish pretokenizer: letter runs | single digits | non-space symbols
+BPE_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    toks = tokens_col(text, distinct=False)
+    def hit(words: list[str]):
+        return lambda t: t.isin(*words)
+
+    scores = {
+        lang: F.size(F.filter(toks, hit(words))) for lang, words in LANG_MARKERS.items()
+    }
+    # CJK detection by codepoint range (zh has no space-delimited stopwords)
+    c = F.col(text) if isinstance(text, str) else text
+    scores["zh"] = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    return scores
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax over marker hits with deterministic priority order."""
+    s = lang_scores(text)
+    best = F.greatest(*s.values())
+    out = F.lit("unknown")
+    # reversed so earlier languages win ties (first-match priority en>fr>es>de>zh)
+    for lang in reversed(["en", "fr", "es", "de", "zh"]):
+        out = F.when((s[lang] > 0) & (s[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def lang_id_sql(text_expr: str) -> str:
+    toks = tokens_sql(text_expr, distinct=False)
+    score = {
+        lang: f"len(list_filter({toks}, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    # RE2 has no \uXXXX escapes — use the literal CJK range chars
+    score["zh"] = f"length(regexp_replace({text_expr}, '[^一-鿿]', '', 'g'))"
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    out = "'unknown'"
+    for lang in reversed(["en", "fr", "es", "de", "zh"]):
+        out = f"CASE WHEN {score[lang]} > 0 AND {score[lang]} = {best} THEN '{lang}' ELSE {out} END"
+    return out
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Quality-scoring feature set + composite score."""
+    text = F.col("text")
+    toks = tokens_col(text, distinct=False)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    avg_word_len = sum_len / F.nullif(n_tokens, F.lit(0))
+    ttr = n_distinct / F.nullif(n_tokens, F.lit(0))
+    stop_ratio = stop_hits / F.nullif(n_tokens, F.lit(0))
+    punct_ratio = punct / F.nullif(n_chars, F.lit(0))
+    digit_ratio = digits / F.nullif(n_chars, F.lit(0))
+    # composite quality: length-normalized, rewards lexical diversity and
+    # typical word length, penalizes symbol/digit noise
+    quality = (
+        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.3
+        + F.coalesce(ttr, F.lit(0.0)) * 0.3
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 8), 0.2).otherwise(0.0)
+        + F.coalesce(stop_ratio, F.lit(0.0)) * 0.2
+        - F.coalesce(digit_ratio, F.lit(0.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token counts (regexp_count stays JVM-side)."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col("text", distinct=False)).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_RE)).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprints: md5 of normalized text + a 1-perm MinHash of
+    8-gram character shingles (rolling-hash analog, content-defined)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    n = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(n - 7, F.lit(1)))
+    shingles = F.transform(starts, lambda i: norm.substr(i, F.lit(8)))
+    min_shingle_hash = F.array_min(
+        F.transform(shingles, lambda s: (F.lit(PERM_A[0]) * (portable_hash32(s) % P31) + F.lit(PERM_B[0])) % P31)
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        min_shingle_hash.alias("fp_minshingle"),
+    ).orderBy("doc_id")

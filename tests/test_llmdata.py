@@ -1,0 +1,103 @@
+"""LLM-data op tests: dedup semantics, ANN recall, multimodal plumbing."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.llmdata import multimodal as MM
+from pdf_etl_pipeline_spark.llmdata.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_relation,
+)
+from pdf_etl_pipeline_spark.llmdata.similarity import cosine_topk, hyperplane_lsh_topk
+from pdf_etl_pipeline_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "spark engines about completely different content"),  # perm of 3
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(near_dup_docs):
+    out = {r.keep_doc_id: r.n_copies for r in exact_dedup(near_dup_docs).collect()}
+    assert out[1] == 2  # docs 1 and 4 collapse
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_jaccard_finds_near_dups(near_dup_docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(near_dup_docs, 0.5).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert pairs[(1, 2)] == pytest.approx(round(7 / 9, 6))  # 7 shared of 9 distinct
+    assert (3, 5) in pairs  # same token set, different order → jaccard 1.0
+    assert pairs[(3, 5)] == 1.0
+
+
+def test_minhash_lsh_recovers_jaccard_pairs(near_dup_docs):
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(near_dup_docs, 0.5).collect()}
+    # exact duplicates and token-permutations must always share all bands
+    assert (1, 4) in lsh and (3, 5) in lsh
+
+
+def test_simhash_identical_for_same_token_set(near_dup_docs):
+    sh = {r.doc_id: r.simhash for r in simhash_relation(near_dup_docs).collect()}
+    assert sh[1] == sh[4]
+    assert sh[3] == sh[5]
+    assert sh[1] != sh[3]
+
+
+def test_lsh_topk_subset_of_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, [0, 1], k=5).collect()
+    lsh = hyperplane_lsh_topk(emb, [0, 1], k=5).collect()
+    exact_rank1 = {(r.query_id, r.cand_id) for r in exact if r.rank == 1}
+    lsh_pairs = {(r.query_id, r.cand_id): r.cosine for r in lsh}
+    # every LSH hit's cosine matches the exact computation for that pair
+    exact_cos = {(r.query_id, r.cand_id): r.cosine for r in exact}
+    for k_, v in lsh_pairs.items():
+        if k_ in exact_cos:
+            assert v == exact_cos[k_]
+    assert len(lsh) <= len(exact)
+    assert exact_rank1  # sanity
+
+
+def test_multimodal_feature_plumbing(spark):
+    assets = MM.synthetic_assets(spark, n=16)
+    feats = MM.extract_features(assets).collect()
+    assert len(feats) == 16
+    assert all(f.feat_dim == 8 and len(f.feature) == 8 for f in feats)
+    # deterministic: same asset → same feature
+    again = MM.extract_features(MM.synthetic_assets(spark, n=16)).collect()
+    assert [f.feature for f in feats] == [f.feature for f in again]
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(MM.synthetic_assets(spark, 2), decode="real")
+
+
+def test_multimodal_thumbnails_and_frames(spark):
+    assets = MM.synthetic_assets(spark, n=4)
+    thumbs = MM.resize_thumbnails(assets, width=8, height=6).collect()
+    assert all(len(bytes(t.thumb)) == 8 * 6 for t in thumbs)
+    frames = MM.sample_frames(assets, every_n=4).collect()
+    assert len(frames) == 4 * 4  # 16 frames / every 4 → 4 per asset
+    assert {f.frame_idx for f in frames} == {0, 4, 8, 12}
+
+
+def test_metadata_projection_prunes_blob(spark, tmp_path):
+    # write assets as parquet, read back, project metadata only — the scan
+    # must not include the binary column (column pruning)
+    p = str(tmp_path / "assets")
+    MM.synthetic_assets(spark, n=8).write.parquet(p)
+    assets = spark.read.parquet(p)
+    plan = MM.metadata_only_projection(assets)._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
