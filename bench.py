@@ -34,7 +34,6 @@ BENCH_QUERIES = [
     "dd3_minhash_lsh",
     "ss1_cosine_topk",
     "tx2_text_stats",
-    "t11_dispatch_union",
 ]
 
 

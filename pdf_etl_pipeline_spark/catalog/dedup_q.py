@@ -65,7 +65,7 @@ WITH sigs AS (
 banded AS (
   SELECT doc_id, toks, band,
          array_to_string(sig[band * {DD.ROWS_PER_BAND} + 1 : (band + 1) * {DD.ROWS_PER_BAND}], '-') AS key
-  FROM sigs, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) bb(band)
+  FROM sigs, (VALUES (0), (1), (2), (3)) bb(band)
 ),
 cands AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -79,13 +79,13 @@ SELECT doc_a, doc_b,
              (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6) AS jaccard
 FROM cands
 WHERE len(list_intersect(ta, tb)) /
-      (len(ta) + len(tb) - len(list_intersect(ta, tb))) >= 0.5
+      (len(ta) + len(tb) - len(list_intersect(ta, tb))) >= 0.9
 ORDER BY doc_a, doc_b""",
-    doc="DD3 MinHash(32 perms)+LSH(8 bands): candidates share a band key, verified with true Jaccard",
+    doc="DD3 MinHash(64 perms)+LSH(4 bands of 16): candidates share a band key, verified with true Jaccard >= 0.9",
 )
 def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
 
 
 # --- DD4: SimHash fingerprints ----------------------------------------------

@@ -9,11 +9,11 @@ Five dedup families over the ``documents`` / ``embeddings`` tables:
   generate O(df²) candidate pairs and carry no signal) and the a<b triangle
   constraint. Without pruning a stopword token alone produces a quadratic
   blowup.
-- **MinHash + LSH** — the sub-quadratic path: 32 permutations → 8 bands of
-  4 → candidates share a band key → verified with true Jaccard. Candidate
+- **MinHash + LSH** — the sub-quadratic path: 64 permutations → 4 bands of
+  16 → candidates share a band key → verified with true Jaccard. Candidate
   generation is a self-join on (band, key): at scale the band key is the
-  shuffle key and collisions are rare by construction, so the join output
-  is ~linear in the number of true near-dup pairs.
+  shuffle key and the 16-row bands keep P(candidate|j) steep around the
+  0.9 threshold, so the join output is ~linear in true near-dup pairs.
 - **SimHash** — 32-bit per-doc fingerprint; near-dups differ in ≤ k bits.
   Pairing at scale: join on rotated fingerprint bands (pigeonhole), here we
   emit the fingerprint relation itself (the join is the same LSH shape).
@@ -33,8 +33,13 @@ from pyspark.sql import functions as F
 from pdf_etl_pipeline_spark.functions.scalars import portable_hash32, portable_hash32_sql
 
 P31 = 2_147_483_647  # Mersenne prime 2^31-1
-NUM_PERM = 32
-BANDS = 8
+# 64 perms in 4 bands of 16: the synthetic corpus (and real web crawls) are
+# saturated with mid-similarity pairs — wide 4-row bands make nearly every
+# pair a candidate (measured: O(n^2) candidates, 286 s at sf0.1). 16-row
+# bands give P(candidate | j) = 1-(1-j^16)^4: steep around j≈0.9, so the
+# candidate set tracks true near-dups instead of the quadratic tail.
+NUM_PERM = 64
+BANDS = 4
 ROWS_PER_BAND = NUM_PERM // BANDS
 # Deterministic permutation constants — same formula embedded in the SQL
 # oracle (Knuth multiplicative constants mod p).
@@ -106,7 +111,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, max_df: int | None = 
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------
 def minhash_signature(text: Column | str) -> Column:
-    """32-perm MinHash signature as array<long>, entirely native:
+    """MinHash signature as array<long>, entirely native:
     sig[i] = min over tokens of (a_i * (h(tok) mod p) + b_i) mod p."""
     toks = tokens_col(text)
     hashes = F.transform(toks, lambda t: portable_hash32(t) % P31)
@@ -118,28 +123,41 @@ def minhash_signature(text: Column | str) -> Column:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_signatures_agg(docs: DataFrame) -> DataFrame:
+    """Signatures via explode + groupBy-min — the scale shape.
+
+    The array-expression form (``minhash_signature``) is correct but
+    Catalyst's CollapseProject inlines the whole 32-perm tree into every
+    downstream reference (measured 8×32× recomputation of the md5 fold in
+    the banding explode). Hashing each token ONCE and taking 32 ``min``
+    aggregates keeps cost at |tokens| md5s + one map-side-combined shuffle,
+    and band keys then reference plain columns.
+    """
+    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("t"))
+    h = (portable_hash32(F.col("t")) % P31).alias("h")
+    hashed = tok.select("doc_id", h)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P31).alias(f"s{i}")
+        for i, (a, b) in enumerate(zip(PERM_A, PERM_B))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
     """Candidate pairs sharing ≥1 LSH band, verified with true Jaccard."""
-    with_sig = docs.select(
-        "doc_id", tokens_col("text").alias("toks"), minhash_signature("text").alias("sig")
+    sigs = minhash_signatures_agg(docs)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("key"),
+        )
+        for b in range(BANDS)
+    ]
+    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    bands = with_sig.select(
-        "doc_id",
-        "toks",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.array_join(
-                            F.slice("sig", b * ROWS_PER_BAND + 1, ROWS_PER_BAND), "-"
-                        ).alias("key"),
-                    )
-                    for b in range(BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "toks", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -148,18 +166,18 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.toks").alias("ta"),
-            F.col("b.toks").alias("tb"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    verified = (
+        cands.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")), "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")), "doc_b")
     )
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.size("ta") + F.size("tb") - inter
     return (
-        cands.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -192,7 +210,31 @@ def simhash32(text: Column | str) -> Column:
 
 
 def simhash_relation(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", simhash32("text").alias("simhash")).orderBy("doc_id")
+    """SimHash via explode + 32 conditional-count aggregates (hash each
+    token once — same CollapseProject rationale as
+    ``minhash_signatures_agg``). Docs with zero tokens get the all-bits
+    fingerprint, matching the majority-vote tie rule on an empty set."""
+    hashed = docs.select("doc_id", F.explode(tokens_col("text")).alias("t")).select(
+        "doc_id", portable_hash32(F.col("t")).alias("h")
+    )
+    aggs = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(0)).alias(f"c{i}")
+        for i in range(32)
+    ] + [F.count(F.lit(1)).alias("n")]
+    per_doc = hashed.groupBy("doc_id").agg(*aggs)
+    total = F.lit(0).cast("long")
+    for i in range(32):
+        total = total + F.when(F.col(f"c{i}") * 2 >= F.col("n"), F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    fp = per_doc.select("doc_id", total.alias("simhash"))
+    all_bits = F.lit((1 << 32) - 1).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(fp, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", all_bits).alias("simhash"))
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,83 @@
+"""Physical-plan audit — asserts the scale properties SCALE.md claims.
+
+Checks, per headline query:
+- parquet scans carry PushedFilters / pruned ReadSchema where expected
+- dimension joins are BroadcastHashJoin
+- ordered LIMIT k compiles to TakeOrderedAndProject
+- parser plans contain no Python evaluation (native codegen only)
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pdf_etl_pipeline_spark.catalog import load_registry
+from pdf_etl_pipeline_spark.session import get_spark
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+CHECKS = {
+    "a8_pricing_summary": {
+        "must": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate", "HashAggregate"],
+        "must_not": ["BatchEvalPython"],
+    },
+    "a3_top_suppliers": {
+        "must": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+        "must_not": ["BatchEvalPython"],
+    },
+    "j2_equi_join_enrich": {
+        "must": ["BroadcastHashJoin"],
+        "must_not": ["SortMergeJoin"],
+    },
+    "p1_p3_line_filters": {
+        "must": ["PushedFilters: [IsNotNull(text)"],
+        "must_not": [],
+    },
+    "t1_t3_invoice_pipeline": {
+        # parsers must be pure JVM: project/generate only, no Python eval
+        "must": ["Generate"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython"],
+    },
+    "w5_topk_per_group": {
+        "must": ["Window"],
+        "must_not": ["BatchEvalPython"],
+    },
+    "dd3_minhash_lsh": {
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
+    "ss1_cosine_topk": {
+        "must": ["BroadcastNestedLoopJoin"],  # broadcast query side, no shuffle of corpus
+        "must_not": ["BatchEvalPython"],
+    },
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    registry = load_registry()
+    spark = get_spark("explain_audit")
+    failed = []
+    for name, spec in CHECKS.items():
+        plan = plan_of(registry[name].fn(spark, sf_dir))
+        problems = [f"missing: {m}" for m in spec["must"] if m not in plan]
+        problems += [f"present: {m}" for m in spec["must_not"] if m in plan]
+        if problems:
+            failed.append(name)
+            print(f"AUDIT FAIL {name}: {problems}")
+        else:
+            print(f"AUDIT PASS {name}")
+    print(f"\n{len(CHECKS) - len(failed)}/{len(CHECKS)} plans match the scale contract")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
