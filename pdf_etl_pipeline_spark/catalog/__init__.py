@@ -36,6 +36,7 @@ _MODULES = [
     "scalar_fixtures",
     "parsers_q",
     "streaming_q",
+    "extended_q",
     "dedup_q",
     "similarity_q",
     "text_q",

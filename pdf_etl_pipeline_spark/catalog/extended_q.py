@@ -1,0 +1,151 @@
+"""Extended relational surface beyond the reference — as-of join, pivot/
+unpivot, grouping sets, percentiles (SURVEY §2 'absent' rows + pyspark
+guide common-pattern ops), all oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.catalog import register
+from pdf_etl_pipeline_spark.functions.scalars import dec_sum, dec_sum_sql
+from pdf_etl_pipeline_spark.operators.asof import asof_join
+from pdf_etl_pipeline_spark.session import load_events, load_table, tune
+
+
+# --- AJ1: as-of join ---------------------------------------------------------
+@register(
+    "aj1_asof_join",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id AS _key, ts AS _ts, 1 AS _side, event_id, value,
+         CAST(NULL AS BIGINT) AS r_event_id
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL BY NAME
+  SELECT user_id AS _key, ts AS _ts, 0 AS _side, CAST(NULL AS BIGINT) AS event_id,
+         CAST(NULL AS DOUBLE) AS value, event_id AS r_event_id
+  FROM events WHERE event_type = 'view'
+),
+carried AS (
+  SELECT *, last_value(r_event_id IGNORE NULLS)
+              OVER (PARTITION BY _key ORDER BY _ts, _side
+                    ROWS UNBOUNDED PRECEDING) AS asof_event_id
+  FROM tagged
+)
+SELECT event_id, _key AS user_id, value, asof_event_id
+FROM carried WHERE _side = 1
+ORDER BY user_id, event_id""",
+    doc="AJ1 as-of join (most recent prior 'view' for each 'purchase') via union + last-ignoring-nulls window — no native Spark as-of",
+)
+def aj1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    joined = asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts", right_cols=["event_id"]
+    )
+    return joined.select(
+        "event_id", "user_id", "value", F.col("asof_event_id")
+    ).orderBy("user_id", "event_id")
+
+
+# --- PV1: pivot --------------------------------------------------------------
+@register(
+    "pv1_pivot",
+    oracle=f"""
+SELECT l_returnflag,
+       {dec_sum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE NULL END", 2)} AS qty_O,
+       {dec_sum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE NULL END", 2)} AS qty_F
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    doc="PV1 pivot: per-returnflag quantity by linestatus as columns",
+)
+def pv1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dec_sum("l_quantity", 2))
+        .withColumnsRenamed({"O": "qty_O", "F": "qty_F"})
+        .orderBy("l_returnflag")
+    )
+
+
+# --- PV2: unpivot (stack) ----------------------------------------------------
+@register(
+    "pv2_unpivot",
+    oracle="""
+SELECT p_partkey, metric, val FROM (
+  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+) ORDER BY p_partkey, metric""",
+    doc="PV2 unpivot: wide part columns to (metric, val) long form",
+)
+def pv2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.expr(
+                "stack(2, 'size', CAST(p_size AS DOUBLE), 'retail', p_retailprice) AS (metric, val)"
+            ),
+        )
+        .orderBy("p_partkey", "metric")
+    )
+
+
+# --- GS1: grouping sets ------------------------------------------------------
+@register(
+    "gs1_grouping_sets",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows, {dec_sum_sql('l_extendedprice')} AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    doc="GS1 explicit GROUPING SETS (flag-only, status-only, grand total)",
+)
+def gs1_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+# --- PC1: percentiles --------------------------------------------------------
+@register(
+    "pc1_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    doc="PC1 exact continuous percentiles per group (approx_percentile is the 100TB path)",
+)
+def pc1_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -345,9 +345,13 @@ _d_invno = (
     + d_first_extract("lines", r"\b([RT][0-9]{6,})\b")
     + ")"
 )
+_d_desc = (
+    f"list_filter(lines[greatest(pos1 - {R.LOOKBACK}, 1) : pos1 - 1], "
+    "x -> NOT regexp_matches(x, '" + R.NOT_DESC + "') AND trim(x) <> '')[-1]"
+)
 
 _RECEIPT_ORACLE = f"""
-WITH {_docs_values([FX.RECEIPT_LINES])},
+WITH {_docs_values([FX.RECEIPT_LINES, FX.RECEIPT_LINES_2])},
 meta AS (
   SELECT path, lines,
     COALESCE(nullif({_d_suffix}, ''), lines[1]) AS supplier_name,
@@ -367,19 +371,23 @@ withsum AS (
     list_sum(list_transform(item_lines, l -> COALESCE({_d_total}, 0.0))) + 0.0 AS items_total
   FROM meta
 ),
-items AS (SELECT *, unnest(item_lines) AS l FROM withsum),
+items AS (
+  SELECT *, generate_subscripts(lines, 1) AS pos1, unnest(lines) AS l
+  FROM withsum
+),
 parsed AS (
   SELECT *,
-    {_d_sku} AS description,
+    {_d_sku} AS sku,
+    {_d_desc} AS desc_lb,
     {_d_qty} AS qty0,
     {_d_price} AS price,
     {_d_total} AS total,
     {_d_total} / nullif({_d_price}, 0) AS ratio
-  FROM items
+  FROM items WHERE regexp_matches(l, '{_any_item}')
 )
 SELECT 1 AS company_id, 'USA' AS country, DATE '{_PROCESSED}' AS processed_date,
   supplier_name, supplier_address, invoice_number, invoice_date,
-  description,
+  COALESCE(desc_lb, sku) AS description, sku,
   CASE WHEN (qty0 IS NULL OR abs(qty0 * price - total) > 0.02)
             AND ratio IS NOT NULL AND abs(ratio - round(ratio)) < 0.02
             AND ratio >= 0.5 AND ratio <= 999
@@ -398,7 +406,7 @@ ORDER BY description NULLS FIRST, total"""
 def t4_receipt_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     out = R.parse_receipts(
-        FX.corpus_df(spark, [FX.RECEIPT_LINES]), processed_date=_PROCESSED
+        FX.corpus_df(spark, [FX.RECEIPT_LINES, FX.RECEIPT_LINES_2]), processed_date=_PROCESSED
     )
     from pyspark.sql import functions as F
 

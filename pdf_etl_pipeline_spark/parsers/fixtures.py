@@ -178,6 +178,22 @@ RECEIPT_LINES = (
     ],
 )
 
+RECEIPT_LINES_2 = (
+    "data/company-A/raw/sample2.jpg",
+    [
+        # receipt with explicit description lines above each item — exercises
+        # the W3 look-back description scan (lib/parse_utils.py:735-761)
+        "ACME HARDWARE LTD",
+        "12 STATION ROAD",
+        "PVC PIPE 3M",
+        "9999123 1 X 10.00 10.00",
+        "COPPER ELBOW",
+        "8888456 2 X 2.50 5.00",
+        "TOTAL 15.00",
+        "05-06-19 10:11",
+    ],
+)
+
 ALL_NC_DOCS = [NC_AWARD_LETTER, NC_BID_TABS, NC_ITEM_C, NC_INVITATION, NC_BIDS_AS_READ]
 
 ALL_DOCS = INVOICE_DOCS + ALL_NC_DOCS + [RECEIPT_LINES]

@@ -40,8 +40,26 @@ TAX_LINE = r"^([\d,]+\.\d+)\s+S?@?(\d+(?:\.\d+)?)%\s+([\d,]+\.\d+)\s+GST"
 SUPPLIER_SUFFIX = r"\b(SDN BHD|BHD|LTD|INC|LLC|ENTERPRISE|TRADING|PLUMBING|HARDWARE)\b"
 ADDRESS_HINT = r"\b(LOT|JALAN|STREET|ROAD|AVENUE|AVE|KAWASAN|SELANGOR|LANE)\b"
 
+# W3 look-back (reference lib/parse_utils.py:735-761): description = nearest
+# preceding line that is not itself a price/header/total/date line, within a
+# 6-line window above the item.
+NOT_DESC = (
+    rf"({ANY_ITEM})|({TAX_LINE})|^TOTAL\b|{SUPPLIER_SUFFIX}|{ADDRESS_HINT}"
+    r"|GST\s+ID|^[\d,. :/-]+$"
+)
+LOOKBACK = 6
 
-def _item_struct(l: Column) -> Column:
+
+def _item_struct(s: Column, lines: Column) -> Column:
+    l = s["line"]
+    pos = s["pos"]  # 0-based index of the item line
+    # 1-based window of up to LOOKBACK lines strictly above the item
+    start = F.greatest(pos - (LOOKBACK - 1), F.lit(1))
+    window = F.slice(lines, start, F.greatest(pos - start + 1, F.lit(0)))
+    desc_cands = F.filter(
+        F.reverse(window), lambda x: (~x.rlike(NOT_DESC)) & (F.trim(x) != "")
+    )
+    desc = F.try_element_at(desc_cands, F.lit(1))
     qty = (
         F.when(l.rlike(P1), F.regexp_extract(l, P1, 2))
         .when(l.rlike(P2), F.lit("1"))
@@ -68,6 +86,7 @@ def _item_struct(l: Column) -> Column:
     )
     return F.struct(
         sku.alias("sku"),
+        desc.alias("desc"),
         S.parse_float(qty).alias("qty"),
         S.parse_float(price).alias("price"),
         S.parse_float(total).alias("total"),
@@ -86,7 +105,12 @@ def parse_receipts(
     tax_line = first_matching_line(lines, TAX_LINE)
     n1 = S.parse_float(F.regexp_extract(tax_line, TAX_LINE, 1))
     n2 = S.parse_float(F.regexp_extract(tax_line, TAX_LINE, 3))
-    item_lines = F.filter(lines, lambda l: l.rlike(ANY_ITEM))
+    # items with their 0-based position, so the look-back window can slice
+    # the preceding lines (transform's 2-arg lambda receives (elem, index))
+    item_lines = F.filter(
+        F.transform(lines, lambda l, i: F.struct(l.alias("line"), i.alias("pos"))),
+        lambda s: s["line"].rlike(ANY_ITEM),
+    )
 
     base = docs.select(
         F.col(path_col).alias("file"),
@@ -104,7 +128,7 @@ def parse_receipts(
         S.parse_float(
             first_extract(lines, rf"^TOTAL\b.*?({M})\s*$")
         ).alias("_total_line"),
-        F.transform(item_lines, _item_struct).alias("_items"),
+        F.transform(item_lines, lambda s: _item_struct(s, lines)).alias("_items"),
     )
     # A6: per-receipt subtotal = sum of item totals (fallback when no tax line)
     items_sum = F.aggregate(
@@ -129,7 +153,8 @@ def parse_receipts(
         F.col("supplier_address"),
         F.col("invoice_number"),
         F.col("invoice_date"),
-        F.coalesce(F.col("item.sku"), F.lit(None).cast("string")).alias("description"),
+        F.coalesce(F.col("item.desc"), F.col("item.sku")).alias("description"),
+        F.col("item.sku").alias("sku"),
         qty_fixed.alias("qty"),
         F.col("item.price").alias("price"),
         F.col("item.total").alias("total"),

@@ -182,3 +182,18 @@ def test_receipt_parser(spark):
     r4 = [r for r in rows if r.description is None][0]
     assert (r4.qty, r4.price, r4.total) == (1.0, 29.9, 29.9)
     assert abs(rows[0].items_total - 108.7) < 1e-9
+
+
+def test_receipt_lookback_descriptions(spark):
+    from pdf_etl_pipeline_spark.parsers.receipt import parse_receipts
+
+    rows = parse_receipts(
+        FX.corpus_df(spark, [FX.RECEIPT_LINES_2]), processed_date="2023-06-01"
+    ).collect()
+    assert len(rows) == 2
+    r = by(rows, sku="9999123")
+    assert r.description == "PVC PIPE 3M"  # W3 look-back wins over SKU
+    r2 = by(rows, sku="8888456")
+    assert r2.description == "COPPER ELBOW"
+    assert r2.total_amount == 15.0
+    assert r.supplier_name == "ACME HARDWARE LTD"
