@@ -11,6 +11,7 @@ from pdf_etl_pipeline_spark.llmdata import dedup as DD
 from pdf_etl_pipeline_spark.session import load_table, tune
 
 _TOKS = DD.tokens_sql("text")
+_TOKSH = DD.token_hashes_sql("text")
 _SIG = DD.minhash_signature_sql("text")
 _COS = DD.cosine_sql("va", "vb")
 
@@ -60,7 +61,7 @@ def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd3_minhash_lsh",
     oracle=f"""
 WITH sigs AS (
-  SELECT doc_id, {_TOKS} AS toks, {_SIG} AS sig FROM documents
+  SELECT doc_id, {_TOKSH} AS toks, {_SIG} AS sig FROM documents
 ),
 banded AS (
   SELECT doc_id, toks, band,

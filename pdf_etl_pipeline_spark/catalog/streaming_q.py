@@ -120,3 +120,18 @@ def st4_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_dups"))
         .orderBy("user_id", "event_type")
     )
+
+
+# --- ST5: custom stateful operator (batch-mode check) ------------------------
+@register(
+    "st5_stateful_user_totals",
+    oracle=f"""
+SELECT user_id, COUNT(*) AS n_events, {dec_sum_sql('value')} AS total_value
+FROM events GROUP BY user_id ORDER BY user_id""",
+    doc="ST5 applyInPandasWithState running totals (batch-mode equivalence; real state store driven in tests)",
+)
+def st5_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.streaming.jobs import stateful_user_totals
+
+    return stateful_user_totals(load_events(spark, sf_dir)).orderBy("user_id")

@@ -59,6 +59,17 @@ def tokens_sql(expr: str, distinct: bool = True) -> str:
     return f"list_distinct({inner})" if distinct else inner
 
 
+def token_hashes_sql(expr: str) -> str:
+    """Distinct portable token hashes (the dd3 verification set)."""
+    return (
+        "list_distinct(list_transform("
+        + tokens_sql(expr)
+        + ", t -> "
+        + portable_hash32_sql("t")
+        + "))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -169,7 +180,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    # verify on distinct token-HASH sets: intersecting 64-bit ints is far
+    # cheaper than strings at 1M+ candidate pairs (same Jaccard modulo hash
+    # collisions; the oracle hashes identically so results match exactly)
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.transform(tokens_col("text"), portable_hash32)).alias("toks"),
+    )
     verified = (
         cands.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")), "doc_a")
         .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")), "doc_b")

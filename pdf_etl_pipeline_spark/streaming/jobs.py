@@ -88,3 +88,48 @@ def upsert_stream(
         .foreachBatch(_batch)
         .trigger(availableNow=True)
     )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals that persist across micro-batches — the §2.9
+    'custom stateful operator' surface.
+
+    State = (n_events, total_value) per user; each batch emits the updated
+    running totals for users seen in that batch. In batch mode (unit
+    correctness) the same logic degenerates to a groupBy aggregate.
+    """
+    import pandas as pd
+
+    out_schema = "user_id long, n_events long, total_value double"
+
+    if not events.isStreaming:
+        return (
+            events.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+            )
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -53,3 +53,21 @@ def test_invoice_exists_probe(spark, tmp_path):
     assert invoice_exists(spark, sink, 1, "100", "2021-01-20")
     assert not invoice_exists(spark, sink, 1, "999", "2021-01-20")
     assert not invoice_exists(spark, str(tmp_path / "missing"), 1, "100", "2021-01-20")
+
+
+def test_s9_ddl_create_table(spark, tmp_path):
+    """S9: CREATE TABLE ... USING parquet + INSERT (reference analytics.sql DDL)."""
+    loc = str(tmp_path / "invoices_tbl")
+    spark.sql("DROP TABLE IF EXISTS invoices_ddl")
+    spark.sql(
+        f"""CREATE TABLE invoices_ddl (
+              company_id INT, country STRING, invoice_number STRING,
+              supplier_name STRING, total_amount DOUBLE, invoice_date DATE
+            ) USING parquet LOCATION '{loc}'"""
+    )
+    spark.sql(
+        "INSERT INTO invoices_ddl VALUES (1, 'USA', '100', 'J.K. Computers', 20520.0, DATE'2021-01-20')"
+    )
+    got = spark.sql("SELECT * FROM invoices_ddl").collect()
+    assert len(got) == 1 and got[0].supplier_name == "J.K. Computers"
+    spark.sql("DROP TABLE invoices_ddl")

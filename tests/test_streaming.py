@@ -82,3 +82,34 @@ def test_foreach_batch_upsert_idempotent(spark, event_drop_dir, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(sink).count()
     assert n1 == n2  # second pass inserted 0 (reference dedup semantics)
+
+
+def test_stateful_user_totals_accumulates(spark, event_drop_dir):
+    from pdf_etl_pipeline_spark.streaming.jobs import stateful_user_totals
+
+    stream = read_event_stream(spark, event_drop_dir)
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_tot")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last emitted row per user == batch-mode aggregate (state accumulated
+    # correctly across the maxFilesPerTrigger micro-batches)
+    import pandas as pd
+
+    got = spark.sql(
+        "SELECT user_id, max_by(n_events, n_events) n, round(max_by(total_value, n_events), 4) t "
+        "FROM state_tot GROUP BY user_id"
+    ).toPandas().set_index("user_id").sort_index()
+    batch = (
+        stateful_user_totals(spark.read.parquet(event_drop_dir))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got["n"] == batch["n_events"]).all()
+    assert (got["t"] - batch["total_value"].round(4)).abs().max() < 1e-6
