@@ -60,6 +60,7 @@ def read_entity_sidecars(spark: SparkSession, root: str) -> DataFrame:
     date, total); joined to image rows on the filename stem."""
     raw = (
         spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.json")  # never parse the images as JSON
         .json(root, schema="company string, address string, date string, total string")
         .withColumn("stem", path_stem(F.input_file_name()))
     )

