@@ -40,6 +40,7 @@ _MODULES = [
     "dedup_q",
     "similarity_q",
     "text_q",
+    "curation_q",
 ]
 
 

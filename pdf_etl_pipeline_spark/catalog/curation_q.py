@@ -1,0 +1,81 @@
+"""Corpus-curation flagship query — the composed LLM-data plan
+(exact dedup → LSH near-dup removal → lang filter → quality filter),
+oracle-checked end-to-end by composing the same fragments in DuckDB."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdf_etl_pipeline_spark.catalog import register
+from pdf_etl_pipeline_spark.llmdata import dedup as DD
+from pdf_etl_pipeline_spark.llmdata import text as TX
+from pdf_etl_pipeline_spark.llmdata.curation import curate_corpus
+from pdf_etl_pipeline_spark.session import load_table, tune
+
+_TOKS = DD.tokens_sql("text", distinct=False)
+_TOKSH = DD.token_hashes_sql("text")
+_SIG = DD.minhash_signature_sql("text")
+_EN = ", ".join(repr(w) for w in TX.LANG_MARKERS["en"])
+
+_QUALITY = f"""
+  least(len({_TOKS}) / 20.0, 1.0) * 0.3
+  + COALESCE(len(list_distinct({_TOKS})) / nullif(len({_TOKS}), 0), 0.0) * 0.3
+  + CASE WHEN list_reduce(list_prepend(0, list_transform({_TOKS}, t -> length(t))), (a, b) -> a + b)
+              / nullif(len({_TOKS}), 0) >= 3
+          AND list_reduce(list_prepend(0, list_transform({_TOKS}, t -> length(t))), (a, b) -> a + b)
+              / nullif(len({_TOKS}), 0) <= 8 THEN 0.2 ELSE 0.0 END
+  + COALESCE(len(list_filter({_TOKS}, t -> t IN ({_EN}))) / nullif(len({_TOKS}), 0), 0.0) * 0.2
+  - COALESCE(length(regexp_replace(text, '[^0-9]', '', 'g')) / nullif(length(text), 0), 0.0) * 0.2
+"""
+
+_CC1_ORACLE = f"""
+WITH exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+sigs AS (
+  SELECT doc_id, {_SIG} AS sig FROM documents
+),
+banded AS (
+  SELECT doc_id, band,
+         array_to_string(sig[band * {DD.ROWS_PER_BAND} + 1 : (band + 1) * {DD.ROWS_PER_BAND}], '-') AS key
+  FROM sigs, (VALUES (0), (1), (2), (3)) bb(band)
+),
+cands AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+toks AS (SELECT doc_id, {_TOKSH} AS th FROM documents),
+near_losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM cands
+  JOIN toks ta ON ta.doc_id = doc_a
+  JOIN toks tb ON tb.doc_id = doc_b
+  WHERE len(list_intersect(ta.th, tb.th)) /
+        (len(ta.th) + len(tb.th) - len(list_intersect(ta.th, tb.th))) >= 0.9
+),
+feats AS (
+  SELECT doc_id,
+         len({_TOKS}) AS n_tokens,
+         round({_QUALITY}, 6) AS quality_score,
+         {TX.lang_id_sql('text')} AS lang_pred
+  FROM documents
+)
+SELECT f.doc_id, f.n_tokens, f.quality_score
+FROM feats f
+JOIN exact_keep k ON k.doc_id = f.doc_id
+WHERE f.doc_id NOT IN (SELECT doc_id FROM near_losers)
+  AND f.lang_pred = 'en'
+  AND f.quality_score >= 0.5
+ORDER BY f.doc_id"""
+
+
+@register(
+    "cc1_corpus_curation",
+    oracle=_CC1_ORACLE,
+    doc="CC1 composed curation plan: exact dedup -> MinHash-LSH near-dup removal -> lang filter -> quality filter -> token accounting",
+)
+def cc1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return curate_corpus(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,52 @@
+"""Corpus curation — the flagship north-star plan composing the LLM-data
+ops into one declarative pipeline:
+
+    documents
+      → exact dedup (md5 groupBy, keep min doc_id)
+      → near-dup removal (MinHash-LSH pairs, drop the larger doc_id)
+      → language filter (stopword-argmax lang ID)
+      → quality filter (composite score threshold)
+      → token accounting (whitespace tokens per survivor)
+
+Everything is one lazy plan over the documents scan: Catalyst shares the
+tokenization subtrees, the only shuffles are the two dedup aggregations and
+the LSH band join. At 100 TB each stage is the operator documented in
+dedup.py/text.py with its own scale notes; the composition adds nothing
+driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.llmdata.dedup import exact_dedup, minhash_lsh_pairs
+from pdf_etl_pipeline_spark.llmdata.text import lang_id, text_stats
+
+
+def curate_corpus(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.9,
+) -> DataFrame:
+    """Surviving documents with their token counts after dedup + filters."""
+    exact_keep = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    near_losers = (
+        minhash_lsh_pairs(docs, threshold=near_dup_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    stats = text_stats(docs).select("doc_id", "n_tokens", "quality_score")
+    langs = docs.select("doc_id", lang_id("text").alias("lang_pred"))
+    return (
+        docs.select("doc_id")
+        .join(exact_keep, "doc_id", "left_semi")
+        .join(near_losers, "doc_id", "left_anti")
+        .join(langs, "doc_id")
+        .filter(F.col("lang_pred") == lang)
+        .join(stats, "doc_id")
+        .filter(F.col("quality_score") >= min_quality)
+        .select("doc_id", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )

@@ -101,3 +101,16 @@ def test_metadata_projection_prunes_blob(spark, tmp_path):
     assets = spark.read.parquet(p)
     plan = MM.metadata_only_projection(assets)._jdf.queryExecution().executedPlan().toString()
     assert "content" not in plan
+
+
+def test_corpus_curation_invariants(spark, sf_dir):
+    from pdf_etl_pipeline_spark.llmdata.curation import curate_corpus
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate_corpus(docs).collect()
+    n_docs = docs.count()
+    assert 0 < len(out) < n_docs  # filters actually bite
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids))  # no duplicates survive
+    assert all(r.quality_score >= 0.5 for r in out)

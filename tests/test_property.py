@@ -102,3 +102,51 @@ def test_infer_qty_invariants(spark, rows):
             # inferred qty is the plausible near-integer ratio
             assert 0.5 <= r.q <= 999
             assert abs(r.total / r.price - r.q) < 0.021
+
+
+NAME_WORD = st.from_regex(r"[A-Z][a-z]{2,8}", fullmatch=True)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(NAME_WORD, min_size=1, max_size=3),  # description words
+            st.integers(min_value=1, max_value=99),  # qty
+            st.integers(min_value=1, max_value=9999),  # unit price
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=15),  # gst rate
+)
+def test_invoice_parser_roundtrip(spark, items, rate):
+    """Generate an invoice document from the grammar, render to text lines,
+    parse, and demand exact round-trip of every line item and total."""
+    from pdf_etl_pipeline_spark.parsers.invoice import parse_invoices
+
+    subtotal = sum(q * p for _, q, p in items)
+    tax = round(subtotal * rate / 100, 2)
+    total = round(subtotal + tax, 2)
+    lines = [
+        "Gen Supplier Co",
+        "TIN: 123456789",
+        "Invoice # 42",
+        "Invoice Date: Jan 2, 2021",
+        "ID DESCRIPTION QTY PRICE TOTAL",
+    ]
+    for i, (words, q, p) in enumerate(items, 1):
+        desc = " ".join(words)
+        lines.append(f"{i:02d}. {desc} {q}. {p}. {q * p}.")
+    lines += [f"Sub Total {subtotal:.2f}", f"GST {rate}% {tax:.2f}", f"Total {total:.2f}"]
+
+    rows = parse_invoices(
+        spark.createDataFrame([("gen.pdf", lines)], "path string, lines array<string>"),
+        processed_date="2023-01-01",
+    ).collect()
+    assert len(rows) == len(items)
+    got = {(r.description, r.qty, r.price, r.total) for r in rows}
+    want = {(" ".join(w), float(q), float(p), float(q * p)) for w, q, p in items}
+    assert got == want
+    assert all(r.total_amount == total and r.tax_label == float(rate) for r in rows)
+    assert all(r.invoice_number == "42" and r.supplier_tin == "123456789" for r in rows)
