@@ -32,6 +32,17 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable on this build — keep going
+    try:
+        # shuffle partitions ≈ cores for a driver-owned vanilla session
+        # (its default of 200 over-parallelizes local data; AQE coalesces,
+        # but task-launch overhead is real). At cluster scale this would be
+        # sized to ~128 MB shuffle blocks instead.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)),
+        )
+    except Exception:
+        pass
     return spark
 
 
