@@ -149,3 +149,33 @@ def pc1_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- RJ1: range/interval join ------------------------------------------------
+_BANDS_SQL = "(VALUES (0.0, 25.0, 'low'), (25.0, 100.0, 'mid'), (100.0, 250.0, 'high'), (250.0, 1000.0, 'extreme')) bands(lo, hi, label)"
+
+
+@register(
+    "rj1_range_join",
+    oracle=f"""
+WITH b AS (SELECT * FROM {_BANDS_SQL})
+SELECT label, COUNT(*) AS n_events,
+       {dec_sum_sql('value')} AS total_value
+FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY label ORDER BY label""",
+    doc="RJ1 interval join via bucketization (explode intervals to buckets, equi-join, exact residual filter) vs the oracle's theta join",
+)
+def rj1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.operators.range_join import range_join_bucketized
+
+    bands = spark.createDataFrame(
+        [(0.0, 25.0, "low"), (25.0, 100.0, "mid"), (100.0, 250.0, "high"), (250.0, 1000.0, "extreme")],
+        "lo double, hi double, label string",
+    )
+    joined = range_join_bucketized(load_events(spark, sf_dir), bands, "value", bucket_width=50.0)
+    return (
+        joined.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
+        .orderBy("label")
+    )
