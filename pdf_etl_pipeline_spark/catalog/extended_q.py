@@ -179,3 +179,24 @@ def rj1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value"))
         .orderBy("label")
     )
+
+
+# --- SK1: salted aggregation (skew strategy, result-identical) ---------------
+@register(
+    "sk1_salted_agg",
+    oracle=f"""
+SELECT l_returnflag, {dec_sum_sql('l_extendedprice')} AS revenue
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    doc="SK1 salted two-phase SUM equals the direct groupBy (decimal-exact merge) — the skewed-key strategy",
+)
+def sk1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.operators.salted_agg import salted_sum
+
+    return salted_sum(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        F.col("l_extendedprice"),
+        "revenue",
+        n_salts=16,
+    ).orderBy("l_returnflag")

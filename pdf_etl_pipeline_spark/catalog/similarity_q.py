@@ -63,3 +63,42 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 def ss2_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return SS.hyperplane_lsh_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5)
+
+
+_CENTS = ", ".join(str(i) for i in range(SS.N_CELLS))
+_COS_C = cosine_sql("embedding", "centroid")
+
+
+@register(
+    "ss3_ivf_topk",
+    oracle=f"""
+WITH cents AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings
+               WHERE vec_id IN ({_CENTS})),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cell_id, {_COS_C} AS cos_c
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cell_id FROM assigned
+      WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
+c AS (SELECT vec_id AS cand_id, embedding AS cv, cell_id FROM assigned),
+pairs AS (
+  SELECT query_id, cand_id, {_COS} AS cos
+  FROM q JOIN c USING (cell_id) WHERE query_id <> cand_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+  FROM pairs
+)
+SELECT query_id, cand_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    doc="SS3 IVF ANN (nprobe=1): nearest-centroid cells, in-cell exact re-rank — the learned-partition scale path",
+)
+def ss3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return SS.ivf_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5)

@@ -112,3 +112,56 @@ def hyperplane_lsh_topk(
         .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the clustered scale path
+# ---------------------------------------------------------------------------
+N_CELLS = 16
+
+
+def ivf_assignments(embeddings: DataFrame, centroid_ids: list[int] | None = None) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, centroid-id
+    tiebreak). Centroids here are a deterministic subset of the corpus
+    (vec_id < N_CELLS) — a real deployment k-means-trains them, but the
+    partition/search plumbing (the part that matters at scale) is identical.
+    """
+    ids = centroid_ids if centroid_ids is not None else list(range(N_CELLS))
+    cents = embeddings.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", cosine(F.col("embedding"), F.col("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cell_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """nprobe=1 IVF search: candidates share the query's cell; exact cosine
+    re-rank inside the cell. Same plan shape as hyperplane LSH with learned
+    cells instead of sign buckets."""
+    assigned = ivf_assignments(embeddings)
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "cell_id"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, ["cell_id"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -58,6 +58,15 @@ CHECKS = {
         "must": ["BroadcastNestedLoopJoin"],  # broadcast query side, no shuffle of corpus
         "must_not": ["BatchEvalPython"],
     },
+    "rj1_range_join": {
+        # bucketization must turn the interval join into a hash join
+        "must": ["BroadcastHashJoin"],
+        "must_not": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
+    "cc1_corpus_curation": {
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
 }
 
 
