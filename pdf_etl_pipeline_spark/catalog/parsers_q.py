@@ -468,3 +468,188 @@ def w2_ocr_group_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         _WORDS, "filename string, x0 int, y0 int, x2 int, y2 int, line string"
     )
     return group_ocr_words(words)
+
+
+# ---------------------------------------------------------------------------
+# T7 oracle: bid tabs (items × bidders positional join)
+# ---------------------------------------------------------------------------
+from pdf_etl_pipeline_spark.parsers import nc as NC  # noqa: E402
+
+_T7_ITEM = r"^[0-9]{3,4}\s+\S+"
+_T7_MONEY_FULL = r"\$?[0-9,]+\.[0-9]{2}"
+_t7_letting = d_parse_date(d_first_extract("lines", r"Letting Date:?\s*([A-Za-z]{3,9} [0-9]{1,2}, [0-9]{4})"))
+_t7_contract = d_first_extract("lines", r"Contract:?\s+(DA[0-9]{5,})")
+_t7_call = d_first_extract("lines", r"Call Number:?\s*([0-9]+)")
+_t7_fed = d_first_extract("lines", r"FED AID:?\s*(.+?)\s*$")
+_t7_counties = d_first_extract("lines", r"Counties:?\s*(.+?)\s*$")
+_t7_qty = d_parse_float(r"nullif(regexp_extract(l, '\)\s+([0-9,]+)\s', 1), '')")
+_t7_up = d_parse_float("pairs[(vpos1 - 1) * 2 + 1]")
+_t7_ab = d_parse_float("pairs[(vpos1 - 1) * 2 + 2]")
+
+_T7_ORACLE = f"""
+WITH {_docs_values([FX.NC_BID_TABS])},
+hdr AS (
+  SELECT path, lines,
+    {_t7_letting} AS letting_date,
+    {_t7_contract} AS contract_id,
+    {_t7_call} AS call_number,
+    {_t7_fed} AS fed_aid,
+    {_t7_counties} AS counties,
+    list_position(list_transform(lines, l -> regexp_matches(l, '{_T7_ITEM}')), true) AS first_item
+  FROM docs
+),
+vd AS (
+  SELECT *,
+    list_filter(lines[1:first_item-1],
+                l -> regexp_matches(l, '{NC.COMPANY_SUFFIX}')
+                 AND regexp_matches(l, '^[A-Z][A-Z .&-]+$')) AS vendors,
+    list_filter(lines, l -> regexp_matches(l, '{_T7_ITEM}')) AS items
+  FROM hdr
+),
+parsed AS (
+  SELECT *, unnest(items) AS l FROM vd
+),
+enriched AS (
+  SELECT *,
+    regexp_extract(l, '^([0-9]{{3,4}})\\s', 1) AS line_no,
+    regexp_extract(l, '^[0-9]{{3,4}}\\s+(\\S+)', 1) AS item_no,
+    nullif(regexp_extract(l, '^[0-9]{{3,4}}\\s+\\S+\\s+(?:SP\\s+)?(.+?)\\s*\\(', 1), '') AS item_description,
+    nullif(regexp_extract(l, '\\(([A-Z]+)\\)', 1), '') AS unit,
+    CASE WHEN regexp_matches(l, 'Lump Sum') THEN NULL ELSE {_t7_qty} END AS qty,
+    list_filter(string_split_regex(l, '\\s+'),
+                t -> regexp_full_match(t, '{_T7_MONEY_FULL}')) AS money
+  FROM parsed
+),
+pv AS (
+  SELECT *, generate_subscripts(vendors, 1) AS vpos1, unnest(vendors) AS vendor_name,
+    money[greatest(len(money) - 2 * len(vendors) + 1, 1):] AS pairs
+  FROM enriched
+)
+SELECT 'nc_bid_tabs' AS doc_type, path AS file, letting_date, contract_id,
+  call_number, fed_aid, counties, line_no, item_no, item_description, unit, qty,
+  vendor_name,
+  {_t7_up} AS unit_price,
+  {_t7_ab} AS amount_bid
+FROM pv
+ORDER BY line_no, vendor_name"""
+
+
+# ---------------------------------------------------------------------------
+# T8 oracle: item C (sentinel-block segmentation × vendors)
+# ---------------------------------------------------------------------------
+_T8_VENDOR = r"^(.+?)\s\s+(.+?)\s+([0-9,]+\.[0-9]{2})\s+(-?[0-9]+(?:\.[0-9]+)?)\s*$"
+_t8_typeof = d_first_extract("lines", r"^TYPE OF WORK\s+(.+?)\s*$")
+_t8_loc = d_first_extract("lines", r"^LOCATION\s+(.+?)\s*$")
+_t8_est = d_parse_float(d_first_extract("lines", r"^ESTIMATE\s+([0-9,]+\.[0-9]{2})\s*$"))
+_t8_esttot = d_parse_float(d_first_extract("lines", r"^ESTIMATE TOTAL\s+([0-9,]+\.[0-9]{2})"))
+
+
+def _d_caps_date(expr: str) -> str:
+    return (
+        "COALESCE(" + d_parse_date(expr)
+        + f", CAST(try_strptime(trim(COALESCE({expr}, '')), '%b %d %Y') AS DATE))"
+    )
+
+
+_t8_avail = _d_caps_date(d_first_extract("lines", r"^DATE AVAILABLE\s+(.+?)\s*$"))
+_t8_final = _d_caps_date(d_first_extract("lines", r"^FINAL COMPLETION\s+(.+?)\s*$"))
+_t8_vt = d_parse_float("regexp_extract(v, '" + _T8_VENDOR + "', 3)")
+_t8_pd = d_parse_float("regexp_extract(v, '" + _T8_VENDOR + "', 4)")
+
+_T8_ORACLE = f"""
+WITH {_docs_values([FX.NC_ITEM_C])},
+pos AS (
+  SELECT path, generate_subscripts(lines, 1) AS pos1, unnest(lines) AS line FROM docs
+),
+blk AS (
+  SELECT *, CAST(SUM(CASE WHEN regexp_matches(line, '^DA[0-9]{{5}}\\s*$') THEN 1 ELSE 0 END)
+         OVER (PARTITION BY path ORDER BY pos1 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS block_id
+  FROM pos
+),
+blocks AS (
+  SELECT path, block_id, list(line ORDER BY pos1) AS lines
+  FROM blk WHERE block_id > 0 GROUP BY path, block_id
+),
+fields AS (
+  SELECT path, block_id, lines,
+    lines[1] AS contract_id,
+    nullif(regexp_extract(lines[2], '^([0-9]+\\.[0-9]+)$', 1), '') AS project_number,
+    {_t8_typeof} AS type_of_work,
+    {_t8_loc} AS location,
+    {_t8_est} AS estimate,
+    {_t8_avail} AS date_available,
+    {_t8_final} AS final_completion,
+    {_t8_esttot} AS estimate_total,
+    list_position(list_transform(lines, l -> regexp_matches(l, '^\\$ TOTALS')), true) AS s
+  FROM blocks
+),
+sect AS (SELECT *, lines[s+1:] AS after FROM fields),
+sect2 AS (
+  SELECT *, COALESCE(nullif(list_position(
+      list_transform(after, l -> regexp_matches(l, '^(ESTIMATE|LETTING) TOTAL')), true), 0),
+      len(after) + 1) AS e
+  FROM sect
+),
+vl AS (
+  SELECT *, unnest(list_filter(after[1:e-1], l -> regexp_matches(l, '{_T8_VENDOR}'))) AS v
+  FROM sect2
+)
+SELECT 'nc_item_c' AS doc_type, path AS file, block_id, contract_id, project_number,
+  type_of_work, location, estimate, date_available, final_completion, estimate_total,
+  regexp_extract(v, '{_T8_VENDOR}', 1) AS vendor_name,
+  regexp_extract(v, '{_T8_VENDOR}', 2) AS vendor_city,
+  {_t8_vt} AS vendor_total,
+  {_t8_pd} AS pct_diff
+FROM vl
+ORDER BY block_id, vendor_name"""
+
+
+# ---------------------------------------------------------------------------
+# T11 oracle: union of every branch oracle BY NAME
+# ---------------------------------------------------------------------------
+def _strip_order(sql: str) -> str:
+    return sql.rsplit("\nORDER BY", 1)[0]
+
+
+def _branch(sql: str, extra: str = "") -> str:
+    return f"SELECT *{extra} FROM (\n{_strip_order(sql)}\n)"
+
+
+_T11_ORACLE = (
+    "\nUNION ALL BY NAME\n".join(
+        [
+            _branch(_INVOICE_ORACLE, ", 'invoice' AS doc_type"),
+            _branch(_RECEIPT_ORACLE, ", 'receipt' AS doc_type"),
+            _branch(_AWARD_ORACLE),
+            _branch(_INVITATION_ORACLE),
+            _branch(_BIDS_ORACLE),
+            _branch(_T7_ORACLE),
+            _branch(_T8_ORACLE),
+        ]
+    )
+    + "\nORDER BY doc_type, file"
+)
+
+# upgrade the rows-only registrations to full oracles
+from pdf_etl_pipeline_spark.catalog import REGISTRY  # noqa: E402
+
+REGISTRY["t7_bid_tabs"].oracle = _T7_ORACLE
+REGISTRY["t7_bid_tabs"].doc = "T7 bid tabs: items × bidders positional join (full DuckDB oracle)"
+REGISTRY["t8_item_c"].oracle = _T8_ORACLE
+REGISTRY["t8_item_c"].doc = "T8 item C: sentinel-block segmentation × vendor rows (full DuckDB oracle)"
+REGISTRY["t11_dispatch_union"].oracle = _T11_ORACLE
+REGISTRY["t11_dispatch_union"].doc = (
+    "T11/T12/U1: detect → per-type parser → unionByName; oracle unions every branch oracle BY NAME"
+)
+
+
+def _t11_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    corpus = FX.INVOICE_DOCS + [FX.RECEIPT_LINES, FX.RECEIPT_LINES_2] + FX.ALL_NC_DOCS
+    # drop the plain receipt doc from ALL_NC list duplication guard: corpus
+    # must match the oracle's fixture set exactly
+    out = parse_documents_by_type(FX.corpus_df(spark, corpus), processed_date=_PROCESSED)
+    return out.orderBy("doc_type", "file")
+
+
+REGISTRY["t11_dispatch_union"].fn = _t11_fixed

@@ -305,7 +305,9 @@ def parse_item_c(docs: DataFrame, lines_col: str = "lines") -> DataFrame:
 
 
 # --- T11: dispatcher ---------------------------------------------------------
-def parse_documents_by_type(docs: DataFrame, lines_col: str = "lines") -> DataFrame:
+def parse_documents_by_type(
+    docs: DataFrame, lines_col: str = "lines", processed_date: str | None = None
+) -> DataFrame:
     """Route each document to its parser and union the heterogeneous outputs
     by name (U1). Unknown types pass through as raw text (reference
     lib/parse_utils.py:1938-1945)."""
@@ -322,17 +324,17 @@ def parse_documents_by_type(docs: DataFrame, lines_col: str = "lines") -> DataFr
         ),
     )
     branches = [
-        parse_receipts(typed.filter(F.col("doc_type") == "receipt")).withColumn(
-            "doc_type", F.lit("receipt")
-        ),
+        parse_receipts(
+            typed.filter(F.col("doc_type") == "receipt"), processed_date=processed_date
+        ).withColumn("doc_type", F.lit("receipt")),
         parse_award_letter(typed.filter(F.col("doc_type") == "nc_award_letter")),
         parse_invitation(typed.filter(F.col("doc_type") == "nc_invitation_to_bid")),
         parse_bids_as_read(typed.filter(F.col("doc_type") == "nc_bids_as_read")),
         parse_bid_tabs(typed.filter(F.col("doc_type") == "nc_bid_tabs")),
         parse_item_c(typed.filter(F.col("doc_type") == "nc_item_c")),
-        parse_invoices(typed.filter(F.col("doc_type") == "invoice")).withColumn(
-            "doc_type", F.lit("invoice")
-        ),
+        parse_invoices(
+            typed.filter(F.col("doc_type") == "invoice"), processed_date=processed_date
+        ).withColumn("doc_type", F.lit("invoice")),
     ]
     out = branches[0]
     for b in branches[1:]:
