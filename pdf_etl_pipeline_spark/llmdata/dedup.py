@@ -187,10 +187,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
         "doc_id",
         F.array_distinct(F.transform(tokens_col("text"), portable_hash32)).alias("toks"),
     )
-    verified = (
-        cands.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")), "doc_a")
-        .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")), "doc_b")
-    )
+    ta = F.broadcast(toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")))
+    tb = F.broadcast(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")))
+    verified = cands.join(ta, "doc_a").join(tb, "doc_b")
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.size("ta") + F.size("tb") - inter
     return (
