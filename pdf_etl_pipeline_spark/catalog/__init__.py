@@ -58,4 +58,10 @@ def load_registry() -> dict[str, QuerySpec]:
             importlib.import_module(f"pdf_etl_pipeline_spark.catalog.{m}")
         except ModuleNotFoundError:
             pass  # module not built yet
-    return REGISTRY
+    # normalize DATE outputs to naive TIMESTAMP on both engines (idempotent)
+    if not REGISTRY.get("_dates_cast"):
+        from pdf_etl_pipeline_spark.catalog import _datecast
+
+        _datecast.apply(REGISTRY)
+        REGISTRY["_dates_cast"] = QuerySpec(fn=None, doc="marker")  # type: ignore[arg-type]
+    return {k: v for k, v in REGISTRY.items() if not k.startswith("_")}

@@ -48,9 +48,9 @@ def w1_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_nationkey",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .orderBy("c_nationkey", "rn")
     )
@@ -174,7 +174,7 @@ def w5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("l_returnflag").orderBy(F.desc("revenue"), "l_partkey")
     return (
-        rev.withColumn("rn", F.row_number().over(w))
+        rev.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .orderBy("l_returnflag", "rn")
     )

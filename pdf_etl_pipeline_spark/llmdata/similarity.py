@@ -21,7 +21,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdf_etl_pipeline_spark.llmdata.dedup import cosine, cosine_sql
-from pdf_etl_pipeline_spark.functions.scalars import portable_hash32_sql
 
 N_PLANES = 8
 DIM = 64
@@ -80,7 +79,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), "rank")
+        .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), F.col("rank").cast("long").alias("rank"))
         .orderBy("query_id", "rank")
     )
 
@@ -109,7 +108,7 @@ def hyperplane_lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), "rank")
+        .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), F.col("rank").cast("long").alias("rank"))
         .orderBy("query_id", "rank")
     )
 
@@ -162,6 +161,6 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFra
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), "rank")
+        .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), F.col("rank").cast("long").alias("rank"))
         .orderBy("query_id", "rank")
     )

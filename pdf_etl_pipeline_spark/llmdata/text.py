@@ -94,9 +94,9 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_chars.alias("n_chars_m"),
-        n_tokens.alias("n_tokens"),
-        n_distinct.alias("n_distinct_tokens"),
+        n_chars.cast("long").alias("n_chars_m"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
         F.round(avg_word_len, 6).alias("avg_word_len"),
         F.round(ttr, 6).alias("type_token_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
@@ -110,8 +110,8 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
     """Whitespace + BPE-ish token counts (regexp_count stays JVM-side)."""
     return docs.select(
         "doc_id",
-        F.size(tokens_col("text", distinct=False)).alias("ws_tokens"),
-        F.regexp_count(F.col("text"), F.lit(BPE_RE)).alias("bpe_tokens"),
+        F.size(tokens_col("text", distinct=False)).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_RE)).cast("long").alias("bpe_tokens"),
     ).orderBy("doc_id")
 
 
