@@ -130,3 +130,32 @@ def test_t13_bbox_svg(spark):
     svg = out[0].svg
     assert svg.startswith("<svg") and svg.endswith("</svg>")
     assert svg.index(">MR.<") < svg.index(">DIY<")  # reading order preserved
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """SCALE.md claim: bucketing both sides of the fact-fact join on the
+    join key removes the exchange. Verified on the actual plan."""
+    from pdf_etl_pipeline_spark.session import load_table
+
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    load_table(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable("li_b")
+    load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        "ord_b"
+    )
+    # disable broadcast so the join must co-locate via buckets, not replicate
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(spark.table("ord_b"), "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, "bucketed join should not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE li_b")
+        spark.sql("DROP TABLE ord_b")
