@@ -114,3 +114,35 @@ def test_corpus_curation_invariants(spark, sf_dir):
     ids = [r.doc_id for r in out]
     assert len(ids) == len(set(ids))  # no duplicates survive
     assert all(r.quality_score >= 0.5 for r in out)
+
+
+def test_minhash_array_and_agg_forms_agree(spark, near_dup_docs):
+    """The didactic array-expression signature and the production
+    explode+groupBy form must produce identical signatures."""
+    from pyspark.sql import functions as F
+    from pdf_etl_pipeline_spark.llmdata.dedup import (
+        NUM_PERM,
+        minhash_signature,
+        minhash_signatures_agg,
+    )
+
+    arr = {
+        r.doc_id: list(r.sig)
+        for r in near_dup_docs.select("doc_id", minhash_signature("text").alias("sig")).collect()
+    }
+    agg = {
+        r.doc_id: [r[f"s{i}"] for i in range(NUM_PERM)]
+        for r in minhash_signatures_agg(near_dup_docs).collect()
+    }
+    assert arr == agg
+
+
+def test_simhash_array_and_agg_forms_agree(spark, near_dup_docs):
+    from pdf_etl_pipeline_spark.llmdata.dedup import simhash32, simhash_relation
+
+    arr = {
+        r.doc_id: r.sh
+        for r in near_dup_docs.select("doc_id", simhash32("text").alias("sh")).collect()
+    }
+    agg = {r.doc_id: r.simhash for r in simhash_relation(near_dup_docs).collect()}
+    assert arr == agg
