@@ -124,3 +124,34 @@ ORDER BY id_a, id_b""",
 def dd5_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return DD.embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+# --- DD2b: Jaccard with document-frequency pruning (the scale path) ----------
+@register(
+    "dd2b_jaccard_df_pruned",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+rare AS (
+  SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= 395
+),
+ptoks AS (SELECT t.doc_id, t.tok FROM toks t JOIN rare USING (tok)),
+sizes AS (SELECT doc_id, len({_TOKS}) AS n_tok FROM documents),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ptoks a JOIN ptoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_tok + sb.n_tok - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_tok + sb.n_tok - n_common) >= 0.5
+ORDER BY doc_a, doc_b""",
+    doc="DD2b Jaccard candidates with max_df=395 token pruning — the quadratic-blowup guard; overlap counted on rare tokens only (lower bound)",
+)
+def dd2b_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return DD.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=395)
