@@ -26,20 +26,29 @@ FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""",
 )
 def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return DD.exact_dedup(load_table(spark, sf_dir, "documents"))
+    # library result is unordered (scale); the catalog adds gate ordering
+    return DD.exact_dedup(load_table(spark, sf_dir, "documents")).orderBy("keep_doc_id")
 
 
-# --- DD2: token-set Jaccard -------------------------------------------------
+# --- DD2: token-set Jaccard (DF-pruned by default — the scale path) ----------
+# Document-frequency pruning (drop tokens in > 395 docs) is the DEFAULT:
+# without it a single stopword token generates O(df²) candidate pairs — a
+# quadratic blowup at 100 TB. The unpruned form stays in the library
+# (jaccard_pairs(max_df=None)) as a test-only reference implementation.
 @register(
     "dd2_ngram_jaccard",
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
 ),
+rare AS (
+  SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= 395
+),
+ptoks AS (SELECT t.doc_id, t.tok FROM toks t JOIN rare USING (tok)),
 sizes AS (SELECT doc_id, len({_TOKS}) AS n_tok FROM documents),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  FROM ptoks a JOIN ptoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -49,11 +58,13 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / (sa.n_tok + sb.n_tok - n_common) >= 0.5
 ORDER BY doc_a, doc_b""",
-    doc="DD2 token-set Jaccard ≥0.5 via inverted-index self-join (max_df pruning available for scale)",
+    doc="DD2 token-set Jaccard ≥0.5 via inverted-index self-join; DF pruning (max_df=395) on by default — the quadratic-blowup guard",
 )
 def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return DD.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return DD.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=395
+    ).orderBy("doc_a", "doc_b")
 
 
 # --- DD3: MinHash + LSH -----------------------------------------------------
@@ -86,6 +97,8 @@ ORDER BY doc_a, doc_b""",
 )
 def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
+    # no global sort: the gate's value-hash is order-insensitive, and at
+    # scale sorting the pair relation is pure overhead
     return DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
 
 
@@ -106,7 +119,7 @@ ORDER BY doc_id""",
 )
 def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return DD.simhash_relation(load_table(spark, sf_dir, "documents"))
+    return DD.simhash_relation(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 # --- DD5: embedding cosine near-dups ----------------------------------------
@@ -123,21 +136,28 @@ ORDER BY id_a, id_b""",
 )
 def dd5_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return DD.embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+    return DD.embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
 
 
-# --- DD2b: Jaccard with document-frequency pruning (the scale path) ----------
+# --- DD2b: word-shingle Jaccard (order-sensitive n-gram dedup) ----------------
+# 3-gram shingles are the classic near-dup unit (Broder's MinHash papers):
+# unlike bag-of-words Jaccard, scrambled documents stop looking identical.
+# Same DF-pruned inverted-index machinery as dd2, over shingle sets.
+_SHINGLES = DD.shingles_sql("text")
+
 @register(
-    "dd2b_jaccard_df_pruned",
+    "dd2b_shingle_jaccard",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+  SELECT doc_id, unnest({_SHINGLES}) AS tok FROM documents
 ),
 rare AS (
   SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= 395
 ),
 ptoks AS (SELECT t.doc_id, t.tok FROM toks t JOIN rare USING (tok)),
-sizes AS (SELECT doc_id, len({_TOKS}) AS n_tok FROM documents),
+sizes AS (SELECT doc_id, len({_SHINGLES}) AS n_tok FROM documents),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM ptoks a JOIN ptoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -150,8 +170,11 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / (sa.n_tok + sb.n_tok - n_common) >= 0.5
 ORDER BY doc_a, doc_b""",
-    doc="DD2b Jaccard candidates with max_df=395 token pruning — the quadratic-blowup guard; overlap counted on rare tokens only (lower bound)",
+    doc="DD2b 3-gram word-shingle Jaccard ≥0.5 (order-sensitive near-dup), DF-pruned inverted index",
 )
-def dd2b_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dd2b_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return DD.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=395)
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(
+        docs, threshold=0.5, max_df=395, sets=DD.shingles_col("text")
+    ).orderBy("doc_a", "doc_b")

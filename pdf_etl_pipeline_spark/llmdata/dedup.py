@@ -59,14 +59,46 @@ def tokens_sql(expr: str, distinct: bool = True) -> str:
     return f"list_distinct({inner})" if distinct else inner
 
 
+SHINGLE_N = 3
+
+
+def shingles_col(text: Column | str, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles (space-joined runs of n tokens).
+
+    Shingles are the classic near-dup unit for text (MinHash papers use
+    character or word shingles): unlike bag-of-words Jaccard they are
+    order-sensitive, so scrambled documents stop looking identical.
+    """
+    toks = tokens_col(text, distinct=False)
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    mk = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + off) for off in range(n)])
+    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(starts, mk))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(expr: str, n: int = SHINGLE_N) -> str:
+    toks = tokens_sql(expr, distinct=False)
+    parts = " || ' ' || ".join(f"({toks})[i + {off}]" for off in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), i -> {parts}))"
+    )
+
+
 def token_hashes_sql(expr: str) -> str:
-    """Distinct portable token hashes (the dd3 verification set)."""
+    """Distinct portable token hashes mod p (the dd3 verification set).
+
+    The ``% P31`` matches the Spark side, which hashes each token ONCE into
+    a (doc_id, h) relation and derives both the MinHash signatures and the
+    verify sets from it — one md5 pass over the corpus instead of two.
+    """
     return (
         "list_distinct(list_transform("
         + tokens_sql(expr)
         + ", t -> "
         + portable_hash32_sql("t")
-        + "))"
+        + f" % {P31}))"
     )
 
 
@@ -74,29 +106,44 @@ def token_hashes_sql(expr: str) -> str:
 # Exact dedup
 # ---------------------------------------------------------------------------
 def exact_dedup(docs: DataFrame) -> DataFrame:
-    """Hash-groupBy exact dedup: one surviving doc id per distinct text."""
-    return (
-        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
-        .orderBy("keep_doc_id")
+    """Hash-groupBy exact dedup: one surviving doc id per distinct text.
+
+    Unordered — at scale a global sort is pure overhead; the catalog
+    wrapper adds the deterministic ordering the oracle gate needs.
+    """
+    return docs.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
     )
 
 
 # ---------------------------------------------------------------------------
 # n-gram / token Jaccard
 # ---------------------------------------------------------------------------
-def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, max_df: int | None = None) -> DataFrame:
-    """Near-dup pairs by token-set Jaccard via inverted-index self-join.
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    sets: Column | None = None,
+) -> DataFrame:
+    """Near-dup pairs by set Jaccard via inverted-index self-join.
 
-    ``max_df`` drops tokens appearing in more than that many documents
+    ``sets`` is the per-document element set (default: distinct unigram
+    tokens; pass ``shingles_col("text")`` for order-sensitive n-grams).
+
+    ``max_df`` drops elements appearing in more than that many documents
     before the join — the 100 TB guard against stopword-driven quadratic
-    candidate blowup (off by default so the oracle stays a pure program).
+    candidate blowup. The pruning join carries no broadcast hint: the
+    rare-element list is vocabulary-sized (NOT small at corpus scale), so
+    the planner/AQE must pick the strategy; the join key is the same
+    ``tok`` the self-join shuffles on, so the exchange is reused.
     """
-    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    if sets is None:
+        sets = tokens_col("text")
+    toks = docs.select("doc_id", F.explode(sets).alias("tok"))
     if max_df is not None:
         rare = toks.groupBy("tok").count().filter(F.col("count") <= max_df).select("tok")
-        toks = toks.join(F.broadcast(rare), "tok")
-    sizes = docs.select("doc_id", F.size(tokens_col("text")).alias("n_tok"))
+        toks = toks.join(rare, "tok", "left_semi")
+    sizes = docs.select("doc_id", F.size(sets).alias("n_tok"))
     a, b = toks.alias("a"), toks.alias("b")
     common = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -114,7 +161,6 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, max_df: int | None = 
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -154,9 +200,37 @@ def minhash_signatures_agg(docs: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """Candidate pairs sharing ≥1 LSH band, verified with true Jaccard."""
-    sigs = minhash_signatures_agg(docs)
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.9, persist: bool = True) -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band, verified with true Jaccard.
+
+    Single-hash-pass design: tokens are exploded and md5-hashed ONCE into a
+    ``(doc_id, h)`` relation; both the 64 MinHash signature aggregates and
+    the verification token-hash sets are groupBys over it. The verify
+    Jaccard is therefore over hashes mod p (the oracle mirrors the mod) —
+    identical results modulo hash collisions, at half the hashing cost.
+
+    ``persist`` caches the intermediates referenced more than once: the
+    hashed-token relation (2 longs/row, ~corpus-token cardinality —
+    MEMORY_AND_DISK so it spills rather than OOMs; at cluster scale this is
+    the standard cache-or-recompute tradeoff), the per-doc signatures
+    (64 longs/doc) and the candidate pairs (2 ints/pair). Without it
+    Catalyst replicates the explode+hash subtree ~4× across the band
+    self-join sides (no exchange reuse).
+    """
+    from pyspark import StorageLevel
+
+    hashed = docs.select("doc_id", F.explode(tokens_col("text")).alias("t")).select(
+        "doc_id", (portable_hash32(F.col("t")) % P31).alias("h")
+    )
+    if persist:
+        hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
+    sig_aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P31).alias(f"s{i}")
+        for i, (a, b) in enumerate(zip(PERM_A, PERM_B))
+    ]
+    sigs = hashed.groupBy("doc_id").agg(*sig_aggs)
+    if persist:
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -180,15 +254,28 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    if persist:
+        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize the cache now (also fills hashed/sigs upstream): AQE
+        # then plans the verify join against REAL cached sizes instead of
+        # guesses — measured ~6 s faster at sf0.1 than one fused lazy job
+        cands.count()
     # verify on distinct token-HASH sets: intersecting 64-bit ints is far
     # cheaper than strings at 1M+ candidate pairs (same Jaccard modulo hash
-    # collisions; the oracle hashes identically so results match exactly)
-    toks = docs.select(
-        "doc_id",
-        F.array_distinct(F.transform(tokens_col("text"), portable_hash32)).alias("toks"),
+    # collisions; the oracle hashes identically so results match exactly).
+    # The token relation is semi-joined down to docs that survived banding
+    # BEFORE the verify join: candidates ≪ corpus after banding, so the
+    # pruned side stays small and the join is a plain shuffle join —
+    # broadcasting the full corpus token table (the round-1 shape) is a
+    # guaranteed OOM at 100 TB.
+    cand_ids = cands.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    toks = (
+        hashed.groupBy("doc_id")
+        .agg(F.collect_set("h").alias("toks"))
+        .join(cand_ids, "doc_id", "left_semi")
     )
-    ta = F.broadcast(toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")))
-    tb = F.broadcast(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     verified = cands.join(ta, "doc_a").join(tb, "doc_b")
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.size("ta") + F.size("tb") - inter
@@ -196,7 +283,6 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
         verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -249,7 +335,6 @@ def simhash_relation(docs: DataFrame) -> DataFrame:
         docs.select("doc_id")
         .join(fp, "doc_id", "left")
         .select("doc_id", F.coalesce("simhash", all_bits).alias("simhash"))
-        .orderBy("doc_id")
     )
 
 
@@ -280,7 +365,6 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFr
         pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
-        .orderBy("id_a", "id_b")
     )
 
 
