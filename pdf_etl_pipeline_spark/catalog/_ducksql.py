@@ -27,17 +27,40 @@ def d_parse_date(expr: str) -> str:
     return f"COALESCE({casts})"
 
 
+# Reference DATE_REGEX digit-boundary guards: RE2 has no lookarounds, so the
+# boundaries are CONSUMING groups ((^|[^0-9]) … ([^0-9]|$)). Equivalent to
+# the Spark side's true lookarounds except when two dates sit < 2 chars
+# apart on one line — fixture content never does that (documented tradeoff).
+_DATE_RE2 = r"(^|[^0-9])([0-9]{1,2})[-/.\s]([0-9]{1,2})[-/.\s]([0-9]{2,4})([^0-9]|$)"
+
+
+def d_ocr_repair(expr: str) -> str:
+    """Between-digit OCR confusion repair (O/o→0, S/s→5, l/I→1) — two-pass
+    consuming replace per class reaches the lookaround fixed point."""
+    out = f"COALESCE({expr}, '')"
+    for cls, digit in (("[Oo]", "0"), ("[Ss]", "5"), ("[lI]", "1")):
+        for _ in range(2):
+            out = f"regexp_replace({out}, '([0-9]){cls}([0-9])', '\\1{digit}\\2', 'g')"
+    return out
+
+
 def d_mined_date(lines: str) -> str:
-    """F3: OCR-repair + date mining + earliest-wins, over a list of lines."""
-    tok = "translate(m, 'OSlIB', '05118')"
-    d = f"regexp_extract({tok}, '([0-9]{{1,2}})[-/. ][0-9]{{1,2}}[-/. ][0-9]+', 1)"
-    mo = f"regexp_extract({tok}, '[0-9]{{1,2}}[-/. ]([0-9]{{1,2}})[-/. ][0-9]+', 1)"
-    y = f"regexp_extract({tok}, '[0-9]{{1,2}}[-/. ][0-9]{{1,2}}[-/. ]([0-9]+)', 1)"
-    y4 = f"CASE WHEN length({y}) = 2 THEN '20' || {y} ELSE {y} END"
+    """F3: OCR-repair + date mining + earliest-wins, over a list of lines.
+
+    Mirrors ``functions.scalars.find_dates_in_lines``: between-digit repair,
+    digit-bounded d/m/y match, year rule yy≤30 → 2000s else 1900s."""
+    d = f"regexp_extract(m, '{_DATE_RE2}', 2)"
+    mo = f"regexp_extract(m, '{_DATE_RE2}', 3)"
+    y = f"regexp_extract(m, '{_DATE_RE2}', 4)"
+    y4 = (
+        f"CASE WHEN length({y}) = 2 THEN CAST(CASE WHEN CAST({y} AS INT) <= 30 "
+        f"THEN 2000 + CAST({y} AS INT) ELSE 1900 + CAST({y} AS INT) END AS VARCHAR) "
+        f"ELSE {y} END"
+    )
     return (
         "list_min(list_filter(list_transform("
-        f"flatten(list_transform({lines}, l -> regexp_extract_all(COALESCE(l, ''), "
-        "'[0-9OSlIB]{1,2}[-/. ][0-9OSlIB]{1,2}[-/. ][0-9OSlIB]{2,4}'))), "
+        f"flatten(list_transform({lines}, l -> regexp_extract_all({d_ocr_repair('l')}, "
+        f"'{_DATE_RE2}'))), "
         f"m -> CAST(try_strptime({d} || '-' || {mo} || '-' || {y4}, '%d-%m-%Y') AS DATE)), "
         "d -> d IS NOT NULL))"
     )

@@ -306,31 +306,40 @@ def t11_dispatch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pdf_etl_pipeline_spark.parsers import receipt as R  # noqa: E402
 from pdf_etl_pipeline_spark.operators.sessionize import group_ocr_words  # noqa: E402
 
-_rp = {f"P{i}": getattr(R, f"P{i}") for i in (1, 2, 3, 4)}
 _any_item = R.ANY_ITEM
 _tax_re = R.TAX_LINE
+# whitespace-collapse applied before grammar matching (reference
+# _match_price_line re.sub + strip); totals/tenders lines are never items
+_collapse = "trim(regexp_replace(%s, '\\s+', ' ', 'g'))"
+_is_item = (
+    f"regexp_matches(%s, '{_any_item}') AND NOT regexp_matches(upper(%s), '{R.NOT_ITEM_WORDS}')"
+)
 
 
-def _case4(g1: str, g2: str, g3: str, g4: str) -> str:
-    """first-match-wins CASE over the four grammars; gN = group to pull
-    ('' = literal 1 for P2 qty, '-' = NULL)."""
+def _case6(field: str) -> str:
+    """first-match-wins CASE over the six reference grammars (group map
+    shared with the Spark side via R.GROUPS; 0 = no group: qty falls back
+    to literal 1 for P2, sku to NULL)."""
     out = ["CASE"]
-    for pat_name, g in zip(("P1", "P2", "P3", "P4"), (g1, g2, g3, g4)):
-        pat = _rp[pat_name]
-        if g == "-":
-            out.append(f"WHEN regexp_matches(l, '{pat}') THEN NULL")
-        elif g == "1lit":
-            out.append(f"WHEN regexp_matches(l, '{pat}') THEN '1'")
-        else:
+    for pat, g in zip(R.PATTERNS, R.GROUPS[field]):
+        if g:
             out.append(f"WHEN regexp_matches(l, '{pat}') THEN regexp_extract(l, '{pat}', {g})")
+        else:
+            out.append(f"WHEN regexp_matches(l, '{pat}') THEN " + ("'1'" if field == "qty" else "NULL"))
     out.append("ELSE NULL END")
     return " ".join(out)
 
 
-_d_sku = _case4("1", "1", "1", "-")
-_d_qty = d_parse_float(_case4("2", "1lit", "3", "1"))
-_d_price = d_parse_float(_case4("3", "2", "2", "2"))
-_d_total = d_parse_float(_case4("4", "3", "4", "3"))
+def _d_money(e: str) -> str:
+    """Grammar number → double; ',' is a DECIMAL separator in the grammars."""
+    return f"TRY_CAST(nullif(replace({e}, ',', '.'), '') AS DOUBLE)"
+
+
+_d_sku = _case6("sku")
+_qty_raw = _case6("qty")
+_d_qty = _d_money(f"CASE WHEN length({_qty_raw}) >= 5 THEN NULL ELSE {_qty_raw} END")
+_d_price = _d_money(_case6("price"))
+_d_total = _d_money(_case6("total"))
 _d_taxline = d_first_line("lines", _tax_re)
 _d_n1 = d_parse_float(f"regexp_extract({_d_taxline}, '{_tax_re}', 1)")
 _d_n2 = d_parse_float(f"regexp_extract({_d_taxline}, '{_tax_re}', 3)")
@@ -362,7 +371,7 @@ meta AS (
     least({_d_n1}, {_d_n2}) AS tax_amount,
     greatest({_d_n1}, {_d_n2}) AS subtotal_amount,
     {_d_totline} AS total_line,
-    list_filter(lines, l -> regexp_matches(l, '{_any_item}')) AS item_lines
+    list_filter(list_transform(lines, l -> {_collapse % 'l'}), l -> {_is_item % ('l', 'l')}) AS item_lines
   FROM docs
 ),
 withsum AS (
@@ -372,8 +381,11 @@ withsum AS (
   FROM meta
 ),
 items AS (
-  SELECT *, generate_subscripts(lines, 1) AS pos1, unnest(lines) AS l
+  SELECT *, generate_subscripts(lines, 1) AS pos1, unnest(lines) AS l0
   FROM withsum
+),
+collapsed AS (
+  SELECT *, {_collapse % 'l0'} AS l FROM items
 ),
 parsed AS (
   SELECT *,
@@ -383,7 +395,7 @@ parsed AS (
     {_d_price} AS price,
     {_d_total} AS total,
     {_d_total} / nullif({_d_price}, 0) AS ratio
-  FROM items WHERE regexp_matches(l, '{_any_item}')
+  FROM collapsed WHERE {_is_item % ('l', 'l')}
 )
 SELECT 1 AS company_id, 'USA' AS country, DATE '{_PROCESSED}' AS processed_date,
   supplier_name, supplier_address, invoice_number, invoice_date,

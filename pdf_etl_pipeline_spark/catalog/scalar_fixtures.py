@@ -8,9 +8,10 @@ dialect — a genuine cross-check, not a copy.
 Dialect notes encoded here:
 - DuckDB ``regexp_replace`` replaces the FIRST match unless passed the 'g'
   flag; Spark always replaces all.
-- DuckDB is RE2: no lookbehind/lookahead — the OCR digit-repair oracle
-  matches confusion characters inside the date token class directly and
-  ``translate``s them, which is equivalent on date-shaped tokens.
+- DuckDB is RE2: no lookbehind/lookahead — the OCR digit-repair and the
+  date digit-boundary guards use consuming capture groups (two-pass
+  replace / boundary groups), equivalent to the Spark lookarounds on
+  fixture-shaped content (see catalog/_ducksql.py).
 - ``try_strptime`` ↔ ``try_to_timestamp`` for null-on-failure parsing.
 """
 
@@ -20,16 +21,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_etl_pipeline_spark.catalog import register
+from pdf_etl_pipeline_spark.catalog._ducksql import d_mined_date
 from pdf_etl_pipeline_spark.functions import scalars as S
 from pdf_etl_pipeline_spark.session import tune
+
+_MINED = d_mined_date("[line1, line2]")
 
 # (id, money_s, date_s, tax_s, num_s, qty, price, total, sub_d, tax_d, tot_d,
 #  line1, line2)
 _ROWS = [
     (1, "$1,234.50", "Jan 20, 2021", "GST 8%", "12 345", 1.0, 7400.0, 7400.0,
      19000.0, 1520.0, None, "Invoice Date: 12-03-18 18:05", "TIN: 14122226789"),
+    # line1: O's at group boundaries are NOT repaired (reference requires a
+    # digit on BOTH sides) → no date; line2: 2O23 repairs to 2023
     (2, " 19,000.00 ", "February 10, 2021", "TAX 6.5 %", "1,23", 2.0, 5300.0,
-     10600.0, None, None, 20520.0, "Due O1-O2-21", "no dates here"),
+     10600.0, None, None, 20520.0, "Due O1-O2-21", "pay by 15-06-2O23"),
     (3, "abc", "2021-01-20", "no rate", "", None, 100.0, 300.0, 100.0, None,
      None, "paid 5/6/2021 morning", "also 4/6/2021"),
     (4, "", "20-01-2021", "GST 8％", "99", 4.0, 25.0, 100.0, None, 8.0, None,
@@ -89,25 +95,7 @@ SELECT id,
          CAST(try_strptime(trim(date_s), '%d-%m-%Y') AS DATE),
          CAST(try_strptime(trim(date_s), '%m/%d/%Y') AS DATE)
        ), '%b %Y') AS month_lbl,
-       list_min(list_filter(list_transform(
-         flatten(list_transform([line1, line2], l ->
-           regexp_extract_all(COALESCE(l, ''),
-             '[0-9OSlIB]{{1,2}}[-/. ][0-9OSlIB]{{1,2}}[-/. ][0-9OSlIB]{{2,4}}'))),
-         m -> CAST(try_strptime(
-                regexp_extract(translate(m, 'OSlIB', '05118'),
-                               '([0-9]{{1,2}})[-/. ][0-9]{{1,2}}[-/. ][0-9]+', 1)
-                || '-' ||
-                regexp_extract(translate(m, 'OSlIB', '05118'),
-                               '[0-9]{{1,2}}[-/. ]([0-9]{{1,2}})[-/. ][0-9]+', 1)
-                || '-' ||
-                CASE WHEN length(regexp_extract(translate(m, 'OSlIB', '05118'),
-                               '[0-9]{{1,2}}[-/. ][0-9]{{1,2}}[-/. ]([0-9]+)', 1)) = 2
-                     THEN '20' || regexp_extract(translate(m, 'OSlIB', '05118'),
-                               '[0-9]{{1,2}}[-/. ][0-9]{{1,2}}[-/. ]([0-9]+)', 1)
-                     ELSE regexp_extract(translate(m, 'OSlIB', '05118'),
-                               '[0-9]{{1,2}}[-/. ][0-9]{{1,2}}[-/. ]([0-9]+)', 1) END,
-                '%d-%m-%Y') AS DATE)),
-         d -> d IS NOT NULL)) AS mined_date
+       {_MINED} AS mined_date
 FROM (
   SELECT *,
          CASE WHEN vv = floor(vv) AND vv > 10000 THEN vv ELSE vv END AS v,

@@ -59,28 +59,42 @@ def parse_date(c: Column | str) -> Column:
 #  _find_invoice_date: earliest valid date wins)
 # ---------------------------------------------------------------------------
 def coerce_ocr_digits(c: Column | str) -> Column:
-    """Repair OCR digit confusions between digits: O→0, S→5, l/I→1, B→8.
+    """Repair OCR digit confusions BETWEEN digits: O/o→0, S/s→5, l/I→1.
 
-    The reference applies these only adjacent to digits; lookarounds are
-    emulated with capture groups (Java regex supports lookbehind, but capture
-    groups keep the expression portable and single-pass per confusion).
+    Exact reference semantics (lib/parse_utils.py:82-85): both-side digit
+    adjacency only (``(?<=\\d)[Oo](?=\\d)`` etc.), lowercase variants
+    included, and no other mappings. Java regex supports the lookarounds
+    directly; the DuckDB oracle emulates them with a two-pass consuming
+    replace (RE2 has no lookbehind).
     """
     out = _col(c)
-    for bad, good in [("O", "0"), ("S", "5"), ("l", "1"), ("I", "1"), ("B", "8")]:
-        out = F.regexp_replace(out, f"(?<=\\d)[{bad}]", good)
-        out = F.regexp_replace(out, f"[{bad}](?=\\d)", good)
+    for bad, good in [("Oo", "0"), ("Ss", "5"), ("lI", "1")]:
+        out = F.regexp_replace(out, f"(?<=\\d)[{bad}](?=\\d)", good)
     return out
 
 
-_DATE_IN_TEXT = r"(\d{1,2})[-/. ](\d{1,2})[-/. ](\d{2,4})"
+# Reference DATE_REGEX (lib/parse_utils.py:59-66): digit-boundary guards on
+# both sides, separators -, /, . or whitespace.
+_DATE_IN_TEXT = r"(?<!\d)(\d{1,2})[-/.\s](\d{1,2})[-/.\s](\d{2,4})(?!\d)"
+
+
+def coerce_year(y: Column) -> Column:
+    """Reference ``_coerce_year``: 2-digit year → 2000s when ≤ 30, else
+    1900s (99 → 1995-style); 3+-digit years pass through unchanged."""
+    n = y.try_cast("int")
+    return F.when(
+        F.length(y) == 2,
+        F.when(n <= 30, n + 2000).otherwise(n + 1900).cast("string"),
+    ).otherwise(y)
 
 
 def find_dates_in_lines(lines: Column | str) -> Column:
     """array<string> lines → earliest valid d/m/y date found anywhere (F3/A7).
 
     Mirrors ``_find_invoice_date``: scan every line, repair OCR digits,
-    extract all ``d[-/. ]m[-/. ]y(y)`` matches, coerce 2-digit years to 20yy,
-    validate via try-parse, return the minimum.
+    extract all digit-bounded ``d[-/.\\s]m[-/.\\s]y(y)`` matches, coerce
+    2-digit years (≤30 → 2000s, else 1900s), validate via try-parse, return
+    the minimum.
     """
     lines = _col(lines)
     repaired = F.transform(lines, coerce_ocr_digits)
@@ -92,7 +106,7 @@ def find_dates_in_lines(lines: Column | str) -> Column:
             "-",
             F.regexp_extract(m, _DATE_IN_TEXT, 1),
             F.regexp_extract(m, _DATE_IN_TEXT, 2),
-            F.when(F.length(F.regexp_extract(m, _DATE_IN_TEXT, 3)) == 2, F.concat(F.lit("20"), F.regexp_extract(m, _DATE_IN_TEXT, 3))).otherwise(F.regexp_extract(m, _DATE_IN_TEXT, 3)),
+            coerce_year(F.regexp_extract(m, _DATE_IN_TEXT, 3)),
         ),
     )
     parsed = F.filter(

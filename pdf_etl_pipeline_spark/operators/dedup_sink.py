@@ -4,7 +4,7 @@ The reference fetches existing ``(invoice_number, supplier_name)`` pairs,
 anti-filters in pandas, then INSERTs row by row. Spark-first shape:
 
     existing keys (projection pushed to storage)
-      → broadcast left-anti join against incoming
+      → left-anti join against incoming (planner broadcasts iff small)
       → executor-parallel append
 
 The sink is storage-agnostic: a parquet directory locally (tests, and the
@@ -29,6 +29,27 @@ from pyspark.sql import functions as F
 DEFAULT_KEYS = ("invoice_number", "supplier_name")
 
 
+def dedup_against_existing(
+    df: DataFrame,
+    table_path: str,
+    keys: tuple[str, ...] = DEFAULT_KEYS,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """The sink's dedup plan: anti-join incoming rows against the existing
+    key set, then drop same-batch duplicates.
+
+    No broadcast hint on the existing side: the planner/AQE broadcasts when
+    the key set is under the size threshold and falls back to a shuffled
+    anti-join when it isn't — forcing the hint OOMs once the table grows.
+    """
+    spark = spark or df.sparkSession
+    key_cols = [k for k in keys if k in df.columns]
+    if os.path.isdir(table_path):
+        existing = spark.read.parquet(table_path).select(*key_cols).distinct()
+        df = df.join(existing, key_cols, "left_anti")
+    return df.dropDuplicates(key_cols)
+
+
 def insert_dataframe(
     df: DataFrame,
     table_path: str,
@@ -37,15 +58,7 @@ def insert_dataframe(
 ) -> int:
     """Anti-join dedup + append to a parquet table; returns inserted count
     (0 = all duplicates — reference db_connection.py:63 semantics)."""
-    spark = spark or df.sparkSession
-    key_cols = [k for k in keys if k in df.columns]
-    if os.path.isdir(table_path):
-        existing = spark.read.parquet(table_path).select(*key_cols).distinct()
-        fresh = df.join(F.broadcast(existing), key_cols, "left_anti")
-    else:
-        fresh = df
-    # de-dup within the incoming batch as well (same-run duplicates)
-    fresh = fresh.dropDuplicates(key_cols)
+    fresh = dedup_against_existing(df, table_path, keys, spark)
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(table_path)
@@ -84,13 +97,14 @@ def write_jdbc_dedup(
     properties: dict | None = None,
 ) -> int:
     """S7 against a real database: key-only JDBC read (projection pushdown),
-    broadcast anti-join, executor-parallel batched append."""
+    size-gated anti-join (planner picks broadcast vs shuffle), executor-
+    parallel batched append."""
     spark = df.sparkSession
     key_cols = list(keys)
     existing = spark.read.jdbc(
         url, f"(SELECT DISTINCT {', '.join(key_cols)} FROM {table}) t", properties=properties or {}
     )
-    fresh = df.join(F.broadcast(existing), key_cols, "left_anti").dropDuplicates(key_cols)
+    fresh = df.join(existing, key_cols, "left_anti").dropDuplicates(key_cols)
     n = fresh.count()
     if n:
         fresh.write.jdbc(url, table, mode="append", properties=properties or {})

@@ -189,6 +189,12 @@ RECEIPT_LINES_2 = (
         "9999123 1 X 10.00 10.00",
         "COPPER ELBOW",
         "8888456 2 X 2.50 5.00",
+        # reference grammars P4 (price qty X total, comma decimals,
+        # lowercase x) and P6 (price ... qty X total)
+        "PTFE TAPE ROLL",
+        "3,90 1 x 3,90",
+        "HOSE CLIP",
+        "8.98 6942131561408 1X 8.90",
         "TOTAL 15.00",
         "05-06-19 10:11",
     ],

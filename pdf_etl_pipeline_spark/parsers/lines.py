@@ -45,14 +45,13 @@ def slice_between(lines: Column, start_pattern: str, end_pattern: str) -> Column
     """Lines strictly between the first match of ``start_pattern`` and the
     next match of ``end_pattern`` — the reference's ``extract_table_section``
     (lib/parse_utils.py:299-308): header row and terminator excluded.
-    Empty array when the markers are absent or inverted."""
+    Empty array when EITHER marker is absent (a truncated document yields no
+    line items — reference returns [] unless both markers are found)."""
     start = index_of_first(lines, start_pattern)
     # search for the end marker only after the start marker
     after = F.slice(lines, start + 1, F.greatest(F.size(lines) - start, F.lit(0)))
     end_rel = index_of_first(after, end_pattern)
-    length = F.when(start == 0, F.lit(0)).otherwise(
-        F.when(end_rel == 0, F.size(after)).otherwise(end_rel - 1)
-    )
+    length = F.when((start == 0) | (end_rel == 0), F.lit(0)).otherwise(end_rel - 1)
     return F.slice(after, 1, F.greatest(length, F.lit(0)))
 
 

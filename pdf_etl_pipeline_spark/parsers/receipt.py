@@ -22,16 +22,28 @@ from pdf_etl_pipeline_spark.functions import scalars as S
 from pdf_etl_pipeline_spark.parsers.lines import cascade, first_extract, first_matching_line
 
 M = r"[\d,]+\.\d{2}"
-# F15 grammars, first-match-wins (reference PRICE_PATTERNS order):
-#   P1: SKU qty X price total     "9556268000210 3 X 15.00 45.00"
-#   P2: SKU X price total (qty=1) "9072363 X 29.90 29.90"
-#   P3: SKU price qty X total     "9021937 3.90 1 X 3.90"
-#   P4: qty X price total         "1 X 29.90 29.90"
-P1 = rf"^(\d{{5,}})\s+(\d+)\s+X\s+({M}|\d+\.\d+)\s+({M}|\d+\.\d+)$"
-P2 = rf"^(\d{{5,}})\s+X\s+({M}|\d+\.\d+)\s+({M}|\d+\.\d+)$"
-P3 = rf"^(\d{{5,}})\s+({M}|\d+\.\d+)\s+(\d+)\s+X\s+({M}|\d+\.\d+)$"
-P4 = rf"^(\d+)\s+X\s+({M}|\d+\.\d+)\s+({M}|\d+\.\d+)$"
-ANY_ITEM = rf"({P1})|({P2})|({P3})|({P4})"
+# Grammar number token (reference lib/parse_utils.py:366-383): digits with a
+# REQUIRED 1-2 digit decimal part, dot or comma separator ("29.90"/"29,90").
+NUM = r"\d+(?:[.,]\d{1,2})"
+# F15 grammars, first-match-wins, all six of the reference's PRICE_PATTERNS
+# in order; anchored at line start only (reference uses .match, no $), X is
+# case-insensitive with optional surrounding spaces:
+#   P1: SKU qty X price total    "9556268000210 3 X 15.00 45.00"
+#   P2: SKU X price total        "9072363 X 29.90 29.90" (qty inferred)
+#   P3: SKU price qty X total    "9021937 3.90 1 X 3.90" / "... 1X 3.90"
+#   P4: price qty X total        "3.90 1 X 3.90"
+#   P5: qty X price total        "1 X 29.90 29.90" / "1X 8.90 8.90"
+#   P6: price ... qty X total    "8.98 6942131561408 1X 8.90"
+P1 = rf"^(\d{{5,}})\s+(\d{{1,3}})\s*(?:X|x)\s*({NUM})\s+({NUM})"
+P2 = rf"^(\d{{5,}})\s*(?:X|x)\s*({NUM})\s+({NUM})"
+P3 = rf"^(\d{{5,}})\s+({NUM})\s+(\d+)\s*(?:X|x)\s*({NUM})"
+P4 = rf"^({NUM})\s+(\d+)\s*(?:X|x)\s*({NUM})"
+P5 = rf"^(\d{{1,3}})\s*(?:X|x)\s*({NUM})\s*({NUM})"
+P6 = rf"^({NUM}).*?(\d+)\s*(?:X|x)\s*({NUM})"
+PATTERNS = (P1, P2, P3, P4, P5, P6)
+ANY_ITEM = "|".join(f"(?:{p})" for p in PATTERNS)
+# reference _match_price_line skips totals/tenders outright
+NOT_ITEM_WORDS = r"TOTAL|CASH|CHANGE"
 
 # "2.55 S@6% 42.45 GST": the two numbers around the rate — smaller is the
 # tax, larger the subtotal (reference disambiguation, lib/parse_utils.py:591)
@@ -50,8 +62,35 @@ NOT_DESC = (
 LOOKBACK = 6
 
 
+# per-grammar capture-group positions (0 = no group; P2 qty is inferred)
+GROUPS = {
+    "sku": (1, 1, 1, 0, 0, 0),
+    "qty": (2, 0, 3, 2, 1, 2),
+    "price": (3, 2, 2, 1, 2, 1),
+    "total": (4, 3, 4, 3, 3, 3),
+}
+
+
+def _pick(l: Column, field: str) -> Column:
+    """First-match-wins extraction over the six grammars."""
+    out = None
+    for pat, g in zip(PATTERNS, GROUPS[field]):
+        if g:
+            val = F.regexp_extract(l, pat, g)
+        else:
+            val = F.lit("1") if field == "qty" else F.lit(None).cast("string")
+        out = F.when(l.rlike(pat), val) if out is None else out.when(l.rlike(pat), val)
+    return out
+
+
+def grammar_float(c: Column) -> Column:
+    """Grammar number → double: ``,`` is a DECIMAL separator here
+    (reference float(price.replace(',', '.')), lib/parse_utils.py:421)."""
+    return F.nullif(F.translate(c, ",", "."), F.lit("")).try_cast("double")
+
+
 def _item_struct(s: Column, lines: Column) -> Column:
-    l = s["line"]
+    l = s["line"]  # whitespace-collapsed (reference collapses before .match)
     pos = s["pos"]  # 0-based index of the item line
     # 1-based window of up to LOOKBACK lines strictly above the item
     start = F.greatest(pos - (LOOKBACK - 1), F.lit(1))
@@ -60,36 +99,16 @@ def _item_struct(s: Column, lines: Column) -> Column:
         F.reverse(window), lambda x: (~x.rlike(NOT_DESC)) & (F.trim(x) != "")
     )
     desc = F.try_element_at(desc_cands, F.lit(1))
-    qty = (
-        F.when(l.rlike(P1), F.regexp_extract(l, P1, 2))
-        .when(l.rlike(P2), F.lit("1"))
-        .when(l.rlike(P3), F.regexp_extract(l, P3, 3))
-        .when(l.rlike(P4), F.regexp_extract(l, P4, 1))
-    )
-    price = (
-        F.when(l.rlike(P1), F.regexp_extract(l, P1, 3))
-        .when(l.rlike(P2), F.regexp_extract(l, P2, 2))
-        .when(l.rlike(P3), F.regexp_extract(l, P3, 2))
-        .when(l.rlike(P4), F.regexp_extract(l, P4, 2))
-    )
-    total = (
-        F.when(l.rlike(P1), F.regexp_extract(l, P1, 4))
-        .when(l.rlike(P2), F.regexp_extract(l, P2, 3))
-        .when(l.rlike(P3), F.regexp_extract(l, P3, 4))
-        .when(l.rlike(P4), F.regexp_extract(l, P4, 3))
-    )
-    sku = (
-        F.when(l.rlike(P1), F.regexp_extract(l, P1, 1))
-        .when(l.rlike(P2), F.regexp_extract(l, P2, 1))
-        .when(l.rlike(P3), F.regexp_extract(l, P3, 1))
-        .otherwise(F.lit(None).cast("string"))
-    )
+    qty_raw = _pick(l, "qty")
+    # reference guard: a qty that looks like a SKU (≥5 digits) is discarded
+    # and re-inferred from total/price downstream
+    qty = F.when(F.length(qty_raw) >= 5, F.lit(None).cast("string")).otherwise(qty_raw)
     return F.struct(
-        sku.alias("sku"),
+        _pick(l, "sku").alias("sku"),
         desc.alias("desc"),
-        S.parse_float(qty).alias("qty"),
-        S.parse_float(price).alias("price"),
-        S.parse_float(total).alias("total"),
+        grammar_float(qty).alias("qty"),
+        grammar_float(_pick(l, "price")).alias("price"),
+        grammar_float(_pick(l, "total")).alias("total"),
     )
 
 
@@ -106,10 +125,16 @@ def parse_receipts(
     n1 = S.parse_float(F.regexp_extract(tax_line, TAX_LINE, 1))
     n2 = S.parse_float(F.regexp_extract(tax_line, TAX_LINE, 3))
     # items with their 0-based position, so the look-back window can slice
-    # the preceding lines (transform's 2-arg lambda receives (elem, index))
+    # the preceding lines (transform's 2-arg lambda receives (elem, index));
+    # lines are whitespace-collapsed for grammar matching (reference
+    # _match_price_line re.sub(r"\s+"," ") + strip), and totals/tenders
+    # lines are never items
     item_lines = F.filter(
-        F.transform(lines, lambda l, i: F.struct(l.alias("line"), i.alias("pos"))),
-        lambda s: s["line"].rlike(ANY_ITEM),
+        F.transform(
+            lines,
+            lambda l, i: F.struct(S.collapse_whitespace(l).alias("line"), i.alias("pos")),
+        ),
+        lambda s: s["line"].rlike(ANY_ITEM) & ~F.upper(s["line"]).rlike(NOT_ITEM_WORDS),
     )
 
     base = docs.select(

@@ -31,14 +31,23 @@ def test_parse_date_formats(spark):
 
 
 def test_ocr_digit_repair_and_date_mining(spark):
+    # reference repairs only BETWEEN digits: boundary O's stay broken
     got = one(spark, S.find_dates_in_lines(F.array(F.lit("paid O1-O2-21"), F.lit("x"))))
-    assert got == datetime.date(2021, 2, 1)
+    assert got is None
+    got = one(spark, S.find_dates_in_lines(F.array(F.lit("paid 15-06-2O21"), F.lit("x"))))
+    assert got == datetime.date(2021, 6, 15)
     # earliest date wins (reference _find_invoice_date)
     got = one(
         spark,
         S.find_dates_in_lines(F.array(F.lit("5/6/2021"), F.lit("4/6/2021"))),
     )
     assert got == datetime.date(2021, 6, 4)
+    # _coerce_year: yy <= 30 -> 2000s, else 1900s
+    got = one(spark, S.find_dates_in_lines(F.array(F.lit("31-12-99"), F.lit("1-1-05"))))
+    assert got == datetime.date(1999, 12, 31)
+    # digit-boundary guards: no date mined from inside a longer digit run
+    got = one(spark, S.find_dates_in_lines(F.array(F.lit("ref 328-03-19"), F.lit("x"))))
+    assert got is None
 
 
 def test_tax_rate_and_unicode_percent(spark):

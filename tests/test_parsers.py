@@ -190,10 +190,17 @@ def test_receipt_lookback_descriptions(spark):
     rows = parse_receipts(
         FX.corpus_df(spark, [FX.RECEIPT_LINES_2]), processed_date="2023-06-01"
     ).collect()
-    assert len(rows) == 2
+    assert len(rows) == 4
     r = by(rows, sku="9999123")
     assert r.description == "PVC PIPE 3M"  # W3 look-back wins over SKU
     r2 = by(rows, sku="8888456")
     assert r2.description == "COPPER ELBOW"
     assert r2.total_amount == 15.0
     assert r.supplier_name == "ACME HARDWARE LTD"
+    # P4: price qty X total with comma decimals and lowercase x
+    r3 = by(rows, description="PTFE TAPE ROLL")
+    assert (r3.sku, r3.qty, r3.price, r3.total) == (None, 1.0, 3.9, 3.9)
+    # P6: price ... qty X total (junk token between price and qty)
+    r4 = by(rows, description="HOSE CLIP")
+    assert (r4.sku, r4.qty, r4.price, r4.total) == (None, 1.0, 8.98, 8.9)
+    assert abs(r4.items_total - 27.8) < 1e-9

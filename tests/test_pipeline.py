@@ -47,6 +47,41 @@ def test_dedup_sink_idempotent(spark, tmp_path):
     assert stored.count() == 3
 
 
+def test_dedup_sink_broadcast_is_size_gated(spark, tmp_path):
+    """The sink carries no broadcast hint: with broadcasting disabled (the
+    'existing side too big' regime) the anti-join plans as a shuffled join;
+    with defaults the small key set broadcasts. Either way the PLANNER
+    chooses — the round-1 forced hint would OOM at scale."""
+    from pdf_etl_pipeline_spark.operators.dedup_sink import dedup_against_existing
+
+    sink = str(tmp_path / "invoices")
+    docs = FX.corpus_df(spark, FX.INVOICE_DOCS)
+    run_on_lines(docs, sink_path=sink)
+
+    incoming = spark.read.parquet(sink)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            dedup_against_existing(incoming, sink)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan
+        assert "LeftAnti" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # with broadcasting allowed again, the tiny key set SHOULD broadcast
+    plan = (
+        dedup_against_existing(incoming, sink)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_invoice_exists_probe(spark, tmp_path):
     sink = str(tmp_path / "invoices")
     run_on_lines(FX.corpus_df(spark, FX.INVOICE_DOCS), sink_path=sink)
