@@ -65,18 +65,57 @@ def ss2_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.hyperplane_lsh_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5)
 
 
-_CENTS = ", ".join(str(i) for i in range(SS.N_CELLS))
 _COS_C = cosine_sql("embedding", "centroid")
 
+
+def _kmeans_ctes(n_cells: int, iters: int) -> str:
+    """CTE chain reproducing ``SS.kmeans_centroids`` iteration-for-iteration:
+    hash-seeded init, nearest-centroid assignment, decimal-exact per-dim
+    means, empty cells keep their previous centroid."""
+    from pdf_etl_pipeline_spark.functions.scalars import portable_hash32_sql
+
+    h = portable_hash32_sql("CAST(vec_id AS VARCHAR)")
+    ctes = [
+        f"""c0 AS (
+  SELECT vec_id AS cell_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings ORDER BY {h}, vec_id LIMIT {n_cells})"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_COS_C} DESC, c.cell_id) AS rn
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+  SELECT cell_id, pos,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mv
+  FROM (SELECT cell_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM a{i})
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT p.cell_id, COALESCE(n.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN (
+    SELECT cell_id, array_agg(mv ORDER BY pos) AS centroid FROM m{i} GROUP BY 1
+  ) n ON p.cell_id = n.cell_id)"""
+        )
+    return ",\n".join(ctes)
+
+
+_FINAL_C = f"c{SS.KMEANS_ITERS}"
 
 @register(
     "ss3_ivf_topk",
     oracle=f"""
-WITH cents AS (SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings
-               WHERE vec_id IN ({_CENTS})),
+WITH {_kmeans_ctes(SS.N_CELLS, SS.KMEANS_ITERS)},
 scored AS (
   SELECT e.vec_id, e.embedding, c.cell_id, {_COS_C} AS cos_c
-  FROM embeddings e CROSS JOIN cents c
+  FROM embeddings e CROSS JOIN {_FINAL_C} c
 ),
 assigned AS (
   SELECT vec_id, embedding, cell_id FROM (
@@ -97,7 +136,7 @@ ranked AS (
 )
 SELECT query_id, cand_id, round(cos, 6) AS cosine, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
-    doc="SS3 IVF ANN (nprobe=1): nearest-centroid cells, in-cell exact re-rank — the learned-partition scale path",
+    doc="SS3 IVF ANN (nprobe=1): deterministic k-means cells (hash-seeded init, 5 decimal-exact iterations), in-cell exact re-rank",
 )
 def ss3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)

@@ -114,21 +114,22 @@ def hyperplane_lsh_topk(
 
 
 # ---------------------------------------------------------------------------
-# IVF (inverted-file) ANN — the clustered scale path
+# IVF (inverted-file) ANN — the clustered scale path, with centroids learned
+# by a deterministic spherical k-means (fixed iterations, hash-seeded init,
+# decimal-exact per-dimension means so the DuckDB oracle reproduces every
+# iteration bit-for-bit).
 # ---------------------------------------------------------------------------
 N_CELLS = 16
+KMEANS_ITERS = 5
+# Embedding components pass through DECIMAL(38,12) for the centroid mean:
+# exact decimal addition is associative, so the mean is independent of
+# partition order — the property double summation lacks.
+_MEAN_DEC = "decimal(38,12)"
 
 
-def ivf_assignments(embeddings: DataFrame, centroid_ids: list[int] | None = None) -> DataFrame:
-    """Assign every vector to its nearest centroid (max cosine, centroid-id
-    tiebreak). Centroids here are a deterministic subset of the corpus
-    (vec_id < N_CELLS) — a real deployment k-means-trains them, but the
-    partition/search plumbing (the part that matters at scale) is identical.
-    """
-    ids = centroid_ids if centroid_ids is not None else list(range(N_CELLS))
-    cents = embeddings.filter(F.col("vec_id").isin(ids)).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
-    )
+def assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (max cosine, centroid-id tiebreak).
+    ``cents`` is always n_cells rows — a bounded, legitimate broadcast."""
     scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
         "cos_c", cosine(F.col("embedding"), F.col("centroid"))
     )
@@ -140,11 +141,78 @@ def ivf_assignments(embeddings: DataFrame, centroid_ids: list[int] | None = None
     )
 
 
-def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+def kmeans_centroids(
+    embeddings: DataFrame, n_cells: int = N_CELLS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Deterministic spherical k-means over DataFrame iterations.
+
+    - init: the ``n_cells`` vectors with the smallest portable hash of
+      their vec_id (a seeded pseudo-random sample, reproducible in SQL);
+    - each iteration: nearest-centroid assignment (cosine), then per-cell
+      per-dimension mean via exact decimal sums (order-independent — a
+      plain double sum would make centroids depend on partition order);
+    - cells that lose all members keep their previous centroid;
+    - cosine is scale-invariant, so the unnormalized mean IS the spherical
+      centroid (no renormalization step needed).
+
+    Iterations loop in Python over *plans*, never over data — each round is
+    one cross join (16-row broadcast) + one shuffle on (cell, dim).
+    """
+    from pdf_etl_pipeline_spark.functions.scalars import portable_hash32
+
+    e = embeddings.select("vec_id", "embedding")
+    cents = (
+        e.orderBy(portable_hash32(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_cells)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = assign_cells(e, cents)
+        dims = assigned.select("cell_id", F.posexplode("embedding").alias("pos", "v"))
+        means = dims.groupBy("cell_id", "pos").agg(
+            (
+                F.sum(F.col("v").cast("double").cast(_MEAN_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mv")
+        )
+        new_c = means.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s["mv"]
+            ).alias("newc")
+        )
+        cents = (
+            cents.select("cell_id", F.col("centroid").alias("prev"))
+            .join(new_c, "cell_id", "left")
+            .select("cell_id", F.coalesce("newc", "prev").alias("centroid"))
+        )
+    return cents
+
+
+def ivf_assignments(embeddings: DataFrame, centroid_ids: list[int] | None = None) -> DataFrame:
+    """Fixed-subset IVF assignment (centroids = a deterministic id subset).
+    Kept as the recall baseline the learned variant is tested against."""
+    ids = centroid_ids if centroid_ids is not None else list(range(N_CELLS))
+    cents = embeddings.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    return assign_cells(embeddings, cents)
+
+
+def ivf_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5, learned: bool = True
+) -> DataFrame:
     """nprobe=1 IVF search: candidates share the query's cell; exact cosine
     re-rank inside the cell. Same plan shape as hyperplane LSH with learned
-    cells instead of sign buckets."""
-    assigned = ivf_assignments(embeddings)
+    (k-means) cells instead of sign buckets."""
+    if learned:
+        assigned = assign_cells(
+            embeddings.select("vec_id", "embedding"), kmeans_centroids(embeddings)
+        )
+    else:
+        assigned = ivf_assignments(embeddings)
     q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
     )

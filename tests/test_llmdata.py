@@ -69,6 +69,36 @@ def test_lsh_topk_subset_of_exact(spark, sf_dir):
     assert exact_rank1  # sanity
 
 
+def test_ivf_learned_centroids_beat_fixed_recall(spark, sf_dir):
+    """Learned (k-means) IVF cells must give better nprobe=1 recall@5 than
+    the fixed id-subset baseline, measured against exact top-5 on queries
+    that are NOT fixed centroids (centroid-queries trivially recall their
+    own cell). Pins recall so perf tuning can't silently degrade it."""
+    from pdf_etl_pipeline_spark.llmdata.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(200, 240))
+    exact = {(r.query_id, r.cand_id) for r in cosine_topk(emb, qids, k=5).collect()}
+    learned = {(r.query_id, r.cand_id) for r in ivf_topk(emb, qids, k=5, learned=True).collect()}
+    fixed = {(r.query_id, r.cand_id) for r in ivf_topk(emb, qids, k=5, learned=False).collect()}
+    recall_learned = len(exact & learned) / len(exact)
+    recall_fixed = len(exact & fixed) / len(exact)
+    assert recall_learned > recall_fixed
+    assert recall_learned >= 0.2  # floor: well above the 1/16 random-cell baseline
+
+
+def test_kmeans_centroids_deterministic(spark, sf_dir):
+    """Two independent runs produce identical centroids (hash-seeded init +
+    decimal-exact means — no partition-order dependence)."""
+    from pdf_etl_pipeline_spark.llmdata.similarity import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = {r.cell_id: r.centroid for r in kmeans_centroids(emb).collect()}
+    c2 = {r.cell_id: r.centroid for r in kmeans_centroids(emb).collect()}
+    assert c1 == c2
+    assert len(c1) == 16
+
+
 def test_multimodal_feature_plumbing(spark):
     assets = MM.synthetic_assets(spark, n=16)
     feats = MM.extract_features(assets).collect()
