@@ -1,7 +1,8 @@
 """Parser catalog queries — T1–T12 over pre-extracted fixture lines
-(FIXTURES.md §2/§5), with independent DuckDB re-implementations as oracles
-for the SQL-expressible parsers (T1–T3, T5, T6, T9). T7/T8 and the full
-dispatch union are rows-only (driver's weaker check) plus pytest fixtures.
+(FIXTURES.md §2/§5). EVERY parser query — including T7/T8 and the full
+dispatch union T11 — has a full DuckDB oracle (independent list/regex
+re-implementation; T11's oracle is a UNION ALL BY NAME of all branch
+oracles), plus pytest fixtures for row-level assertions.
 """
 
 from __future__ import annotations

@@ -84,6 +84,74 @@ def test_foreach_batch_upsert_idempotent(spark, event_drop_dir, tmp_path):
     assert n1 == n2  # second pass inserted 0 (reference dedup semantics)
 
 
+def test_watermark_drops_late_event(spark, tmp_path):
+    """A real readStream run proving withWatermark actually DROPS late data.
+
+    Three availableNow runs share one checkpoint (the watermark persists
+    across runs — the realistic 'late file arrives in the next ingest'
+    shape): run 1 advances the watermark to 12:00 (max ts 12:30 − 30 min);
+    run 2 delivers an event at 10:00 (too late → dropped, confirmed by the
+    numRowsDroppedByWatermark metric) and one at 12:40 (accepted); run 3
+    advances the watermark past every window so append mode finalizes them.
+    The 10:00 window must be absent from the sink."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pdf_etl_pipeline_spark.streaming.jobs import EVENTS_SCHEMA, windowed_counts
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    drops_dir = tmp_path / "drops"
+    drops_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def add_file(i, rows):
+        staging = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = str(drops_dir / f"{i:04d}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (1700000000 + i * 100, 1700000000 + i * 100))
+
+    def run():
+        stream = spark.readStream.format("parquet").schema(EVENTS_SCHEMA).load(str(drops_dir))
+        out = windowed_counts(stream, watermark="30 minutes").select(
+            F.col("w.start").alias("ws"), "event_type", "n_events"
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sum(
+            (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+            for p in q.recentProgress
+        )
+
+    add_file(0, [(1, t(12, 0), 1, "click", 1.0, "{}"), (2, t(12, 30), 1, "click", 1.0, "{}")])
+    run()
+    add_file(1, [(3, t(10, 0), 1, "click", 1.0, "{}"), (4, t(12, 40), 1, "click", 1.0, "{}")])
+    dropped = run()
+    assert dropped == 1  # the 10:00 event was discarded by the watermark
+    add_file(2, [(5, t(14, 30), 1, "click", 1.0, "{}")])
+    run()
+
+    starts = {(r.ws.hour, r.ws.minute) for r in spark.read.parquet(sink).collect()}
+    assert (12, 0) in starts and (12, 30) in starts
+    assert (12, 40) in starts  # the on-time event from the late file WAS aggregated
+    assert (10, 0) not in starts  # the too-late event's window never materialized
+
+
 def test_stateful_user_totals_accumulates(spark, event_drop_dir):
     from pdf_etl_pipeline_spark.streaming.jobs import stateful_user_totals
 
