@@ -38,6 +38,7 @@ _MODULES = [
     "streaming_q",
     "extended_q",
     "dedup_q",
+    "corpus_q",
     "similarity_q",
     "text_q",
     "curation_q",

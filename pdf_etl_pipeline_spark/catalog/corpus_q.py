@@ -1,0 +1,151 @@
+"""Corpus-management catalog — deterministic splits, stratified sampling,
+sequence packing, benchmark decontamination, PII scrubbing over the
+``documents`` table, each with an arithmetic-identical DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.catalog import register
+from pdf_etl_pipeline_spark.llmdata import corpus as CP
+from pdf_etl_pipeline_spark.session import load_table, tune
+
+_TOKS = CP.tokens_sql("text", distinct=False)
+
+
+# --- SP1: deterministic train/val/test split ---------------------------------
+_SPLIT_B = CP.hash_split_bucket_sql()
+
+@register(
+    "sp1_hash_split",
+    oracle=f"""
+SELECT doc_id, {_SPLIT_B} AS bucket,
+       CASE WHEN {_SPLIT_B} < {CP.TRAIN_PCT} THEN 'train'
+            WHEN {_SPLIT_B} < {CP.TRAIN_PCT + CP.VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id""",
+    doc="SP1 salted-hash train/val/test split (90/5/5): reshard-stable membership, zero shuffle",
+)
+def sp1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return CP.hash_split(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# --- SP2: stratified deterministic sampling ----------------------------------
+_SAMP_B, _SAMP_RATE = CP.stratified_sample_sql()
+
+@register(
+    "sp2_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE {_SAMP_B} < {_SAMP_RATE} ORDER BY doc_id""",
+    doc="SP2 per-language deterministic downsampling (salted hash vs per-stratum rate): nested samples, zero shuffle",
+)
+def sp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return CP.stratified_sample(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# --- PK1: sequence packing (token-budget sharding) ---------------------------
+@register(
+    "pk1_sequence_packing",
+    oracle=f"""
+WITH d AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM d
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(CAST(start_offset AS DOUBLE) / {CP.PACK_BUDGET}) AS BIGINT) AS shard_id,
+       start_offset
+FROM c ORDER BY doc_id""",
+    doc="PK1 greedy sequence packing into 2048-token shards via two-level cumulative sum (no single-partition global window)",
+)
+def pk1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return CP.pack_sequences(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# --- DC1: benchmark decontamination ------------------------------------------
+_SH = CP._shingle_hashes_sql("text", CP.DECON_N)
+
+@register(
+    "dc1_decontamination",
+    oracle=f"""
+WITH sh AS (SELECT doc_id, unnest({_SH}) AS h FROM documents),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % {CP.BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, h FROM sh WHERE doc_id % {CP.BENCH_MOD} <> 0)
+SELECT doc_id, COUNT(*) AS n_shared_shingles
+FROM corpus JOIN bench USING (h)
+GROUP BY 1 ORDER BY doc_id""",
+    doc=f"DC1 benchmark decontamination: {CP.DECON_N}-gram shingle-hash equi-join (shuffle on the shingle, never doc x doc)",
+)
+def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return CP.decontaminate(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# --- TX5: PII scrubbing -------------------------------------------------------
+# The synthetic corpus contains no PII, so the catalog query deterministically
+# plants doc_id-derived emails / phone-shaped / SSN-shaped strings on a subset
+# of documents before scrubbing — the oracle mirrors the augmentation, making
+# the count/redact check non-trivial on every run.
+def _aug_spark() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_AUG_SQL = """text
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0
+          THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"""
+
+_SCRUB_SQL = (
+    f"regexp_replace(regexp_replace(regexp_replace(aug, "
+    f"'{CP.EMAIL_RE}', '[EMAIL]', 'g'), "
+    f"'{CP.SSN_RE}', '[SSN]', 'g'), "
+    f"'{CP.PHONE_RE}', '[PHONE]', 'g')"
+)
+
+@register(
+    "tx5_pii_scrub",
+    oracle=f"""
+WITH a AS (SELECT doc_id, {_AUG_SQL} AS aug FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(aug, '{CP.EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(aug, '{CP.SSN_RE}')) AS n_ssns,
+       len(regexp_extract_all(aug, '{CP.PHONE_RE}')) AS n_phones,
+       md5({_SCRUB_SQL}) AS scrub_md5
+FROM a ORDER BY doc_id""",
+    doc="TX5 PII scrub: count + redact email/SSN/phone patterns (RE2-safe regexes, pure codegen, zero shuffle)",
+)
+def tx5_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents").withColumn("aug", _aug_spark())
+    return CP.pii_scrub(d, text="aug").orderBy("doc_id")

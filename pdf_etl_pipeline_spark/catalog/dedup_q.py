@@ -68,10 +68,8 @@ def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- DD3: MinHash + LSH -----------------------------------------------------
-@register(
-    "dd3_minhash_lsh",
-    oracle=f"""
-WITH sigs AS (
+# CTE chain shared by dd3 (the pair relation) and dd6 (clusters over it).
+_DD3_CTES = f"""sigs AS (
   SELECT doc_id, {_TOKSH} AS toks, {_SIG} AS sig FROM documents
 ),
 banded AS (
@@ -85,13 +83,18 @@ cands AS (
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+)"""
+_DD3_JACCARD = (
+    "len(list_intersect(ta, tb)) / (len(ta) + len(tb) - len(list_intersect(ta, tb)))"
 )
-SELECT doc_a, doc_b,
-       round(len(list_intersect(ta, tb)) /
-             (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6) AS jaccard
+
+@register(
+    "dd3_minhash_lsh",
+    oracle=f"""
+WITH {_DD3_CTES}
+SELECT doc_a, doc_b, round({_DD3_JACCARD}, 6) AS jaccard
 FROM cands
-WHERE len(list_intersect(ta, tb)) /
-      (len(ta) + len(tb) - len(list_intersect(ta, tb))) >= 0.9
+WHERE {_DD3_JACCARD} >= 0.9
 ORDER BY doc_a, doc_b""",
     doc="DD3 MinHash(64 perms)+LSH(4 bands of 16): candidates share a band key, verified with true Jaccard >= 0.9",
 )
@@ -100,6 +103,55 @@ def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no global sort: the gate's value-hash is order-insensitive, and at
     # scale sorting the pair relation is pure overhead
     return DD.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.9)
+
+
+# --- DD6: near-dup clusters (transitive closure over dd3 pairs) ---------------
+def _label_rounds(iters: int) -> str:
+    """Unrolled min-label propagation (mirrors DD.near_dup_clusters): each
+    round every doc takes the min cluster label among itself and its
+    neighbors. Fixed round count = exactly reproducible across engines.
+
+    Every round CTE is MATERIALIZED: each references the previous round
+    TWICE, so left to inlining the plan doubles per round and drags the
+    whole MinHash subtree along (measured: DuckDB OOM-killed at 6 rounds).
+    The SQL analog of the Spark side's localCheckpoint-per-round."""
+    ctes = ["l0 AS MATERIALIZED (SELECT doc_id, doc_id AS cluster_id FROM documents)"]
+    for i in range(1, iters + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT l.doc_id, least(l.cluster_id, COALESCE(m.nbr_min, l.cluster_id)) AS cluster_id
+  FROM {p} l LEFT JOIN (
+    SELECT e.doc_a AS doc_id, MIN(pl.cluster_id) AS nbr_min
+    FROM e JOIN {p} pl ON e.doc_b = pl.doc_id GROUP BY 1
+  ) m ON l.doc_id = m.doc_id)"""
+        )
+    return ",\n".join(ctes)
+
+
+@register(
+    "dd6_near_dup_clusters",
+    oracle=f"""
+WITH {_DD3_CTES},
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cands WHERE {_DD3_JACCARD} >= 0.9
+),
+e AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+{_label_rounds(DD.CLUSTER_ITERS)}
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
+FROM l{DD.CLUSTER_ITERS}
+ORDER BY doc_id""",
+    doc="DD6 near-dup clusters: connected components over the MinHash-LSH pair graph via fixed-round min-label propagation; cluster_id = canonical survivor",
+)
+def dd6_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return DD.near_dup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.9).orderBy(
+        "doc_id"
+    )
 
 
 # --- DD4: SimHash fingerprints ----------------------------------------------

@@ -141,3 +141,45 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 def ss3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return SS.ivf_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5)
+
+
+_NPROBE = 2
+
+@register(
+    "ss4_ivf_multiprobe",
+    oracle=f"""
+WITH {_kmeans_ctes(SS.N_CELLS, SS.KMEANS_ITERS)},
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cell_id, {_COS_C} AS cos_c
+  FROM embeddings e CROSS JOIN {_FINAL_C} c
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell_id) AS rn
+    FROM scored WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+  ) WHERE rn <= {_NPROBE}
+),
+c AS (SELECT vec_id AS cand_id, embedding AS cv, cell_id FROM assigned),
+pairs AS (
+  SELECT query_id, cand_id, {_COS} AS cos
+  FROM qprobe JOIN c USING (cell_id) WHERE query_id <> cand_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+  FROM pairs
+)
+SELECT query_id, cand_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    doc="SS4 multiprobe IVF (nprobe=2): queries probe their two nearest k-means cells — the recall knob; corpus-side index unchanged",
+)
+def ss4_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return SS.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5, nprobe=_NPROBE
+    )

@@ -122,6 +122,42 @@ def st4_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ST6: stream-stream interval join (batch-mode check) ---------------------
+@register(
+    "st6_attribution_join",
+    oracle="""
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT event_id AS view_id, user_id, ts AS v_ts FROM events
+      WHERE event_type = 'view')
+SELECT purchase_id, user_id,
+       CAST(floor(epoch(p_ts)) AS BIGINT) AS purchase_ts_s,
+       COUNT(*) AS n_views,
+       MAX(view_id) AS max_view_id
+FROM p JOIN v USING (user_id)
+WHERE v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 10 MINUTE
+GROUP BY 1, 2, 3 ORDER BY 1""",
+    doc="ST6 attribution: purchases joined to same-user views in the prior 10 min (watermarked stream-stream interval join; batch twin here, real streams in tests)",
+)
+def st6_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.streaming.jobs import attribution_join
+
+    j = attribution_join(load_events(spark, sf_dir))
+    return (
+        j.groupBy("purchase_id", "user_id", "p_ts")
+        .agg(F.count(F.lit(1)).alias("n_views"), F.max("view_id").alias("max_view_id"))
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_timestamp("p_ts").alias("purchase_ts_s"),
+            "n_views",
+            "max_view_id",
+        )
+        .orderBy("purchase_id")
+    )
+
+
 # --- ST5: custom stateful operator (batch-mode check) ------------------------
 @register(
     "st5_stateful_user_totals",

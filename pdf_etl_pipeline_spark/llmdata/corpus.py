@@ -1,0 +1,229 @@
+"""Corpus management for training-data pipelines (north-star op set):
+deterministic splits, stratified sampling, sequence packing, benchmark
+decontamination, PII scrubbing.
+
+All operators are hash-deterministic (engine-portable md5-fold — no RNG,
+no partition-order dependence) so reruns and the DuckDB oracle reproduce
+them bit-for-bit, and resharding the input cannot move a document between
+splits/samples — the property `rand()`-based sampling lacks.
+
+Scale notes per operator live on the functions; the common theme: splits,
+sampling and PII are pure codegen projections (zero shuffle at 100 TB);
+packing uses a two-level cumulative sum so no single task ever sees the
+whole corpus; decontamination shuffles on the shingle hash (the join key),
+never materializing a doc × doc relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.functions.scalars import portable_hash32, portable_hash32_sql
+from pdf_etl_pipeline_spark.llmdata.dedup import P31, tokens_col, tokens_sql
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+SPLIT_SALT = "split_"
+TRAIN_PCT, VAL_PCT = 90, 5  # train <90, val 90-94, test >=95
+
+
+def _salted_bucket(doc_id: Column, salt: str, mod: int) -> Column:
+    return portable_hash32(F.concat(F.lit(salt), doc_id.cast("string"))) % mod
+
+
+def _salted_bucket_sql(salt: str, mod: int) -> str:
+    return portable_hash32_sql(f"'{salt}' || CAST(doc_id AS VARCHAR)") + f" % {mod}"
+
+
+def hash_split(docs: DataFrame) -> DataFrame:
+    """Assign every document to train/val/test by salted content-stable hash.
+
+    The salt namespaces this split from any other hash use (sampling,
+    sharding) so the subsets are statistically independent. Pure projection:
+    at 100 TB this is a zero-shuffle map over the scan, and membership is
+    reproducible from doc_id alone — no seed state to persist.
+    """
+    b = _salted_bucket(F.col("doc_id"), SPLIT_SALT, 100)
+    split = (
+        F.when(b < TRAIN_PCT, "train")
+        .when(b < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", b.cast("long").alias("bucket"), split.alias("split"))
+
+
+def hash_split_bucket_sql() -> str:
+    return _salted_bucket_sql(SPLIT_SALT, 100)
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+SAMPLE_SALT = "sample_"
+# per-language keep rates in basis points (of 10_000)
+STRATA_RATES_BP = {"en": 5000, "fr": 2500, "es": 2500, "de": 2500, "zh": 1000}
+DEFAULT_RATE_BP = 0
+
+
+def stratified_sample(docs: DataFrame, rates_bp: dict[str, int] | None = None) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a document iff its
+    salted hash bucket (of 10 000) falls below the stratum's rate.
+
+    The classic corpus-mixing op (upweight/downweight sources or
+    languages). Because membership is a pure function of (doc_id, salt),
+    raising a rate strictly grows the sample (nested samples), and the
+    same doc never flips between runs or partitionings. Zero shuffle.
+    """
+    rates = rates_bp or STRATA_RATES_BP
+    b = _salted_bucket(F.col("doc_id"), SAMPLE_SALT, 10_000)
+    rate = F.lit(DEFAULT_RATE_BP)
+    for lang, bp in rates.items():
+        rate = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(rate)
+    return docs.filter(b < rate).select("doc_id", "lang")
+
+
+def stratified_sample_sql(rates_bp: dict[str, int] | None = None) -> tuple[str, str]:
+    """(bucket_expr, rate_case_expr) mirroring ``stratified_sample``."""
+    rates = rates_bp or STRATA_RATES_BP
+    b = _salted_bucket_sql(SAMPLE_SALT, 10_000)
+    case = f"{DEFAULT_RATE_BP}"
+    for lang, bp in rates.items():
+        case = f"CASE WHEN lang = '{lang}' THEN {bp} ELSE {case} END"
+    return b, case
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (token-budget sharding)
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 2048  # tokens per shard
+PACK_BUCKET = 10_000  # doc_ids per cumsum bucket (level-1 parallelism unit)
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Greedy contiguous sequence packing: documents fill shards of
+    ``budget`` tokens in doc_id order; a document starts in the shard where
+    its running offset lands (the streaming-fill packer every training
+    loader uses — shards may overflow by at most one document).
+
+    The global running token count is computed in TWO levels so it scales:
+    (1) a window cumsum WITHIN each doc_id bucket (`doc_id // PACK_BUCKET`,
+    bounded rows per task, all buckets in parallel), (2) a cumsum over the
+    tiny per-bucket totals relation (#buckets rows — KBs at 100 TB)
+    broadcast-joined back as each bucket's starting offset. No single task
+    ever sorts or scans the whole corpus, unlike a naive global
+    ``Window.orderBy`` which collapses to one partition.
+    """
+    n_tok = F.size(tokens_col("text", distinct=False)).cast("long")
+    d = docs.select("doc_id", n_tok.alias("n_tokens"), (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bkt"))
+    in_bkt = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    local = d.withColumn("local_cum", F.sum("n_tokens").over(in_bkt))
+    totals_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("bkt")
+        .agg(F.sum("n_tokens").alias("bkt_total"))
+        .withColumn("bkt_offset", F.coalesce(F.sum("bkt_total").over(totals_w), F.lit(0)))
+        .select("bkt", "bkt_offset")
+    )
+    start = F.col("bkt_offset") + F.col("local_cum") - F.col("n_tokens")
+    return (
+        local.join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(start / budget).cast("long").alias("shard_id"),
+            start.alias("start_offset"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+DECON_N = 5  # word n-gram size (13 is the common LLM choice; 5 fits short docs)
+BENCH_MOD = 97  # synthetic benchmark set: doc_id % 97 == 0
+
+
+def _shingle_hashes(text: Column | str, n: int) -> Column:
+    """Distinct portable hashes of word n-gram shingles."""
+    toks = tokens_col(text, distinct=False)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    mk = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + off) for off in range(n)])
+    grams = F.when(F.size(toks) >= n, F.transform(starts, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(F.transform(grams, lambda g: portable_hash32(g) % P31))
+
+
+def _shingle_hashes_sql(expr: str, n: int) -> str:
+    toks = tokens_sql(expr, distinct=False)
+    parts = " || ' ' || ".join(f"({toks})[i + {off}]" for off in range(n))
+    h = portable_hash32_sql("g") + f" % {P31}"
+    return (
+        f"list_distinct(list_transform(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), i -> {parts}), g -> {h}))"
+    )
+
+
+def decontaminate(docs: DataFrame, n: int = DECON_N) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with the benchmark
+    set (here: the deterministic pseudo-benchmark ``doc_id % BENCH_MOD == 0``;
+    in production the benchmark relation is the eval suites' text).
+
+    Both sides explode to (doc, shingle-hash) and meet in an equi-join on
+    the hash — the shuffle key — so cost is linear in shingle volume and
+    the quadratic doc × doc relation never exists. The benchmark side is
+    eval-suite-sized (small), so AQE broadcasts it without a forced hint.
+    Emits one row per contaminated corpus doc with its overlap count.
+    """
+    sh = _shingle_hashes("text", n)
+    bench = (
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode(sh).alias("h"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", F.explode(sh).alias("h")
+    )
+    return (
+        corpus.join(bench, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+# RE2-compatible (no lookaround) so the DuckDB oracle runs them verbatim.
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame, text: Column | str = "text") -> DataFrame:
+    """Count and redact email / SSN-shaped / phone-shaped substrings.
+
+    Pure codegen regex pass (counts + three sequential replaces), zero
+    shuffle. Replace order matters and is fixed: emails first (their local
+    part may contain digit runs), then SSN (3-2-4 groups), then phone
+    (3-3-4) — the patterns are disjoint after each predecessor is removed.
+    Emits counts plus the md5 of the scrubbed text (the scrubbed corpus
+    itself at scale; the digest keeps the gate's compare narrow).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), SSN_RE, "[SSN]"
+        ),
+        PHONE_RE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(SSN_RE)).cast("long").alias("n_ssns"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )

@@ -287,6 +287,61 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.9, persist: bool = T
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: transitive closure over the LSH pair relation
+# ---------------------------------------------------------------------------
+CLUSTER_ITERS = 6
+
+
+def near_dup_clusters(
+    docs: DataFrame, threshold: float = 0.9, iters: int = CLUSTER_ITERS
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    labeled with the MIN doc_id of its component (the canonical survivor —
+    the actual "keep one per group" dedup deliverable; pairs alone under-
+    delete because near-duplication is transitive: A≈B, B≈C ⇒ drop 2 of 3
+    even when A≈C was never emitted).
+
+    ``iters`` fixed rounds of min-label propagation — each round every doc
+    takes the minimum label among itself and its neighbors, so the label
+    radius grows one hop per round. Near-dup components are dense and
+    small-diameter (copies of a common origin), so a small fixed ``iters``
+    converges; a fixed count also keeps the computation exactly
+    reproducible in the SQL oracle (unrolled iteration chain). At true
+    100 TB graph diameters you'd switch to large-star/small-star rounds —
+    same join shape, logarithmic round count.
+    """
+    # each round references the previous labels twice and the edge relation
+    # once — left lazy, the logical plan doubles per round (2^iters copies
+    # of the MinHash subtree; measured: Catalyst analysis alone never
+    # finished). localCheckpoint truncates lineage per round — the standard
+    # iterative-graph pattern (GraphX checkpoints the same way).
+    pairs = minhash_lsh_pairs(docs, threshold)
+    edges = (
+        pairs.select("doc_a", "doc_b")
+        .union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .localCheckpoint()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(iters):
+        nbr = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return labels.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
 def simhash32(text: Column | str) -> Column:

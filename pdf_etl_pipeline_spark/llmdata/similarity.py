@@ -187,6 +187,10 @@ def kmeans_centroids(
             cents.select("cell_id", F.col("centroid").alias("prev"))
             .join(new_c, "cell_id", "left")
             .select("cell_id", F.coalesce("newc", "prev").alias("centroid"))
+            # truncate lineage: each round references the previous centroids
+            # twice (assignment + empty-cell fallback); left lazy the plan
+            # doubles per round. 16 rows — checkpoint cost is nil.
+            .localCheckpoint()
         )
     return cents
 
@@ -202,20 +206,45 @@ def ivf_assignments(embeddings: DataFrame, centroid_ids: list[int] | None = None
 
 
 def ivf_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 5, learned: bool = True
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    learned: bool = True,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """nprobe=1 IVF search: candidates share the query's cell; exact cosine
-    re-rank inside the cell. Same plan shape as hyperplane LSH with learned
-    (k-means) cells instead of sign buckets."""
+    """IVF search: candidates share one of the query's ``nprobe`` nearest
+    cells; exact cosine re-rank across the probed cells. Same plan shape as
+    hyperplane LSH with learned (k-means) cells instead of sign buckets.
+
+    ``nprobe > 1`` is the standard recall knob: corpus vectors stay in
+    exactly one cell (the index is built once), only the query fans out to
+    its ``nprobe`` closest centroids — candidate volume grows linearly in
+    nprobe while the corpus-side shuffle is unchanged.
+    """
     if learned:
-        assigned = assign_cells(
-            embeddings.select("vec_id", "embedding"), kmeans_centroids(embeddings)
-        )
+        cents = kmeans_centroids(embeddings)
+        assigned = assign_cells(embeddings.select("vec_id", "embedding"), cents)
     else:
         assigned = ivf_assignments(embeddings)
-    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
-    )
+    if nprobe == 1:
+        q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
+        )
+    else:
+        # query-side multi-probe: rank ALL cells per query, keep the top
+        # nprobe — a |Q| x n_cells relation, broadcast-sized by definition
+        qv = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        scored_c = qv.crossJoin(F.broadcast(cents)).withColumn(
+            "cos_c", cosine(F.col("qv"), F.col("centroid"))
+        )
+        wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), "cell_id")
+        q = (
+            scored_c.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= nprobe)
+            .select("query_id", "qv", "cell_id")
+        )
     c = assigned.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "cell_id"
     )

@@ -90,6 +90,42 @@ def upsert_stream(
     )
 
 
+def attribution_join(
+    events: DataFrame, horizon: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval self-join: each ``purchase`` matched to the
+    same user's ``view`` events in the preceding ``horizon`` — the classic
+    attribution join.
+
+    In streaming mode this is Spark's watermarked stream-stream inner join:
+    the time-range condition plus both watermarks bound the join state (a
+    view can be dropped from state once it is ``horizon`` + watermark old).
+    In batch mode the same plan is a plain interval join. Both sides shuffle
+    on ``user_id`` — the join key; the range condition is evaluated post-hash
+    so no theta-join blowup.
+    """
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    if events.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+        v = v.withWatermark("v_ts", watermark)
+    cond = (
+        (p["user_id"] == v["v_user"])
+        & (v["v_ts"] <= p["p_ts"])
+        & (v["v_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(v, cond).drop("v_user")
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running totals that persist across micro-batches — the §2.9

@@ -1,0 +1,115 @@
+"""Corpus-management op tests: deterministic splits, stratified sampling,
+sequence packing, decontamination, PII scrubbing, multiprobe IVF."""
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.llmdata import corpus as CP
+from pdf_etl_pipeline_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_hash_split_stable_under_repartition(spark, docs):
+    """Membership is a pure function of doc_id — resharding the input must
+    not move any document between splits (the property rand() lacks)."""
+    a = {r.doc_id: r.split for r in CP.hash_split(docs).collect()}
+    b = {r.doc_id: r.split for r in CP.hash_split(docs.repartition(7)).collect()}
+    assert a == b
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) <= {"train", "val", "test"}
+    # 90/5/5 within loose bounds on the small table
+    assert counts["train"] / len(a) > 0.8
+
+
+def test_stratified_sample_nested(spark, docs):
+    """Raising a stratum's rate strictly grows the sample (hash-bucket
+    membership is monotone in the rate — nested-sample property)."""
+    low = {r.doc_id for r in CP.stratified_sample(docs, {"en": 1000}).collect()}
+    high = {r.doc_id for r in CP.stratified_sample(docs, {"en": 5000}).collect()}
+    assert low <= high
+    assert len(high) > len(low)
+    langs = {r.lang for r in CP.stratified_sample(docs, {"en": 5000}).collect()}
+    assert langs == {"en"}
+
+
+def test_pack_sequences_matches_naive_global_cumsum(spark, docs):
+    """The two-level (bucketed) cumulative sum must equal the naive
+    single-partition global window it replaces."""
+    out = CP.pack_sequences(docs).collect()
+    n_tok = F.size(CP.tokens_col("text", distinct=False)).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = (
+        docs.select("doc_id", n_tok.alias("n_tokens"))
+        .withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .collect()
+    )
+    naive_off = {r.doc_id: r.start_offset for r in naive}
+    for r in out:
+        assert r.start_offset == naive_off[r.doc_id]
+        assert r.shard_id == r.start_offset // CP.PACK_BUDGET
+
+
+def test_pack_sequences_shards_respect_budget(spark, docs):
+    """Each shard's token total stays under budget + the overflow doc
+    (greedy contiguous fill overflows by at most one document)."""
+    rows = CP.pack_sequences(docs).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for shard, members in by_shard.items():
+        total = sum(m.n_tokens for m in members)
+        largest = max(m.n_tokens for m in members)
+        assert total < CP.PACK_BUDGET + largest
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc sharing a 5-gram run with a benchmark doc (doc_id %
+    BENCH_MOD == 0) is flagged with the right overlap count; clean docs
+    and benchmark docs themselves are absent."""
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (0, bench_text),  # benchmark (0 % 97 == 0)
+        (1, "xx " + bench_text + " yy"),  # contaminated: shares 5-gram runs
+        (2, "nothing in common with anything else at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.n_shared_shingles for r in CP.decontaminate(docs).collect()}
+    # doc 1 contains all 4 of the benchmark's 5-grams (8 tokens -> 4 shingles)
+    assert out == {1: 4}
+
+
+def test_pii_scrub_counts_and_digest(spark):
+    text = (
+        "reach me at jane.doe+test@example.org or 555-123-4567; "
+        "ssn 987-65-4321 backup bob@corp.io"
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = CP.pii_scrub(docs).collect()[0]
+    assert (row.n_emails, row.n_phones, row.n_ssns) == (2, 1, 1)
+    expected = (
+        "reach me at [EMAIL] or [PHONE]; ssn [SSN] backup [EMAIL]"
+    )
+    assert row.scrub_md5 == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_ivf_multiprobe_recall_not_below_single_probe(spark, sf_dir):
+    """nprobe=2 candidates are a superset of nprobe=1 per query, so
+    recall@5 vs the exact baseline can only improve."""
+    from pdf_etl_pipeline_spark.llmdata.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [30, 31, 32, 33, 34]
+    exact = {(r.query_id, r.cand_id) for r in cosine_topk(emb, qids, k=5).collect()}
+    p1 = {(r.query_id, r.cand_id) for r in ivf_topk(emb, qids, k=5, nprobe=1).collect()}
+    p2 = {(r.query_id, r.cand_id) for r in ivf_topk(emb, qids, k=5, nprobe=2).collect()}
+    assert len(exact & p2) >= len(exact & p1)

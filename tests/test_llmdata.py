@@ -47,6 +47,31 @@ def test_minhash_lsh_recovers_jaccard_pairs(near_dup_docs):
     assert (1, 4) in lsh and (3, 5) in lsh
 
 
+def test_near_dup_clusters_transitive(spark):
+    """A≈B and B≈C must land in ONE cluster even when A≈C is below the
+    threshold — the transitive-closure property pair output alone lacks."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import minhash_lsh_pairs, near_dup_clusters
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " kilo"),          # near-dup of 1 and of 3
+            (3, base + " kilo lima mike"),  # near-dup of 2, farther from 1
+            (4, "totally unrelated words nothing shared here at all zz yy"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, 0.8).collect()}
+    out = {r.doc_id: (r.cluster_id, r.is_keeper) for r in near_dup_clusters(docs, 0.8).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs
+    # 1-2-3 form one component labeled by the min id
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[4] == (4, True)
+
+
 def test_simhash_identical_for_same_token_set(near_dup_docs):
     sh = {r.doc_id: r.simhash for r in simhash_relation(near_dup_docs).collect()}
     assert sh[1] == sh[4]

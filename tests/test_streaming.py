@@ -55,6 +55,25 @@ def test_streaming_windowed_counts_match_batch(spark, sf_dir, event_drop_dir):
     assert got == batch
 
 
+def test_stream_stream_attribution_join_matches_batch(spark, sf_dir, event_drop_dir):
+    """Watermarked stream-stream interval self-join (purchases x prior-10-min
+    views) produces exactly the batch interval join's pairs."""
+    from pdf_etl_pipeline_spark.streaming.jobs import attribution_join
+
+    stream = read_event_stream(spark, event_drop_dir)
+    _run_to_memory(attribution_join(stream), "attrib")
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT purchase_id, view_id FROM attrib").collect()
+    }
+    batch = {
+        (r.purchase_id, r.view_id)
+        for r in attribution_join(load_events(spark, sf_dir)).collect()
+    }
+    assert got == batch
+    assert len(batch) > 0
+
+
 def test_streaming_session_windows_runs(spark, event_drop_dir):
     stream = read_event_stream(spark, event_drop_dir)
     _run_to_memory(session_windows(stream), "sess", mode="complete")
