@@ -5,6 +5,7 @@ oracle-checked end-to-end by composing the same fragments in DuckDB."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pdf_etl_pipeline_spark.catalog import register
 from pdf_etl_pipeline_spark.llmdata import dedup as DD
@@ -79,3 +80,91 @@ ORDER BY f.doc_id"""
 def cc1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
+# --- CC2: cluster-based curation ---------------------------------------------
+# Reuses dd6's materialized CTE chain (MinHash -> LSH pairs -> fixed-round
+# min-label propagation); keepers are component minima, which subsume exact
+# dedup (identical texts share every band -> one component).
+from pdf_etl_pipeline_spark.catalog.dedup_q import _DD3_CTES, _DD3_JACCARD, _label_rounds  # noqa: E402
+from pdf_etl_pipeline_spark.llmdata.curation import curate_corpus_clustered  # noqa: E402
+
+_CC2_ORACLE = f"""
+WITH {_DD3_CTES},
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cands WHERE {_DD3_JACCARD} >= 0.9
+),
+e AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+{_label_rounds(DD.CLUSTER_ITERS)},
+keepers AS (
+  SELECT doc_id FROM l{DD.CLUSTER_ITERS} WHERE doc_id = cluster_id
+),
+feats AS (
+  SELECT doc_id,
+         len({_TOKS}) AS n_tokens,
+         round({_QUALITY}, 6) AS quality_score,
+         {TX.lang_id_sql('text')} AS lang_pred
+  FROM documents
+)
+SELECT f.doc_id, f.n_tokens, f.quality_score
+FROM feats f
+JOIN keepers k ON k.doc_id = f.doc_id
+WHERE f.lang_pred = 'en'
+  AND f.quality_score >= 0.5
+ORDER BY f.doc_id"""
+
+
+@register(
+    "cc2_cluster_curation",
+    oracle=_CC2_ORACLE,
+    doc="CC2 cluster-based curation: one canonical doc per near-dup component (transitive closure) -> lang filter -> quality filter",
+)
+def cc2_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return curate_corpus_clustered(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# --- CC3: curated-corpus shard manifest --------------------------------------
+# The full training-data delivery path composed end to end: cluster-dedup ->
+# filters -> greedy token-budget packing -> per-shard manifest. The oracle
+# nests the CC2 relation and mirrors the packing cumsum globally (the Spark
+# side computes it two-level; same arithmetic).
+from pdf_etl_pipeline_spark.llmdata import corpus as CP  # noqa: E402
+
+_CC3_ORACLE = f"""
+WITH curated AS MATERIALIZED ({_CC2_ORACLE}),
+packed AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(CAST(CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                        - n_tokens AS BIGINT) AS DOUBLE) / {CP.PACK_BUDGET}) AS BIGINT) AS shard_id
+  FROM curated
+)
+SELECT shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id
+FROM packed GROUP BY 1 ORDER BY 1"""
+
+
+@register(
+    "cc3_shard_manifest",
+    oracle=_CC3_ORACLE,
+    doc="CC3 curated-corpus shard manifest: cluster curation -> 2048-token greedy packing -> per-shard doc/token accounting",
+)
+def cc3_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    curated = curate_corpus_clustered(load_table(spark, sf_dir, "documents"))
+    packed = CP.pack_counts(curated.select("doc_id", "n_tokens"))
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("shard_id")
+    )

@@ -102,10 +102,20 @@ PACK_BUCKET = 10_000  # doc_ids per cumsum bucket (level-1 parallelism unit)
 
 
 def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Greedy contiguous sequence packing over raw documents: computes
+    whitespace token counts, then delegates to ``pack_counts``."""
+    n_tok = F.size(tokens_col("text", distinct=False)).cast("long")
+    return pack_counts(docs.select("doc_id", n_tok.alias("n_tokens")), budget)
+
+
+def pack_counts(counts: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     """Greedy contiguous sequence packing: documents fill shards of
     ``budget`` tokens in doc_id order; a document starts in the shard where
     its running offset lands (the streaming-fill packer every training
     loader uses — shards may overflow by at most one document).
+
+    ``counts`` is a ``(doc_id, n_tokens)`` relation — raw documents, or a
+    curated subset (composition point for the curation pipeline).
 
     The global running token count is computed in TWO levels so it scales:
     (1) a window cumsum WITHIN each doc_id bucket (`doc_id // PACK_BUCKET`,
@@ -115,8 +125,7 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     ever sorts or scans the whole corpus, unlike a naive global
     ``Window.orderBy`` which collapses to one partition.
     """
-    n_tok = F.size(tokens_col("text", distinct=False)).cast("long")
-    d = docs.select("doc_id", n_tok.alias("n_tokens"), (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bkt"))
+    d = counts.select("doc_id", "n_tokens", (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bkt"))
     in_bkt = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     local = d.withColumn("local_cum", F.sum("n_tokens").over(in_bkt))
     totals_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)

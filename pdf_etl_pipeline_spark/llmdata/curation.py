@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pdf_etl_pipeline_spark.llmdata.dedup import exact_dedup, minhash_lsh_pairs
+from pdf_etl_pipeline_spark.llmdata.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    near_dup_clusters,
+)
 from pdf_etl_pipeline_spark.llmdata.text import lang_id, text_stats
 
 
@@ -49,4 +53,37 @@ def curate_corpus(
         .filter(F.col("quality_score") >= min_quality)
         .select("doc_id", "n_tokens", "quality_score")
         .orderBy("doc_id")
+    )
+
+
+def curate_corpus_clustered(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.9,
+) -> DataFrame:
+    """Cluster-based curation: keep one canonical document per near-dup
+    COMPONENT (transitive closure), then language + quality filters.
+
+    Strictly stronger dedup than ``curate_corpus``'s pair-loser removal:
+    A≈B, B≈C drops both B and C even when the A≈C pair was never emitted.
+    Exact duplicates are subsumed — identical texts share every LSH band, so
+    an exact-dup group is always one near-dup component and only its min
+    doc_id survives; no separate md5 pass needed.
+    """
+    keepers = (
+        near_dup_clusters(docs, threshold=near_dup_threshold)
+        .filter(F.col("is_keeper"))
+        .select("doc_id")
+    )
+    stats = text_stats(docs).select("doc_id", "n_tokens", "quality_score")
+    langs = docs.select("doc_id", lang_id("text").alias("lang_pred"))
+    return (
+        docs.select("doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .join(langs, "doc_id")
+        .filter(F.col("lang_pred") == lang)
+        .join(stats, "doc_id")
+        .filter(F.col("quality_score") >= min_quality)
+        .select("doc_id", "n_tokens", "quality_score")
     )

@@ -171,6 +171,21 @@ def test_corpus_curation_invariants(spark, sf_dir):
     assert all(r.quality_score >= 0.5 for r in out)
 
 
+def test_cluster_curation_subset_of_pair_curation(spark, sf_dir):
+    """Pair-loser removal drops every doc_b (which is always a non-keeper in
+    its component, since the component label <= doc_a < doc_b), so the
+    cluster-curated corpus is a subset of the pair-curated one — transitive
+    closure only removes MORE."""
+    from pdf_etl_pipeline_spark.llmdata.curation import curate_corpus, curate_corpus_clustered
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pair_ids = {r.doc_id for r in curate_corpus(docs).collect()}
+    cluster_ids = {r.doc_id for r in curate_corpus_clustered(docs).collect()}
+    assert cluster_ids <= pair_ids
+    assert len(cluster_ids) > 0
+
+
 def test_minhash_array_and_agg_forms_agree(spark, near_dup_docs):
     """The didactic array-expression signature and the production
     explode+groupBy form must produce identical signatures."""

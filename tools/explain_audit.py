@@ -67,6 +67,35 @@ CHECKS = {
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "sp1_hash_split": {
+        # split assignment is a pure projection over the scan — the only
+        # exchange allowed is the gate's output ordering
+        "must": ["Project"],
+        "must_not": ["BatchEvalPython", "HashAggregate", "Join"],
+    },
+    "tx5_pii_scrub": {
+        "must": ["Project"],
+        "must_not": ["BatchEvalPython", "HashAggregate", "Join"],
+    },
+    "dc1_decontamination": {
+        # shingle equi-join: hash join on the shingle hash, never a
+        # cartesian doc x doc relation
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "pk1_sequence_packing": {
+        # two-level cumsum: the per-bucket window partitions by bkt (hash
+        # exchange), never a single-partition global sort of the corpus
+        "must": ["Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
+    "st6_attribution_join": {
+        # interval join must equi-join on user_id (BroadcastHashJoin at
+        # this SF via AQE; SortMergeJoin at scale) with the time range as a
+        # post-join condition — never a nested-loop theta join
+        "must": ["HashJoin [user_id", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 
