@@ -86,6 +86,40 @@ def tx3_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_count_bpe(load_table(spark, sf_dir, "documents"))
 
 
+# --- TX6: repetition stats (Gopher-style quality filters) ---------------------
+@register(
+    "tx6_repetition_stats",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> '2:' || t[i] || ' ' || t[i + 1]),
+    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> '3:' || t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+  )) AS gram
+  FROM toks
+),
+counts AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN gram LIKE '2:%' THEN cnt ELSE 0 END) AS BIGINT) AS n_bigrams,
+         MAX(CASE WHEN gram LIKE '2:%' THEN cnt ELSE 0 END) AS top_bigram_cnt,
+         SUM(CASE WHEN gram NOT LIKE '2:%' THEN cnt ELSE 0 END) AS n_trigrams,
+         SUM(CASE WHEN gram NOT LIKE '2:%' AND cnt >= 2 THEN cnt ELSE 0 END) AS dup_trigram_toks
+  FROM counts GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       round(top_bigram_cnt / nullif(n_bigrams, 0), 6) AS top_bigram_frac,
+       round(dup_trigram_toks / nullif(n_trigrams, 0), 6) AS dup_trigram_frac
+FROM per_doc ORDER BY doc_id""",
+    doc="TX6 Gopher-style repetition filters: top-bigram fraction + fraction of tokens in duplicated trigrams (explode -> keyed double aggregation)",
+)
+def tx6_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return TX.repetition_stats(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 # --- TX4: fingerprinting ------------------------------------------------------
 _norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
 _h8 = portable_hash32_sql("s") + f" % {P31}"

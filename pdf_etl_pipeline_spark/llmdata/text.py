@@ -115,6 +115,54 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters: per-document top-bigram fraction and
+    fraction of tokens inside duplicated trigrams (Rae et al. 2021 §A1.1 use
+    these to drop template/boilerplate pages before training).
+
+    Shape for scale: tokens explode to (doc_id, gram) and aggregate twice —
+    first on (doc_id, gram) for per-gram counts (the wide shuffle, linear in
+    token volume), then on doc_id for the per-doc ratios. Both shuffles are
+    keyed; nothing is quadratic and no per-row O(n²) in-array counting.
+    """
+    toks = tokens_col("text", distinct=False)
+    two = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    three = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.concat(
+            F.transform(two, lambda g: F.concat(F.lit("2:"), g)),
+            F.transform(three, lambda g: F.concat(F.lit("3:"), g)),
+        )).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    is2 = F.col("gram").startswith("2:")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is2, F.col("cnt")).otherwise(0)).alias("n_bigrams"),
+        F.max(F.when(is2, F.col("cnt")).otherwise(0)).alias("top_bigram_cnt"),
+        F.sum(F.when(~is2, F.col("cnt")).otherwise(0)).alias("n_trigrams"),
+        F.sum(F.when(~is2 & (F.col("cnt") >= 2), F.col("cnt")).otherwise(0)).alias("dup_trigram_toks"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(F.col("top_bigram_cnt") / F.nullif(F.col("n_bigrams"), F.lit(0)), 6).alias(
+            "top_bigram_frac"
+        ),
+        F.round(
+            F.col("dup_trigram_toks") / F.nullif(F.col("n_trigrams"), F.lit(0)), 6
+        ).alias("dup_trigram_frac"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprints: md5 of normalized text + a 1-perm MinHash of
     8-gram character shingles (rolling-hash analog, content-defined)."""

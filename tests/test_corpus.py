@@ -102,6 +102,53 @@ def test_pii_scrub_counts_and_digest(spark):
     assert row.scrub_md5 == hashlib.md5(expected.encode()).hexdigest()
 
 
+def test_pack_counts_property(spark):
+    """Greedy packing invariants over generated token counts: offsets are
+    the exact prefix sums, shard ids are monotone non-decreasing in doc_id,
+    and every shard is contiguous."""
+    from hypothesis import given, settings, strategies as st
+    from pdf_etl_pipeline_spark.llmdata.corpus import PACK_BUDGET, pack_counts
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=3 * PACK_BUDGET), min_size=1, max_size=40)
+    )
+    def run(counts):
+        rows = [(i * 977, n) for i, n in enumerate(counts)]  # sparse, cross-bucket ids
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = sorted(pack_counts(df).collect(), key=lambda r: r.doc_id)
+        off = 0
+        prev_shard = 0
+        for r, (_, n) in zip(out, rows):
+            assert r.start_offset == off
+            assert r.shard_id == off // PACK_BUDGET
+            assert r.shard_id >= prev_shard
+            off += n
+            prev_shard = r.shard_id
+
+    run()
+
+
+def test_repetition_stats_flags_repetitive_doc(spark):
+    from pdf_etl_pipeline_spark.llmdata.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham spam ham"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    # doc 1: 9 bigrams, 'spam ham' x5 -> top frac 5/9; every trigram repeats
+    assert out[1].n_bigrams == 9
+    assert abs(out[1].top_bigram_frac - 5 / 9) < 1e-6
+    assert out[1].dup_trigram_frac == 1.0
+    # doc 2: all bigrams unique -> top frac 1/9, no duplicated trigrams
+    assert abs(out[2].top_bigram_frac - 1 / 9) < 1e-6
+    assert out[2].dup_trigram_frac == 0.0
+
+
 def test_ivf_multiprobe_recall_not_below_single_probe(spark, sf_dir):
     """nprobe=2 candidates are a superset of nprobe=1 per query, so
     recall@5 vs the exact baseline can only improve."""
