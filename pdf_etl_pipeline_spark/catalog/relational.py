@@ -146,6 +146,46 @@ def s8_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S10: keyed merge-upsert (SCD-1 MERGE) ----------------------------------
+# Deterministic scenario over orders: every 7th key gets an update (price
+# doubled, status 'U'), every 13th key spawns a brand-new negative-key insert.
+@register(
+    "s10_merge_upsert",
+    oracle="""
+WITH existing AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status FROM orders
+),
+incoming AS (
+  SELECT k, price * 2 AS price, 'U' AS status FROM existing WHERE k % 7 = 0
+  UNION ALL
+  SELECT -(k + 1) AS k, price, 'N' AS status FROM existing WHERE k % 13 = 0
+)
+SELECT COALESCE(i.k, e.k) AS k,
+       CASE WHEN i.k IS NOT NULL THEN i.price ELSE e.price END AS price,
+       CASE WHEN i.k IS NOT NULL THEN i.status ELSE e.status END AS status
+FROM existing e FULL OUTER JOIN incoming i ON e.k = i.k
+ORDER BY k""",
+    doc="S10 MERGE (update-else-insert): single full-outer join on the key — incoming wins on collision, one shuffle for both halves",
+)
+def s10_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.operators.merge_upsert import merged_relation
+
+    existing = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    incoming = existing.filter(F.col("k") % 7 == 0).select(
+        "k", (F.col("price") * 2).alias("price"), F.lit("U").alias("status")
+    ).unionByName(
+        existing.filter(F.col("k") % 13 == 0).select(
+            (-(F.col("k") + 1)).alias("k"), "price", F.lit("N").alias("status")
+        )
+    )
+    return merged_relation(existing, incoming, ("k",)).orderBy("k")
+
+
 # --- U1: union-by-name of heterogeneous records ----------------------------
 @register(
     "u1_union_by_name",

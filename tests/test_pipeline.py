@@ -47,6 +47,40 @@ def test_dedup_sink_idempotent(spark, tmp_path):
     assert stored.count() == 3
 
 
+def test_merge_upsert_update_else_insert(spark, tmp_path):
+    """SCD-1 MERGE: incoming wins on key collision, new keys insert,
+    untouched keys pass through; rerunning the same merge is idempotent."""
+    from pdf_etl_pipeline_spark.operators.merge_upsert import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    merge_upsert(base, path, ("k",))
+    delta = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    merge_upsert(delta, path, ("k",))
+    got = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    merge_upsert(delta, path, ("k",))  # idempotent rerun
+    again = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert again == got
+
+
+def test_merge_upsert_same_batch_collision_deterministic(spark, tmp_path):
+    """Two same-key rows in one batch resolve by max version, so reruns
+    can't diverge (a bare dropDuplicates would be partition-order-dependent)."""
+    from pdf_etl_pipeline_spark.operators.merge_upsert import merged_relation
+
+    existing = spark.createDataFrame([(1, 0, "old")], "k long, version long, s string")
+    incoming = spark.createDataFrame(
+        [(1, 1, "v1"), (1, 2, "v2")], "k long, version long, s string"
+    )
+    out = merged_relation(existing, incoming, ("k",)).collect()
+    assert len(out) == 1 and out[0].s == "v2" and out[0].version == 2
+
+
 def test_dedup_sink_broadcast_is_size_gated(spark, tmp_path):
     """The sink carries no broadcast hint: with broadcasting disabled (the
     'existing side too big' regime) the anti-join plans as a shuffled join;
