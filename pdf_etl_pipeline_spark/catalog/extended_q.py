@@ -200,3 +200,31 @@ def sk1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         n_salts=16,
     ).orderBy("l_returnflag")
+
+
+# --- SJ1: salted replicated join (skew strategy, result-identical) -----------
+@register(
+    "sj1_salted_join",
+    oracle=f"""
+SELECT s.s_nationkey, COUNT(*) AS n_items,
+       {dec_sum_sql('l_extendedprice')} AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1 ORDER BY 1""",
+    doc="SJ1 salted replicated join equals the plain join (fact salted on (key, salt), dim replicated n_salts x) — the skewed-JOIN-key strategy",
+)
+def sj1_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.operators.skew_join import salted_join
+
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    dim = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(fact, dim, "l_suppkey", n_salts=16)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), dec_sum("l_extendedprice").alias("revenue"))
+        .orderBy("s_nationkey")
+    )

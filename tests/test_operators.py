@@ -35,3 +35,34 @@ def test_sessionize_events_gap(spark, sf_dir):
     for r in rows:
         assert r.session_end >= r.session_start
         assert r.n_events >= 1
+
+
+def test_salted_join_equals_plain_join_under_skew(spark):
+    """The salted replicated join must return EXACTLY the plain join's rows
+    (each fact row meets one copy of its dim row), including under a hot key
+    holding most of the fact table."""
+    from pdf_etl_pipeline_spark.operators.skew_join import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 900), (3, 901)],  # key 1 is hot
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "a"), (3, "b"), (4, "unmatched")], "k long, name string")
+    got = {(r.k, r.payload, r.name) for r in salted_join(fact, dim, "k", n_salts=8).collect()}
+    want = {(r.k, r.payload, r.name) for r in fact.join(dim, "k").collect()}
+    assert got == want
+    assert len(got) == 502
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark):
+    """The physical join key must include the salt column — that is the
+    whole point (the hot key spreads over n_salts reduce tasks)."""
+    from pdf_etl_pipeline_spark.operators.skew_join import salted_join
+
+    fact = spark.createDataFrame([(1, 1)], "k long, payload long")
+    dim = spark.createDataFrame([(1, "x")], "k long, name string")
+    plan = (
+        salted_join(fact, dim, "k", n_salts=4)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "_salt" in plan
