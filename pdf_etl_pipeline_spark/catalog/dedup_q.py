@@ -154,6 +154,38 @@ def dd6_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DD6b: log-round clustering (pointer doubling) ---------------------------
+# Same fixed-point (exact connected components) reached in O(log D) rounds.
+# The oracle is the PLAIN propagation unrolled to 12 rounds — both engines
+# land on the converged component labeling, so the arithmetic path may
+# differ while the fixed point is identical; 12 plain rounds converge for
+# any diameter <= 12, far beyond near-dup component diameters (dense copies
+# of a common origin), while 5 doubling rounds cover ~2^5 hops.
+@register(
+    "dd6b_clusters_loground",
+    oracle=f"""
+WITH {_DD3_CTES},
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cands WHERE {_DD3_JACCARD} >= 0.9
+),
+e AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+{_label_rounds(12)}
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
+FROM l12
+ORDER BY doc_id""",
+    doc="DD6b near-dup clusters via pointer-doubling min-label (O(log D) rounds — the 100 TB diameter-safe variant); oracle = converged plain propagation",
+)
+def dd6b_clusters_loground(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return DD.near_dup_clusters_star(
+        load_table(spark, sf_dir, "documents"), threshold=0.9
+    ).orderBy("doc_id")
+
+
 # --- DD4: SimHash fingerprints ----------------------------------------------
 _HASHES = f"list_transform({_TOKS}, t -> " + DD.portable_hash32_sql("t") + ")"
 _bits = " + ".join(

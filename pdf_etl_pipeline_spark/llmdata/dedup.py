@@ -310,34 +310,74 @@ def near_dup_clusters(
     100 TB graph diameters you'd switch to large-star/small-star rounds —
     same join shape, logarithmic round count.
     """
-    # each round references the previous labels twice and the edge relation
-    # once — left lazy, the logical plan doubles per round (2^iters copies
-    # of the MinHash subtree; measured: Catalyst analysis alone never
-    # finished). localCheckpoint truncates lineage per round — the standard
-    # iterative-graph pattern (GraphX checkpoints the same way).
     pairs = minhash_lsh_pairs(docs, threshold)
+    return label_components(docs, pairs, rounds=iters, doubling=False)
+
+
+STAR_ROUNDS = 5
+
+
+def near_dup_clusters_star(
+    docs: DataFrame, threshold: float = 0.9, rounds: int = STAR_ROUNDS
+) -> DataFrame:
+    """Connected components with LOGARITHMIC round count — the 100 TB shape
+    ``near_dup_clusters``'s docstring promises (hash-to-min / star family,
+    Kiveris et al. 2014).
+
+    Each round does (1) the same one-hop neighbor-min as the plain variant
+    and then (2) pointer doubling: every node re-labels to its label's
+    label. Labels jump arbitrarily far along already-built chains, so the
+    covered distance roughly doubles per round — diameter-D components
+    converge in O(log D) rounds where plain propagation needs D (pinned by
+    a chain-graph test). Same per-round shuffles (keyed joins + a
+    groupBy-min) — no new scale primitives, just fewer rounds.
+    """
+    pairs = minhash_lsh_pairs(docs, threshold)
+    return label_components(docs, pairs, rounds=rounds, doubling=True)
+
+
+def label_components(
+    nodes: DataFrame, pairs: DataFrame, rounds: int, doubling: bool
+) -> DataFrame:
+    """Shared min-label engine over an undirected pair relation.
+
+    Each round references the previous labels twice and the edge relation
+    once — left lazy, the logical plan doubles per round (2^rounds copies
+    of the upstream subtree; measured: Catalyst analysis alone never
+    finished). localCheckpoint truncates lineage per round — the standard
+    iterative-graph pattern (GraphX checkpoints the same way).
+    """
     edges = (
         pairs.select("doc_a", "doc_b")
         .union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .localCheckpoint()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(iters):
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(rounds):
         nbr = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        labels = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
+        labels = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                "cluster_id"
+            ),
+        )
+        if doubling:
+            parent = labels.select(
+                F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_lab")
+            )
+            labels = labels.join(
+                parent, labels["cluster_id"] == parent["p_id"], "left"
+            ).select(
                 "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                F.least(F.col("cluster_id"), F.coalesce("p_lab", "cluster_id")).alias(
                     "cluster_id"
                 ),
             )
-            .localCheckpoint()
-        )
+        labels = labels.localCheckpoint()
     return labels.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
 
 

@@ -72,6 +72,41 @@ def test_near_dup_clusters_transitive(spark):
     assert out[4] == (4, True)
 
 
+def test_pointer_doubling_beats_plain_propagation_on_chains(spark):
+    """On a diameter-11 chain, plain min-label with 3 rounds only reaches 3
+    hops, while 3 pointer-doubling rounds converge the whole component —
+    the O(log D) vs O(D) separation the star variant exists for."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import label_components
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    plain = {
+        r.doc_id: r.cluster_id
+        for r in label_components(nodes, chain, rounds=3, doubling=False).collect()
+    }
+    star = {
+        r.doc_id: r.cluster_id
+        for r in label_components(nodes, chain, rounds=3, doubling=True).collect()
+    }
+    assert star == {i: 0 for i in range(n)}  # fully converged
+    assert plain[n - 1] != 0  # 3 plain rounds cannot reach 11 hops
+
+
+def test_star_clusters_match_plain_on_corpus(spark, sf_dir):
+    """Both variants must land on the same fixed point (exact components)
+    on the real corpus."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import near_dup_clusters, near_dup_clusters_star
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {(r.doc_id, r.cluster_id) for r in near_dup_clusters(docs).collect()}
+    b = {(r.doc_id, r.cluster_id) for r in near_dup_clusters_star(docs).collect()}
+    assert a == b
+
+
 def test_simhash_identical_for_same_token_set(near_dup_docs):
     sh = {r.doc_id: r.simhash for r in simhash_relation(near_dup_docs).collect()}
     assert sh[1] == sh[4]
