@@ -88,6 +88,24 @@ def dc1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.decontaminate(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+# --- HH1: heavy hitters (sketch candidates + exact verify) --------------------
+@register(
+    "hh1_frequent_tokens",
+    oracle=f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT tok, COUNT(*) AS cnt
+FROM toks, tot
+GROUP BY tok, n
+HAVING COUNT(*) > {CP.HH_PHI} * n
+ORDER BY cnt DESC, tok""",
+    doc=f"HH1 exact heavy hitters (> {CP.HH_PHI:.0%} of tokens): per-partition Misra-Gries candidates (map-only) + exact recount of the candidate set — partitioning-independent output",
+)
+def hh1_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return CP.frequent_tokens(load_table(spark, sf_dir, "documents"))
+
+
 # --- TX5: PII scrubbing -------------------------------------------------------
 # The synthetic corpus contains no PII, so the catalog query deterministically
 # plants doc_id-derived emails / phone-shaped / SSN-shaped strings on a subset

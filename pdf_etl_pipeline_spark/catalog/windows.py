@@ -233,3 +233,32 @@ def w7_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --- W8: distribution ranks (ntile / percent_rank / cume_dist) ---------------
+@register(
+    "w8_distribution_ranks",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+ORDER BY user_id, event_id""",
+    doc="W8 distribution ranks per user: quartile bucket, percent_rank, cume_dist (event_id tiebreak keeps both engines deterministic)",
+)
+def w8_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        load_events(spark, sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("user_id", "event_id")
+    )

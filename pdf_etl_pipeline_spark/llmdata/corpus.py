@@ -203,6 +203,61 @@ def decontaminate(docs: DataFrame, n: int = DECON_N) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Heavy hitters: sketch candidates + exact verification
+# ---------------------------------------------------------------------------
+HH_PHI = 0.01  # report tokens with frequency > phi * total
+HH_COUNTERS = 256  # Misra-Gries counters per partition (>= 1/phi with margin)
+
+
+def frequent_tokens(
+    docs: DataFrame, phi: float = HH_PHI, counters: int = HH_COUNTERS
+) -> DataFrame:
+    """Exact heavy hitters (tokens with count > ``phi`` · total) via the
+    sketch-then-verify shape: per-partition Misra-Gries candidate
+    generation, then an exact recount restricted to the candidate set.
+
+    Misra-Gries with k counters guarantees every item with global count
+    > n/k survives in at least one partition's summary (pigeonhole over the
+    per-partition decrements), so with k ≥ 1/phi the candidate union is a
+    SUPERSET of the answer under ANY partitioning — the exact recount +
+    threshold makes the final output partitioning-independent, which is why
+    a DuckDB oracle can check it. Avoids a full-vocabulary shuffle: phase 1
+    is map-only (k-row summaries per partition), phase 2 shuffles only the
+    candidate-filtered tokens. The same candidates-then-verify shape as the
+    MinHash-LSH dedup path.
+    """
+    import pandas as pd
+
+    toks = docs.select(F.explode(tokens_col("text", distinct=False)).alias("tok"))
+
+    def mg(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["tok"]:
+                if t in counts:
+                    counts[t] += 1
+                elif len(counts) < counters:
+                    counts[t] = 1
+                else:
+                    dead = [k for k in counts if counts[k] == 1]
+                    for k in counts:
+                        counts[k] -= 1
+                    for k in dead:
+                        del counts[k]
+        yield pd.DataFrame({"tok": list(counts.keys())})
+
+    cands = toks.mapInPandas(mg, "tok string").distinct()
+    total = toks.count()
+    return (
+        toks.join(F.broadcast(cands), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > phi * total)
+        .orderBy(F.desc("cnt"), "tok")
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------
 # RE2-compatible (no lookaround) so the DuckDB oracle runs them verbatim.

@@ -160,3 +160,17 @@ def test_ivf_multiprobe_recall_not_below_single_probe(spark, sf_dir):
     p1 = {(r.query_id, r.cand_id) for r in ivf_topk(emb, qids, k=5, nprobe=1).collect()}
     p2 = {(r.query_id, r.cand_id) for r in ivf_topk(emb, qids, k=5, nprobe=2).collect()}
     assert len(exact & p2) >= len(exact & p1)
+
+
+def test_frequent_tokens_partitioning_independent(spark):
+    """The MG candidate set varies with partitioning, but the exact-recount
+    output may not — every token above threshold must survive ANY layout."""
+    from pdf_etl_pipeline_spark.llmdata.corpus import frequent_tokens
+
+    rows = [(i, "hot " * 50 + f"rare{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'hot' is 2000/2040 of tokens; each rare{i} is 1/2040 (< 1%)
+    a = [(r.tok, r.cnt) for r in frequent_tokens(docs).collect()]
+    b = [(r.tok, r.cnt) for r in frequent_tokens(docs.repartition(13)).collect()]
+    c = [(r.tok, r.cnt) for r in frequent_tokens(docs.coalesce(1)).collect()]
+    assert a == b == c == [("hot", 2000)]

@@ -228,3 +228,20 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE li_b")
         spark.sql("DROP TABLE ord_b")
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """A filter on the partition column must prune partitions at scan time
+    (PartitionFilters in the FileScan), not filter rows post-read — the
+    first-order 100 TB lever for date/type-partitioned lakehouse tables."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.session import load_events
+
+    path = str(tmp_path / "events_part")
+    load_events(spark, sf_dir).drop("ts_ns").write.partitionBy("event_type").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters:")[1][:200]
+    n_purchase = df.count()
+    assert 0 < n_purchase < load_events(spark, sf_dir).count()
