@@ -65,6 +65,33 @@ def ss2_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.hyperplane_lsh_topk(load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5)
 
 
+_COS_AB = cosine_sql("va", "vb")
+
+@register(
+    "ss5_knn_join",
+    oracle=f"""
+WITH wb AS (
+  SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id, {_COS_AB} AS cos
+  FROM (SELECT vec_id, embedding AS va, bucket FROM wb) a
+  JOIN (SELECT vec_id, embedding AS vb, bucket FROM wb) b USING (bucket)
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rank
+  FROM pairs
+)
+SELECT vec_id, nbr_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""",
+    doc="SS5 ANN similarity JOIN: every vector's top-3 in-bucket neighbors (bucketed self-join, cost sum(bucket^2) not n^2)",
+)
+def ss5_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return SS.knn_join(load_table(spark, sf_dir, "embeddings"), k=3).orderBy("vec_id", "rank")
+
+
 _COS_C = cosine_sql("embedding", "centroid")
 
 

@@ -113,6 +113,38 @@ def hyperplane_lsh_topk(
     )
 
 
+def knn_join(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """ANN similarity JOIN: EVERY vector's top-k in-bucket neighbors (the
+    batch primitive behind embedding near-dup sweeps and link prediction —
+    ss1/ss2 answer a handful of queries; this answers all of them).
+
+    Bucketed self-join on the hyperplane sign key — the shuffle key — so
+    cost is Σ bucket² instead of n²; per-vector exact cosine re-rank
+    inside the bucket. Skewed buckets (dense embedding regions) are the
+    scale hazard: the lever is more planes (smaller buckets) or salting a
+    hot bucket with a secondary plane set, same as any skewed join key.
+    """
+    wb = embeddings.select("vec_id", "embedding", bucket_key(F.col("embedding")).alias("bucket"))
+    a = wb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("va"), "bucket")
+    b = wb.select(F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("vb"), "bucket")
+    scored = (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the clustered scale path, with centroids learned
 # by a deterministic spherical k-means (fixed iterations, hash-seeded init,
