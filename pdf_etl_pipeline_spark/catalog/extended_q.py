@@ -202,6 +202,62 @@ def sk1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+# --- RS1: time-series resample + gap fill ------------------------------------
+@register(
+    "rs1_resample_gapfill",
+    oracle=f"""
+WITH span AS (
+  SELECT user_id,
+         (CAST(floor(epoch(MIN(ts))) AS BIGINT) // 3600) * 3600 AS lo,
+         (CAST(floor(epoch(MAX(ts))) AS BIGINT) // 3600) * 3600 AS hi
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket_s FROM span
+),
+actual AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s,
+         COUNT(*) AS n_events,
+         {dec_sum_sql('value')} AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT g.user_id, g.bucket_s,
+       COALESCE(a.n_events, 0) AS n_events,
+       COALESCE(a.total_value, 0.0) AS total_value
+FROM grid g LEFT JOIN actual a ON g.user_id = a.user_id AND g.bucket_s = a.bucket_s
+ORDER BY g.user_id, g.bucket_s""",
+    doc="RS1 hourly resample with gap fill: per-user dense time grid (sequence+explode) left-joined to actual buckets — empty hours emitted as zeros",
+)
+def rs1_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_events(spark, sf_dir).withColumn(
+        "bucket_s", (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    # the dense grid: one sequence per user, exploded — grid size is
+    # (span/step) rows per user, generated executor-side with no shuffle
+    # beyond the span aggregation
+    grid = span.select(
+        "user_id", F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("bucket_s")
+    )
+    actual = ev.groupBy("user_id", "bucket_s").agg(
+        F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("total_value")
+    )
+    return (
+        grid.join(actual, ["user_id", "bucket_s"], "left")
+        .select(
+            "user_id",
+            "bucket_s",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("user_id", "bucket_s")
+    )
+
+
 # --- SJ1: salted replicated join (skew strategy, result-identical) -----------
 @register(
     "sj1_salted_join",
