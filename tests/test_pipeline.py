@@ -245,3 +245,35 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters:")[1][:200]
     n_purchase = df.count()
     assert 0 < n_purchase < load_events(spark, sf_dir).count()
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """With a selective dimension filter, Spark's runtime Bloom filter
+    must be injected on the fact side of the shuffle join — rows failing
+    the filter drop BEFORE the exchange, the row-level companion to
+    partition pruning at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.session import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join regime
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "BloomFilterMightContain" in plan or "might_contain" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
