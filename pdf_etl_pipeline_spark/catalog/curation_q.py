@@ -128,6 +128,59 @@ def cc2_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus_clustered(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+# --- CC4: full curation recipe (every filter family) -------------------------
+from pdf_etl_pipeline_spark.llmdata.curation import (  # noqa: E402
+    MAX_DUP_TRIGRAM_FRAC,
+    MAX_TOP_BIGRAM_FRAC,
+    curate_corpus_full,
+)
+
+def _cc4_oracle() -> str:
+    from pdf_etl_pipeline_spark.llmdata import corpus as CPm
+
+    sh = CPm._shingle_hashes_sql("text", CPm.DECON_N)
+    toks = DD.tokens_sql("text", distinct=False)
+    two = f"list_transform(range(1, greatest(len({toks}) - 1, 0) + 1), i -> '2:' || ({toks})[i] || ' ' || ({toks})[i + 1])"
+    three = f"list_transform(range(1, greatest(len({toks}) - 2, 0) + 1), i -> '3:' || ({toks})[i] || ' ' || ({toks})[i + 1] || ' ' || ({toks})[i + 2])"
+    return f"""
+WITH curated AS MATERIALIZED ({_CC2_ORACLE}),
+sh AS (SELECT doc_id, unnest({sh}) AS h FROM documents),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % {CPm.BENCH_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (h) WHERE s.doc_id % {CPm.BENCH_MOD} <> 0
+),
+grams AS (
+  SELECT doc_id, unnest(list_concat({two}, {three})) AS gram FROM documents
+),
+gcounts AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           round(MAX(CASE WHEN gram LIKE '2:%' THEN cnt ELSE 0 END)
+                 / nullif(SUM(CASE WHEN gram LIKE '2:%' THEN cnt ELSE 0 END), 0), 6) AS tb,
+           round(SUM(CASE WHEN gram NOT LIKE '2:%' AND cnt >= 2 THEN cnt ELSE 0 END)
+                 / nullif(SUM(CASE WHEN gram NOT LIKE '2:%' THEN cnt ELSE 0 END), 0), 6) AS dt
+    FROM gcounts GROUP BY 1
+  ) WHERE tb > {MAX_TOP_BIGRAM_FRAC} OR dt > {MAX_DUP_TRIGRAM_FRAC}
+)
+SELECT c.doc_id, c.n_tokens, c.quality_score
+FROM curated c
+WHERE c.doc_id % {CPm.BENCH_MOD} <> 0
+  AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND c.doc_id NOT IN (SELECT doc_id FROM rep)
+ORDER BY c.doc_id"""
+
+
+@register(
+    "cc4_full_curation",
+    oracle=_cc4_oracle(),
+    doc="CC4 complete curation recipe: cluster dedup -> lang -> quality -> repetition cutoffs -> benchmark exclusion + decontamination -> token accounting",
+)
+def cc4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return curate_corpus_full(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 # --- CC3: curated-corpus shard manifest --------------------------------------
 # The full training-data delivery path composed end to end: cluster-dedup ->
 # filters -> greedy token-budget packing -> per-shard manifest. The oracle

@@ -87,3 +87,48 @@ def curate_corpus_clustered(
         .filter(F.col("quality_score") >= min_quality)
         .select("doc_id", "n_tokens", "quality_score")
     )
+
+
+# Repetition cutoffs (corpus-tuned; Gopher uses 0.2 / 0.6-class bounds on
+# web text — the synthetic corpus is shorter, so the knee sits lower)
+MAX_TOP_BIGRAM_FRAC = 0.12
+MAX_DUP_TRIGRAM_FRAC = 0.5
+
+
+def curate_corpus_full(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.9,
+) -> DataFrame:
+    """The complete curation recipe — every filter family composed into one
+    lazy plan (the FineWeb/Gopher-style delivery path):
+
+        cluster dedup (one canonical doc per near-dup component)
+          → language filter → quality filter
+          → repetition filter (top-bigram / dup-trigram cutoffs)
+          → benchmark exclusion + decontamination (shared 5-grams)
+          → token accounting
+
+    Each stage is the already-oracle-checked operator; composition adds two
+    left-anti joins on doc_id (broadcast-sized exclusion lists after their
+    own filters) and nothing driver-side.
+    """
+    from pdf_etl_pipeline_spark.llmdata.corpus import BENCH_MOD, decontaminate
+    from pdf_etl_pipeline_spark.llmdata.text import repetition_stats
+
+    cur = curate_corpus_clustered(docs, lang, min_quality, near_dup_threshold)
+    contaminated = decontaminate(docs).select("doc_id")
+    repetitive = (
+        repetition_stats(docs)
+        .filter(
+            (F.col("top_bigram_frac") > MAX_TOP_BIGRAM_FRAC)
+            | (F.col("dup_trigram_frac") > MAX_DUP_TRIGRAM_FRAC)
+        )
+        .select("doc_id")
+    )
+    return (
+        cur.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .join(repetitive, "doc_id", "left_anti")
+    )

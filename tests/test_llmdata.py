@@ -251,3 +251,19 @@ def test_simhash_array_and_agg_forms_agree(spark, near_dup_docs):
     }
     agg = {r.doc_id: r.simhash for r in simhash_relation(near_dup_docs).collect()}
     assert arr == agg
+
+
+def test_full_curation_subset_of_cluster_curation(spark, sf_dir):
+    """cc4 only ADDS exclusions (repetition, benchmark, contamination) on
+    top of cc2, so its survivors are a strict subset on this corpus."""
+    from pdf_etl_pipeline_spark.llmdata.curation import (
+        curate_corpus_clustered,
+        curate_corpus_full,
+    )
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    c2 = {r.doc_id for r in curate_corpus_clustered(docs).collect()}
+    c4 = {r.doc_id for r in curate_corpus_full(docs).collect()}
+    assert c4 <= c2
+    assert len(c4) > 0
