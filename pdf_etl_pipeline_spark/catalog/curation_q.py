@@ -79,7 +79,11 @@ ORDER BY f.doc_id"""
 )
 def cc1_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return curate_corpus(load_table(spark, sf_dir, "documents"))
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+
+    return curate_corpus(
+        load_table(spark, sf_dir, "documents"), pairs=shared_pairs(spark, sf_dir, 0.9)
+    )
 
 
 # --- CC2: cluster-based curation ---------------------------------------------
@@ -125,7 +129,11 @@ ORDER BY f.doc_id"""
 )
 def cc2_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return curate_corpus_clustered(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+
+    return curate_corpus_clustered(
+        load_table(spark, sf_dir, "documents"), pairs=shared_pairs(spark, sf_dir, 0.9)
+    ).orderBy("doc_id")
 
 
 # --- CC4: full curation recipe (every filter family) -------------------------
@@ -178,7 +186,11 @@ ORDER BY c.doc_id"""
 )
 def cc4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return curate_corpus_full(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+
+    return curate_corpus_full(
+        load_table(spark, sf_dir, "documents"), pairs=shared_pairs(spark, sf_dir, 0.9)
+    ).orderBy("doc_id")
 
 
 # --- CC3: curated-corpus shard manifest --------------------------------------
@@ -209,7 +221,11 @@ FROM packed GROUP BY 1 ORDER BY 1"""
 )
 def cc3_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    curated = curate_corpus_clustered(load_table(spark, sf_dir, "documents"))
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+
+    curated = curate_corpus_clustered(
+        load_table(spark, sf_dir, "documents"), pairs=shared_pairs(spark, sf_dir, 0.9)
+    )
     packed = CP.pack_counts(curated.select("doc_id", "n_tokens"))
     return (
         packed.groupBy("shard_id")

@@ -33,14 +33,17 @@ def curate_corpus(
     lang: str = "en",
     min_quality: float = 0.5,
     near_dup_threshold: float = 0.9,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """Surviving documents with their token counts after dedup + filters."""
+    """Surviving documents with their token counts after dedup + filters.
+
+    ``pairs`` optionally injects a prebuilt near-dup pair relation (the
+    LSH index built once per session and shared across queries — the
+    scale-correct reuse pattern)."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, threshold=near_dup_threshold)
     exact_keep = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
-    near_losers = (
-        minhash_lsh_pairs(docs, threshold=near_dup_threshold)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    near_losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     stats = text_stats(docs).select("doc_id", "n_tokens", "quality_score")
     langs = docs.select("doc_id", lang_id("text").alias("lang_pred"))
     return (
@@ -61,6 +64,7 @@ def curate_corpus_clustered(
     lang: str = "en",
     min_quality: float = 0.5,
     near_dup_threshold: float = 0.9,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-based curation: keep one canonical document per near-dup
     COMPONENT (transitive closure), then language + quality filters.
@@ -72,7 +76,7 @@ def curate_corpus_clustered(
     doc_id survives; no separate md5 pass needed.
     """
     keepers = (
-        near_dup_clusters(docs, threshold=near_dup_threshold)
+        near_dup_clusters(docs, threshold=near_dup_threshold, pairs=pairs)
         .filter(F.col("is_keeper"))
         .select("doc_id")
     )
@@ -100,6 +104,7 @@ def curate_corpus_full(
     lang: str = "en",
     min_quality: float = 0.5,
     near_dup_threshold: float = 0.9,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The complete curation recipe — every filter family composed into one
     lazy plan (the FineWeb/Gopher-style delivery path):
@@ -117,7 +122,7 @@ def curate_corpus_full(
     from pdf_etl_pipeline_spark.llmdata.corpus import BENCH_MOD, decontaminate
     from pdf_etl_pipeline_spark.llmdata.text import repetition_stats
 
-    cur = curate_corpus_clustered(docs, lang, min_quality, near_dup_threshold)
+    cur = curate_corpus_clustered(docs, lang, min_quality, near_dup_threshold, pairs=pairs)
     contaminated = decontaminate(docs).select("doc_id")
     repetitive = (
         repetition_stats(docs)

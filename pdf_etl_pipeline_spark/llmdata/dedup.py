@@ -293,7 +293,10 @@ CLUSTER_ITERS = 6
 
 
 def near_dup_clusters(
-    docs: DataFrame, threshold: float = 0.9, iters: int = CLUSTER_ITERS
+    docs: DataFrame,
+    threshold: float = 0.9,
+    iters: int = CLUSTER_ITERS,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every document
     labeled with the MIN doc_id of its component (the canonical survivor —
@@ -310,7 +313,8 @@ def near_dup_clusters(
     100 TB graph diameters you'd switch to large-star/small-star rounds —
     same join shape, logarithmic round count.
     """
-    pairs = minhash_lsh_pairs(docs, threshold)
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, threshold)
     return label_components(docs, pairs, rounds=iters, doubling=False)
 
 
@@ -318,7 +322,10 @@ STAR_ROUNDS = 5
 
 
 def near_dup_clusters_star(
-    docs: DataFrame, threshold: float = 0.9, rounds: int = STAR_ROUNDS
+    docs: DataFrame,
+    threshold: float = 0.9,
+    rounds: int = STAR_ROUNDS,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components with LOGARITHMIC round count — the 100 TB shape
     ``near_dup_clusters``'s docstring promises (hash-to-min / star family,
@@ -332,7 +339,8 @@ def near_dup_clusters_star(
     a chain-graph test). Same per-round shuffles (keyed joins + a
     groupBy-min) — no new scale primitives, just fewer rounds.
     """
-    pairs = minhash_lsh_pairs(docs, threshold)
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, threshold)
     return label_components(docs, pairs, rounds=rounds, doubling=True)
 
 
