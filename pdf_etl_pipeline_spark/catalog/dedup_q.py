@@ -5,9 +5,11 @@ with a DuckDB oracle that reproduces the identical hash arithmetic."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pdf_etl_pipeline_spark.catalog import register
 from pdf_etl_pipeline_spark.llmdata import dedup as DD
+from pdf_etl_pipeline_spark.llmdata import similarity as SIM
 from pdf_etl_pipeline_spark.session import load_table, tune
 
 _TOKS = DD.tokens_sql("text")
@@ -228,23 +230,70 @@ def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_relation(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-# --- DD5: embedding cosine near-dups ----------------------------------------
+# --- DD5: embedding cosine near-dups (banded sign-LSH — the scale path) ------
+# Candidates come from a 4-band × 8-plane sign-LSH equi-join (shuffle key =
+# (band, sign key)), never an all-pairs product; exact cosine verifies only
+# the survivors. The brute O(n²) verifier stays in the library
+# (DD.embedding_dup_pairs) as the test-only recall baseline.
+#
+# The synthetic embeddings have no genuine near-dups (max pairwise cosine
+# ≈ 0.51 at sf0.01), which made the old gate trivially 0-row. The query
+# input is therefore augmented with a deterministic perturbed twin of every
+# vector (+0.05 on component 0, id offset +1,000,000) — reproduced
+# bit-for-bit in the oracle — so the gate pins the banding join, the
+# cosine arithmetic and the pair orientation with >0 rows at every sf.
+_TWIN_OFFSET = 1_000_000
+_TWIN_SQL = """
+  SELECT vec_id + 1000000 AS id,
+         list_transform(range(1, len(embedding) + 1),
+                        i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.05
+                                  ELSE CAST(embedding[i] AS DOUBLE) END) AS v
+  FROM embeddings"""
+_BANDED_ARMS = "\nUNION ALL\n".join(
+    f"SELECT id, v, {b} AS band, {SIM.sign_key_sql('v', ps)} AS key FROM aug"
+    for b, ps in enumerate(SIM.BAND_PLANE_SETS)
+)
+
+
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    twin = e.select(
+        (F.col("vec_id") + F.lit(_TWIN_OFFSET)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == F.lit(0), x + F.lit(0.05)).otherwise(x)
+        ).alias("embedding"),
+    )
+    return e.unionAll(twin)
+
+
 @register(
     "dd5_embedding_dups",
     oracle=f"""
-WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
-b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+WITH aug AS MATERIALIZED (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+  UNION ALL{_TWIN_SQL}
+),
+banded AS MATERIALIZED (
+{_BANDED_ARMS}
+),
+cands AS (
+  SELECT a.id AS id_a, b.id AS id_b, any_value(a.v) AS va, any_value(b.v) AS vb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+  GROUP BY 1, 2
+)
 SELECT id_a, id_b, round({_COS}, 6) AS cosine
-FROM a JOIN b ON id_a < id_b
+FROM cands
 WHERE {_COS} >= 0.9
 ORDER BY id_a, id_b""",
-    doc="DD5 embedding near-dup pairs, cosine ≥ 0.9 (brute verifier; LSH candidates at scale)",
+    doc="DD5 embedding near-dup pairs, cosine ≥ 0.9 via banded sign-LSH candidates (4 bands × 8 planes); planted deterministic twins keep the gate non-trivial",
 )
 def dd5_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return DD.embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.9).orderBy(
-        "id_a", "id_b"
-    )
+    return SIM.embedding_dup_pairs_lsh(
+        _augmented_embeddings(spark, sf_dir), threshold=0.9
+    ).orderBy("id_a", "id_b")
 
 
 # --- DD2b: word-shingle Jaccard (order-sensitive n-gram dedup) ----------------

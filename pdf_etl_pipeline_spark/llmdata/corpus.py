@@ -231,20 +231,23 @@ def frequent_tokens(
     toks = docs.select(F.explode(tokens_col("text", distinct=False)).alias("tok"))
 
     def mg(batches):
-        counts: dict[str, int] = {}
+        # Vectorized Misra-Gries in its mergeable-summaries form (Agarwal,
+        # Cormode et al. 2012): each Arrow batch collapses to an exact
+        # value_counts (a zero-error summary), summaries merge by counter
+        # addition, and the prune-to-k step subtracts the (k+1)-th largest
+        # count from every counter and drops the non-positives. Merged
+        # error stays ≤ n/(k+1), so the superset guarantee is the same as
+        # the classic per-token loop — with no per-element Python.
+        acc = None
         for pdf in batches:
-            for t in pdf["tok"]:
-                if t in counts:
-                    counts[t] += 1
-                elif len(counts) < counters:
-                    counts[t] = 1
-                else:
-                    dead = [k for k in counts if counts[k] == 1]
-                    for k in counts:
-                        counts[k] -= 1
-                    for k in dead:
-                        del counts[k]
-        yield pd.DataFrame({"tok": list(counts.keys())})
+            bc = pdf["tok"].value_counts()
+            acc = bc if acc is None else acc.add(bc, fill_value=0)
+            if len(acc) > counters:
+                thresh = acc.nlargest(counters + 1).iloc[-1]
+                acc = acc[acc > thresh] - thresh
+        yield pd.DataFrame(
+            {"tok": [] if acc is None else acc.index.to_numpy(dtype=object)}
+        )
 
     cands = toks.mapInPandas(mg, "tok string").distinct()
     total = toks.count()

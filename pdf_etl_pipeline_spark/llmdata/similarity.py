@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pdf_etl_pipeline_spark.llmdata.dedup import cosine, cosine_sql
 
 N_PLANES = 8
+N_BANDS = 4
 DIM = 64
 
 
@@ -34,14 +35,22 @@ def _plane_component(i: int, j: int) -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
-PLANES = [[_plane_component(i, j) for j in range(DIM)] for i in range(N_PLANES)]
+# 4 independent bands of 8 planes (32 total). Band 0 is the original 8-plane
+# set, so the single-bucket consumers (ss2/ss5) are byte-identical to before;
+# the banded near-dup join (dd5) ORs candidates across all 4 bands — the
+# sign-LSH analog of MinHash banding: band length sets selectivity, band
+# count sets recall (measured at cos≥0.9: ~2.2% of pairs candidates,
+# ≥99.8% recall).
+ALL_PLANES = [[_plane_component(i, j) for j in range(DIM)] for i in range(N_BANDS * N_PLANES)]
+PLANES = ALL_PLANES[:N_PLANES]
+BAND_PLANE_SETS = [ALL_PLANES[b * N_PLANES : (b + 1) * N_PLANES] for b in range(N_BANDS)]
 
 
-def bucket_key(vec: Column) -> Column:
-    """Sign-pattern bucket over the 8 hyperplanes → 8-char '01' string."""
+def sign_key(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern key over the given planes → '01' string per plane."""
     v = F.transform(vec, lambda x: x.cast("double"))
     bits = []
-    for plane in PLANES:
+    for plane in planes:
         plane_arr = F.array(*[F.lit(c) for c in plane])
         dot = F.aggregate(
             F.zip_with(v, plane_arr, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -50,9 +59,14 @@ def bucket_key(vec: Column) -> Column:
     return F.concat(*bits)
 
 
-def bucket_key_sql(vec: str) -> str:
+def bucket_key(vec: Column) -> Column:
+    """Sign-pattern bucket over the 8 hyperplanes → 8-char '01' string."""
+    return sign_key(vec, PLANES)
+
+
+def sign_key_sql(vec: str, planes: list[list[float]]) -> str:
     parts = []
-    for plane in PLANES:
+    for plane in planes:
         comps = ", ".join(repr(c) for c in plane)
         dot = (
             f"list_reduce(list_transform(range(1, {DIM} + 1), "
@@ -60,6 +74,10 @@ def bucket_key_sql(vec: str) -> str:
         )
         parts.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
     return " || ".join(parts)
+
+
+def bucket_key_sql(vec: str) -> str:
+    return sign_key_sql(vec, PLANES)
 
 
 def cosine_topk(
@@ -142,6 +160,65 @@ def knn_join(embeddings: DataFrame, k: int = 3) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def embedding_dup_pairs_lsh(
+    embeddings: DataFrame, threshold: float = 0.9, persist: bool = True
+) -> DataFrame:
+    """Embedding near-dup pairs via banded sign-LSH — the scale path that
+    replaces the brute all-pairs verifier (``dedup.embedding_dup_pairs``,
+    now test-only).
+
+    Same plan shape as ``dedup.minhash_lsh_pairs``: each vector explodes to
+    ``N_BANDS`` (band, sign-key) rows, candidates share any band key (the
+    equi-join shuffle key — never an all-pairs product), then an exact
+    cosine re-rank over only the surviving pairs. Cost is Σ bucket² per
+    band instead of n²; recall at cos≥0.9 is ≥99.8% with 4 bands of 8
+    planes while ~2% of random pairs become candidates (measured on the
+    synthetic embeddings — band length trades selectivity for recall
+    exactly like MinHash band width).
+    """
+    from pyspark import StorageLevel
+
+    e = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), sign_key(F.col("v"), ps).alias("key"))
+        for b, ps in enumerate(BAND_PLANE_SETS)
+    ]
+    bands = e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    if persist:
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if persist:
+        # materialize so AQE plans the verify joins against real sizes
+        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+        cands.count()
+    # verify join pulls vectors ONLY for ids that survived banding
+    cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("vec_id")).distinct()
+    vecs = e.join(cand_ids, "vec_id", "left_semi")
+    va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
     )
 
 
@@ -243,6 +320,7 @@ def ivf_topk(
     k: int = 5,
     learned: bool = True,
     nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: candidates share one of the query's ``nprobe`` nearest
     cells; exact cosine re-rank across the probed cells. Same plan shape as
@@ -252,9 +330,13 @@ def ivf_topk(
     exactly one cell (the index is built once), only the query fans out to
     its ``nprobe`` closest centroids — candidate volume grows linearly in
     nprobe while the corpus-side shuffle is unchanged.
+
+    ``centroids`` lets callers pass a pre-learned (memoized) centroid
+    relation so the 5-iteration k-means isn't re-run per query — the
+    build-index-once pattern; ignored when ``learned`` is False.
     """
     if learned:
-        cents = kmeans_centroids(embeddings)
+        cents = centroids if centroids is not None else kmeans_centroids(embeddings)
         assigned = assign_cells(embeddings.select("vec_id", "embedding"), cents)
     else:
         assigned = ivf_assignments(embeddings)

@@ -75,21 +75,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
 
 def load_events(spark: SparkSession, sf_dir: str):
-    """Read the ``events`` table, handling its TIMESTAMP(NANOS) parquet type.
+    """Read the ``events`` table, normalizing the ``ts`` column's on-disk type.
 
-    Spark has no nanosecond timestamp: the column is read as raw INT64 nanos
-    (``nanosAsLong``) and floored to microseconds with integer ``div`` —
-    double division would *round* the microsecond (observable drift vs the
-    oracle). The original nanos are kept as ``ts_ns`` for exact arithmetic.
+    The driver has shipped two physical encodings of ``ts`` across testdata
+    generations, so the loader is type-aware:
 
-    Event-time query outputs are emitted as epoch-second BIGINTs (not
-    timestamps) so the DuckDB oracle — which keeps full nanosecond
-    precision — hashes identically.
+    - TIMESTAMP(NANOS) parquet: Spark has no nanosecond timestamp, so the
+      column arrives as raw INT64 nanos (``nanosAsLong``) and is floored to
+      microseconds with integer ``div`` — double division would *round* the
+      microsecond (observable drift vs the oracle).
+    - ``timestamp[us]`` parquet (no tz): Spark reads TIMESTAMP_NTZ; cast to
+      session-local TIMESTAMP. The session timezone is pinned to UTC
+      (``_RUNTIME_CONFS``), so the wall-clock is preserved bit-exactly and
+      matches DuckDB's naive read of the same file.
+
+    Either way the callers see ``ts`` as TIMESTAMP plus ``ts_ns`` (epoch
+    nanos, BIGINT) for exact integer arithmetic. Event-time query outputs are
+    emitted as epoch-second BIGINTs (not timestamps) so the DuckDB oracle
+    hashes identically.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "ts_ns", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
     )

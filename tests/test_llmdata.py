@@ -129,6 +129,28 @@ def test_lsh_topk_subset_of_exact(spark, sf_dir):
     assert exact_rank1  # sanity
 
 
+def test_embedding_lsh_pairs_vs_brute(spark, sf_dir):
+    """Banded sign-LSH near-dup pairs (the dd5 scale path) vs the brute
+    all-pairs verifier (test-only baseline): no false positives — every LSH
+    pair is a brute pair with the identical cosine — and 100% recall on the
+    planted near-identical twins (cosine ≈ 0.9998, far inside the band
+    guarantee)."""
+    from pdf_etl_pipeline_spark.catalog.dedup_q import _TWIN_OFFSET, _augmented_embeddings
+    from pdf_etl_pipeline_spark.llmdata.dedup import embedding_dup_pairs
+    from pdf_etl_pipeline_spark.llmdata.similarity import embedding_dup_pairs_lsh
+
+    aug = _augmented_embeddings(spark, sf_dir)
+    brute = {(r.id_a, r.id_b): r.cosine for r in embedding_dup_pairs(aug, 0.9).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine for r in embedding_dup_pairs_lsh(aug, 0.9).collect()}
+    assert lsh, "planted twins must produce pairs"
+    for pair, cos in lsh.items():
+        assert brute[pair] == cos  # subset with identical arithmetic
+    n = aug.count() // 2
+    twins = {p for p in brute if p[1] == p[0] + _TWIN_OFFSET}
+    assert len(twins) == n  # every vector's twin is a genuine near-dup
+    assert twins <= set(lsh)  # and the banding recovers all of them
+
+
 def test_ivf_learned_centroids_beat_fixed_recall(spark, sf_dir):
     """Learned (k-means) IVF cells must give better nprobe=1 recall@5 than
     the fixed id-subset baseline, measured against exact top-5 on queries

@@ -51,8 +51,36 @@ CHECKS = {
         "must_not": ["BatchEvalPython"],
     },
     "dd3_minhash_lsh": {
+        # the registered query returns the memoized localCheckpoint'ed pair
+        # relation (catalog/dedup_q.py shared_pairs) whose executed plan is
+        # just a checkpoint scan — audit the UN-memoized library plan, which
+        # is what actually runs on first build (and at scale)
+        "build": lambda spark, sf_dir: __import__(
+            "pdf_etl_pipeline_spark.llmdata.dedup", fromlist=["minhash_lsh_pairs"]
+        ).minhash_lsh_pairs(
+            __import__(
+                "pdf_etl_pipeline_spark.session", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "documents"),
+            0.9,
+            persist=False,
+        ),
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
+    "dd5_embedding_dups": {
+        # banded sign-LSH: candidates from an equi-join on (band, key) —
+        # never an all-pairs product (the pre-round-4 shape this replaced)
+        "build": lambda spark, sf_dir: __import__(
+            "pdf_etl_pipeline_spark.llmdata.similarity", fromlist=["embedding_dup_pairs_lsh"]
+        ).embedding_dup_pairs_lsh(
+            __import__(
+                "pdf_etl_pipeline_spark.catalog.dedup_q", fromlist=["_augmented_embeddings"]
+            )._augmented_embeddings(spark, sf_dir),
+            0.9,
+            persist=False,
+        ),
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
     },
     "ss1_cosine_topk": {
         "must": ["BroadcastNestedLoopJoin"],  # broadcast query side, no shuffle of corpus
@@ -105,7 +133,8 @@ def main() -> int:
     spark = get_spark("explain_audit")
     failed = []
     for name, spec in CHECKS.items():
-        plan = plan_of(registry[name].fn(spark, sf_dir))
+        build = spec.get("build") or registry[name].fn
+        plan = plan_of(build(spark, sf_dir))
         problems = [f"missing: {m}" for m in spec["must"] if m not in plan]
         problems += [f"present: {m}" for m in spec["must_not"] if m in plan]
         if problems:
