@@ -104,6 +104,91 @@ def test_infer_qty_invariants(spark, rows):
             assert abs(r.total / r.price - r.q) < 0.021
 
 
+CAPS_WORD = st.from_regex(r"[A-Z]{2,8}", fullmatch=True).filter(lambda w: w != "SP")
+VENDOR_SUFFIXES = ["INC", "LLC", "CORP", "PAVING", "CONSTRUCTION", "GRADING"]
+_CENTS = st.integers(min_value=100, max_value=9_999_999)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # vendors: (name words, company suffix)
+        st.tuples(st.lists(CAPS_WORD, min_size=1, max_size=2), st.sampled_from(VENDOR_SUFFIXES)),
+        min_size=1,
+        max_size=4,
+    ),
+    st.lists(  # items: (description words, unit, qty, lump-sum?, SP prefix?)
+        st.tuples(
+            st.lists(CAPS_WORD, min_size=1, max_size=3),
+            st.sampled_from(["DAY", "SY", "TON", "EA"]),
+            st.integers(min_value=1, max_value=99999),
+            st.booleans(),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.data(),
+)
+def test_bid_tabs_parser_roundtrip(spark, vendors, items, data):
+    """Generate an n-bidder bid-tabs document from the T7 grammar (vendor
+    header block, item lines with unit parens / Lump Sum variants / optional
+    SP prefix, trailing (unit_price, amount) money pairs in bidder order),
+    parse it, and demand the items × bidders positional join reproduces the
+    generative ground truth exactly."""
+    from pdf_etl_pipeline_spark.parsers.nc import parse_bid_tabs
+
+    # unique-ify vendor names with a letter prefix (duplicate names would
+    # make the expected multiset ambiguous, not a parser property)
+    names = [
+        " ".join([chr(65 + i) * 2] + words + [suffix])
+        for i, (words, suffix) in enumerate(vendors)
+    ]
+    nv = len(names)
+    prices = [
+        [data.draw(_CENTS) / 100 for _ in range(2 * nv)] for _ in items
+    ]
+    lines = [
+        "BID TABULATION",
+        "Letting Date: May 3, 2023",
+        "Contract: DA00569",
+        "Call Number: 001",
+        "FED AID: State Funded",
+        "Counties: CRAVEN",
+        *names,
+    ]
+    for i, (words, unit, qty, lump, sp) in enumerate(items, 1):
+        desc = " ".join(words)
+        head = f"{i:04d} {i:07d}-N " + ("SP " if sp else "") + desc
+        body = "(LS) Lump Sum" if lump else f"({unit}) {qty:,}"
+        pair_toks = " ".join(f"{p:,.2f}" for p in prices[i - 1])
+        lines.append(f"{head} {body} {pair_toks}")
+
+    rows = parse_bid_tabs(
+        spark.createDataFrame([("gen.pdf", lines)], "path string, lines array<string>")
+    ).collect()
+    assert len(rows) == len(items) * nv
+    got = {
+        (r.line_no, r.item_no, r.item_description, r.unit, r.qty, r.vendor_name,
+         r.unit_price, r.amount_bid)
+        for r in rows
+    }
+    want = set()
+    for i, (words, unit, qty, lump, sp) in enumerate(items, 1):
+        for v, vn in enumerate(names):
+            want.add((
+                f"{i:04d}",
+                f"{i:07d}-N",
+                " ".join(words),
+                "LS" if lump else unit,
+                None if lump else float(qty),
+                vn,
+                prices[i - 1][2 * v],
+                prices[i - 1][2 * v + 1],
+            ))
+    assert got == want
+    assert all(r.contract_id == "DA00569" and r.call_number == "001" for r in rows)
+
+
 NAME_WORD = st.from_regex(r"[A-Z][a-z]{2,8}", fullmatch=True)
 
 

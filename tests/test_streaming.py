@@ -171,6 +171,63 @@ def test_watermark_drops_late_event(spark, tmp_path):
     assert (10, 0) not in starts  # the too-late event's window never materialized
 
 
+def test_stateful_state_survives_restart(spark, tmp_path):
+    """Kill-and-resume recovery: two SEPARATE query starts share one
+    checkpoint dir. Run 1 processes two events for user 1 and stops
+    (availableNow terminates the query — the 'kill'). Run 2 is a brand-new
+    query object over the same checkpoint, fed one more event; its emitted
+    running total must CONTINUE from run 1's state (n=3, sum of all three
+    values), proving applyInPandasWithState state is restored from the
+    state-store checkpoint rather than rebuilt from scratch."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pdf_etl_pipeline_spark.streaming.jobs import EVENTS_SCHEMA, stateful_user_totals
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    drops_dir = tmp_path / "drops"
+    drops_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def add_file(i, rows):
+        staging = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, str(drops_dir / f"{i:04d}.parquet"))
+
+    def run():
+        stream = spark.readStream.format("parquet").schema(EVENTS_SCHEMA).load(str(drops_dir))
+        q = (
+            stateful_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    add_file(0, [(1, t(12, 0), 1, "click", 1.0, "{}"), (2, t(12, 5), 1, "click", 2.0, "{}")])
+    run()
+    first = {(r.user_id, r.n_events, r.total_value) for r in spark.read.parquet(sink).collect()}
+    assert (1, 2, 3.0) in first  # run 1 accumulated both events
+    add_file(1, [(3, t(12, 10), 1, "click", 4.0, "{}")])
+    run()  # brand-new query start, same checkpoint
+    rows = {(r.user_id, r.n_events, r.total_value) for r in spark.read.parquet(sink).collect()}
+    # the restart continued from (n=2, total=3.0), not from empty state
+    assert (1, 3, 7.0) in rows
+    assert (1, 1, 4.0) not in rows
+
+
 def test_stateful_user_totals_accumulates(spark, event_drop_dir):
     from pdf_etl_pipeline_spark.streaming.jobs import stateful_user_totals
 
