@@ -37,6 +37,20 @@ BENCH_QUERIES = [
 ]
 
 
+RUNS = 2  # min-of-N absorbs machine-load noise (r4: 71 s loaded vs 33 s idle)
+
+
+def _reset_session_memos() -> None:
+    """Clear the catalog's session-level memo caches (shared LSH pair index,
+    dd5 pair index, k-means centroids) so every timed run rebuilds from the
+    parquet scan — min-of-N must measure the query, not a memo hit."""
+    from pdf_etl_pipeline_spark.catalog import dedup_q, similarity_q
+
+    dedup_q._PAIRS_CACHE.clear()
+    dedup_q._DD5_CACHE.clear()
+    similarity_q._CENTROID_CACHE.clear()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -51,9 +65,13 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name].fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(RUNS):
+            _reset_session_memos()
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -64,6 +82,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "runs": RUNS,
             }
         )
     )

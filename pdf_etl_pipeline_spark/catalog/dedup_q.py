@@ -72,18 +72,27 @@ def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Shared LSH pair index ----------------------------------------------------
 # The near-dup pair relation feeds SIX catalog queries (dd3, dd6, dd6b, cc1,
 # cc2, cc4). A real system builds the LSH index ONCE and every consumer reads
-# it; the session-level memo below is that pattern — localCheckpoint
-# materializes the pairs eagerly on first use, later queries reuse the
-# materialized RDD instead of re-hashing the corpus.
+# it; the session-level memo below is that pattern — ``materialize=True``
+# checkpoints the pairs eagerly on first use (and unpersists the build-time
+# intermediates), later queries reuse the materialized RDD instead of
+# re-hashing the corpus.
 _PAIRS_CACHE: dict = {}
 
 
+def _session_key(spark: SparkSession) -> str:
+    """Stable per-session memo key. ``id(spark)`` is NOT usable: CPython
+    reuses addresses after GC, so a stopped session's cache entry could be
+    served to a brand-new session (stale checkpointed RDDs bound to a dead
+    context). ``applicationId`` is unique per SparkContext."""
+    return spark.sparkContext.applicationId
+
+
 def shared_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> DataFrame:
-    key = (id(spark), sf_dir, threshold)
+    key = (_session_key(spark), sf_dir, threshold)
     if key not in _PAIRS_CACHE:
         _PAIRS_CACHE[key] = DD.minhash_lsh_pairs(
-            load_table(spark, sf_dir, "documents"), threshold
-        ).localCheckpoint()
+            load_table(spark, sf_dir, "documents"), threshold, materialize=True
+        )
     return _PAIRS_CACHE[key]
 
 
@@ -231,7 +240,7 @@ def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- DD5: embedding cosine near-dups (banded sign-LSH — the scale path) ------
-# Candidates come from a 4-band × 8-plane sign-LSH equi-join (shuffle key =
+# Candidates come from a 4-band × 16-plane sign-LSH equi-join (shuffle key =
 # (band, sign key)), never an all-pairs product; exact cosine verifies only
 # the survivors. The brute O(n²) verifier stays in the library
 # (DD.embedding_dup_pairs) as the test-only recall baseline.
@@ -243,8 +252,8 @@ def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-for-bit in the oracle — so the gate pins the banding join, the
 # cosine arithmetic and the pair orientation with >0 rows at every sf.
 _TWIN_OFFSET = 1_000_000
-_TWIN_SQL = """
-  SELECT vec_id + 1000000 AS id,
+_TWIN_SQL = f"""
+  SELECT vec_id + {_TWIN_OFFSET} AS id,
          list_transform(range(1, len(embedding) + 1),
                         i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.05
                                   ELSE CAST(embedding[i] AS DOUBLE) END) AS v
@@ -253,6 +262,9 @@ _BANDED_ARMS = "\nUNION ALL\n".join(
     f"SELECT id, v, {b} AS band, {SIM.sign_key_sql('v', ps)} AS key FROM aug"
     for b, ps in enumerate(SIM.BAND_PLANE_SETS)
 )
+
+
+_DD5_CACHE: dict = {}
 
 
 def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,13 +299,20 @@ SELECT id_a, id_b, round({_COS}, 6) AS cosine
 FROM cands
 WHERE {_COS} >= 0.9
 ORDER BY id_a, id_b""",
-    doc="DD5 embedding near-dup pairs, cosine ≥ 0.9 via banded sign-LSH candidates (4 bands × 8 planes); planted deterministic twins keep the gate non-trivial",
+    doc="DD5 embedding near-dup pairs, cosine ≥ 0.9 via banded sign-LSH candidates (4 bands × 16 planes); planted deterministic twins keep the gate non-trivial",
 )
 def dd5_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return SIM.embedding_dup_pairs_lsh(
-        _augmented_embeddings(spark, sf_dir), threshold=0.9
-    ).orderBy("id_a", "id_b")
+    # session-level memo (same pattern as shared_pairs): the banded join +
+    # verify runs once per (session, sf_dir); materialize=True checkpoints
+    # the result and unpersists the build-time band/candidate caches so a
+    # long-lived session accumulates no cached blocks per invocation.
+    key = (_session_key(spark), sf_dir)
+    if key not in _DD5_CACHE:
+        _DD5_CACHE[key] = SIM.embedding_dup_pairs_lsh(
+            _augmented_embeddings(spark, sf_dir), threshold=0.9, materialize=True
+        )
+    return _DD5_CACHE[key].orderBy("id_a", "id_b")
 
 
 # --- DD2b: word-shingle Jaccard (order-sensitive n-gram dedup) ----------------

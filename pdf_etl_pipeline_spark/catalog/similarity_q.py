@@ -85,11 +85,15 @@ ranked AS (
 )
 SELECT vec_id, nbr_id, round(cos, 6) AS cosine, rank
 FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""",
-    doc="SS5 ANN similarity JOIN: every vector's top-3 in-bucket neighbors (bucketed self-join, cost sum(bucket^2) not n^2)",
+    doc="SS5 ANN similarity JOIN: every vector's top-3 in-bucket neighbors (bucketed self-join, cost sum(bucket^2) not n^2); hot buckets salted at cap=32 — result identical, work bounded per task",
 )
 def ss5_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return SS.knn_join(load_table(spark, sf_dir, "embeddings"), k=3).orderBy("vec_id", "rank")
+    # bucket_cap engages the skew lever on the gate path itself: salting is
+    # result-identical (same oracle), so correctness pins the lever too.
+    return SS.knn_join(load_table(spark, sf_dir, "embeddings"), k=3, bucket_cap=32).orderBy(
+        "vec_id", "rank"
+    )
 
 
 _COS_C = cosine_sql("embedding", "centroid")
@@ -104,7 +108,12 @@ _CENTROID_CACHE: dict = {}
 
 
 def shared_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): CPython reuses addresses after GC, so an
+    # id() key could serve a dead session's checkpointed centroids to a new
+    # session at the same address (see dedup_q._session_key).
+    from pdf_etl_pipeline_spark.catalog.dedup_q import _session_key
+
+    key = (_session_key(spark), sf_dir)
     if key not in _CENTROID_CACHE:
         _CENTROID_CACHE[key] = SS.kmeans_centroids(
             load_table(spark, sf_dir, "embeddings")

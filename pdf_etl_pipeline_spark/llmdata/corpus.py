@@ -225,6 +225,14 @@ def frequent_tokens(
     is map-only (k-row summaries per partition), phase 2 shuffles only the
     candidate-filtered tokens. The same candidates-then-verify shape as the
     MinHash-LSH dedup path.
+
+    The recount and the grand total come from ONE aggregation over ONE scan:
+    the group key is ``tok`` for candidates and NULL for everything else, so
+    map-side partial aggregation collapses the non-candidate mass to at most
+    one row per task (shuffle volume ≈ candidates + #partitions, same as the
+    semi-join form) and ``sum(cnt)`` over the tiny aggregated relation is
+    exactly the corpus token count — no second full pass just for the
+    denominator.
     """
     import pandas as pd
 
@@ -250,12 +258,17 @@ def frequent_tokens(
         )
 
     cands = toks.mapInPandas(mg, "tok string").distinct()
-    total = toks.count()
+    marked = toks.join(
+        F.broadcast(cands.withColumn("is_cand", F.lit(True))), "tok", "left"
+    )
+    counted = marked.groupBy(
+        F.when(F.col("is_cand"), F.col("tok")).alias("tok")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())  # ≤ k·partitions+1 rows
     return (
-        toks.join(F.broadcast(cands), "tok", "left_semi")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") > phi * total)
+        counted.withColumn("total", total)
+        .filter(F.col("tok").isNotNull() & (F.col("cnt") > phi * F.col("total")))
+        .select("tok", "cnt")
         .orderBy(F.desc("cnt"), "tok")
     )
 

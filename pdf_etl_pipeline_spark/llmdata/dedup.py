@@ -200,8 +200,20 @@ def minhash_signatures_agg(docs: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.9, persist: bool = True) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    persist: bool = True,
+    materialize: bool = False,
+) -> DataFrame:
     """Candidate pairs sharing ≥1 LSH band, verified with true Jaccard.
+    Measured candidate growth across scale factors is tabulated in
+    SCALE.md §"Measured scale curve".
+
+    ``materialize=True`` checkpoints the (small) verified-pair result and
+    unpersists every build-time cache (hashed tokens, signatures,
+    candidates) — long-lived sessions leak no cached blocks per call; the
+    session-level memo in ``catalog.dedup_q.shared_pairs`` builds on this.
 
     Single-hash-pass design: tokens are exploded and md5-hashed ONCE into a
     ``(doc_id, h)`` relation; both the 64 MinHash signature aggregates and
@@ -279,11 +291,17 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.9, persist: bool = T
     verified = cands.join(ta, "doc_a").join(tb, "doc_b")
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.size("ta") + F.size("tb") - inter
-    return (
+    result = (
         verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    if materialize:
+        result = result.localCheckpoint()  # eager; pair relation is small
+        if persist:
+            for cached in (cands, sigs, hashed):
+                cached.unpersist()
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -312,10 +330,17 @@ def near_dup_clusters(
     reproducible in the SQL oracle (unrolled iteration chain). At true
     100 TB graph diameters you'd switch to large-star/small-star rounds —
     same join shape, logarithmic round count.
+
+    Convergence is verified, not assumed: ``label_components`` iterates
+    until the monotone label sum stops changing (so a diameter-7 chain no
+    longer silently under-merges at ``iters=6``) and stops early the round
+    it converges. The fixed-round oracle stays valid because the synthetic
+    near-dup components converge well inside ``iters`` (dense copy
+    clusters) — pinned by the dd6 gate staying green.
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, threshold)
-    return label_components(docs, pairs, rounds=iters, doubling=False)
+    return label_components(docs, pairs, rounds=iters, doubling=False, until_converged=True)
 
 
 STAR_ROUNDS = 5
@@ -337,15 +362,22 @@ def near_dup_clusters_star(
     covered distance roughly doubles per round — diameter-D components
     converge in O(log D) rounds where plain propagation needs D (pinned by
     a chain-graph test). Same per-round shuffles (keyed joins + a
-    groupBy-min) — no new scale primitives, just fewer rounds.
+    groupBy-min) — no new scale primitives, just fewer rounds; the
+    monotone-sum convergence check stops the loop the round the fixed
+    point is reached (and keeps going past ``rounds`` if it is not).
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, threshold)
-    return label_components(docs, pairs, rounds=rounds, doubling=True)
+    return label_components(docs, pairs, rounds=rounds, doubling=True, until_converged=True)
 
 
 def label_components(
-    nodes: DataFrame, pairs: DataFrame, rounds: int, doubling: bool
+    nodes: DataFrame,
+    pairs: DataFrame,
+    rounds: int,
+    doubling: bool,
+    until_converged: bool = False,
+    max_rounds: int = 64,
 ) -> DataFrame:
     """Shared min-label engine over an undirected pair relation.
 
@@ -354,6 +386,20 @@ def label_components(
     of the upstream subtree; measured: Catalyst analysis alone never
     finished). localCheckpoint truncates lineage per round — the standard
     iterative-graph pattern (GraphX checkpoints the same way).
+
+    Convergence is OBSERVED, not assumed: labels only ever decrease
+    (``least`` of the old label and neighbor minima), so the global
+    ``sum(cluster_id)`` is strictly decreasing until the fixed point — an
+    unchanged sum between rounds is a convergence certificate. The check is
+    one scalar aggregate per round over the just-checkpointed 2-column
+    frame (cheap; no label-diff self-join). Every mode breaks as soon as
+    the sum stops moving — extra rounds past the fixed point are no-ops.
+
+    ``until_converged=True`` iterates PAST ``rounds`` to the exact fixed
+    point (bounded by ``max_rounds``) — the mode that fixes plain
+    propagation silently under-merging chains with diameter > ``rounds``;
+    ``False`` keeps the fixed-round contract the unrolled SQL oracles
+    reproduce.
     """
     edges = (
         pairs.select("doc_a", "doc_b")
@@ -361,7 +407,9 @@ def label_components(
         .localCheckpoint()
     )
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(rounds):
+    prev_sum = None
+    done = 0
+    while True:
         nbr = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -386,6 +434,13 @@ def label_components(
                 ),
             )
         labels = labels.localCheckpoint()
+        done += 1
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break  # fixed point reached — labels can only decrease
+        prev_sum = cur_sum
+        if done >= (max_rounds if until_converged else rounds):
+            break
     return labels.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
 
 

@@ -35,15 +35,26 @@ def _plane_component(i: int, j: int) -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
-# 4 independent bands of 8 planes (32 total). Band 0 is the original 8-plane
-# set, so the single-bucket consumers (ss2/ss5) are byte-identical to before;
-# the banded near-dup join (dd5) ORs candidates across all 4 bands — the
-# sign-LSH analog of MinHash banding: band length sets selectivity, band
-# count sets recall (measured at cos≥0.9: ~2.2% of pairs candidates,
-# ≥99.8% recall).
-ALL_PLANES = [[_plane_component(i, j) for j in range(DIM)] for i in range(N_BANDS * N_PLANES)]
+# Two plane pools from one deterministic generator:
+# - PLANES: the 8-plane / 256-bucket set the single-bucket ANN consumers
+#   (ss2/ss5) key on — unchanged across rounds.
+# - BAND_PLANE_SETS: 4 independent bands of PLANES_PER_BAND=16 planes for
+#   the banded near-dup join (dd5) — the sign-LSH analog of MinHash
+#   banding: band length sets selectivity, band count sets recall. 8-plane
+#   bands measured a constant ~1.9% of ALL pairs as background candidates
+#   on the clustered driver embeddings (quadratic at scale, just 50×
+#   cheaper); 16-plane bands cut the background rate ~25× while the
+#   planted cos≈0.999 twins still collide in ≥1 band with probability
+#   ≈ 1 (per-plane sign-flip chance is tiny at that similarity) —
+#   measured numbers in SCALE.md §"Measured scale curve".
+PLANES_PER_BAND = 16
+ALL_PLANES = [
+    [_plane_component(i, j) for j in range(DIM)] for i in range(N_BANDS * PLANES_PER_BAND)
+]
 PLANES = ALL_PLANES[:N_PLANES]
-BAND_PLANE_SETS = [ALL_PLANES[b * N_PLANES : (b + 1) * N_PLANES] for b in range(N_BANDS)]
+BAND_PLANE_SETS = [
+    ALL_PLANES[b * PLANES_PER_BAND : (b + 1) * PLANES_PER_BAND] for b in range(N_BANDS)
+]
 
 
 def sign_key(vec: Column, planes: list[list[float]]) -> Column:
@@ -131,7 +142,7 @@ def hyperplane_lsh_topk(
     )
 
 
-def knn_join(embeddings: DataFrame, k: int = 3) -> DataFrame:
+def knn_join(embeddings: DataFrame, k: int = 3, bucket_cap: int | None = None) -> DataFrame:
     """ANN similarity JOIN: EVERY vector's top-k in-bucket neighbors (the
     batch primitive behind embedding near-dup sweeps and link prediction —
     ss1/ss2 answer a handful of queries; this answers all of them).
@@ -139,16 +150,54 @@ def knn_join(embeddings: DataFrame, k: int = 3) -> DataFrame:
     Bucketed self-join on the hyperplane sign key — the shuffle key — so
     cost is Σ bucket² instead of n²; per-vector exact cosine re-rank
     inside the bucket. Skewed buckets (dense embedding regions) are the
-    scale hazard: the lever is more planes (smaller buckets) or salting a
-    hot bucket with a secondary plane set, same as any skewed join key.
+    scale hazard; ``bucket_cap`` is the explicit lever:
+
+    Buckets larger than ``bucket_cap`` are SALTED — the probe side keeps
+    one deterministic salt per vector (hash of vec_id mod n_salt, with
+    n_salt = ceil(size/cap)), the build side replicates its rows to every
+    salt, and the join key becomes (bucket, salt). Each in-bucket pair
+    still meets exactly once (on the probe row's salt), so the result is
+    BIT-IDENTICAL to the unsalted join — only the hot bucket's work is
+    split across ~n_salt tasks of ≤ cap probe rows each, bounding per-task
+    memory/runtime the way any skew-join salting does. Cold buckets take
+    the n_salt=1 path unchanged; hot-bucket detection is one map-side-
+    combined count + a broadcast join (the hot list is tiny by definition).
+    Recall is untouched because salting re-partitions work, never
+    candidates — unlike sub-bucketing with extra planes, which would drop
+    cross-sub-bucket pairs.
     """
     wb = embeddings.select("vec_id", "embedding", bucket_key(F.col("embedding")).alias("bucket"))
-    a = wb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("va"), "bucket")
-    b = wb.select(F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("vb"), "bucket")
-    scored = (
-        a.join(b, ["bucket"])
-        .filter(F.col("vec_id") != F.col("nbr_id"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+    if bucket_cap is not None:
+        from pdf_etl_pipeline_spark.functions.scalars import portable_hash32
+
+        hot = (
+            wb.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("bsize"))
+            .filter(F.col("bsize") > bucket_cap)
+            .select("bucket", F.ceil(F.col("bsize") / bucket_cap).alias("n_salt"))
+        )
+        salted = wb.join(F.broadcast(hot), "bucket", "left").withColumn(
+            "n_salt", F.coalesce("n_salt", F.lit(1))
+        )
+        a = salted.select(
+            "vec_id",
+            F.col("embedding").alias("va"),
+            "bucket",
+            (portable_hash32(F.col("vec_id").cast("string")) % F.col("n_salt")).alias("salt"),
+        )
+        b = salted.select(
+            F.col("vec_id").alias("nbr_id"),
+            F.col("embedding").alias("vb"),
+            "bucket",
+            F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)).alias("salt"),
+        )
+        scored = a.join(b, ["bucket", "salt"])
+    else:
+        a = wb.select("vec_id", F.col("embedding").alias("va"), "bucket")
+        b = wb.select(F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("vb"), "bucket")
+        scored = a.join(b, ["bucket"])
+    scored = scored.filter(F.col("vec_id") != F.col("nbr_id")).withColumn(
+        "cos", cosine(F.col("va"), F.col("vb"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr_id")
     return (
@@ -164,7 +213,10 @@ def knn_join(embeddings: DataFrame, k: int = 3) -> DataFrame:
 
 
 def embedding_dup_pairs_lsh(
-    embeddings: DataFrame, threshold: float = 0.9, persist: bool = True
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    persist: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded sign-LSH — the scale path that
     replaces the brute all-pairs verifier (``dedup.embedding_dup_pairs``,
@@ -174,10 +226,15 @@ def embedding_dup_pairs_lsh(
     ``N_BANDS`` (band, sign-key) rows, candidates share any band key (the
     equi-join shuffle key — never an all-pairs product), then an exact
     cosine re-rank over only the surviving pairs. Cost is Σ bucket² per
-    band instead of n²; recall at cos≥0.9 is ≥99.8% with 4 bands of 8
-    planes while ~2% of random pairs become candidates (measured on the
-    synthetic embeddings — band length trades selectivity for recall
-    exactly like MinHash band width).
+    band instead of n²; band length trades selectivity for recall exactly
+    like MinHash band width (4 bands × 16 planes here — see the constants
+    comment). Measured candidate growth across scale factors is tabulated
+    in SCALE.md §"Measured scale curve".
+
+    ``materialize=True`` checkpoints the (small) verified-pair result and
+    unpersists the build-time caches — the bands relation and the candidate
+    pairs — so repeated calls in a long-lived session leak no cached
+    blocks. Callers wanting a lazy plan pass ``persist=False``.
     """
     from pyspark import StorageLevel
 
@@ -208,18 +265,25 @@ def embedding_dup_pairs_lsh(
         # materialize so AQE plans the verify joins against real sizes
         cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
         cands.count()
+        # bands only feeds cands — with cands materialized it can go now
+        bands.unpersist()
     # verify join pulls vectors ONLY for ids that survived banding
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("vec_id")).distinct()
     vecs = e.join(cand_ids, "vec_id", "left_semi")
     va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    return (
+    result = (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
     )
+    if materialize:
+        result = result.localCheckpoint()  # eager; pairs relation is small
+        if persist:
+            cands.unpersist()
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,11 @@ def load_events(spark: SparkSession, sf_dir: str):
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The TIMESTAMP_NTZ->TIMESTAMP cast below is wall-clock-preserving only
+    # when the session timezone is UTC; a driver-owned session that hasn't
+    # been through tune() may carry a machine-local zone, silently shifting
+    # ts/ts_ns. Pin it here, next to the other load-critical conf.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(df.dtypes)["ts"]
     if ts_type in ("bigint", "long"):

@@ -235,3 +235,52 @@ def test_invoice_parser_roundtrip(spark, items, rate):
     assert got == want
     assert all(r.total_amount == total and r.tax_label == float(rate) for r in rows)
     assert all(r.invoice_number == "42" and r.supplier_tin == "123456789" for r in rows)
+
+
+@settings(max_examples=3, deadline=None)
+@given(salt=st.integers(min_value=0, max_value=10**9))
+def test_minhash_lsh_recall_tracks_banding_curve(spark, salt):
+    """Pin the banding math itself (llmdata/dedup.py band constants), not
+    just fixed fixtures: plant pairs at controlled Jaccard tiers in disjoint
+    token namespaces and compare measured candidate recall against the
+    theoretical curve P(candidate | j) = 1 - (1 - j^r)^b with r=16, b=4.
+
+    - identical pairs (j=1) MUST all be candidates (every band equal);
+    - mid pairs (j≈0.905) must recall ≥ curve(j) − binomial tolerance;
+    - low pairs (j≈0.51) must mostly be missed (the selectivity side of the
+      same curve — wide bands would make everything a candidate).
+
+    The randomness driving the Bernoulli trials is the token hash values,
+    so a hypothesis-drawn namespace salt gives fresh independent trials per
+    example. Verification threshold is 0.0 so only banding gates detection.
+    """
+    from pdf_etl_pipeline_spark.llmdata.dedup import BANDS, ROWS_PER_BAND, minhash_lsh_pairs
+
+    n, n_pairs = 40, 30
+    tiers = {"high": 40, "mid": 38, "low": 27}  # shared-token count m per tier
+    rows, planted = [], {t: [] for t in tiers}
+    did = 0
+    for tier, m in tiers.items():
+        for p in range(n_pairs):
+            ns = f"s{salt}{tier}{p}"  # lowercase alphanumeric: survives tokenization
+            a_toks = [f"{ns}a{k}" for k in range(n)]
+            b_toks = a_toks[:m] + [f"{ns}b{k}" for k in range(n - m)]
+            rows.append((did, " ".join(a_toks)))
+            rows.append((did + 1, " ".join(b_toks)))
+            planted[tier].append((did, did + 1))
+            did += 2
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, threshold=0.0).collect()}
+
+    def recall(tier):
+        ps = planted[tier]
+        return sum((a, b) in got for a, b in ps) / len(ps)
+
+    def curve(m):
+        j = m / (2 * n - m)
+        return 1 - (1 - j**ROWS_PER_BAND) ** BANDS
+
+    assert recall("high") == 1.0  # identical sets share every band, always
+    # 30 Bernoulli trials at p≈0.59: 3σ ≈ 0.27 — one-sided lower tolerance
+    assert recall("mid") >= curve(38) - 0.27
+    assert recall("low") <= 0.2  # curve(27) ≈ 1e-4: steep selectivity holds

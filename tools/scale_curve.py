@@ -1,0 +1,239 @@
+"""Measured scale curve for the dd3 (MinHash-LSH) and dd5 (sign-LSH) dedup
+paths — the evidence behind SCALE.md's "candidates grow with true near-dup
+pairs, not with n²" claim.
+
+For each corpus it records: corpus size, LSH candidate-pair count, verified
+near-dup pair count, brute-force comparison count n(n-1)/2, and end-to-end
+wall time of the verified-pair query. Corpora:
+
+- dd3: the driver's documents table at sf0.01 and sf0.1, a ~3× sf0.1 corpus
+  generated with the driver's shape (same 31-word vocabulary and length
+  distribution — deliberately DUP-SATURATED: with a 31-word vocab, most doc
+  pairs share most distinct tokens, so TRUE pairs grow ~quadratically and
+  candidates must track them), and a dup-CONTROLLED series (per-doc token
+  namespaces + a fixed 10% planted near-copy rate — true pairs grow
+  linearly, the regime real web corpora live in at 100 TB).
+- dd5: the embeddings table (with the dd5 twin augmentation — n planted
+  twin pairs) at sf0.01/sf0.1 and a generated 3× corpus of the same shape.
+
+Candidate counts reuse the library's own building blocks
+(minhash_signatures_agg, sign_key/BAND_PLANE_SETS) so the measured joins
+are the measured code paths. Usage:
+
+    python tools/scale_curve.py [--quick]   # quick = skip the 3x corpora
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+from pdf_etl_pipeline_spark.llmdata import dedup as DD
+from pdf_etl_pipeline_spark.llmdata import similarity as SIM
+from pdf_etl_pipeline_spark.session import get_spark, load_table
+
+
+# ---------------------------------------------------------------------------
+# Corpus generators (deterministic, seeded)
+# ---------------------------------------------------------------------------
+def driver_shaped_docs(spark, n_docs: int, seed: int = 7) -> DataFrame:
+    """Documents with the driver generator's shape: 31-word vocabulary,
+    ~30-110 tokens/doc (empirical range of the sf tables)."""
+    vocab = (
+        "key agg row scan slow fast table value part hash merge batch line sort "
+        "window spark order data column join small customer query big the a stream "
+        "group filter sessions grid"
+    ).split()
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_docs):
+        n_tok = int(rng.integers(28, 112))
+        toks = rng.choice(vocab, size=n_tok)
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def dup_controlled_docs(spark, n_docs: int, dup_rate: float = 0.10, seed: int = 11) -> DataFrame:
+    """Documents whose TRUE near-dup pair count grows linearly: each doc
+    draws from its own token namespace (no accidental overlap), and a fixed
+    fraction are near-copies of an earlier doc (2 of ~40 tokens replaced →
+    Jaccard ≈ 0.9). This is the regime web-scale corpora live in: dups are
+    a per-document rate, not an all-pairs phenomenon."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    n_tok = 40
+    for i in range(n_docs):
+        if i > 0 and rng.random() < dup_rate:
+            src = int(rng.integers(0, i))
+            base = [f"d{src}t{k}" for k in range(n_tok)]
+            for k in rng.choice(n_tok, size=2, replace=False):
+                base[int(k)] = f"d{i}r{int(k)}"
+            rows.append((i, " ".join(base)))
+        else:
+            rows.append((i, " ".join(f"d{i}t{k}" for k in range(n_tok))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def shaped_embeddings(spark, n_vecs: int, seed: int = 13) -> DataFrame:
+    """Embeddings with the driver table's shape: 64-dim float vectors in
+    16 label clusters (cluster center + noise, like the sf tables)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1.0, size=(16, 64))
+    rows = []
+    for i in range(n_vecs):
+        c = int(rng.integers(0, 16))
+        v = centers[c] + rng.normal(0, 0.6, size=64)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def twin_augment(emb: DataFrame) -> DataFrame:
+    """The dd5 gate's deterministic twin augmentation (+0.05 on component 0,
+    id offset +1e6) — every input vector gains one planted near-dup."""
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    twin = e.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == F.lit(0), x + F.lit(0.05)).otherwise(x)
+        ).alias("embedding"),
+    )
+    return e.unionAll(twin)
+
+
+# ---------------------------------------------------------------------------
+# Candidate counters (library building blocks — the measured code paths)
+# ---------------------------------------------------------------------------
+def dd3_candidates(docs: DataFrame) -> int:
+    sigs = DD.minhash_signatures_agg(docs).persist()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"s{b * DD.ROWS_PER_BAND + r}") for r in range(DD.ROWS_PER_BAND)]
+            ).alias("key"),
+        )
+        for b in range(DD.BANDS)
+    ]
+    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    n = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .dropDuplicates()
+        .count()
+    )
+    sigs.unpersist()
+    return n
+
+
+def dd5_candidates(emb: DataFrame) -> int:
+    e = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), SIM.sign_key(F.col("v"), ps).alias("key"))
+        for b, ps in enumerate(SIM.BAND_PLANE_SETS)
+    ]
+    bands = e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    ).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    n = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id"), F.col("b.vec_id"))
+        .dropDuplicates()
+        .count()
+    )
+    bands.unpersist()
+    return n
+
+
+def measure_dd3(label: str, docs: DataFrame) -> dict:
+    docs = docs.persist()
+    n = docs.count()
+    cands = dd3_candidates(docs)
+    t0 = time.time()
+    verified = DD.minhash_lsh_pairs(docs, 0.9, materialize=True).count()
+    wall = round(time.time() - t0, 2)
+    docs.unpersist()
+    return {
+        "corpus": label,
+        "n_docs": n,
+        "brute_pairs": n * (n - 1) // 2,
+        "lsh_candidates": cands,
+        "verified_pairs": verified,
+        "wall_sec": wall,
+    }
+
+
+def measure_dd5(label: str, emb: DataFrame) -> dict:
+    aug = twin_augment(emb).persist()
+    n = aug.count()
+    cands = dd5_candidates(aug)
+    t0 = time.time()
+    verified = SIM.embedding_dup_pairs_lsh(aug, 0.9, materialize=True).count()
+    wall = round(time.time() - t0, 2)
+    aug.unpersist()
+    return {
+        "corpus": label,
+        "n_vecs": n,
+        "brute_pairs": n * (n - 1) // 2,
+        "lsh_candidates": cands,
+        "verified_pairs": verified,
+        "wall_sec": wall,
+    }
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    spark = get_spark("scale_curve")
+    out: dict[str, list[dict]] = {"dd3": [], "dd3_controlled": [], "dd5": []}
+
+    for sf in ("sf0.01", "sf0.1"):
+        docs = load_table(spark, f"/root/testdata/{sf}", "documents")
+        out["dd3"].append(measure_dd3(f"driver {sf}", docs))
+        print(json.dumps(out["dd3"][-1]), flush=True)
+    if not quick:
+        out["dd3"].append(measure_dd3("shaped 3x (15k docs)", driver_shaped_docs(spark, 15_000)))
+        print(json.dumps(out["dd3"][-1]), flush=True)
+
+    for n in (1_000, 5_000, 15_000) if not quick else (1_000, 5_000):
+        out["dd3_controlled"].append(
+            measure_dd3(f"controlled {n // 1000}k", dup_controlled_docs(spark, n))
+        )
+        print(json.dumps(out["dd3_controlled"][-1]), flush=True)
+
+    for sf in ("sf0.01", "sf0.1"):
+        emb = load_table(spark, f"/root/testdata/{sf}", "embeddings")
+        out["dd5"].append(measure_dd5(f"driver {sf}", emb))
+        print(json.dumps(out["dd5"][-1]), flush=True)
+    if not quick:
+        out["dd5"].append(measure_dd5("shaped 3x (6k vecs)", shaped_embeddings(spark, 6_000)))
+        print(json.dumps(out["dd5"][-1]), flush=True)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
