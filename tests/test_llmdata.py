@@ -277,6 +277,22 @@ def test_embedding_lsh_pairs_vs_brute(spark, sf_dir):
     assert len(twins & set(lsh)) >= 0.995 * n  # banding recovers ≥99.5%
 
 
+def test_twin_offset_cannot_collide(spark):
+    """The dd5 twin augmentation offsets ids by _TWIN_OFFSET; a corpus with
+    vec_id >= _TWIN_OFFSET would alias a twin onto a real vector. Guard the
+    invariant at every test scale factor (real corpora would need the
+    offset raised — the oracle interpolates the same constant, so it is a
+    one-line change in catalog/dedup_q.py)."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.catalog.dedup_q import _TWIN_OFFSET
+    from pdf_etl_pipeline_spark.session import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        mx = load_table(spark, sf, "embeddings").agg(F2.max("vec_id")).first()[0]
+        assert mx < _TWIN_OFFSET
+
+
 def test_ivf_learned_centroids_beat_fixed_recall(spark, sf_dir):
     """Learned (k-means) IVF cells must give better nprobe=1 recall@5 than
     the fixed id-subset baseline, measured against exact top-5 on queries

@@ -117,6 +117,13 @@ CHECKS = {
         "must": ["Window"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "ss5_knn_join": {
+        # skew-salted bucketed self-join: must stay a hash equi-join on
+        # (bucket, salt) — salting must never degrade it to a nested-loop
+        # or cartesian shape, and the hot-bucket detect is an aggregate
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     "st6_attribution_join": {
         # interval join must equi-join on user_id (BroadcastHashJoin at
         # this SF via AQE; SortMergeJoin at scale) with the time range as a
