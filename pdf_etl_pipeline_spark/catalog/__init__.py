@@ -42,6 +42,7 @@ _MODULES = [
     "similarity_q",
     "text_q",
     "curation_q",
+    "ingest_q",
 ]
 
 

@@ -135,24 +135,28 @@ def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- DD6: near-dup clusters (transitive closure over dd3 pairs) ---------------
-def _label_rounds(iters: int) -> str:
+def _label_rounds(iters: int, nodes: str = "documents", edges: str = "e", prefix: str = "l") -> str:
     """Unrolled min-label propagation (mirrors DD.near_dup_clusters): each
     round every doc takes the min cluster label among itself and its
     neighbors. Fixed round count = exactly reproducible across engines.
+
+    ``nodes``/``edges``/``prefix`` parameterize the relations so the same
+    unrolling serves the full-corpus clustering (dd6, defaults) and the
+    per-batch clustering inside the st7 ingest oracle.
 
     Every round CTE is MATERIALIZED: each references the previous round
     TWICE, so left to inlining the plan doubles per round and drags the
     whole MinHash subtree along (measured: DuckDB OOM-killed at 6 rounds).
     The SQL analog of the Spark side's localCheckpoint-per-round."""
-    ctes = ["l0 AS MATERIALIZED (SELECT doc_id, doc_id AS cluster_id FROM documents)"]
+    ctes = [f"{prefix}0 AS MATERIALIZED (SELECT doc_id, doc_id AS cluster_id FROM {nodes})"]
     for i in range(1, iters + 1):
-        p = f"l{i - 1}"
+        p = f"{prefix}{i - 1}"
         ctes.append(
-            f"""l{i} AS MATERIALIZED (
+            f"""{prefix}{i} AS MATERIALIZED (
   SELECT l.doc_id, least(l.cluster_id, COALESCE(m.nbr_min, l.cluster_id)) AS cluster_id
   FROM {p} l LEFT JOIN (
     SELECT e.doc_a AS doc_id, MIN(pl.cluster_id) AS nbr_min
-    FROM e JOIN {p} pl ON e.doc_b = pl.doc_id GROUP BY 1
+    FROM {edges} e JOIN {p} pl ON e.doc_b = pl.doc_id GROUP BY 1
   ) m ON l.doc_id = m.doc_id)"""
         )
     return ",\n".join(ctes)

@@ -200,6 +200,41 @@ def minhash_signatures_agg(docs: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def hashed_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) relation: every distinct token md5-hashed ONCE mod p —
+    the single-pass source both the signatures and the verify sets derive
+    from (shared by the batch pair query and the streaming ingest)."""
+    return docs.select("doc_id", F.explode(tokens_col("text")).alias("t")).select(
+        "doc_id", (portable_hash32(F.col("t")) % P31).alias("h")
+    )
+
+
+def signatures_from_hashed(hashed: DataFrame) -> DataFrame:
+    """64 MinHash aggregates (s0..s63) over the hashed-token relation."""
+    sig_aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P31).alias(f"s{i}")
+        for i, (a, b) in enumerate(zip(PERM_A, PERM_B))
+    ]
+    return hashed.groupBy("doc_id").agg(*sig_aggs)
+
+
+def bands_from_signatures(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH banding relation — the equi-join/shuffle key
+    for candidate generation, and the on-disk index schema for ingest."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("key"),
+        )
+        for b in range(BANDS)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.9,
@@ -231,30 +266,13 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    hashed = docs.select("doc_id", F.explode(tokens_col("text")).alias("t")).select(
-        "doc_id", (portable_hash32(F.col("t")) % P31).alias("h")
-    )
+    hashed = hashed_tokens(docs)
     if persist:
         hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
-    sig_aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P31).alias(f"s{i}")
-        for i, (a, b) in enumerate(zip(PERM_A, PERM_B))
-    ]
-    sigs = hashed.groupBy("doc_id").agg(*sig_aggs)
+    sigs = signatures_from_hashed(hashed)
     if persist:
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "-", *[F.col(f"s{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias("key"),
-        )
-        for b in range(BANDS)
-    ]
-    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    bands = bands_from_signatures(sigs)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

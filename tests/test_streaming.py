@@ -257,3 +257,92 @@ def test_stateful_user_totals_accumulates(spark, event_drop_dir):
     )
     assert (got["n"] == batch["n_events"]).all()
     assert (got["t"] - batch["total_value"].round(4)).abs().max() < 1e-6
+
+
+# --- ST7: incremental near-dup ingest ----------------------------------------
+def test_ingest_single_batch_equals_cluster_keepers(spark, sf_dir, tmp_path):
+    """One ingest batch against an empty index is exactly offline cluster
+    dedup: admitted docs == the near-dup component minima (dd6b keepers)."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import near_dup_clusters_star
+    from pdf_etl_pipeline_spark.llmdata.ingest import ingest_batch
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = {r.doc_id for r in ingest_batch(docs, str(tmp_path / "ix1")).collect()}
+    offline = {
+        r.doc_id for r in near_dup_clusters_star(docs).filter("is_keeper").collect()
+    }
+    assert kept == offline
+
+
+def test_ingest_multi_batch_invariants(spark, sf_dir, tmp_path):
+    """Three id-ordered ingest batches: (a) the admitted set contains every
+    offline component minimum (online can only over-admit, never drop a
+    canonical doc), and (b) the admitted corpus is pair-free — no two
+    admitted docs are near-dups of each other."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.llmdata.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters_star,
+    )
+    from pdf_etl_pipeline_spark.llmdata.ingest import ingest_batch
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    ix = str(tmp_path / "ix3")
+    kept = set()
+    for lo, hi in ((None, cut1), (cut1, cut2), (cut2, None)):
+        batch = docs
+        if lo is not None:
+            batch = batch.filter(F2.col("doc_id") >= lo)
+        if hi is not None:
+            batch = batch.filter(F2.col("doc_id") < hi)
+        kept |= {r.doc_id for r in ingest_batch(batch, ix).collect()}
+
+    offline = {r.doc_id for r in near_dup_clusters_star(docs).filter("is_keeper").collect()}
+    assert offline <= kept  # online never drops a canonical doc
+    surviving = docs.filter(F2.col("doc_id").isin(list(kept)))
+    n_pairs = minhash_lsh_pairs(surviving, 0.9, materialize=True).count()
+    assert n_pairs == 0  # admitted corpus is near-dup-free
+
+
+def test_ingest_streaming_foreachbatch(spark, sf_dir, tmp_path):
+    """Drive the real foreachBatch stream over parquet document drops: the
+    admitted index satisfies the same invariants as the batch ingest."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.llmdata.dedup import minhash_lsh_pairs, near_dup_clusters_star
+    from pdf_etl_pipeline_spark.llmdata.ingest import TOKS_SUBDIR, near_dup_ingest_stream
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    drop_dir = str(tmp_path / "doc_drops")
+    docs.coalesce(2).write.mode("overwrite").parquet(drop_dir)
+    ix = str(tmp_path / "ix_stream")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .load(drop_dir)
+    )
+    q = near_dup_ingest_stream(stream, ix).start()
+    q.awaitTermination(300)
+
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(ix, TOKS_SUBDIR)).select("doc_id").collect()
+    }
+    # micro-batch arrival order is not id-ordered, so the exact offline
+    # subset property doesn't apply; the order-independent invariants do:
+    # every near-dup component lands >=1 admitted doc (the first-arriving
+    # piece's minimum can't be rejected — no component member was admitted
+    # before it), and the admitted corpus is near-dup pair-free.
+    n_components = near_dup_clusters_star(docs).filter("is_keeper").count()
+    assert len(kept) >= n_components
+    assert len(kept) <= docs.count()
+    surviving = docs.filter(F2.col("doc_id").isin(list(kept)))
+    assert minhash_lsh_pairs(surviving, 0.9, materialize=True).count() == 0
