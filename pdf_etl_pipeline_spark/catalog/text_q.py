@@ -139,3 +139,30 @@ FROM base ORDER BY doc_id""",
 def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return TX.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# --- TX7: unigram-LM quality score --------------------------------------------
+from pdf_etl_pipeline_spark.functions.scalars import dec_sum_sql  # noqa: E402
+
+@register(
+    "tx7_unigram_logprob",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+lp AS (SELECT tok, round(ln(cnt / total), 6) AS logp FROM vocab, tot),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         round({dec_sum_sql('logp')} / COUNT(*), 6) AS avg_logprob
+  FROM toks JOIN lp USING (tok) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       p.avg_logprob
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id""",
+    doc="TX7 unigram-LM quality score (CCNet-style): avg per-token log probability under the corpus's own unigram distribution; 1-row broadcast total, decimal-exact mean",
+)
+def tx7_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return TX.unigram_logprob(load_table(spark, sf_dir, "documents")).orderBy("doc_id")

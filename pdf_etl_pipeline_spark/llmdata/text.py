@@ -163,6 +163,51 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """CCNet-style unigram language-model quality score: each document's
+    average per-token natural-log probability under the corpus's OWN
+    unigram distribution (Wenzek et al. 2019 rank pages by LM perplexity;
+    the unigram form is the shuffle-only Spark-native analog — no external
+    model artifact, the corpus is the model).
+
+    Shape for scale: tokens explode to (doc_id, tok); the vocabulary
+    aggregate is one map-side-combined shuffle; the grand total joins back
+    as a 1-row broadcast (NEVER a partition-less window — vocabulary is
+    millions of rows at 100 TB); scoring is an equi-join on the token (the
+    shuffle key) + one keyed per-doc aggregate.
+
+    Cross-engine determinism: libm ``ln`` may differ in the last ulp
+    between engines, so the per-token logprob is rounded to 6 decimals in
+    BOTH engines before averaging, and the per-doc mean runs through exact
+    decimal sums (order-independent, like every money aggregate here).
+    """
+    from pdf_etl_pipeline_spark.functions.scalars import dec_sum
+
+    toks = docs.select("doc_id", F.explode(tokens_col("text", distinct=False)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.round(F.log(F.col("cnt") / F.col("total")), 6).alias("logp")
+    )
+    per_doc = (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(dec_sum("logp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            "avg_logprob",
+        )
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprints: md5 of normalized text + a 1-perm MinHash of
     8-gram character shingles (rolling-hash analog, content-defined)."""

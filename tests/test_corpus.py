@@ -174,3 +174,33 @@ def test_frequent_tokens_partitioning_independent(spark):
     b = [(r.tok, r.cnt) for r in frequent_tokens(docs.repartition(13)).collect()]
     c = [(r.tok, r.cnt) for r in frequent_tokens(docs.coalesce(1)).collect()]
     assert a == b == c == [("hot", 2000)]
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """tx7 on a 3-doc corpus with a hand-computable unigram distribution:
+    'a' appears 4/8 times, 'b' 2/8, 'c' and 'd' 1/8 each; doc scores are
+    the mean of per-token ln(p) (rounded to 6 as the engine contract)."""
+    import math
+
+    from pdf_etl_pipeline_spark.llmdata.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a a b d"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    lp = {t: round(math.log(c / 8), 6) for t, c in {"a": 4, "b": 2, "c": 1, "d": 1}.items()}
+    for d, toks in ((1, ["a", "a", "b", "c"]), (2, ["a", "a", "b", "d"])):
+        assert out[d].n_tokens == 4
+        # 1.1e-6 tolerance: Python round() is banker's, the engines round
+        # HALF_UP — they differ by exactly 1e-6 on .5 boundaries (doc 1's
+        # mean is -1.2130075, a boundary case; both ENGINES agree, which is
+        # what the tx7 oracle pins)
+        assert abs(out[d].avg_logprob - sum(lp[t] for t in toks) / 4) < 1.1e-6
+    assert out[3].n_tokens == 0 and out[3].avg_logprob is None
+    # the common-word doc scores higher than the rare-word doc would if we
+    # replace 'a a' with rare singletons
+    rare = spark.createDataFrame([(9, "x y b c")], "doc_id long, text string")
+    out9 = unigram_logprob(docs.unionAll(rare)).filter("doc_id in (1, 9)").collect()
+    scores = {r.doc_id: r.avg_logprob for r in out9}
+    assert scores[1] > scores[9]
