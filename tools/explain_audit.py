@@ -117,6 +117,13 @@ CHECKS = {
         "must": ["Window"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "tx7_unigram_logprob": {
+        # corpus-total must join back as a 1-row broadcast (BNLJ over a
+        # single row is the legitimate shape, like ss1's query side) —
+        # never a partition-less window over the vocabulary
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
     "ss5_knn_join": {
         # skew-salted bucketed self-join: must stay a hash equi-join on
         # (bucket, salt) — salting must never degrade it to a nested-loop
