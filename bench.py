@@ -49,6 +49,7 @@ def _reset_session_memos() -> None:
     dedup_q._PAIRS_CACHE.clear()
     dedup_q._DD5_CACHE.clear()
     similarity_q._CENTROID_CACHE.clear()
+    similarity_q._PQ_CACHE.clear()
 
 
 def main() -> None:

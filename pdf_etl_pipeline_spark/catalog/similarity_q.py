@@ -121,40 +121,45 @@ def shared_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CENTROID_CACHE[key]
 
 
-def _kmeans_ctes(n_cells: int, iters: int) -> str:
+def _kmeans_ctes(n_cells: int, iters: int, table: str = "embeddings", prefix: str = "") -> str:
     """CTE chain reproducing ``SS.kmeans_centroids`` iteration-for-iteration:
     hash-seeded init, nearest-centroid assignment, decimal-exact per-dim
-    means, empty cells keep their previous centroid."""
+    means, empty cells keep their previous centroid.
+
+    ``table``/``prefix`` parameterize the input relation and CTE names so
+    the same unrolling serves the full-space index (ss3/ss4, defaults) and
+    the per-subspace PQ codebooks (ss6, one prefixed chain per subspace).
+    The input relation must expose (vec_id, embedding)."""
     from pdf_etl_pipeline_spark.functions.scalars import portable_hash32_sql
 
     h = portable_hash32_sql("CAST(vec_id AS VARCHAR)")
     ctes = [
-        f"""c0 AS (
+        f"""{prefix}c0 AS (
   SELECT vec_id AS cell_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-  FROM embeddings ORDER BY {h}, vec_id LIMIT {n_cells})"""
+  FROM {table} ORDER BY {h}, vec_id LIMIT {n_cells})"""
     ]
     for i in range(1, iters + 1):
-        prev = f"c{i - 1}"
+        prev = f"{prefix}c{i - 1}"
         ctes.append(
-            f"""a{i} AS (
+            f"""{prefix}a{i} AS (
   SELECT vec_id, embedding, cell_id FROM (
     SELECT e.vec_id, e.embedding, c.cell_id,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY {_COS_C} DESC, c.cell_id) AS rn
-    FROM embeddings e CROSS JOIN {prev} c
+    FROM {table} e CROSS JOIN {prev} c
   ) WHERE rn = 1)"""
         )
         ctes.append(
-            f"""m{i} AS (
+            f"""{prefix}m{i} AS (
   SELECT cell_id, pos,
          CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mv
-  FROM (SELECT cell_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM a{i})
+  FROM (SELECT cell_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM {prefix}a{i})
   GROUP BY 1, 2)"""
         )
         ctes.append(
-            f"""c{i} AS (
+            f"""{prefix}c{i} AS (
   SELECT p.cell_id, COALESCE(n.centroid, p.centroid) AS centroid
   FROM {prev} p LEFT JOIN (
-    SELECT cell_id, array_agg(mv ORDER BY pos) AS centroid FROM m{i} GROUP BY 1
+    SELECT cell_id, array_agg(mv ORDER BY pos) AS centroid FROM {prefix}m{i} GROUP BY 1
   ) n ON p.cell_id = n.cell_id)"""
         )
     return ",\n".join(ctes)
@@ -198,6 +203,97 @@ def ss3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _QUERY_IDS,
         k=5,
         centroids=shared_centroids(spark, sf_dir),
+    )
+
+
+# --- SS6: product quantization + ADC ------------------------------------------
+# 8 subspace codebooks learned by the SAME deterministic k-means as ss3
+# (8-dim slices, PQ_K=8 cells, 3 iterations); corpus stored as codes; ADC
+# scores = per-query (m, cell) dot-product table joined to the codes.
+_PQ_CACHE: dict = {}
+
+
+def shared_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_etl_pipeline_spark.catalog.dedup_q import _session_key
+
+    key = (_session_key(spark), sf_dir)
+    if key not in _PQ_CACHE:
+        _PQ_CACHE[key] = SS.pq_codebooks(
+            load_table(spark, sf_dir, "embeddings")
+        ).localCheckpoint()
+    return _PQ_CACHE[key]
+
+
+def _pq_oracle() -> str:
+    from pdf_etl_pipeline_spark.functions.scalars import dec_sum_sql
+    from pdf_etl_pipeline_spark.llmdata.dedup import dot_sql
+
+    d, final = SS.PQ_SUBDIM, f"c{SS.PQ_ITERS}"
+    slices = ",\n".join(
+        f"pqs{m} AS (SELECT vec_id, embedding[{m * d + 1}:{(m + 1) * d}] AS embedding FROM embeddings)"
+        for m in range(SS.PQ_M)
+    )
+    chains = ",\n".join(
+        _kmeans_ctes(SS.PQ_K, SS.PQ_ITERS, table=f"pqs{m}", prefix=f"q{m}")
+        for m in range(SS.PQ_M)
+    )
+    cb = "\nUNION ALL\n".join(
+        f"SELECT {m} AS m, cell_id, centroid FROM q{m}{final}" for m in range(SS.PQ_M)
+    )
+    assigns = ",\n".join(
+        f"""pqa{m} AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_COS_C} DESC, c.cell_id) AS rn
+    FROM pqs{m} e CROSS JOIN q{m}{final} c
+  ) WHERE rn = 1)"""
+        for m in range(SS.PQ_M)
+    )
+    codes = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {m} AS m, cell_id FROM pqa{m}" for m in range(SS.PQ_M)
+    )
+    mvals = ", ".join(f"({m})" for m in range(SS.PQ_M))
+    return f"""
+WITH {slices},
+{chains},
+pqcb AS MATERIALIZED ({cb}),
+{assigns},
+pqcodes AS MATERIALIZED ({codes}),
+pqq AS (
+  SELECT vec_id AS query_id, m, embedding[m * {d} + 1 : (m + 1) * {d}] AS qv
+  FROM embeddings, (VALUES {mvals}) mm(m)
+  WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+),
+pqtbl AS MATERIALIZED (
+  SELECT query_id, t.m, c.cell_id, {dot_sql('qv', 'centroid')} AS part
+  FROM pqq t JOIN pqcb c ON t.m = c.m
+),
+scored AS (
+  SELECT query_id, p.vec_id AS cand_id, round({dec_sum_sql('part')}, 6) AS adc_score
+  FROM pqcodes p JOIN pqtbl t ON p.m = t.m AND p.cell_id = t.cell_id
+  WHERE t.query_id <> p.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, adc_score, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+
+@register(
+    "ss6_pq_adc_topk",
+    oracle=_pq_oracle(),
+    doc="SS6 product-quantization ADC top-5: 8 subspace codebooks (deterministic k-means), corpus stored as 8 codes/vector (32x compression), scores via broadcast query-side lookup tables — full vectors never shuffle",
+)
+def ss6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return SS.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        k=5,
+        codebooks=shared_pq_codebooks(spark, sf_dir),
     )
 
 

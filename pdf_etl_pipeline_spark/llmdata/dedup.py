@@ -521,14 +521,21 @@ def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold inner product — identical op order to the SQL
+    oracle so doubles match bit-for-bit."""
+    a, b = _as_double(a), _as_double(b)
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Sequential-fold cosine — identical op order to the SQL oracle so
     doubles match bit-for-bit."""
     a, b = _as_double(a), _as_double(b)
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    dp = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    return dp / (na * nb)
 
 
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
@@ -554,6 +561,11 @@ def minhash_signature_sql(text_expr: str) -> str:
         for a, b in zip(PERM_A, PERM_B)
     )
     return f"[{perms}]"
+
+
+def dot_sql(a: str, b: str) -> str:
+    prod = f"list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    return f"list_reduce({prod}, (x, y) -> x + y)"
 
 
 def cosine_sql(a: str, b: str) -> str:

