@@ -284,3 +284,51 @@ def sj1_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_items"), dec_sum("l_extendedprice").alias("revenue"))
         .orderBy("s_nationkey")
     )
+
+
+# --- RS2: OHLC resample -------------------------------------------------------
+@register(
+    "rs2_ohlc_resample",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s,
+         value,
+         row_number() OVER (PARTITION BY event_type, (epoch_ns(ts) // 3600000000000)
+                            ORDER BY epoch_ns(ts), event_id, value) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, (epoch_ns(ts) // 3600000000000)
+                            ORDER BY epoch_ns(ts) DESC, event_id DESC, value DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket_s,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events,
+       {dec_sum_sql('value')} AS volume
+FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="RS2 hourly OHLC resample per event_type: open/close via min_by/max_by on the (ts, event_id, value) ordering (deterministic under duplicate timestamps), exact-decimal volume — one map-side-combined keyed aggregation",
+)
+def rs2_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    # lexicographic struct comparison ≡ the oracle's multi-key ORDER BY;
+    # the trailing value key makes ties (duplicate ts+event_id rows) pick
+    # the same row in both engines
+    ord_ = F.struct("ts_ns", "event_id", "value")
+    bucket = ((F.col("ts_ns") / F.lit(3_600_000_000_000)).cast("long") * 3600).alias(
+        "bucket_s"
+    )
+    return (
+        ev.groupBy("event_type", bucket)
+        .agg(
+            F.min_by("value", ord_).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("volume"),
+        )
+        .orderBy("event_type", "bucket_s")
+    )

@@ -262,3 +262,48 @@ def w8_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --- W9: ordered funnel -------------------------------------------------------
+_FUNNEL = ["signup", "view", "click", "purchase"]
+_FUNNEL_COLS = ["signup_ns", "view_ns", "click_ns", "purchase_ns"]
+
+
+def _funnel_oracle() -> str:
+    ctes, prev = [], None
+    for i, etype in enumerate(_FUNNEL):
+        if prev is None:
+            ctes.append(
+                f"""s0 AS (
+  SELECT user_id, MIN(epoch_ns(ts)) AS t0 FROM events
+  WHERE event_type = '{etype}' GROUP BY 1)"""
+            )
+        else:
+            ctes.append(
+                f"""s{i} AS (
+  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t{i}
+  FROM events e JOIN s{i - 1} p ON e.user_id = p.user_id
+  WHERE e.event_type = '{etype}' AND epoch_ns(e.ts) > p.t{i - 1}
+  GROUP BY 1)"""
+            )
+        prev = etype
+    joins = "".join(
+        f"\nLEFT JOIN s{i} USING (user_id)" for i in range(1, len(_FUNNEL))
+    )
+    sel = ", ".join(f"t{i} AS {c}" for i, c in enumerate(_FUNNEL_COLS))
+    return f"WITH {', '.join(ctes)}\nSELECT user_id, {sel} FROM s0{joins} ORDER BY user_id"
+
+
+@register(
+    "w9_funnel_steps",
+    oracle=_funnel_oracle(),
+    doc="W9 ordered funnel (signup -> view -> click -> purchase): per-user first-completion times, each step strictly after the previous; one keyed agg + join per step, all on the user_id shuffle key",
+)
+def w9_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.operators.funnel import funnel_steps
+
+    out = funnel_steps(load_events(spark, sf_dir), _FUNNEL)
+    return out.select(
+        "user_id", *[F.col(f"t{i}").alias(c) for i, c in enumerate(_FUNNEL_COLS)]
+    ).orderBy("user_id")

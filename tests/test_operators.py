@@ -66,3 +66,32 @@ def test_salted_join_shuffles_on_key_and_salt(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "_salt" in plan
+
+
+def test_funnel_strictly_ordered_semantics(spark):
+    """w9 semantics on a hand-built log: steps must complete in order,
+    each strictly after the previous — a purchase BEFORE the click doesn't
+    count, an equal-timestamp event doesn't count (strict >), and users
+    who never did step 0 are absent."""
+    from pdf_etl_pipeline_spark.operators.funnel import funnel_steps
+
+    rows = [
+        # u1: clean in-order funnel
+        (1, "signup", 100), (1, "view", 200), (1, "click", 300), (1, "purchase", 400),
+        # u2: purchase happened before the click -> purchase not counted
+        (2, "signup", 100), (2, "view", 200), (2, "purchase", 250), (2, "click", 300),
+        # u3: view at the SAME instant as signup -> strict > rejects it,
+        #     the later view counts instead
+        (3, "signup", 100), (3, "view", 100), (3, "view", 500),
+        # u4: no signup -> excluded entirely
+        (4, "view", 100), (4, "purchase", 200),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_ns long")
+    out = {
+        r.user_id: (r.t0, r.t1, r.t2, r.t3)
+        for r in funnel_steps(ev, ["signup", "view", "click", "purchase"]).collect()
+    }
+    assert out[1] == (100, 200, 300, 400)
+    assert out[2] == (100, 200, 300, None)  # purchase@250 precedes click@300
+    assert out[3] == (100, 500, None, None)  # view@100 not strictly after signup@100
+    assert 4 not in out
