@@ -332,3 +332,18 @@ def rs2_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_s")
     )
+
+
+# --- SK2: KMV distinct-count sketch -------------------------------------------
+from pdf_etl_pipeline_spark.operators.sketches import kmv_distinct, kmv_sql  # noqa: E402
+
+@register(
+    "sk2_kmv_distinct",
+    oracle=kmv_sql("lineitem", "l_returnflag", "l_partkey"),
+    doc="SK2 KMV distinct-count sketch: per-returnflag approximate COUNT(DISTINCT partkey) from the k=64 smallest portable hashes (pre-pruned to 1/8 of hash space) — a hash-checkable approximation, unlike HLL",
+)
+def sk2_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return kmv_distinct(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_partkey"
+    ).orderBy("l_returnflag")

@@ -95,3 +95,39 @@ def test_funnel_strictly_ordered_semantics(spark):
     assert out[2] == (100, 200, 300, None)  # purchase@250 precedes click@300
     assert out[3] == (100, 500, None, None)  # view@100 not strictly after signup@100
     assert 4 not in out
+
+
+def test_kmv_estimate_accuracy_and_fallback(spark, sf_dir):
+    """KMV sketch sanity: (a) groups with < k surviving hashes report the
+    EXACT distinct count (fallback path), (b) large groups estimate within
+    the standard ~1/sqrt(k) relative-error envelope of the true
+    cardinality, (c) output is deterministic across runs."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.operators.sketches import KMV_K, kmv_distinct
+    from pdf_etl_pipeline_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F2.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    out1 = {r.l_returnflag: r for r in kmv_distinct(li, "l_returnflag", "l_partkey").collect()}
+    out2 = {r.l_returnflag: r for r in kmv_distinct(li, "l_returnflag", "l_partkey").collect()}
+    assert {k: (v.est_distinct, v.sketch_size) for k, v in out1.items()} == {
+        k: (v.est_distinct, v.sketch_size) for k, v in out2.items()
+    }
+    for flag, true_n in exact.items():
+        r = out1[flag]
+        if r.sketch_size < KMV_K:
+            assert r.est_distinct == float(true_n)  # exact fallback
+        else:
+            # ~4 standard errors of the KMV estimator (1/sqrt(k-2))
+            assert abs(r.est_distinct - true_n) / true_n < 4 / (KMV_K - 2) ** 0.5
+
+    # tiny synthetic group: must take the exact path
+    tiny = spark.createDataFrame([("g", i) for i in range(10)], "grp string, v long")
+    t = kmv_distinct(tiny, "grp", "v").collect()[0]
+    assert t.est_distinct == 10.0 and t.sketch_size < KMV_K
