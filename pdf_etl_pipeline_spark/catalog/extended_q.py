@@ -347,3 +347,18 @@ def sk2_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(
         load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_partkey"
     ).orderBy("l_returnflag")
+
+
+# --- J5: fuzzy record linkage -------------------------------------------------
+from pdf_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs, fuzzy_pairs_sql  # noqa: E402
+
+@register(
+    "j5_fuzzy_supplier_match",
+    oracle=fuzzy_pairs_sql("supplier", "s_suppkey", "s_name"),
+    doc="J5 fuzzy record linkage: supplier pairs within edit distance 1 via SymSpell deletion-variant equi-join (shuffle on the variant, Levenshtein only on candidates — never a quadratic name scan)",
+)
+def j5_fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return fuzzy_pairs(
+        load_table(spark, sf_dir, "supplier"), "s_suppkey", "s_name"
+    ).orderBy("key_a", "key_b")

@@ -131,3 +131,25 @@ def test_kmv_estimate_accuracy_and_fallback(spark, sf_dir):
     tiny = spark.createDataFrame([("g", i) for i in range(10)], "grp string, v long")
     t = kmv_distinct(tiny, "grp", "v").collect()[0]
     assert t.est_distinct == 10.0 and t.sketch_size < KMV_K
+
+
+def test_fuzzy_pairs_covers_all_ed1_edit_kinds(spark):
+    """Deletion-neighborhood candidates must cover every edit-distance-1
+    relation (substitution, insertion, deletion) and the exact verify must
+    kill shared-variant false positives (transpositions are ED 2)."""
+    from pdf_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs
+
+    rows = [
+        (1, "spark"),
+        (2, "spork"),   # substitution of 1
+        (3, "sparks"),  # insertion vs 1
+        (4, "spak"),    # deletion vs 1
+        (5, "ab"),
+        (6, "ba"),      # transposition: shares deletion variants, ED 2
+        (7, "zzzzz"),   # unrelated
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r.key_a, r.key_b): r.edit_dist for r in fuzzy_pairs(df, "id", "name").collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert (5, 6) not in got  # candidate generated but verified out
+    assert all(7 not in pair for pair in got)
