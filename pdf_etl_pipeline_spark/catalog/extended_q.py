@@ -317,9 +317,10 @@ def rs2_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the trailing value key makes ties (duplicate ts+event_id rows) pick
     # the same row in both engines
     ord_ = F.struct("ts_ns", "event_id", "value")
-    bucket = ((F.col("ts_ns") / F.lit(3_600_000_000_000)).cast("long") * 3600).alias(
-        "bucket_s"
-    )
+    # integer `div`, not '/': double division rounds int64 nanoseconds above
+    # 2^53 by up to ~128 ns, which could flip a bucket at an hour boundary —
+    # `div` floors exactly like the oracle's epoch_ns(ts) // 3600000000000
+    bucket = (F.expr("ts_ns div 3600000000000") * 3600).alias("bucket_s")
     return (
         ev.groupBy("event_type", bucket)
         .agg(
@@ -349,6 +350,21 @@ def sk2_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+@register(
+    "sk3_kmv_sketch_only",
+    oracle=kmv_sql("lineitem", "l_returnflag", "l_partkey", exact_fallback=False),
+    doc="SK3 KMV in sketch-only mode (exact_fallback=False): NO exact distinct aggregation anywhere — the only distinct shuffle is the 1/8-pruned survivor relation (filter pushed to the scan), non-full sketches estimated as survivors*prune; the true sketch-scale cost shape, still hash-checked",
+)
+def sk3_kmv_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return kmv_distinct(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_partkey",
+        exact_fallback=False,
+    ).orderBy("l_returnflag")
+
+
 # --- J5: fuzzy record linkage -------------------------------------------------
 from pdf_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs, fuzzy_pairs_sql  # noqa: E402
 
@@ -361,4 +377,16 @@ def j5_fuzzy_supplier_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return fuzzy_pairs(
         load_table(spark, sf_dir, "supplier"), "s_suppkey", "s_name"
+    ).orderBy("key_a", "key_b")
+
+
+@register(
+    "j5b_fuzzy_ed2",
+    oracle=fuzzy_pairs_sql("supplier", "s_suppkey", "s_name", max_dist=2),
+    doc="J5b fuzzy linkage at edit distance 2: COMPLETE depth-2 deletion neighborhoods (SymSpell guarantee: Levenshtein<=d pairs share a depth-d variant) — O(len^2) variants per record, still linear in record count, Levenshtein only on candidates",
+)
+def j5b_fuzzy_ed2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return fuzzy_pairs(
+        load_table(spark, sf_dir, "supplier"), "s_suppkey", "s_name", max_dist=2
     ).orderBy("key_a", "key_b")

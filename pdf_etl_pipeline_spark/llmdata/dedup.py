@@ -453,7 +453,13 @@ def label_components(
             )
         labels = labels.localCheckpoint()
         done += 1
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        # decimal(38,0) sum: raw int64 sums overflow (ANSI mode: throw) once
+        # corpora reach billions of large doc_ids — exactly the scale this
+        # loop targets; decimal is exact to 38 digits so the certificate
+        # (strictly-decreasing sum) still holds
+        cur_sum = labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).first()[0]
         if cur_sum == prev_sum:
             break  # fixed point reached — labels can only decrease
         prev_sum = cur_sum

@@ -145,12 +145,19 @@ def ingest_batch(batch_docs: DataFrame, index_dir: str, threshold: float = 0.9) 
     # materialize admissions BEFORE appending to the index this plan reads
     kept = kept.localCheckpoint()
 
-    # 3. append the admitted docs' index rows
-    bands.join(kept, "doc_id", "left_semi").write.mode("append").parquet(
-        os.path.join(index_dir, BANDS_SUBDIR)
-    )
+    # 3. append the admitted docs' index rows. toks FIRST: the two writes
+    # are not atomic, and a failure in between must leave a safe state. A
+    # doc with toks but no bands is merely invisible to future admission
+    # joins (its near-dups get re-admitted — an availability error); a doc
+    # with bands but no toks would generate banding candidates whose inner
+    # join on the missing verify set silently DROPS them, wrongly admitting
+    # true near-duplicates (a correctness error). At cluster scale both
+    # writes move into one transactional-table commit.
     toks.join(kept, "doc_id", "left_semi").write.mode("append").parquet(
         os.path.join(index_dir, TOKS_SUBDIR)
+    )
+    bands.join(kept, "doc_id", "left_semi").write.mode("append").parquet(
+        os.path.join(index_dir, BANDS_SUBDIR)
     )
     for cached in (bands, toks, hashed):
         cached.unpersist()

@@ -11,18 +11,37 @@ Misra-Gries heavy hitters: deterministic sketch, verifiable output).
 
 Estimator (Bar-Yossef et al. 2002): with distinct values hashed uniformly
 into [0, M), and h_(k) the k-th smallest distinct hash in a group,
-``est = (k-1) * M / h_(k)``; groups with fewer than k distinct hashes are
-exact (their full hash set is known) — the standard small-cardinality
-fallback.
+``est = (k-1) * M / h_(k)``.
 
-Scale shape: (group, hash) pairs are distinct-ed (map-side combined), then
-PRE-FILTERED to ``h < M/prune`` before any ordering — only ~1/prune of the
-hash space ever reaches the per-group k-min selection, so the row_number
-window runs on a tiny survivor relation, not the full cardinality. The
-filter is sound because the k smallest hashes are always below M/prune
-whenever the group has ≥ k·prune-ish distinct values; the fallback path
-covers the rest exactly. At 100 TB, ``prune`` is sized so survivors per
-group ≈ a few·k.
+Two modes, honestly priced:
+
+- ``exact_fallback=True`` (default, the oracle-registered mode): groups
+  whose sketch is not full fall back to their EXACT distinct-hash count.
+  That exactness requires a full distinct aggregation over (group, hash)
+  — i.e. this mode does NOT save the distinct shuffle; the sketch's
+  saving is confined to the ordering/window stage, which runs on the
+  ~1/prune survivor relation instead of the full cardinality. The two
+  consumers of the hashed relation are deliberately NOT persisted/shared:
+  Catalyst pushes the ``h < M/prune`` predicate beneath the survivor
+  branch's shuffle (verified in the plan — the branches' exchanges differ,
+  so no ReusedExchange), giving a 1/prune-volume shuffle + a pruned scan,
+  which at 100 TB beats materializing the full deduped relation to save
+  one scan.
+- ``exact_fallback=False`` (the true sketch-scale mode): no exact total is
+  computed anywhere — the only shuffles are the pre-pruned (group, h)
+  dedup (1/prune of the hash space, filter pushed to the scan) and a
+  cheap per-group count for the group universe. Non-full sketches are
+  estimated as ``survivors * prune`` (each survivor represents 1/prune of
+  the hash space — unbiased, relative error ~1/sqrt(survivors)). This
+  mode targets the regime distinct >> k*prune; tiny groups get noisy
+  estimates (a group whose hashes all land above M/prune reads 0), which
+  is the inherent price of pruning — size ``prune`` so expected survivors
+  per group >> 1.
+
+The pre-filter is sound for the full-sketch path in BOTH modes: the k
+smallest hashes are below M/prune whenever the group has enough distinct
+values to fill the sketch from survivors alone; groups where pruning
+starves the sketch take the fallback (exact or survivors*prune).
 """
 
 from __future__ import annotations
@@ -38,18 +57,22 @@ KMV_PRUNE = 8  # keep hashes < M/8 for the k-min selection
 
 
 def kmv_distinct(
-    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K, prune: int = KMV_PRUNE
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = KMV_K,
+    prune: int = KMV_PRUNE,
+    exact_fallback: bool = True,
 ) -> DataFrame:
-    """Per-group approximate distinct count of ``value_col``; exact for
-    groups with < k surviving hashes. Output: (group, est_distinct,
-    sketch_size) with est_distinct rounded to 6 decimals."""
+    """Per-group approximate distinct count of ``value_col``. Output:
+    (group, est_distinct, sketch_size) with est_distinct rounded to 6
+    decimals. See the module docstring for the two modes' cost honesty:
+    ``exact_fallback=True`` is exact for non-full sketches but pays a full
+    distinct aggregation; ``False`` never computes an exact total."""
     thresh = M_SPACE // prune
     hashed = df.select(
         F.col(group_col), portable_hash32(F.col(value_col).cast("string")).alias("h")
     ).dropDuplicates([group_col, "h"])
-    # exact distinct-hash count per group rides along for the fallback
-    # decision (one extra aggregate over the same shuffle, not a new scan)
-    totals = hashed.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_hashes"))
     survivors = hashed.filter(F.col("h") < thresh)
     w = Window.partitionBy(group_col).orderBy("h")
     kth = (
@@ -58,33 +81,50 @@ def kmv_distinct(
         .groupBy(group_col)
         .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("sketch_size"))
     )
-    est = F.when(
-        F.col("sketch_size") >= k,
-        (F.lit(k - 1) * F.lit(float(M_SPACE))) / F.col("h_k"),
-    ).otherwise(F.col("n_hashes").cast("double"))
-    return (
-        totals.join(kth, group_col, "left")
-        .select(
-            group_col,
-            F.round(
-                F.coalesce(est, F.col("n_hashes").cast("double")), 6
-            ).alias("est_distinct"),
-            F.coalesce(F.col("sketch_size"), F.lit(0)).cast("long").alias("sketch_size"),
-        )
+    full_est = (F.lit(k - 1) * F.lit(float(M_SPACE))) / F.col("h_k")
+    if exact_fallback:
+        # exact distinct-hash count per group — a FULL distinct aggregation
+        # (this is what makes non-full sketches exact, and what this mode
+        # does not save; see module docstring)
+        base = hashed.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_hashes"))
+        fallback = F.col("n_hashes").cast("double")
+    else:
+        # group universe only: map-side-combined count over the RAW rows —
+        # no distinct aggregation anywhere in this mode
+        base = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+        fallback = (F.coalesce(F.col("sketch_size"), F.lit(0)) * F.lit(float(prune)))
+    est = F.when(F.col("sketch_size") >= k, full_est).otherwise(fallback)
+    return base.join(kth, group_col, "left").select(
+        group_col,
+        F.round(F.coalesce(est, fallback), 6).alias("est_distinct"),
+        F.coalesce(F.col("sketch_size"), F.lit(0)).cast("long").alias("sketch_size"),
     )
 
 
 def kmv_sql(
-    table: str, group_col: str, value_col: str, k: int = KMV_K, prune: int = KMV_PRUNE
+    table: str,
+    group_col: str,
+    value_col: str,
+    k: int = KMV_K,
+    prune: int = KMV_PRUNE,
+    exact_fallback: bool = True,
 ) -> str:
-    """DuckDB oracle reproducing ``kmv_distinct`` bit-for-bit."""
+    """DuckDB oracle reproducing ``kmv_distinct`` bit-for-bit (both modes)."""
     from pdf_etl_pipeline_spark.functions.scalars import portable_hash32_sql
 
     h = portable_hash32_sql(f"CAST({value_col} AS VARCHAR)")
     thresh = M_SPACE // prune
+    if exact_fallback:
+        base = (
+            f"base AS (SELECT {group_col}, COUNT(*) AS n_hashes FROM hashed GROUP BY 1)"
+        )
+        fallback = "CAST(t.n_hashes AS DOUBLE)"
+    else:
+        base = f"base AS (SELECT {group_col}, COUNT(*) AS n_rows FROM {table} GROUP BY 1)"
+        fallback = f"COALESCE(k.sketch_size, 0) * CAST({float(prune)} AS DOUBLE)"
     return f"""
 WITH hashed AS (SELECT DISTINCT {group_col}, {h} AS h FROM {table}),
-totals AS (SELECT {group_col}, COUNT(*) AS n_hashes FROM hashed GROUP BY 1),
+{base},
 surv AS (
   SELECT {group_col}, h,
          row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
@@ -97,8 +137,8 @@ kth AS (
 SELECT t.{group_col},
        round(COALESCE(CASE WHEN k.sketch_size >= {k}
                            THEN ({k - 1} * CAST({float(M_SPACE)} AS DOUBLE)) / k.h_k
-                           ELSE CAST(t.n_hashes AS DOUBLE) END,
-                      CAST(t.n_hashes AS DOUBLE)), 6) AS est_distinct,
+                           ELSE {fallback} END,
+                      {fallback}), 6) AS est_distinct,
        COALESCE(k.sketch_size, 0) AS sketch_size
-FROM totals t LEFT JOIN kth k ON t.{group_col} = k.{group_col}
+FROM base t LEFT JOIN kth k ON t.{group_col} = k.{group_col}
 ORDER BY t.{group_col}"""

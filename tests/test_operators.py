@@ -153,3 +153,129 @@ def test_fuzzy_pairs_covers_all_ed1_edit_kinds(spark):
     assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
     assert (5, 6) not in got  # candidate generated but verified out
     assert all(7 not in pair for pair in got)
+
+
+def test_fuzzy_pairs_ed2_complete_vs_brute(spark):
+    """max_dist=2 must return the COMPLETE pair set — every pair the brute
+    all-pairs Levenshtein finds at distance <= 2, across every edit kind
+    reachable in two steps (transposition, double substitution, sub+insert,
+    double deletion, short strings)."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs
+
+    rows = [
+        (1, "spark"),
+        (2, "spork"),    # 1 sub of 1
+        (3, "stork"),    # 2 subs of 1; 1 sub of 2
+        (4, "spa"),      # 2 deletions of 1
+        (5, "sparkle"),  # 2 insertions of 1
+        (6, "ab"),
+        (7, "ba"),       # transposition (ED 2)
+        (8, "a"),        # 1-char: deletion vs 6
+        (9, "abba"),     # ED 2 vs 6 ("ab") and vs 7 ("ba")
+        (10, "zzzzz"),   # unrelated to everything
+        (11, "parks"),   # transposed head vs 1 ("spark" -> "parks" is ED 2)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.key_a, r.key_b): r.edit_dist
+        for r in fuzzy_pairs(df, "id", "name", max_dist=2).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r.key_a, r.key_b): r.edit_dist
+        for r in a.join(b, F2.col("a.id") < F2.col("b.id"))
+        .select(
+            F2.col("a.id").alias("key_a"),
+            F2.col("b.id").alias("key_b"),
+            F2.levenshtein("a.name", "b.name").cast("long").alias("edit_dist"),
+        )
+        .filter(F2.col("edit_dist") <= 2)
+        .collect()
+    }
+    assert got == brute
+    assert got[(6, 7)] == 2 and got[(1, 11)] == 2  # transpositions present
+
+
+def test_fuzzy_pairs_rejects_unsupported_max_dist(spark):
+    """max_dist outside [1, 2] must raise, never silently return a partial
+    pair set (the exact footgun the depth guard exists for)."""
+    import pytest
+
+    from pdf_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs, fuzzy_pairs_sql
+
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    for bad in (0, 3, 10):
+        with pytest.raises(ValueError, match="max_dist"):
+            fuzzy_pairs(df, "id", "name", max_dist=bad)
+        with pytest.raises(ValueError, match="max_dist"):
+            fuzzy_pairs_sql("t", "id", "name", max_dist=bad)
+
+
+def test_kmv_exact_fallback_fires_when_pruning_starves_sketch(spark):
+    """Adversarial fallback case: a group with MORE than k distinct values
+    whose surviving (< M/prune) hash count is below k — the sketch is not
+    full, and exact mode must return the exact distinct count, not a
+    truncated-sketch estimate."""
+    from pdf_etl_pipeline_spark.operators.sketches import (
+        KMV_K,
+        KMV_PRUNE,
+        M_SPACE,
+        kmv_distinct,
+    )
+
+    n = 100  # > k = 64 distinct values
+    df = spark.createDataFrame([("g", f"val-{i}") for i in range(n)], "grp string, v string")
+    # precondition, computed with the op's own hash: pruning leaves < k
+    # survivors (expected n/prune = 12.5), so the sketch CANNOT fill
+    from pdf_etl_pipeline_spark.functions.scalars import portable_hash32
+    from pyspark.sql import functions as F2
+
+    survivors = df.select(
+        portable_hash32(F2.col("v").cast("string")).alias("h")
+    ).filter(F2.col("h") < M_SPACE // KMV_PRUNE).count()
+    assert survivors < KMV_K, "fixture no longer starves the sketch"
+
+    r = kmv_distinct(df, "grp", "v").collect()[0]
+    assert r.sketch_size == survivors < KMV_K
+    assert r.est_distinct == float(n)  # EXACT, despite > k distinct values
+
+
+def test_kmv_sketch_only_mode(spark, sf_dir):
+    """exact_fallback=False: full-sketch groups estimate identically to
+    exact mode (same k-th-hash estimator); starved groups estimate
+    survivors*prune; and the mode never computes the exact distinct — its
+    plan aggregates the raw rows for the group universe, so the full
+    (group, hash) dedup appears ONCE (survivor branch), not twice."""
+    from pdf_etl_pipeline_spark.operators.sketches import (
+        KMV_K,
+        KMV_PRUNE,
+        kmv_distinct,
+    )
+    from pdf_etl_pipeline_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_mode = {r.l_returnflag: r for r in kmv_distinct(li, "l_returnflag", "l_partkey").collect()}
+    sketch_mode = {
+        r.l_returnflag: r
+        for r in kmv_distinct(
+            li, "l_returnflag", "l_partkey", exact_fallback=False
+        ).collect()
+    }
+    assert exact_mode.keys() == sketch_mode.keys()
+    for flag, r in sketch_mode.items():
+        if r.sketch_size >= KMV_K:
+            assert r.est_distinct == exact_mode[flag].est_distinct
+        else:
+            assert r.est_distinct == float(r.sketch_size * KMV_PRUNE)
+
+    # one Aggregate over distinct (grp, h) in the plan, not two: the only
+    # 'deduplicate' shuffle left is the pruned survivor branch
+    plan = (
+        kmv_distinct(li, "l_returnflag", "l_partkey", exact_fallback=False)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    import re
+
+    assert len(re.findall(r"Aggregate \[l_returnflag#?\w*, h", plan)) == 1
