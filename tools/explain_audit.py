@@ -24,6 +24,25 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _pk1_tiny_window_input(plan: str) -> list[str]:
+    """The partition-less offsets window is safe ONLY because its input is
+    the per-bucket aggregate (#buckets rows), not the raw corpus. Assert
+    the structure, not the comment: every SinglePartition exchange in the
+    plan must be fed DIRECTLY by the HashAggregate on bkt, so a refactor
+    that globalizes a full-corpus sort fails the audit instead of shipping.
+    """
+    lines = plan.splitlines()
+    idxs = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    if not idxs:
+        return ["missing: Exchange SinglePartition (the tiny offsets cumsum)"]
+    return [
+        "SinglePartition exchange not fed by HashAggregate(keys=[bkt...]) — "
+        "the partition-less window would sort the raw corpus"
+        for i in idxs
+        if i + 1 >= len(lines) or "HashAggregate(keys=[bkt" not in lines[i + 1]
+    ]
+
+
 CHECKS = {
     "a8_pricing_summary": {
         "must": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate", "HashAggregate"],
@@ -116,6 +135,7 @@ CHECKS = {
         # exchange), never a single-partition global sort of the corpus
         "must": ["Window"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: _pk1_tiny_window_input(plan),
     },
     "tx7_unigram_logprob": {
         # corpus-total must join back as a 1-row broadcast (BNLJ over a
@@ -151,6 +171,8 @@ def main() -> int:
         plan = plan_of(build(spark, sf_dir))
         problems = [f"missing: {m}" for m in spec["must"] if m not in plan]
         problems += [f"present: {m}" for m in spec["must_not"] if m in plan]
+        if "check" in spec:
+            problems += spec["check"](plan)
         if problems:
             failed.append(name)
             print(f"AUDIT FAIL {name}: {problems}")
