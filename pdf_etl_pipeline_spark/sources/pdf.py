@@ -10,10 +10,13 @@ so extraction parallelism equals input-split parallelism — the right shape
 for a 1000-executor scan of binary files.
 
 The container for this repo does not ship pdfplumber/pytesseract (SURVEY
-§7.3(c)): both engines are import-gated and fall back to a deterministic
-stub that decodes ``content`` as UTF-8 lines when possible. The Spark-side
-plumbing (schema, batching, fallback wiring) is real and tested; swapping
-in the real libraries is a one-line import on a cluster image.
+§7.3(c)): both engines are import-gated. Since round 6 the S2 text layer
+no longer needs them — real ``%PDF-`` bytes go through the pure-stdlib
+extractor in ``sources/pdf_text.py`` (zlib FlateDecode + BT/ET text-
+operator interpretation; validated over the reference's full 99-PDF
+corpus), with pdfplumber still preferred when present. The UTF-8 stub
+remains only for fixture corpora written as .txt-in-.pdf; S3/S4 OCR of
+image-only scans still requires pytesseract and keeps its stub.
 
 Deliberate divergence from the reference, per SURVEY §7.3(d): the OCR
 fallback for image-only PDFs (S3) is *wired in* here — the reference
@@ -65,6 +68,13 @@ def _extract_pdf_lines(content: bytes | None) -> list[str]:
     """S2 + S3: text layer per page; pages with no text layer get OCR'd
     (the reference's dead fallback, lib/pipeline_runner.py:34-40, wired in)."""
     if not HAVE_PDFPLUMBER:
+        from pdf_etl_pipeline_spark.sources.pdf_text import (
+            extract_pdf_text_lines,
+            looks_like_pdf,
+        )
+
+        if looks_like_pdf(content):
+            return extract_pdf_text_lines(bytes(content))
         return _stub_decode(content)
     import io
 
