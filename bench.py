@@ -37,6 +37,17 @@ BENCH_QUERIES = [
 ]
 
 
+# Newer ops benched in their own section so the headline total stays
+# composition-identical to r1–r5 (comparable across rounds).
+EXTENDED_QUERIES = [
+    "st7_neardup_ingest",
+    "ss6_pq_adc_topk",
+    "j5_fuzzy_supplier_match",
+    "sk2_kmv_distinct",
+    "tx7_unigram_logprob",
+]
+
+
 RUNS = 2  # min-of-N absorbs machine-load noise (r4: 71 s loaded vs 33 s idle)
 
 
@@ -63,16 +74,21 @@ def main() -> None:
     # queries, not session bring-up
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = registry[name].fn
-        best = float("inf")
-        for _ in range(RUNS):
-            _reset_session_memos()
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+    def run_set(names: list[str]) -> dict[str, float]:
+        times: dict[str, float] = {}
+        for name in names:
+            fn = registry[name].fn
+            best = float("inf")
+            for _ in range(RUNS):
+                _reset_session_memos()
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
+        return times
+
+    times = run_set(BENCH_QUERIES)
+    extended = run_set(EXTENDED_QUERIES)
 
     total = round(sum(times.values()), 3)
     print(
@@ -82,6 +98,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "extended": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
                 "runs": RUNS,
             }

@@ -15,7 +15,13 @@ module implements the standard online semantics:
    Candidates come from the same (band, key) equi-join as the batch path;
    exact Jaccard verifies; matched docs are rejected.
 3. **Index append**: admitted docs' bands and token-hash sets append to the
-   index (parquet locally; a bucketed table by band key at cluster scale).
+   index. The bands relation is written **partitioned by ``band``** so the
+   admission scan prunes to exactly the probed band partitions
+   (``PartitionFilters`` on the index scan — asserted in tests); the verify
+   sets are hash-clustered by ``doc_id`` on write (one file family per hash
+   bucket; a metastore-bucketed table at cluster scale) so the survivor
+   semi-join touches a clustered, splittable layout rather than whatever
+   file boundaries the batch happened to produce.
 
 Online-vs-offline divergence (inherent, documented): admission compares
 against ADMITTED docs only. A chain A≈B, B≈C split across batches admits C
@@ -44,6 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pdf_etl_pipeline_spark.llmdata.dedup import (
+    BANDS,
     STAR_ROUNDS,
     bands_from_signatures,
     hashed_tokens,
@@ -53,12 +60,69 @@ from pdf_etl_pipeline_spark.llmdata.dedup import (
 
 BANDS_SUBDIR = "bands"
 TOKS_SUBDIR = "toks"
+TOK_BUCKETS = 8  # hash-cluster width for the verify-set files
 
 
 def _index_exists(spark, index_dir: str) -> bool:
     # local-fs check; a cluster deployment would register the index as a
     # catalog table and test its existence there instead
     return os.path.isdir(os.path.join(index_dir, BANDS_SUBDIR))
+
+
+def admission_matches(
+    spark,
+    bands: DataFrame,
+    toks: DataFrame,
+    kept: DataFrame,
+    index_dir: str,
+    threshold: float = 0.9,
+    probe_bands=None,
+) -> DataFrame:
+    """Docs of ``kept`` that near-dup-match the on-disk index: banding
+    candidates from a (band, key) equi-join against the index, verified by
+    exact Jaccard on the pruned verify sets.
+
+    ``probe_bands`` (default: all ``BANDS``) is the cheap-admission lever —
+    probing a subset of bands trades recall for index I/O, and because the
+    index is partitioned by ``band`` the subset becomes a static
+    ``PartitionFilters`` entry on the scan: unprobed partitions are never
+    read (asserted in tests). With the default all-band probe the filter
+    still bounds the scan to the current banding config's partitions, so
+    rows from a retired wider config can coexist in the index without ever
+    being scanned."""
+    probe = list(range(BANDS)) if probe_bands is None else sorted(probe_bands)
+    ex_bands = spark.read.parquet(os.path.join(index_dir, BANDS_SUBDIR)).filter(
+        F.col("band").isin(probe)
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    xc = (
+        bands.filter(F.col("band").isin(probe))
+        .join(kept, "doc_id", "left_semi")
+        .alias("n")
+        .join(
+            ex_bands.alias("o"),
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.key") == F.col("o.key")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id"))
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    ex_toks = (
+        spark.read.parquet(os.path.join(index_dir, TOKS_SUBDIR))
+        # semi-join the index's verify sets down to banding survivors
+        # BEFORE the verify join — the full index never shuffles
+        .join(xc.select(F.col("old_id").alias("doc_id")).distinct(), "doc_id", "left_semi")
+    )
+    return (
+        xc.join(toks.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("ta")), "new_id")
+        .join(
+            ex_toks.select(F.col("doc_id").alias("old_id"), F.col("toks").alias("tb")),
+            "old_id",
+        )
+        .filter(F.round(inter / union, 6) >= threshold)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
 
 
 def ingest_batch(batch_docs: DataFrame, index_dir: str, threshold: float = 0.9) -> DataFrame:
@@ -113,33 +177,7 @@ def ingest_batch(batch_docs: DataFrame, index_dir: str, threshold: float = 0.9) 
 
     # 2. cross-batch: banding candidates vs the admitted index, verified
     if _index_exists(spark, index_dir):
-        ex_bands = spark.read.parquet(os.path.join(index_dir, BANDS_SUBDIR))
-        xc = (
-            bands.join(kept, "doc_id", "left_semi")
-            .alias("n")
-            .join(
-                ex_bands.alias("o"),
-                (F.col("n.band") == F.col("o.band")) & (F.col("n.key") == F.col("o.key")),
-            )
-            .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id"))
-            .dropDuplicates(["new_id", "old_id"])
-        )
-        ex_toks = (
-            spark.read.parquet(os.path.join(index_dir, TOKS_SUBDIR))
-            # semi-join the index's verify sets down to banding survivors
-            # BEFORE the verify join — the full index never shuffles
-            .join(xc.select(F.col("old_id").alias("doc_id")).distinct(), "doc_id", "left_semi")
-        )
-        matched = (
-            xc.join(toks.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("ta")), "new_id")
-            .join(
-                ex_toks.select(F.col("doc_id").alias("old_id"), F.col("toks").alias("tb")),
-                "old_id",
-            )
-            .filter(F.round(inter / union, 6) >= threshold)
-            .select(F.col("new_id").alias("doc_id"))
-            .distinct()
-        )
+        matched = admission_matches(spark, bands, toks, kept, index_dir, threshold)
         kept = kept.join(matched, "doc_id", "left_anti")
 
     # materialize admissions BEFORE appending to the index this plan reads
@@ -153,10 +191,15 @@ def ingest_batch(batch_docs: DataFrame, index_dir: str, threshold: float = 0.9) 
     # join on the missing verify set silently DROPS them, wrongly admitting
     # true near-duplicates (a correctness error). At cluster scale both
     # writes move into one transactional-table commit.
-    toks.join(kept, "doc_id", "left_semi").write.mode("append").parquet(
-        os.path.join(index_dir, TOKS_SUBDIR)
-    )
-    bands.join(kept, "doc_id", "left_semi").write.mode("append").parquet(
+    # toks: hash-clustered by doc_id (repartition = one file family per hash
+    # bucket; a metastore-bucketed table at cluster scale would make the
+    # survivor semi-join shuffle-free on the index side too).
+    toks.join(kept, "doc_id", "left_semi").repartition(TOK_BUCKETS, "doc_id").write.mode(
+        "append"
+    ).parquet(os.path.join(index_dir, TOKS_SUBDIR))
+    # bands: partitioned by band so admission probes prune to the probed
+    # band partitions (PartitionFilters on the scan — see admission_matches).
+    bands.join(kept, "doc_id", "left_semi").write.mode("append").partitionBy("band").parquet(
         os.path.join(index_dir, BANDS_SUBDIR)
     )
     for cached in (bands, toks, hashed):

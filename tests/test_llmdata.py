@@ -350,6 +350,22 @@ def test_bmp_ppm_roundtrip_exact():
         assert np.allclose(out * 255.0, img.astype(np.float32))
 
 
+def test_png_roundtrip_all_filters():
+    """PNG round-trips bit-exactly whether scanlines are written with
+    filter 0 only or cycling through all five filter types — i.e. the
+    decoder's Sub/Up/Average/Paeth unfilter paths are each exercised
+    (a 9-row image covers every filter at least once)."""
+    import numpy as np
+
+    img = ((np.arange(9 * 12).reshape(9, 12) * 13 + 5) % 251).astype(np.uint8)
+    for filters in ("none", "cycle"):
+        out = MM._decode_png(MM.encode_png(img, filters=filters))
+        assert out.shape == (9, 12)
+        assert np.allclose(out * 255.0, img.astype(np.float32))
+    with pytest.raises(ValueError):
+        MM._decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+
+
 def test_multimodal_real_decode_bmp_ppm(spark):
     """extract_features(decode="real") runs end-to-end on real encoded
     bytes; BMP and PPM encodings of the same pixels give identical
@@ -360,11 +376,16 @@ def test_multimodal_real_decode_bmp_ppm(spark):
     fp = MM.extract_features(
         MM.synthetic_real_assets(spark, n=6, codec="ppm"), decode="real"
     ).collect()
-    assert len(fb) == len(fp) == 6
+    fg = MM.extract_features(
+        MM.synthetic_real_assets(spark, n=6, codec="png"), decode="real"
+    ).collect()
+    assert len(fb) == len(fp) == len(fg) == 6
     assert all(f.feat_dim == 8 and len(f.feature) == 8 for f in fb)
-    assert [f.feature for f in sorted(fb, key=lambda r: r.asset_id)] == [
-        f.feature for f in sorted(fp, key=lambda r: r.asset_id)
-    ]
+    assert (
+        [f.feature for f in sorted(fb, key=lambda r: r.asset_id)]
+        == [f.feature for f in sorted(fp, key=lambda r: r.asset_id)]
+        == [f.feature for f in sorted(fg, key=lambda r: r.asset_id)]
+    )
     thumbs = MM.resize_thumbnails(
         MM.synthetic_real_assets(spark, n=4, codec="bmp"), width=8, height=6, decode="real"
     ).collect()

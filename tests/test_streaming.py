@@ -309,6 +309,54 @@ def test_ingest_multi_batch_invariants(spark, sf_dir, tmp_path):
     assert n_pairs == 0  # admitted corpus is near-dup-free
 
 
+def test_ingest_index_scan_partition_pruned(spark, sf_dir, tmp_path):
+    """The on-disk bands index is partitioned by band, and the admission
+    join's index scan carries a static PartitionFilters entry — a subset
+    probe (probe_bands=[0, 2]) physically reads only those partitions."""
+    import glob
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.llmdata.dedup import (
+        bands_from_signatures,
+        hashed_tokens,
+        signatures_from_hashed,
+    )
+    from pdf_etl_pipeline_spark.llmdata.ingest import (
+        BANDS_SUBDIR,
+        admission_matches,
+        ingest_batch,
+    )
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    ix = str(tmp_path / "ix_pruned")
+    ingest_batch(docs.filter(F2.col("doc_id") < cut), ix)
+
+    # the physical layout is band=<k>/ partition directories
+    band_dirs = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(ix, BANDS_SUBDIR, "band=*"))
+    )
+    assert band_dirs == ["band=0", "band=1", "band=2", "band=3"]
+
+    batch = docs.filter(F2.col("doc_id") >= cut)
+    hashed = hashed_tokens(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = bands_from_signatures(signatures_from_hashed(hashed))
+    toks = hashed.groupBy("doc_id").agg(F2.collect_set("h").alias("toks"))
+    matched = admission_matches(
+        spark, bands, toks, batch.select("doc_id"), ix, probe_bands=[0, 2]
+    )
+    plan = matched._jdf.queryExecution().executedPlan().toString()
+    hashed.unpersist()
+    assert "PartitionFilters" in plan
+    # the band IN-filter reached the partition-pruning slot of the scan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "band" in ln]
+    assert pf and any("IN(0,2)" in ln.replace(" ", "") for ln in pf)
+
+
 def test_ingest_streaming_foreachbatch(spark, sf_dir, tmp_path):
     """Drive the real foreachBatch stream over parquet document drops: the
     admitted index satisfies the same invariants as the batch ingest."""
