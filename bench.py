@@ -42,6 +42,7 @@ BENCH_QUERIES = [
 EXTENDED_QUERIES = [
     "st7_neardup_ingest",
     "ss6_pq_adc_topk",
+    "ss7_pq_rerank",
     "j5_fuzzy_supplier_match",
     "sk2_kmv_distinct",
     "tx7_unigram_logprob",

@@ -224,7 +224,9 @@ def shared_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PQ_CACHE[key]
 
 
-def _pq_oracle() -> str:
+def _pq_ctes() -> str:
+    """Shared WITH-chain body (codebooks → codes → ADC scores → ``ranked``)
+    for the ss6 and ss7 oracles."""
     from pdf_etl_pipeline_spark.functions.scalars import dec_sum_sql
     from pdf_etl_pipeline_spark.llmdata.dedup import dot_sql
 
@@ -253,8 +255,7 @@ def _pq_oracle() -> str:
         f"SELECT vec_id, {m} AS m, cell_id FROM pqa{m}" for m in range(SS.PQ_M)
     )
     mvals = ", ".join(f"({m})" for m in range(SS.PQ_M))
-    return f"""
-WITH {slices},
+    return f"""{slices},
 {chains},
 pqcb AS MATERIALIZED ({cb}),
 {assigns},
@@ -277,9 +278,35 @@ scored AS (
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, cand_id) AS rank
   FROM scored
-)
+)"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH {_pq_ctes()}
 SELECT query_id, cand_id, adc_score, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+
+def _pq_rerank_oracle(k: int, shortlist: int) -> str:
+    return f"""
+WITH {_pq_ctes()},
+short AS (SELECT query_id, cand_id FROM ranked WHERE rank <= {shortlist}),
+fetched AS (
+  SELECT s.query_id, s.cand_id, e.embedding AS cv, q.embedding AS qv
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.cand_id
+  JOIN embeddings q ON q.vec_id = s.query_id
+),
+rescored AS (
+  SELECT query_id, cand_id, {_COS} AS cos FROM fetched
+),
+rr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+  FROM rescored
+)
+SELECT query_id, cand_id, round(cos, 6) AS cosine, rank
+FROM rr WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
 @register(
@@ -293,6 +320,22 @@ def ss6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         _QUERY_IDS,
         k=5,
+        codebooks=shared_pq_codebooks(spark, sf_dir),
+    )
+
+
+@register(
+    "ss7_pq_rerank",
+    oracle=_pq_rerank_oracle(k=5, shortlist=25),
+    doc="SS7 two-stage ANN: PQ-ADC compressed-domain shortlist (depth 25) -> exact-cosine rerank of only the shortlist vectors (broadcast fetch, no corpus shuffle) — the production recall/cost shape",
+)
+def ss7_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return SS.pq_rerank_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        k=5,
+        shortlist=25,
         codebooks=shared_pq_codebooks(spark, sf_dir),
     )
 

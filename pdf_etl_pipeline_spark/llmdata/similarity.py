@@ -439,6 +439,12 @@ def pq_adc_topk(
     ints per vector reach the shuffle. Partial dots are sequential folds;
     their 8-way sum runs through exact decimals, so scores are
     partition-order-independent and oracle-reproducible.
+
+    Measured accuracy (SCALE.md "ss6/ss7" table, tools/scale_curve.py):
+    with this deliberately small K=8 codebook, raw ADC@k decays with
+    corpus size (0.225 -> 0.037 across 1k -> 12k vectors) — use it as the
+    SHORTLIST stage of :func:`pq_rerank_topk`, whose depth knob restores
+    recall to 0.95 at 5%-of-n depth.
     """
     from pdf_etl_pipeline_spark.functions.scalars import dec_sum
 
@@ -471,6 +477,49 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "adc_score", F.col("rank").cast("long").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int = 25,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """ADC shortlist → exact rerank: the production two-stage ANN shape.
+
+    Stage 1 scores the whole corpus from its 8-int PQ codes (``pq_adc_topk``
+    — full vectors never shuffle) and keeps a ``shortlist``-deep candidate
+    set per query; stage 2 fetches ONLY the shortlist vectors (a broadcast
+    join of the |Q|·shortlist-row shortlist against the embeddings table —
+    no shuffle of the corpus, and at cluster scale a bucketed embeddings
+    table turns the fetch into pruned point reads) and reranks them by
+    exact cosine. Recall follows the shortlist, cost stays at the
+    compressed-domain scan: the measured curve (SCALE.md "ss6/ss7" table)
+    shows a 5%-of-n shortlist holding recall@10 at 0.875–0.95 across
+    1k–12k-vector corpora while raw ADC@10 decays to 0.037."""
+    short = pq_adc_topk(embeddings, query_ids, k=shortlist, codebooks=codebooks)
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    fetched = embeddings.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")).join(
+        F.broadcast(short.select("query_id", "cand_id")), "cand_id"
+    )
+    scored = fetched.join(F.broadcast(q), "query_id").withColumn(
+        "cos", cosine(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
         .orderBy("query_id", "rank")
     )
 

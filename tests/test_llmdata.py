@@ -506,3 +506,28 @@ def test_pq_adc_recall_beats_random(spark, sf_dir):
     n = emb.count()
     random_recall = 5 / (n - 1)
     assert recall >= max(0.1, 10 * random_recall)
+
+
+def test_pq_rerank_full_shortlist_equals_exact(spark, sf_dir):
+    """ss7 invariant: with a corpus-deep shortlist the ADC stage filters
+    nothing, so the exact-cosine rerank must reproduce the brute top-k
+    bit-for-bit — and a 25-deep shortlist must recall at least what raw
+    ADC@5 does (rerank can only fix the compressed ordering, not lose
+    true neighbors the shortlist already contains)."""
+    from pdf_etl_pipeline_spark.llmdata.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(100, 110))
+    n = emb.count()
+    exact = [tuple(r) for r in cosine_topk(emb, qids, k=5).collect()]
+    full = [tuple(r) for r in pq_rerank_topk(emb, qids, k=5, shortlist=n).collect()]
+    assert full == exact
+
+    exact_set = {(r[0], r[1]) for r in exact}
+    adc5 = {(r.query_id, r.cand_id) for r in pq_adc_topk(emb, qids, k=5).collect()}
+    rr25 = {(r.query_id, r.cand_id) for r in pq_rerank_topk(emb, qids, k=5, shortlist=25).collect()}
+    assert len(exact_set & rr25) >= len(exact_set & adc5)

@@ -151,6 +151,13 @@ CHECKS = {
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "ss7_pq_rerank": {
+        # two-stage ANN: ADC scoring joins broadcast query tables to the
+        # codes; the rerank fetch joins the broadcast shortlist to the
+        # embeddings scan — the corpus must never shuffle or cross-join
+        "must": ["BroadcastHashJoin", "Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    },
     "st6_attribution_join": {
         # interval join must equi-join on user_id (BroadcastHashJoin at
         # this SF via AQE; SortMergeJoin at scale) with the time range as a

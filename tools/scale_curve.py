@@ -1,6 +1,7 @@
-"""Measured scale curve for the dd3 (MinHash-LSH) and dd5 (sign-LSH) dedup
-paths — the evidence behind SCALE.md's "candidates grow with true near-dup
-pairs, not with n²" claim.
+"""Measured scale curves for the candidate-generating ops — the evidence
+behind SCALE.md's "candidates grow with true near-dup pairs, not with n²"
+claim: dd3 (MinHash-LSH), dd5 (sign-LSH), j5 (deletion-variant fuzzy
+linkage), and ss6 (PQ + ADC: index sizes and recall-vs-brute).
 
 For each corpus it records: corpus size, LSH candidate-pair count, verified
 near-dup pair count, brute-force comparison count n(n-1)/2, and end-to-end
@@ -204,10 +205,125 @@ def measure_dd5(label: str, emb: DataFrame) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# j5 (fuzzy ED-1 linkage) and ss6 (PQ + ADC) curves
+# ---------------------------------------------------------------------------
+def typo_named_records(spark, n: int, typo_rate: float = 0.10, seed: int = 17) -> DataFrame:
+    """Name corpus whose TRUE ED-1 pair count grows linearly: distinct
+    ~14-char names, with a fixed fraction being a one-character edit
+    (substitution) of an earlier name — dups as a per-record rate, the
+    regime supplier/title linkage lives in."""
+    rng = np.random.default_rng(seed)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rows = []
+    names = []
+    for i in range(n):
+        if i > 0 and rng.random() < typo_rate:
+            src = names[int(rng.integers(0, i))]
+            pos = int(rng.integers(0, len(src)))
+            ch = alpha[int(rng.integers(0, 26))]
+            nm = src[:pos] + ch + src[pos + 1 :]
+        else:
+            nm = "sup " + "".join(alpha[int(x)] for x in rng.integers(0, 26, size=10))
+        names.append(nm)
+        rows.append((i, nm))
+    return spark.createDataFrame(rows, "rec_id long, name string")
+
+
+def measure_j5(label: str, recs: DataFrame) -> dict:
+    from pdf_etl_pipeline_spark.operators.fuzzy import deletion_variants, fuzzy_pairs
+
+    recs = recs.persist()
+    n = recs.count()
+    variants = recs.select(
+        F.explode(deletion_variants("name", depth=1)).alias("variant")
+    ).count()
+    v = recs.select(
+        F.col("rec_id").alias("k"),
+        F.explode(deletion_variants("name", depth=1)).alias("variant"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cands = (
+        a.join(b, (F.col("a.variant") == F.col("b.variant")) & (F.col("a.k") < F.col("b.k")))
+        .select("a.k", "b.k")
+        .dropDuplicates()
+        .count()
+    )
+    t0 = time.time()
+    verified = fuzzy_pairs(recs, "rec_id", "name", max_dist=1).count()
+    wall = round(time.time() - t0, 2)
+    recs.unpersist()
+    return {
+        "corpus": label,
+        "n_records": n,
+        "brute_pairs": n * (n - 1) // 2,
+        "variant_rows": variants,
+        "join_candidates": cands,
+        "verified_pairs": verified,
+        "wall_sec": wall,
+    }
+
+
+def measure_ss6(label: str, emb: DataFrame, k: int = 10) -> dict:
+    """PQ index sizes plus ADC recall@k against the brute cosine top-k —
+    the accuracy/size trade the compressed path buys at scale."""
+    emb = emb.persist()
+    n = emb.count()
+    qids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(8).collect()]
+    cb = SIM.pq_codebooks(emb).persist()
+    code_rows = SIM.pq_encode(emb, cb).count()
+    fixed_depth = 5 * k
+    prop_depth = max(fixed_depth, n // 20)  # 5% of corpus — scales with n
+    t0 = time.time()
+    adc = SIM.pq_adc_topk(emb, qids, k=prop_depth, codebooks=cb).collect()
+    wall = round(time.time() - t0, 2)
+    brute = SIM.cosine_topk(emb, qids, k=k).collect()
+    truth: dict[int, set] = {}
+    for r in brute:
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+    by_depth: dict[int, dict[int, set]] = {k: {}, fixed_depth: {}, prop_depth: {}}
+    for r in adc:
+        for depth, got in by_depth.items():
+            if r.rank <= depth:
+                got.setdefault(r.query_id, set()).add(r.cand_id)
+    denom = len(truth) * k
+
+    def recall(depth: int) -> float:
+        got = by_depth[depth]
+        return round(sum(len(truth[q] & got.get(q, set())) for q in truth) / denom, 3)
+
+    cb.unpersist()
+    emb.unpersist()
+    # shortlist recalls = what an exact-rerank stage (ss7: fetch shortlist
+    # vectors, rescore) recovers at full precision from each depth — the
+    # fixed depth shows the coarse 8-cell quantizer decaying with n, the
+    # 5%-of-n depth shows the rerank knob restoring recall
+    return {
+        "corpus": label,
+        "n_vecs": n,
+        "code_rows": code_rows,
+        "codebook_rows": SIM.PQ_M * SIM.PQ_K,
+        "adc_table_rows": len(qids) * SIM.PQ_M * SIM.PQ_K,
+        "recall_at_k": recall(k),
+        "fixed_shortlist_recall": recall(fixed_depth),
+        "fixed_depth": fixed_depth,
+        "prop_shortlist_recall": recall(prop_depth),
+        "prop_depth": prop_depth,
+        "k": k,
+        "adc_wall_sec": wall,
+    }
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     spark = get_spark("scale_curve")
-    out: dict[str, list[dict]] = {"dd3": [], "dd3_controlled": [], "dd5": []}
+    out: dict[str, list[dict]] = {
+        "dd3": [],
+        "dd3_controlled": [],
+        "dd5": [],
+        "j5": [],
+        "ss6": [],
+    }
 
     for sf in ("sf0.01", "sf0.1"):
         docs = load_table(spark, f"/root/testdata/{sf}", "documents")
@@ -230,6 +346,14 @@ def main() -> None:
     if not quick:
         out["dd5"].append(measure_dd5("shaped 3x (6k vecs)", shaped_embeddings(spark, 6_000)))
         print(json.dumps(out["dd5"][-1]), flush=True)
+
+    for n in (2_000, 8_000, 32_000) if not quick else (2_000, 8_000):
+        out["j5"].append(measure_j5(f"typo-named {n // 1000}k", typo_named_records(spark, n)))
+        print(json.dumps(out["j5"][-1]), flush=True)
+
+    for n in (1_000, 4_000, 12_000) if not quick else (1_000, 4_000):
+        out["ss6"].append(measure_ss6(f"shaped {n // 1000}k", shaped_embeddings(spark, n)))
+        print(json.dumps(out["ss6"][-1]), flush=True)
 
     print(json.dumps(out))
     spark.stop()
