@@ -43,6 +43,7 @@ EXTENDED_QUERIES = [
     "st7_neardup_ingest",
     "ss6_pq_adc_topk",
     "ss7_pq_rerank",
+    "ss8_ivf_adc_topk",
     "j5_fuzzy_supplier_match",
     "sk2_kmv_distinct",
     "tx7_unigram_logprob",

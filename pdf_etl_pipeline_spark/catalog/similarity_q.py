@@ -324,6 +324,60 @@ def ss6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_adc_oracle(k: int, nprobe: int) -> str:
+    """ss8 = ss4's probe chain composed with ss6's scoring chain: the
+    all-pairs ADC ``scored`` relation filtered to candidates whose IVF
+    cell is among the query's ``nprobe`` probed cells."""
+    return f"""
+WITH {_kmeans_ctes(SS.N_CELLS, SS.KMEANS_ITERS)},
+ivfscored AS (
+  SELECT e.vec_id, e.embedding, c.cell_id, {_COS_C} AS cos_c
+  FROM embeddings e CROSS JOIN {_FINAL_C} c
+),
+ivfassigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell_id) AS rn
+    FROM ivfscored
+  ) WHERE rn = 1
+),
+ivfprobe AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell_id) AS rn
+    FROM ivfscored WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})
+  ) WHERE rn <= {nprobe}
+),
+{_pq_ctes()},
+filtered AS (
+  SELECT s.query_id, s.cand_id, s.adc_score
+  FROM scored s
+  JOIN ivfassigned a ON s.cand_id = a.vec_id
+  JOIN ivfprobe p ON p.query_id = s.query_id AND p.cell_id = a.cell_id
+),
+rr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, cand_id) AS rank
+  FROM filtered
+)
+SELECT query_id, cand_id, adc_score, rank
+FROM rr WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+@register(
+    "ss8_ivf_adc_topk",
+    oracle=_ivf_adc_oracle(k=5, nprobe=2),
+    doc="SS8 IVF-PQ composite ANN (FAISS IVFADC shape): nprobe=2 learned cells prune the corpus before any scoring; survivors scored from 8-int codes via broadcast ADC tables — full vectors in neither scan nor shuffle",
+)
+def ss8_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return SS.ivf_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        k=5,
+        nprobe=2,
+        centroids=shared_centroids(spark, sf_dir),
+        codebooks=shared_pq_codebooks(spark, sf_dir),
+    )
+
+
 @register(
     "ss7_pq_rerank",
     oracle=_pq_rerank_oracle(k=5, shortlist=25),

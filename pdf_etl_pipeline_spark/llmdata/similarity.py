@@ -301,16 +301,28 @@ KMEANS_ITERS = 5
 _MEAN_DEC = "decimal(38,12)"
 
 
+def _argmax_cell() -> Column:
+    """max_by tiebreak matching the oracle's ``ORDER BY cos_c DESC,
+    cell_id``: lexicographic max of (cos_c, -cell_id) → highest cosine,
+    then lowest cell id."""
+    return F.max_by("cell_id", F.struct(F.col("cos_c"), (-F.col("cell_id")).alias("neg")))
+
+
 def assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (max cosine, centroid-id tiebreak).
-    ``cents`` is always n_cells rows — a bounded, legitimate broadcast."""
+    ``cents`` is always n_cells rows — a bounded, legitimate broadcast.
+
+    The argmax is a ``max_by`` AGGREGATE, not a window: partial aggregation
+    combines map-side, so the shuffle moves one row per vector instead of
+    sorting n_cells rows per vector through a window — the difference is a
+    constant factor n_cells in shuffle volume, paid once per k-means
+    iteration."""
     scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
         "cos_c", cosine(F.col("embedding"), F.col("centroid"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cell_id")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("vec_id")
+        .agg(F.any_value("embedding").alias("embedding"), _argmax_cell().alias("cell_id"))
         .select("vec_id", "embedding", "cell_id")
     )
 
@@ -387,41 +399,91 @@ def _subvector(vec: Column, m: int) -> Column:
     return F.slice(vec, m * PQ_SUBDIM + 1, PQ_SUBDIM)
 
 
+def _sub_exploded(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): every vector exploded into its PQ_M subspace
+    slices — the grouped form that lets one shuffle serve all 8 subspaces
+    at once instead of 8 sequential per-subspace jobs."""
+    slices = F.array(*[_subvector(F.col("embedding"), m) for m in range(PQ_M)])
+    return embeddings.select("vec_id", F.posexplode(slices).alias("m", "sub"))
+
+
 def pq_codebooks(embeddings: DataFrame) -> DataFrame:
     """Per-subspace codebooks as one (m, cell_id, centroid) relation —
-    8 independent runs of the SAME deterministic k-means the IVF index
-    uses, each over the corpus's m-th 8-dim slice. Learned once per
-    corpus (memoized session-wide by the catalog, like IVF centroids)."""
-    parts = []
-    for m in range(PQ_M):
-        sub = embeddings.select(
-            "vec_id", _subvector(F.col("embedding"), m).alias("embedding")
+    the SAME deterministic k-means the IVF index uses (hash-seeded init,
+    decimal-exact means, empty cells keep their centroid), run over each
+    of the corpus's 8-dim slices. Learned once per corpus (memoized
+    session-wide by the catalog, like IVF centroids).
+
+    All 8 subspaces iterate TOGETHER, keyed by ``m``: each k-means round
+    is one broadcast join + one argmax aggregate + one means shuffle over
+    the (vec_id, m, sub) relation, instead of 8 sequential runs with 3
+    barriers each — 3 rounds of shared shuffles replace 24. The math is
+    identical to independent runs (every reduction is keyed by m; the
+    decimal sums are partition-order-independent), so the per-subspace
+    DuckDB oracle chains (catalog/similarity_q.py) verify it unchanged.
+    The seed ids are the PQ_K smallest (portable-hash, vec_id) — the same
+    ids for every subspace, exactly as the per-slice runs chose them
+    (the hash ignores the slice)."""
+    from pdf_etl_pipeline_spark.functions.scalars import portable_hash32
+
+    sub = _sub_exploded(embeddings)
+    seeds = (
+        embeddings.select("vec_id")
+        .orderBy(portable_hash32(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_K)
+    )
+    cents = (
+        sub.join(F.broadcast(seeds), "vec_id")
+        .select(
+            "m",
+            F.col("vec_id").alias("cell_id"),
+            F.transform("sub", lambda x: x.cast("double")).alias("centroid"),
         )
-        cents = kmeans_centroids(sub, n_cells=PQ_K, iters=PQ_ITERS)
-        parts.append(cents.select(F.lit(m).alias("m"), "cell_id", "centroid"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        .localCheckpoint()
+    )
+    for _ in range(PQ_ITERS):
+        scored = sub.join(F.broadcast(cents), "m").withColumn(
+            "cos_c", cosine(F.col("sub"), F.col("centroid"))
+        )
+        assigned = scored.groupBy("m", "vec_id").agg(
+            F.any_value("sub").alias("sub"), _argmax_cell().alias("cell_id")
+        )
+        dims = assigned.select("m", "cell_id", F.posexplode("sub").alias("pos", "v"))
+        means = dims.groupBy("m", "cell_id", "pos").agg(
+            (
+                F.sum(F.col("v").cast("double").cast(_MEAN_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mv")
+        )
+        new_c = means.groupBy("m", "cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s["mv"]
+            ).alias("newc")
+        )
+        cents = (
+            cents.select("m", "cell_id", F.col("centroid").alias("prev"))
+            .join(new_c, ["m", "cell_id"], "left")
+            .select("m", "cell_id", F.coalesce("newc", "prev").alias("centroid"))
+            # 64 rows — truncate lineage so the plan doesn't double per round
+            .localCheckpoint()
+        )
+    return cents
 
 
 def pq_encode(embeddings: DataFrame, codebooks: DataFrame) -> DataFrame:
     """Corpus codes: (vec_id, m, cell_id) — each vector's m-th slice
     assigned to its nearest subspace centroid (same cosine + id-tiebreak
-    rule as IVF assignment). 8 rows per vector ≡ the 8-byte PQ code."""
-    parts = []
-    for m in range(PQ_M):
-        sub = embeddings.select(
-            "vec_id", _subvector(F.col("embedding"), m).alias("embedding")
-        )
-        cents = codebooks.filter(F.col("m") == m).select("cell_id", "centroid")
-        parts.append(
-            assign_cells(sub, cents).select("vec_id", F.lit(m).alias("m"), "cell_id")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    rule as IVF assignment). 8 rows per vector ≡ the 8-byte PQ code.
+    One broadcast join + one argmax aggregate covers all 8 subspaces."""
+    sub = _sub_exploded(embeddings)
+    scored = sub.join(F.broadcast(codebooks), "m").withColumn(
+        "cos_c", cosine(F.col("sub"), F.col("centroid"))
+    )
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(_argmax_cell().alias("cell_id"))
+        .select("vec_id", "m", "cell_id")
+    )
 
 
 def pq_adc_topk(
@@ -520,6 +582,84 @@ def pq_rerank_topk(
             F.round("cos", 6).alias("cosine"),
             F.col("rank").cast("long").alias("rank"),
         )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ (ss8): cell-pruned ADC — the production composite index
+    (FAISS "IVFADC", Jégou et al. 2011, minus residual encoding: codes
+    quantize raw vectors so the SAME codebooks serve ss6/ss7/ss8 and the
+    oracle re-learns one set).
+
+    The index is one (ivf_cell, 8 codes) row per vector — at 100 TB the
+    codes table is stored partitioned by ``ivf_cell``, so a query's
+    ``nprobe`` cells prune the scan to nprobe/n_cells of the corpus
+    BEFORE any scoring happens (the coarse quantizer's job), and the
+    surviving candidates are scored from codes alone via the broadcast
+    ADC tables (the fine quantizer's job). Full vectors appear nowhere:
+    not in the scan, not in the shuffle. Composition of the ss3 probe
+    plan and the ss6 scoring plan; every join is an equi-join on
+    (ivf_cell) or (query_id, m, cell_id)."""
+    from pdf_etl_pipeline_spark.functions.scalars import dec_sum
+
+    cents = centroids if centroids is not None else kmeans_centroids(embeddings)
+    cb = codebooks if codebooks is not None else pq_codebooks(embeddings)
+    assigned = assign_cells(embeddings.select("vec_id", "embedding"), cents).select(
+        "vec_id", F.col("cell_id").alias("ivf_cell")
+    )
+    codes = pq_encode(embeddings, cb)
+    qv = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # probe list: |Q| x nprobe rows — broadcast-sized by construction
+    scored_c = qv.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", cosine(F.col("qv"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), "cell_id")
+    probe = (
+        scored_c.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cell_id").alias("ivf_cell"))
+    )
+    cands = (
+        assigned.join(F.broadcast(probe), "ivf_cell")
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    # per-query subspace slices -> (query_id, m, cell_id, partial-dot) table
+    qparts = []
+    for m in range(PQ_M):
+        qparts.append(
+            qv.select(
+                "query_id", F.lit(m).alias("m"), _subvector(F.col("qv"), m).alias("qsub")
+            )
+        )
+    qsub = qparts[0]
+    for p in qparts[1:]:
+        qsub = qsub.unionAll(p)
+    table = qsub.join(cb, "m").select(
+        "query_id", "m", "cell_id", dedup_dot(F.col("qsub"), F.col("centroid")).alias("part")
+    )
+    scored = (
+        codes.withColumnRenamed("vec_id", "cand_id")
+        .join(cands, "cand_id")
+        .join(F.broadcast(table), ["query_id", "m", "cell_id"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(dec_sum("part"), 6).alias("adc_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adc_score", F.col("rank").cast("long").alias("rank"))
         .orderBy("query_id", "rank")
     )
 

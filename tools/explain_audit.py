@@ -158,6 +158,15 @@ CHECKS = {
         "must": ["BroadcastHashJoin", "Window"],
         "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
     },
+    "ss8_ivf_adc_topk": {
+        # IVF-PQ composite: cell probe is a 16-row broadcast nested loop
+        # (legitimate, like tx7's 1-row total); candidate pruning and ADC
+        # scoring are equi-joins + aggregates — the codes⋈candidates join
+        # may sort-merge (both sides are corpus-sized at scale; AQE
+        # broadcasts at this SF), but full vectors must never cross-join
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
     "st6_attribution_join": {
         # interval join must equi-join on user_id (BroadcastHashJoin at
         # this SF via AQE; SortMergeJoin at scale) with the time range as a
