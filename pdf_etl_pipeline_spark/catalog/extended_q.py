@@ -392,6 +392,71 @@ def j5b_fuzzy_ed2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key_a", "key_b")
 
 
+# --- G1: PageRank over the purchase graph --------------------------------------
+from pdf_etl_pipeline_spark.operators.pagerank import pagerank, pagerank_sql  # noqa: E402
+
+_G1_NODES_SQL = """SELECT c_custkey * 2 AS node_id FROM customer
+UNION ALL SELECT s_suppkey * 2 + 1 AS node_id FROM supplier"""
+_G1_EDGES_SQL = """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+UNION ALL
+SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+
+
+@register(
+    "g1_pagerank",
+    oracle=pagerank_sql(_G1_NODES_SQL, _G1_EDGES_SQL),
+    doc="G1 PageRank (5 power iterations, d=0.85) over the symmetric customer-supplier purchase graph — pure DataFrame message passing (join on src + decimal-summed aggregation on dst per round, both linear in |E|); an iterative float algorithm hash-matched by an unrolled SQL oracle",
+)
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") * 2).alias("node_id")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node_id")
+    )
+    purchases = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+            load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+    )
+    edges = purchases.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionAll(
+        purchases.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
+    )
+    return pagerank(cust.unionAll(supp), edges).orderBy("node_id")
+
+
+# --- W10: event-sequence pattern match -----------------------------------------
+from pdf_etl_pipeline_spark.operators.patterns import match_pattern, match_pattern_sql  # noqa: E402
+
+_ALPHABET = {"signup": "s", "view": "v", "click": "c", "purchase": "p", "error": "e"}
+# view, then click, then purchase, with NO error anywhere between the
+# view and the purchase — the negative condition a step-join funnel (w9)
+# cannot express
+_PATTERN = "v[^e]*c[^e]*p"
+
+
+@register(
+    "w10_pattern_match",
+    oracle=match_pattern_sql("events", _PATTERN, _ALPHABET),
+    doc="W10 MATCH_RECOGNIZE-shaped sequence query: users whose ordered event history matches v[^e]*c[^e]*p (view->click->purchase with no intervening error) — one keyed aggregation builds the symbol string, codegen rlike matches; no global-order window",
+)
+def w10_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return match_pattern(load_table(spark, sf_dir, "events"), _PATTERN, _ALPHABET)
+
+
 # --- S13: SCD-2 history --------------------------------------------------------
 from pdf_etl_pipeline_spark.operators.scd import scd2_history, scd2_history_sql  # noqa: E402
 

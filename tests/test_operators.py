@@ -317,3 +317,63 @@ def test_scd2_history_invariants(spark, sf_dir):
             if r.valid_from <= ev.ts and (r.valid_to is None or ev.ts < r.valid_to)
         ]
         assert len(state) == 1
+
+
+# --- W10: sequence pattern matching -------------------------------------------
+def test_pattern_match_negative_condition(spark):
+    """v[^e]*c[^e]*p admits view->click->purchase histories and rejects
+    ones where an error falls between the view and the purchase — the
+    semantics a step-join funnel cannot express. Also pins ordering: the
+    symbol string follows (ts, event_id), not input order."""
+    from pdf_etl_pipeline_spark.operators.patterns import event_sequences, match_pattern
+
+    alpha = {"signup": "s", "view": "v", "click": "c", "purchase": "p", "error": "e"}
+    rows = [
+        # user 1: clean v..c..p (with an early error BEFORE the view - ok)
+        (0, "2024-01-01T00:00:00", 1, "error"),
+        (1, "2024-01-01T00:01:00", 1, "view"),
+        (2, "2024-01-01T00:02:00", 1, "click"),
+        (3, "2024-01-01T00:03:00", 1, "purchase"),
+        # user 2: error between click and purchase - rejected
+        (4, "2024-01-01T00:01:00", 2, "view"),
+        (5, "2024-01-01T00:02:00", 2, "click"),
+        (6, "2024-01-01T00:02:30", 2, "error"),
+        (7, "2024-01-01T00:03:00", 2, "purchase"),
+        # user 3: never purchases - rejected
+        (8, "2024-01-01T00:01:00", 3, "view"),
+        (9, "2024-01-01T00:02:00", 3, "click"),
+        # user 4: out-of-order input rows, in-order timestamps - accepted
+        (12, "2024-01-01T00:03:00", 4, "purchase"),
+        (10, "2024-01-01T00:01:00", 4, "view"),
+        (11, "2024-01-01T00:02:00", 4, "click"),
+    ]
+    events = spark.createDataFrame(
+        [(i, __import__("datetime").datetime.fromisoformat(t), u, e) for i, t, u, e in rows],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {r.user_id: r.seq for r in match_pattern(events, "v[^e]*c[^e]*p", alpha).collect()}
+    assert set(got) == {1, 4}
+    assert got[1] == "evcp" and got[4] == "vcp"
+    seqs = {r.user_id: r.seq for r in event_sequences(events, alpha).collect()}
+    assert seqs[2] == "vcep" and seqs[3] == "vc"
+
+
+# --- G1: PageRank -------------------------------------------------------------
+def test_pagerank_invariants(spark):
+    """On a hand-built star-plus-chain graph: total rank mass is conserved
+    (sum = N when every node has out-edges), the hub out-ranks every leaf,
+    and an isolated node keeps exactly the teleport mass."""
+    from pdf_etl_pipeline_spark.operators.pagerank import pagerank
+
+    # star: 1..4 <-> 0 (symmetric), chain 5 <-> 6; node 7 isolated
+    und = [(0, i) for i in range(1, 5)] + [(5, 6)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node_id long")
+    r = {row.node_id: row.rank for row in pagerank(nodes, edges, iters=10).collect()}
+    assert abs(r[7] - 0.15) < 1e-9  # isolated: teleport only
+    connected_mass = sum(v for k, v in r.items() if k != 7)
+    assert abs(connected_mass - 7.0) < 1e-6  # mass conserved on the 7 wired nodes
+    assert r[0] > r[1] > 0  # hub beats leaves
+    assert abs(r[1] - r[2]) < 1e-12 and abs(r[5] - r[6]) < 1e-12  # symmetry

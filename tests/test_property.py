@@ -284,3 +284,26 @@ def test_minhash_lsh_recall_tracks_banding_curve(spark, salt):
     # 30 Bernoulli trials at p≈0.59: 3σ ≈ 0.27 — one-sided lower tolerance
     assert recall("mid") >= curve(38) - 0.27
     assert recall("low") <= 0.2  # curve(27) ≈ 1e-4: steep selectivity holds
+
+
+# --- PNG codec round-trip (pure python, no Spark job per example) -------------
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    filters=st.sampled_from(["none", "cycle"]),
+)
+def test_png_roundtrip_property(h, w, seed, filters):
+    """decode(encode(img)) == img for arbitrary sizes/contents under both
+    filter strategies — exercises every unfilter path (Sub/Up/Average/
+    Paeth) against edge shapes (1-pixel rows/columns)."""
+    import numpy as np
+
+    from pdf_etl_pipeline_spark.llmdata import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    out = MM._decode_png(MM.encode_png(img, filters=filters))
+    assert out.shape == (h, w)
+    assert np.array_equal((out * 255.0).round().astype(np.uint8), img)
