@@ -258,6 +258,96 @@ def rs1_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- RS3: resample + linear interpolation ------------------------------------
+@register(
+    "rs3_interpolate",
+    oracle=f"""
+WITH span AS (
+  SELECT user_id,
+         (CAST(floor(epoch(MIN(ts))) AS BIGINT) // 3600) * 3600 AS lo,
+         (CAST(floor(epoch(MAX(ts))) AS BIGINT) // 3600) * 3600 AS hi
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket_s FROM span
+),
+actual AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s,
+         CAST({dec_sum_sql('value')} AS DOUBLE) / COUNT(*) AS obs
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT g.user_id, g.bucket_s, a.obs
+  FROM grid g LEFT JOIN actual a ON g.user_id = a.user_id AND g.bucket_s = a.bucket_s
+),
+f AS (
+  SELECT *,
+    last_value(obs IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY bucket_s
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN obs IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY bucket_s
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(obs IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY bucket_s
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN obs IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY bucket_s
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT user_id, bucket_s,
+       -- floor(x*1e6+0.5)/1e6, NOT round(): Spark's round() rounds the
+       -- shortest decimal repr of the double while DuckDB rounds the
+       -- binary value, so a .5-at-6th-decimal interpolant diverges;
+       -- floor-of-double is the same IEEE op in both engines
+       floor((CASE WHEN obs IS NOT NULL THEN obs
+              ELSE pv + (nv - pv) * (CAST(bucket_s - pt AS DOUBLE) / (nt - pt)) END)
+             * 1000000 + 0.5) / 1000000 AS value,
+       obs IS NULL AS is_interpolated
+FROM f ORDER BY user_id, bucket_s""",
+    doc="RS3 hourly resample with LINEAR interpolation: per-user dense grid; missing hours get pv + (nv-pv)*(t-pt)/(nt-pt) from the neighboring observed bucket means via ignore-null window fills — both windows partition by user (no global sort); decimal-exact observed means so both engines interpolate from identical anchors",
+)
+def rs3_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "bucket_s", (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("bucket_s")
+    )
+    actual = ev.groupBy("user_id", "bucket_s").agg(
+        (dec_sum("value").cast("double") / F.count(F.lit(1))).alias("obs")
+    )
+    j = grid.join(actual, ["user_id", "bucket_s"], "left")
+    wp = W.partitionBy("user_id").orderBy("bucket_s").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy("user_id").orderBy("bucket_s").rowsBetween(0, W.unboundedFollowing)
+    obs_t = F.when(F.col("obs").isNotNull(), F.col("bucket_s"))
+    f = (
+        j.withColumn("pv", F.last("obs", ignorenulls=True).over(wp))
+        .withColumn("pt", F.last(obs_t, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("obs", ignorenulls=True).over(wn))
+        .withColumn("nt", F.first(obs_t, ignorenulls=True).over(wn))
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("bucket_s") - F.col("pt")).cast("double") / (F.col("nt") - F.col("pt"))
+    )
+    val = F.when(F.col("obs").isNotNull(), F.col("obs")).otherwise(interp)
+    return f.select(
+        "user_id",
+        "bucket_s",
+        # engine-agnostic 6-place rounding (see the oracle's comment)
+        (F.floor(val * 1e6 + F.lit(0.5)) / 1e6).alias("value"),
+        F.col("obs").isNull().alias("is_interpolated"),
+    ).orderBy("user_id", "bucket_s")
+
+
 # --- SJ1: salted replicated join (skew strategy, result-identical) -----------
 @register(
     "sj1_salted_join",

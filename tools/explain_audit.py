@@ -167,6 +167,25 @@ CHECKS = {
         "must": ["HashAggregate", "BroadcastHashJoin"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "w10_pattern_match": {
+        # sequence strings build inside a keyed aggregate (array_sort in
+        # the agg buffer) — there must be NO window operator at all, and
+        # the regex runs codegen-side, not in Python
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "Window", "CartesianProduct"],
+    },
+    "s13_scd2_history": {
+        # both windows must partition by the dimension key — a
+        # partition-less window here would global-sort the event log
+        "must": ["Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            f"window not partitioned by user_id: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(user_id#" not in ln
+        ],
+    },
     "st6_attribution_join": {
         # interval join must equi-join on user_id (BroadcastHashJoin at
         # this SF via AQE; SortMergeJoin at scale) with the time range as a
