@@ -47,6 +47,39 @@ def sp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.stratified_sample(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+# --- SP3: temporal split with leakage embargo ---------------------------------
+_SP3_CUTOFF = "2024-01-25 00:00:00"
+_SP3_EMBARGO_S = 86_400  # 1 day >= the longest trailing-feature lookback
+
+
+@register(
+    "sp3_temporal_split",
+    oracle=f"""
+WITH labeled AS (
+  SELECT event_id, ts, {CP.temporal_split_sql('ts', _SP3_CUTOFF, _SP3_EMBARGO_S)} AS split
+  FROM events
+)
+SELECT split, COUNT(*) AS n_events,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM labeled GROUP BY 1 ORDER BY 1""",
+    doc="SP3 temporal train/test split with a 1-day leakage embargo before the cutoff (purged-split discipline: trailing-window features may not straddle the boundary) — pure projection, partition-prunable at scale",
+)
+def sp3_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    labeled = CP.temporal_split(
+        load_table(spark, sf_dir, "events"), "ts", _SP3_CUTOFF, _SP3_EMBARGO_S
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("split")
+    )
+
+
 # --- PK1: sequence packing (token-budget sharding) ---------------------------
 @register(
     "pk1_sequence_packing",

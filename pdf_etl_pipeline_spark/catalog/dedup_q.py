@@ -356,3 +356,40 @@ def dd2b_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(
         docs, threshold=0.5, max_df=395, sets=DD.shingles_col("text")
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dd7_shingle_containment",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS tok FROM documents
+),
+rare AS (
+  SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) <= 395
+),
+ptoks AS (SELECT t.doc_id, t.tok FROM toks t JOIN rare USING (tok)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM ptoks GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ptoks a JOIN ptoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, n_common, sa.n_tok AS na, sb.n_tok AS nb
+  FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+),
+bothdir AS (
+  SELECT doc_a, doc_b, round(n_common / na, 6) AS containment FROM j
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b, round(n_common / nb, 6) AS containment FROM j
+)
+SELECT doc_a, doc_b, containment FROM bothdir
+WHERE containment >= 0.8 ORDER BY doc_a, doc_b""",
+    doc="DD7 asymmetric containment |A∩B|/|A| ≥ 0.8 over 3-gram shingles: the quote/boilerplate/subset-document detector symmetric Jaccard misses — one unordered DF-pruned inverted-index join, both directions derived from it for free",
+)
+def dd7_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.containment_pairs(
+        docs, threshold=0.8, max_df=395, sets=DD.shingles_col("text")
+    ).orderBy("doc_a", "doc_b")

@@ -58,6 +58,41 @@ def hash_split_bucket_sql() -> str:
     return _salted_bucket_sql(SPLIT_SALT, 100)
 
 
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff: str,
+    embargo_s: int,
+) -> DataFrame:
+    """Time-based train/test split with a leakage EMBARGO: rows in the
+    ``embargo_s`` seconds before ``cutoff`` are assigned to neither side.
+
+    A random (hash) split leaks for time-series models — trailing-window
+    features computed on a training row just before the cutoff overlap the
+    test period. The embargo gap (= the longest feature lookback) removes
+    the straddling rows, the standard purged-split discipline from
+    financial ML. Pure projection over the scan: zero shuffle at any
+    scale, and at 100 TB a ts-partitioned table turns the three ranges
+    into partition pruning."""
+    ts = F.col(ts_col)
+    cut = F.to_timestamp(F.lit(cutoff))
+    emb_start = cut - F.make_interval(secs=F.lit(embargo_s))
+    split = (
+        F.when(ts < emb_start, "train")
+        .when(ts < cut, "embargo")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+def temporal_split_sql(ts_col: str, cutoff: str, embargo_s: int) -> str:
+    """The split CASE as a DuckDB expression (same boundary semantics)."""
+    return f"""CASE
+  WHEN {ts_col} < TIMESTAMP '{cutoff}' - INTERVAL {embargo_s} SECOND THEN 'train'
+  WHEN {ts_col} < TIMESTAMP '{cutoff}' THEN 'embargo'
+  ELSE 'test' END"""
+
+
 # ---------------------------------------------------------------------------
 # Stratified deterministic sampling
 # ---------------------------------------------------------------------------

@@ -164,6 +164,53 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    sets: Column | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by set containment |A∩B|/|A| — "doc_a is
+    (nearly) contained in doc_b": the quote/boilerplate/subset-document
+    detector symmetric Jaccard misses (a tweet quoted inside an article
+    has Jaccard ≈ |tweet|/|article| ≈ 0 but containment ≈ 1).
+
+    Same inverted-index + DF-pruning machinery as :func:`jaccard_pairs`
+    (one unordered candidate join computes ``n_common`` once); both
+    directions are then emitted from that single join — containment is
+    the only per-direction arithmetic, so asymmetry costs nothing extra
+    at scale. Candidate recall caveat (documented, mirrored in the
+    oracle): DF pruning removes common elements from the INTERSECTION
+    too, so containment is computed over the pruned universe — the
+    standard trade for avoiding the stopword-quadratic join."""
+    if sets is None:
+        sets = tokens_col("text")
+    toks = docs.select("doc_id", F.explode(sets).alias("tok"))
+    if max_df is not None:
+        rare = toks.groupBy("tok").count().filter(F.col("count") <= max_df).select("tok")
+        toks = toks.join(rare, "tok", "left_semi")
+    # sizes over the SAME pruned universe the intersection lives in
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    joined = common.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = joined.select(
+        "doc_a", "doc_b", F.round(F.col("n_common") / F.col("na"), 6).alias("containment")
+    )
+    rev = joined.select(
+        F.col("doc_b").alias("doc_a"),
+        F.col("doc_a").alias("doc_b"),
+        F.round(F.col("n_common") / F.col("nb"), 6).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------

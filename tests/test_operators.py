@@ -377,3 +377,32 @@ def test_pagerank_invariants(spark):
     assert abs(connected_mass - 7.0) < 1e-6  # mass conserved on the 7 wired nodes
     assert r[0] > r[1] > 0  # hub beats leaves
     assert abs(r[1] - r[2]) < 1e-12 and abs(r[5] - r[6]) < 1e-12  # symmetry
+
+
+# --- DD7: asymmetric containment ----------------------------------------------
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a long doc: shingle containment
+    short->long ~= 1 while Jaccard is tiny — and containment is properly
+    asymmetric (long->short stays low)."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingles_col,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    article = " ".join(f"w{i}" for i in range(60)) + " " + quote + " " + " ".join(
+        f"z{i}" for i in range(60)
+    )
+    other = " ".join(f"x{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, article), (3, other)], "doc_id long, text string"
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(docs, threshold=0.8, sets=shingles_col("text")).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0  # quote fully contained
+    assert (2, 1) not in cont  # asymmetry: article not contained in quote
+    jac = jaccard_pairs(docs, threshold=0.5, sets=shingles_col("text")).collect()
+    assert jac == []  # symmetric Jaccard misses the containment entirely
