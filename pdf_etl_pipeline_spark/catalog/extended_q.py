@@ -151,6 +151,27 @@ def pc1_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PC2: histogram quantile sketch -------------------------------------------
+from pdf_etl_pipeline_spark.operators.histogram import (  # noqa: E402
+    histogram_quantiles,
+    histogram_quantiles_sql,
+)
+
+_PC2_QS = [0.5, 0.95, 0.99]
+
+
+@register(
+    "pc2_histogram_quantiles",
+    oracle=histogram_quantiles_sql("lineitem", "l_returnflag", "l_extendedprice", _PC2_QS),
+    doc="PC2 histogram quantile sketch (1024 fixed bins): p50/p95/p99 per group from two keyed aggregations + a bounded <=1024-row cumulative window — the percentile cost shape that survives 100 TB (pc1's exact path sorts every group), yet deterministic and hash-checked unlike approx_percentile",
+)
+def pc2_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return histogram_quantiles(
+        load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice", _PC2_QS
+    ).orderBy("l_returnflag")
+
+
 # --- RJ1: range/interval join ------------------------------------------------
 _BANDS_SQL = "(VALUES (0.0, 25.0, 'low'), (25.0, 100.0, 'mid'), (100.0, 250.0, 'high'), (250.0, 1000.0, 'extreme')) bands(lo, hi, label)"
 

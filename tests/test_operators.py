@@ -406,3 +406,42 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert (2, 1) not in cont  # asymmetry: article not contained in quote
     jac = jaccard_pairs(docs, threshold=0.5, sets=shingles_col("text")).collect()
     assert jac == []  # symmetric Jaccard misses the containment entirely
+
+
+# --- PC2: histogram quantile sketch -------------------------------------------
+def test_histogram_quantiles_accuracy(spark, sf_dir):
+    """Sketch estimates land within one bin width of the exact continuous
+    percentiles, and a constant-valued group hits the degenerate hi==lo
+    path without NaNs."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.operators.histogram import histogram_quantiles
+    from pdf_etl_pipeline_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = {
+        r.l_returnflag: r
+        for r in histogram_quantiles(li, "l_returnflag", "l_extendedprice", [0.5, 0.99]).collect()
+    }
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+            (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("span"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for flag, e in est.items():
+        x = exact[flag]
+        width = x.span / 1024
+        assert e.n_rows == x.n
+        assert abs(e.q0_5 - x.p50) <= width
+        assert abs(e.q0_99 - x.p99) <= width
+
+    const = spark.createDataFrame([("g", 7.0)] * 5, "grp string, v double")
+    row = histogram_quantiles(const, "grp", "v", [0.5]).collect()[0]
+    assert row.q0_5 == 7.0 and row.n_rows == 5
