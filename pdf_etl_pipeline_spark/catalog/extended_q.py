@@ -172,6 +172,57 @@ def pc2_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+_ST8_LO, _ST8_HI, _ST8_BINS = 0.0, 101.0, 256
+_ST8_W = (_ST8_HI - _ST8_LO) / _ST8_BINS
+
+
+def _st8_oracle(qs: list[float]) -> str:
+    sel = ["MAX(n_rows) AS n_rows"]
+    for q in qs:
+        name = f"q{str(q).replace('.', '_')}"
+        est = f"{_ST8_LO!r} + bin * {_ST8_W!r} + (({q} * n_rows - (cum - c)) / c) * {_ST8_W!r}"
+        sel.append(
+            f"floor(MIN(CASE WHEN cum >= {q} * n_rows AND (cum - c) < {q} * n_rows "
+            f"THEN {est} END) * 1000000 + 0.5) / 1000000 AS {name}"
+        )
+    return f"""
+WITH binned AS (
+  SELECT event_type,
+         greatest(CAST(0 AS BIGINT), least({_ST8_BINS - 1},
+           CAST(floor((CAST(value AS DOUBLE) - {_ST8_LO!r}) / {_ST8_HI - _ST8_LO!r} * {_ST8_BINS}) AS BIGINT))) AS bin,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT *, CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+            CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n_rows
+  FROM binned
+)
+SELECT event_type, {', '.join(sel)}
+FROM cum GROUP BY 1 ORDER BY 1"""
+
+
+@register(
+    "st8_histogram_sketch",
+    oracle=_st8_oracle([0.5, 0.95]),
+    doc="ST8 fixed-edge histogram quantile sketch: bin counts are a MERGEABLE sketch, so the identical expression runs as an incremental streaming aggregation (state <= 256 longs per group; streamed-vs-batch equality pinned in tests/test_streaming.py) — this batch twin is the hash-checked form",
+)
+def st8_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_etl_pipeline_spark.operators.histogram import (
+        fixed_histogram_counts,
+        quantiles_from_counts,
+    )
+
+    tune(spark)
+    counts = fixed_histogram_counts(
+        load_table(spark, sf_dir, "events"), "event_type", "value", _ST8_LO, _ST8_HI, _ST8_BINS
+    )
+    return quantiles_from_counts(
+        counts, "event_type", _ST8_LO, _ST8_HI, [0.5, 0.95], _ST8_BINS
+    ).orderBy("event_type")
+
+
 # --- RJ1: range/interval join ------------------------------------------------
 _BANDS_SQL = "(VALUES (0.0, 25.0, 'low'), (25.0, 100.0, 'mid'), (100.0, 250.0, 'high'), (250.0, 1000.0, 'extreme')) bands(lo, hi, label)"
 

@@ -89,6 +89,76 @@ def histogram_quantiles(
     return cum.join(span, group_col).groupBy(group_col).agg(*aggs)
 
 
+def fixed_histogram_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """(group, bin, c) counts against FIXED bin edges — the mergeable form
+    of the sketch. Because bin counts merge by addition, this works
+    unchanged on a STREAMING DataFrame: it is a plain streaming
+    aggregation whose state per group is ≤ ``n_bins`` longs, updated
+    incrementally across micro-batches (the streaming twin of the batch
+    two-pass path, which learns edges from min/max; a stream fixes them
+    up front — the standard production trade). Out-of-range values clamp
+    to the edge bins."""
+    v = F.col(value_col).cast("double")
+    bin_ = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(n_bins - 1).cast("long"),
+            F.floor((v - F.lit(float(lo))) / F.lit(float(hi) - float(lo)) * n_bins),
+        ),
+    )
+    return df.select(group_col, bin_.alias("bin")).groupBy(group_col, "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def quantiles_from_counts(
+    counts: DataFrame,
+    group_col: str,
+    lo: float,
+    hi: float,
+    qs: list[float],
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Finalize quantile estimates from a (group, bin, c) counts relation
+    (from :func:`fixed_histogram_counts`, batch or streaming) — the same
+    bounded cumulative window + in-bin interpolation as
+    :func:`histogram_quantiles`."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # per-group total via an unordered window over the same (bounded)
+    # partition — avoids a self-join, which some sources (memory sink
+    # tables) cannot resolve attribute-conflict-free
+    wt = Window.partitionBy(group_col)
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n_rows", F.sum("c").over(wt)
+    )
+    width = (float(hi) - float(lo)) / n_bins
+    aggs = [F.max("n_rows").alias("n_rows")]
+    for q in qs:
+        rank = F.lit(q) * F.col("n_rows")
+        est = (
+            F.lit(float(lo))
+            + F.col("bin") * F.lit(width)
+            + ((rank - (F.col("cum") - F.col("c"))) / F.col("c")) * F.lit(width)
+        )
+        covering = F.when(
+            (F.col("cum") >= rank) & ((F.col("cum") - F.col("c")) < rank), est
+        )
+        name = f"q{str(q).replace('.', '_')}"
+        aggs.append((F.floor(F.min(covering) * 1e6 + F.lit(0.5)) / 1e6).alias(name))
+    return cum.groupBy(group_col).agg(*aggs)
+
+
 def histogram_quantiles_sql(
     table: str,
     group_col: str,

@@ -394,3 +394,58 @@ def test_ingest_streaming_foreachbatch(spark, sf_dir, tmp_path):
     assert len(kept) <= docs.count()
     surviving = docs.filter(F2.col("doc_id").isin(list(kept)))
     assert minhash_lsh_pairs(surviving, 0.9, materialize=True).count() == 0
+
+
+# --- ST8: streaming histogram sketch ------------------------------------------
+def test_streaming_histogram_counts_merge_across_batches(spark, sf_dir, tmp_path):
+    """Histogram bin counts are a MERGEABLE sketch, so the streaming form
+    is a plain incremental aggregation: streaming the events in one-file
+    micro-batches yields bit-identical counts — and therefore identical
+    quantile estimates — to the batch path over the same fixed edges."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.operators.histogram import (
+        fixed_histogram_counts,
+        quantiles_from_counts,
+    )
+    from pdf_etl_pipeline_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = 0.0, 101.0
+    drop_dir = str(tmp_path / "hist_drops")
+    events.coalesce(3).write.mode("overwrite").parquet(drop_dir)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+        .option("maxFilesPerTrigger", 1)
+        .load(drop_dir)
+    )
+    q = (
+        fixed_histogram_counts(stream, "event_type", "value", lo, hi, n_bins=256)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("st8_hist")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.table("st8_hist")
+    batch = fixed_histogram_counts(events, "event_type", "value", lo, hi, n_bins=256)
+    key = lambda r: (r.event_type, r.bin)
+    assert sorted(map(key, streamed.collect())) == sorted(map(key, batch.collect()))
+    sq = quantiles_from_counts(streamed, "event_type", lo, hi, [0.5, 0.95], n_bins=256)
+    bq = quantiles_from_counts(batch, "event_type", lo, hi, [0.5, 0.95], n_bins=256)
+    srows = sorted(map(tuple, sq.collect()))
+    brows = sorted(map(tuple, bq.collect()))
+    assert srows == brows
+    # sanity: estimates within one bin width of exact percentiles
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(F2.expr("percentile(value, 0.5)").alias("p50"))
+        .collect()
+    }
+    for r in sq.collect():
+        assert abs(r.q0_5 - exact[r.event_type].p50) <= (hi - lo) / 256

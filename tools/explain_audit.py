@@ -167,6 +167,20 @@ CHECKS = {
         "must": ["HashAggregate", "BroadcastHashJoin"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "pc2_histogram_quantiles": {
+        # the cumulative window must run over the per-(group, bin)
+        # aggregate (<=1024 rows/group), partitioned by the group key —
+        # never a partition-less or raw-data window; and no sort-based
+        # exact percentile may appear
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "percentile("],
+        "check": lambda plan: [
+            f"window not partitioned by l_returnflag: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(l_returnflag#" not in ln
+        ],
+    },
     "w10_pattern_match": {
         # sequence strings build inside a keyed aggregate (array_sort in
         # the agg buffer) — there must be NO window operator at all, and
