@@ -80,6 +80,17 @@ def sp3_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SP4: weighted sampling without replacement ------------------------------
+@register(
+    "sp4_weighted_sample",
+    oracle=CP.weighted_sample_sql("documents", k=200),
+    doc="SP4 deterministic weighted sampling without replacement (Efraimidis-Spirakis A-ES): hash-uniform u, key=ln(u)/n_chars, top-200 keys via TakeOrderedAndProject — probability-proportional-to-size yet fully reproducible, zero shuffle",
+)
+def sp4_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return CP.weighted_sample(load_table(spark, sf_dir, "documents"), k=200)
+
+
 # --- PK1: sequence packing (token-budget sharding) ---------------------------
 @register(
     "pk1_sequence_packing",

@@ -237,3 +237,30 @@ def cc3_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# --- CC5: per-source frequency cap --------------------------------------------
+from pdf_etl_pipeline_spark.llmdata.curation import SOURCE_CAP, source_cap  # noqa: E402
+
+_CC5_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, round({_QUALITY}, 6) AS quality_score FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY quality_score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT source, rank, doc_id, quality_score
+FROM ranked WHERE rank <= {SOURCE_CAP}
+ORDER BY source, rank"""
+
+
+@register(
+    "cc5_source_cap",
+    oracle=_CC5_ORACLE,
+    doc="CC5 per-source frequency cap (RefinedWeb-style domain guard): keep the top-10 docs per source by quality score — codegen scoring over the scan + ONE source-partitioned row_number window, no global sort",
+)
+def cc5_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return source_cap(load_table(spark, sf_dir, "documents"))

@@ -632,3 +632,61 @@ def s13_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(
         load_table(spark, sf_dir, "events"), "user_id", "event_type", "ts", "event_id"
     ).orderBy("user_id", "valid_from")
+
+
+# --- EV1: cohort retention matrix ----------------------------------------------
+from pyspark.sql.window import Window  # noqa: E402
+
+
+@register(
+    "ev1_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+ret AS (
+  SELECT cohort_week,
+         date_diff('day', cohort_week, week) // 7 AS week_offset,
+         COUNT(DISTINCT a.user_id) AS n_users
+  FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_users,
+       max(CASE WHEN week_offset = 0 THEN n_users END)
+         OVER (PARTITION BY cohort_week) AS cohort_size,
+       round(n_users / (max(CASE WHEN week_offset = 0 THEN n_users END)
+         OVER (PARTITION BY cohort_week)), 6) AS retention
+FROM ret ORDER BY cohort_week, week_offset""",
+    doc="EV1 weekly cohort retention matrix: first-seen week per user, distinct active (user, week) pairs, retention vs week-0 cohort size — two user_id-keyed aggregations whose exchange Catalyst reuses, then a window over the tiny (cohort, offset) aggregate; the product-analytics staple",
+)
+def ev1_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    ret = (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) div 7").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    # cohort size = the week-0 row of each cohort (min(ts) is in week 0 by
+    # construction); window over the post-aggregation relation, which is
+    # |cohorts| x |offsets| rows — tiny at any corpus scale.
+    w = Window.partitionBy("cohort_week")
+    size = F.max(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(w)
+    return (
+        ret.withColumn("cohort_size", size)
+        .withColumn("retention", F.round(F.col("n_users") / F.col("cohort_size"), 6))
+        .orderBy("cohort_week", "week_offset")
+    )

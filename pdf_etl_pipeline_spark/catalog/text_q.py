@@ -166,3 +166,25 @@ ORDER BY d.doc_id""",
 def tx7_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return TX.unigram_logprob(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# --- TX8: TF-IDF keyword extraction -------------------------------------------
+@register(
+    "tx8_tfidf_topk",
+    oracle=TX.tfidf_topk_sql("documents", k=3),
+    doc="TX8 top-3 TF-IDF keywords per document (smoothed sklearn idf): one token explode feeds both tf and df, N broadcast as 1 row, per-doc window top-k — no global sort",
+)
+def tx8_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return TX.tfidf_topk(load_table(spark, sf_dir, "documents"), k=3)
+
+
+# --- TX9: character entropy ---------------------------------------------------
+@register(
+    "tx9_char_entropy",
+    oracle=TX.char_entropy_sql("documents"),
+    doc="TX9 per-doc character-level Shannon entropy over [a-z0-9 ] (compression-proxy quality filter): 37-symbol counts keyed by doc_id, one shuffle, decimal-exact p*ln p sum",
+)
+def tx9_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return TX.char_entropy(load_table(spark, sf_dir, "documents"))

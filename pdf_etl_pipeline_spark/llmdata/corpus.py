@@ -129,6 +129,54 @@ def stratified_sample_sql(rates_bp: dict[str, int] | None = None) -> tuple[str, 
     return b, case
 
 
+WEIGHTED_SALT = "wsample_"
+U32 = 1 << 32
+
+
+def weighted_sample(docs: DataFrame, k: int = 200) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the A-ES one-pass scheme): each doc draws a
+    hash-derived uniform u ∈ (0,1] and competes on key = ln(u)/w with
+    weight w = n_chars; the k LARGEST keys are the sample. Inclusion
+    probability is proportional to weight, yet the whole draw is a pure
+    function of (doc_id, salt) — reproducible across runs, partitionings,
+    and engines, unlike ``rand()``-based sampling.
+
+    Shape for scale: keys are computed in the scan (zero shuffle) and the
+    selection is an ordered top-k — TakeOrderedAndProject keeps per-task
+    heaps of k rows and merges on the driver; no global sort, no
+    all-data exchange, the same shape as W5. This is how you draw a
+    quality-weighted pretraining subset from 100 TB in one pass.
+
+    Determinism: keys are rounded to 9 decimals in both engines (libm
+    ``ln`` ulp convention) with doc_id as the total-order tiebreak.
+    """
+    u = (_salted_bucket(F.col("doc_id"), WEIGHTED_SALT, U32) + 1) / F.lit(float(U32))
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    ranked = docs.select("doc_id", "n_chars", key.alias("key")).orderBy(
+        F.desc("key"), F.asc("doc_id")
+    )
+    w = Window.orderBy(F.desc("key"), F.asc("doc_id"))
+    return ranked.limit(k).withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "n_chars", "key"
+    )
+
+
+def weighted_sample_sql(table: str, k: int = 200) -> str:
+    """DuckDB oracle for :func:`weighted_sample` — identical arithmetic."""
+    u = f"(({_salted_bucket_sql(WEIGHTED_SALT, U32)}) + 1) / {float(U32)}"
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars, round(ln({u}) / n_chars, 9) AS key
+  FROM {table}
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rank FROM keyed
+)
+SELECT rank, doc_id, n_chars, key FROM ranked WHERE rank <= {k}
+ORDER BY rank"""
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (token-budget sharding)
 # ---------------------------------------------------------------------------

@@ -137,3 +137,38 @@ def curate_corpus_full(
         .join(contaminated, "doc_id", "left_anti")
         .join(repetitive, "doc_id", "left_anti")
     )
+
+
+SOURCE_CAP = 10
+
+
+def source_cap(docs: DataFrame, cap: int = SOURCE_CAP) -> DataFrame:
+    """Per-source frequency cap: keep at most ``cap`` documents from each
+    source, preferring higher quality — the RefinedWeb/C4-style guard
+    against any single domain dominating the training mix (a handful of
+    crawler-friendly sites can contribute millions of near-identical
+    pages; capping per registered domain is the standard fix).
+
+    Shape for scale: quality scoring is pure codegen over the scan
+    (text_stats adds no shuffle); the cap is ONE window partitioned by
+    ``source`` — a keyed shuffle, never a global sort. A pathologically
+    hot source makes this aggregation-skew; the row_number frame is
+    rank-only (no payload carried), so even a 100M-page domain is a
+    single fat partition of (doc_id, score) pairs — and the W5-style
+    pre-aggregation or salting levers apply unchanged if that is too fat
+    for one task.
+    """
+    from pyspark.sql import Window
+
+    scored = docs.join(
+        text_stats(docs).select("doc_id", "quality_score"), "doc_id"
+    ).select("doc_id", "source", "quality_score")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cap)
+        .select("source", "rank", "doc_id", "quality_score")
+        .orderBy("source", "rank")
+    )

@@ -10,8 +10,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from pdf_etl_pipeline_spark.functions.scalars import portable_hash32, portable_hash32_sql
+from pdf_etl_pipeline_spark.functions.scalars import (
+    dec_sum_sql,
+    portable_hash32,
+    portable_hash32_sql,
+)
 from pdf_etl_pipeline_spark.llmdata.dedup import P31, PERM_A, PERM_B, tokens_col, tokens_sql
 
 # Stopword marker lists per language (tiny on purpose — the heuristic is
@@ -223,3 +228,141 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         min_shingle_hash.alias("fp_minshingle"),
     ).orderBy("doc_id")
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` keywords per document by TF-IDF (smoothed sklearn-style
+    idf = ln((N+1)/(df+1)) + 1) — the classic keyword/feature-extraction
+    op a corpus pipeline runs before clustering or retrieval.
+
+    Shape for scale: one token explode feeds BOTH the per-(doc, tok) term
+    frequency and the document frequency (df aggregates the tf relation,
+    so the expensive explode shuffles once on ``tok``-free keys and the
+    df pass is map-side combined); N arrives as a 1-row broadcast
+    (vocabulary is millions of rows at 100 TB — never a partition-less
+    window); scoring joins tf to idf on ``tok`` (an equi-join on the
+    aggregation key) and the top-k is a per-doc window, partitioned by
+    doc_id — no global sort anywhere.
+
+    Cross-engine determinism: idf is rounded to 6 decimals before the
+    multiply (libm ln last-ulp convention, see :func:`unigram_logprob`);
+    score ties break on the token string so row_number is total-ordered.
+    """
+    toks = docs.select("doc_id", F.explode(tokens_col("text", distinct=False)).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.round(F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1, 6).alias("idf"),
+    )
+    scored = tf.join(idf, "tok").select(
+        "doc_id", "tok", F.round(F.col("tf") * F.col("idf"), 6).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "tok", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def tfidf_topk_sql(table: str, k: int = 3) -> str:
+    """DuckDB oracle for :func:`tfidf_topk` — identical arithmetic."""
+    toks = tokens_sql("text", distinct=False)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM {table}
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+idf AS (SELECT tok, round(ln((n_docs + 1) / (df + 1)) + 1, 6) AS idf FROM df, n),
+scored AS (
+  SELECT doc_id, tf.tok AS tok, round(tf * idf, 6) AS score
+  FROM tf JOIN idf ON tf.tok = idf.tok
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, tok, score FROM ranked WHERE rank <= {k}
+ORDER BY doc_id, rank"""
+
+
+ENTROPY_ALPHABET_RE = "[a-z0-9 ]"
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Character-level Shannon entropy per document over a fixed
+    ``[a-z0-9 ]`` alphabet (lowercased) — the compression-proxy quality
+    signal: near-zero entropy flags repetitive/boilerplate docs, and
+    anomalously high entropy flags base64/gibberish; both are standard
+    pretraining-corpus filters.
+
+    Shape for scale: ``regexp_extract_all`` + explode → (doc_id, ch)
+    counts; the alphabet is 37 symbols so the per-doc relation is tiny
+    and every aggregation is map-side combined and keyed by doc_id — one
+    shuffle, no global state at all (unlike tf-idf there is no corpus
+    pass; each doc is scored against its own distribution).
+
+    Determinism: each p·ln p term is rounded to 6 decimals (ln ulp
+    convention) and summed through exact decimals, so the result is
+    independent of partition order in both engines.
+    """
+    from pdf_etl_pipeline_spark.functions.scalars import dec_sum
+
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit(ENTROPY_ALPHABET_RE), 0)).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_alpha"),
+        F.count(F.lit(1)).alias("n_symbols"),
+    )
+    terms = counts.join(per_doc.select("doc_id", "n_alpha"), "doc_id").select(
+        "doc_id",
+        F.round((F.col("c") / F.col("n_alpha")) * F.log(F.col("c") / F.col("n_alpha")), 6).alias("term"),
+    )
+    ent = terms.groupBy("doc_id").agg(F.round(-dec_sum("term"), 6).alias("entropy"))
+    return (
+        docs.select("doc_id")
+        .join(per_doc.join(ent, "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_alpha", F.lit(0)).cast("long").alias("n_alpha"),
+            F.coalesce("n_symbols", F.lit(0)).cast("long").alias("n_symbols"),
+            "entropy",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def char_entropy_sql(table: str) -> str:
+    """DuckDB oracle for :func:`char_entropy` — identical arithmetic."""
+    return f"""
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{ENTROPY_ALPHABET_RE}')) AS ch
+  FROM {table}
+),
+counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n_alpha, COUNT(*) AS n_symbols FROM counts GROUP BY 1
+),
+terms AS (
+  SELECT counts.doc_id AS doc_id,
+         round((c / n_alpha) * ln(c / n_alpha), 6) AS term
+  FROM counts JOIN per_doc ON counts.doc_id = per_doc.doc_id
+),
+ent AS (SELECT doc_id, round(-{dec_sum_sql('term')}, 6) AS entropy FROM terms GROUP BY doc_id)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(n_alpha, 0) AS BIGINT) AS n_alpha,
+       CAST(coalesce(n_symbols, 0) AS BIGINT) AS n_symbols,
+       entropy
+FROM {table} d
+LEFT JOIN (SELECT per_doc.doc_id AS doc_id, n_alpha, n_symbols, entropy
+           FROM per_doc JOIN ent ON per_doc.doc_id = ent.doc_id) s
+  ON d.doc_id = s.doc_id
+ORDER BY doc_id"""

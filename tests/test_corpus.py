@@ -204,3 +204,109 @@ def test_unigram_logprob_hand_computed(spark):
     out9 = unigram_logprob(docs.unionAll(rare)).filter("doc_id in (1, 9)").collect()
     scores = {r.doc_id: r.avg_logprob for r in out9}
     assert scores[1] > scores[9]
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """tx8: a term unique to one doc must outscore a corpus-wide term in
+    that doc, and the hand-computed score must match (idf rounded to 6)."""
+    import math
+
+    from pdf_etl_pipeline_spark.llmdata.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran"), (3, "the the the zebra")],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.tok] = (r.rank, r.score)
+    # at equal tf, 'cat' (df=1) beats 'the' (df=3) in doc 1
+    assert by_doc[1]["cat"][0] < by_doc[1]["the"][0]
+    idf_rare = round(math.log((3 + 1) / (1 + 1)) + 1, 6)
+    assert abs(by_doc[1]["cat"][1] - round(1 * idf_rare, 6)) < 1e-9
+    idf_the = round(math.log((3 + 1) / (3 + 1)) + 1, 6)  # = 1.0
+    assert abs(by_doc[3]["the"][1] - round(3 * idf_the, 6)) < 1e-9
+    # ranks are dense 1..k and unique per doc
+    for d, toks in by_doc.items():
+        ranks = sorted(rank for rank, _ in toks.values())
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_char_entropy_bounds_and_extremes(spark):
+    """tx9: constant text has entropy 0; a uniform alphabet doc hits
+    ln(n_symbols); everything in between is bounded by ln(n_symbols)."""
+    import math
+
+    from pdf_etl_pipeline_spark.llmdata.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abcdefgh"), (3, "hello world"), (4, "!!!???")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert out[1].entropy == 0.0 and out[1].n_symbols == 1
+    assert abs(out[2].entropy - round(math.log(8), 6)) < 1e-5
+    assert 0.0 < out[3].entropy <= math.log(out[3].n_symbols) + 1e-9
+    # doc 4 has no [a-z0-9 ] chars at all -> null entropy, zero counts
+    assert out[4].n_alpha == 0 and out[4].entropy is None
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """sp4: with weights 1000:1, heavy docs must dominate the sample, and
+    the draw must be identical under a different partitioning."""
+    rows = [(i, 1000 if i < 50 else 1) for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = CP.weighted_sample(docs, k=40).collect()
+    heavy = sum(1 for r in out if r.n_chars == 1000)
+    # E[heavy] ~= 40 * (50*1000)/(50*1000+950) ~= 39; any deterministic
+    # hash draw this lopsided keeps it >= 30
+    assert heavy >= 30
+    assert [r.doc_id for r in out] == [
+        r.doc_id for r in CP.weighted_sample(docs.repartition(13), k=40).collect()
+    ]
+    # ranks are 1..k in key order
+    assert [r.rank for r in out] == list(range(1, 41))
+
+
+def test_source_cap_keeps_top_quality(spark, sf_dir):
+    """cc5: no source exceeds the cap, and every kept doc's quality is >=
+    every dropped doc's quality within its source (ties broken by id)."""
+    from pdf_etl_pipeline_spark.llmdata.curation import source_cap
+    from pdf_etl_pipeline_spark.llmdata.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = source_cap(docs, cap=3).collect()
+    per_src = {}
+    for r in kept:
+        per_src.setdefault(r.source, []).append(r)
+    scored = {
+        (r.doc_id): r.quality_score
+        for r in docs.join(
+            text_stats(docs).select("doc_id", "quality_score"), "doc_id"
+        ).collect()
+    }
+    all_docs = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    for src, rows in per_src.items():
+        assert len(rows) <= 3
+        worst_kept = min((r.quality_score, -r.doc_id) for r in rows)
+        kept_ids = {r.doc_id for r in rows}
+        for did, s in all_docs.items():
+            if s == src and did not in kept_ids:
+                assert (scored[did], -did) <= worst_kept
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    """ev1: week-0 retention is exactly 1.0, every retention <= 1, and
+    column n_users never exceeds cohort_size."""
+    from pdf_etl_pipeline_spark.catalog.extended_q import ev1_cohort_retention
+
+    out = ev1_cohort_retention(spark, sf_dir).collect()
+    assert out, "no cohorts on the events table"
+    for r in out:
+        assert r.n_users <= r.cohort_size
+        assert r.retention <= 1.0
+        if r.week_offset == 0:
+            assert r.retention == 1.0
+    # offsets are non-negative (min ts defines week 0)
+    assert min(r.week_offset for r in out) == 0
