@@ -200,6 +200,51 @@ CHECKS = {
             and "windowspecdefinition(user_id#" not in ln
         ],
     },
+    "tx8_tfidf_topk": {
+        # one explode feeds tf and df; N joins back as a 1-row broadcast
+        # (BNLJ over one row, like tx7); top-k is a doc_id-partitioned
+        # window — never partition-less, never Python
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin", "Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            f"window not partitioned by doc_id: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(doc_id#" not in ln
+        ],
+    },
+    "cc5_source_cap": {
+        # quality scoring is codegen over the scan; the cap is ONE window
+        # partitioned by source — a keyed shuffle, never a global sort
+        "must": ["Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            f"window not partitioned by source: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(source#" not in ln
+        ],
+    },
+    "sp4_weighted_sample": {
+        # the weighted draw must compile to TakeOrderedAndProject (per-task
+        # k-row heaps merged on the driver), never a range-partitioned
+        # global sort of the corpus; the rank window sorts only the k
+        # already-limited rows (a SinglePartition exchange of k rows)
+        "must": ["TakeOrderedAndProject"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "Exchange rangepartitioning"],
+    },
+    "ev1_cohort_retention": {
+        # both heavy aggregations key on user_id; the retention window runs
+        # over the tiny (cohort, offset) aggregate partitioned by cohort
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            f"window not partitioned by cohort_week: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(cohort_week#" not in ln
+        ],
+    },
     "st6_attribution_join": {
         # interval join must equi-join on user_id (BroadcastHashJoin at
         # this SF via AQE; SortMergeJoin at scale) with the time range as a
