@@ -690,3 +690,31 @@ def ev1_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("retention", F.round(F.col("n_users") / F.col("cohort_size"), 6))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --- G2: triangle counting ------------------------------------------------------
+from pdf_etl_pipeline_spark.operators.triangles import triangle_count, triangle_count_sql  # noqa: E402
+
+_G2_EDGES_SQL = """SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
+
+
+@register(
+    "g2_triangle_count",
+    oracle=triangle_count_sql(_G2_EDGES_SQL),
+    doc="G2 triangle count of the part co-order graph via degree orientation (out-degree capped at O(sqrt E), wedge join bounded by E^1.5 regardless of hub skew); oracle is the naive a<b<c 3-way join — a different algorithm, same count by construction",
+)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    )
+    return triangle_count(edges)

@@ -1,0 +1,98 @@
+"""Distributed triangle counting via degree orientation (G2,
+beyond-reference) — the canonical "joins, done right, beat graph
+frameworks" workload (Suri & Vassilvitskii 2011's MR-friendly
+orientation; the same algorithm inside GraphFrames' triangleCount).
+
+Why orientation matters at 100 TB: the naive wedge join (edges ⋈ edges
+on the shared endpoint) explodes on high-degree nodes — a degree-d hub
+contributes d² wedge rows. Directing every edge from its LOWER
+(degree, id) endpoint to the higher caps every out-degree at O(√|E|),
+so the wedge join is at most |E|^{3/2} rows TOTAL (the combinatorial
+optimum for triangle listing), independent of hub degree. Skewed
+degree distributions — exactly what co-occurrence graphs have — go
+from quadratic blowup to the √ bound.
+
+Plan shape: three joins and an aggregate, all equi-joins on node ids
+(shuffle-partitioned; no broadcast assumption — at scale every relation
+here is corpus-sized), plus two keyed degree aggregations. Nothing
+iterative, nothing Python-side.
+
+Each triangle {a,b,c} is counted exactly once: orientation is a total
+order (ties on degree break by node id), so of the 6 possible wedge
+(center) choices only the one rooted at the smallest-ordered vertex
+survives the closing-edge check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """1-row (n_nodes, n_edges, n_triangles) for an undirected simple
+    graph given as (u, v) pairs in any order/duplication (canonicalized
+    and deduplicated here; self-loops dropped)."""
+    canon = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+        )
+        .dropDuplicates()
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient from the lower (deg, id) endpoint to the higher
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    with_deg = canon.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    wedges = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.dst") == F.col("e2.src")
+    ).select(
+        F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("c")).unionAll(
+            oriented.select(F.col("dst").alias("a"), F.col("src").alias("c"))
+        ),
+        ["a", "c"],
+        "left_semi",
+    )
+    return (
+        closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .crossJoin(F.broadcast(canon.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+def triangle_count_sql(edges_sql: str) -> str:
+    """DuckDB oracle: the naive a<b<c canonical 3-way join — a DIFFERENT
+    algorithm than the degree-oriented plan, same count by construction
+    (each triangle has exactly one a<b<c labeling). ``edges_sql`` must
+    yield canonical (u, v) pairs with u < v, deduplicated."""
+    return f"""
+WITH edges AS ({edges_sql}),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT COUNT(DISTINCT node)
+        FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       n_triangles
+FROM tri"""

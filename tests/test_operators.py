@@ -445,3 +445,28 @@ def test_histogram_quantiles_accuracy(spark, sf_dir):
     const = spark.createDataFrame([("g", 7.0)] * 5, "grp string, v double")
     row = histogram_quantiles(const, "grp", "v", [0.5]).collect()[0]
     assert row.q0_5 == 7.0 and row.n_rows == 5
+
+
+def test_triangle_count_known_graphs(spark):
+    """g2: K4 has 4 triangles; a star has none regardless of hub degree;
+    duplicated/reversed/self-loop inputs canonicalize away."""
+    from pdf_etl_pipeline_spark.operators.triangles import triangle_count
+
+    def tri(pairs):
+        df = spark.createDataFrame(pairs, "u long, v long")
+        return triangle_count(df).collect()[0]
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = tri(k4)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    # hub star: high-degree center, zero triangles (orientation's worst case)
+    star = [(0, i) for i in range(1, 50)]
+    r = tri(star)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (50, 49, 0)
+    # wheel: star + rim cycle -> one triangle per rim edge
+    wheel = star + [(i, i + 1) for i in range(1, 49)] + [(49, 1)]
+    assert tri(wheel).n_triangles == 49
+    # noise robustness: duplicates, reversed pairs, self-loops
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (0, 1)]
+    r = tri(noisy)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)

@@ -245,6 +245,13 @@ CHECKS = {
             and "windowspecdefinition(cohort_week#" not in ln
         ],
     },
+    "g2_triangle_count": {
+        # every join is an equi-join on node ids (wedge join on the shared
+        # endpoint, closing check a semi-join) — no nested-loop shapes, no
+        # Python; degree aggregation is a keyed HashAggregate
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
     "st6_attribution_join": {
         # interval join must equi-join on user_id (BroadcastHashJoin at
         # this SF via AQE; SortMergeJoin at scale) with the time range as a
