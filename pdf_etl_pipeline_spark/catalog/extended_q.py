@@ -718,3 +718,35 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
     )
     return triangle_count(edges)
+
+
+# --- ML1: grouped OLS via sufficient statistics --------------------------------
+from pdf_etl_pipeline_spark.operators.linreg import linreg, linreg_sql  # noqa: E402
+
+
+@register(
+    "ml1_linreg",
+    oracle=linreg_sql("events", "event_type", "hour(ts)", "value"),
+    doc="ML1 per-event-type OLS fit of value ~ hour-of-day (slope/intercept/R^2) from the 6 sufficient statistics in ONE map-side-combinable keyed aggregation — closed-form ML with nothing but a few doubles per group on the wire; decimal-exact sums make the fit partition-order independent",
+)
+def ml1_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return linreg(
+        load_events(spark, sf_dir), "event_type", F.hour("ts"), F.col("value")
+    )
+
+
+# --- DP1: one-scan dataset profile ---------------------------------------------
+from pdf_etl_pipeline_spark.operators.profile import profile, profile_sql  # noqa: E402
+
+_DP1_COLS = ["l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+
+
+@register(
+    "dp1_profile",
+    oracle=profile_sql("lineitem", _DP1_COLS),
+    doc="DP1 one-scan dataset profile (ANALYZE-style): per-column null count, exact distinct cardinality, native-ordered min/max — all statistics ride a single aggregation over a single lineitem scan; approx_count_distinct is the documented 100 TB lever",
+)
+def dp1_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return profile(load_table(spark, sf_dir, "lineitem"), _DP1_COLS)

@@ -470,3 +470,45 @@ def test_triangle_count_known_graphs(spark):
     noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (0, 1)]
     r = tri(noisy)
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+
+def test_linreg_recovers_exact_line(spark):
+    """ml1: a perfect y = 2x + 3 fits exactly (r2 = 1); a zero-x-variance
+    group yields nulls; a noisy group keeps r2 strictly below 1."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.operators.linreg import linreg
+
+    rows = [("lin", float(x), 2.0 * x + 3.0) for x in range(10)]
+    rows += [("flat", 5.0, float(y)) for y in range(4)]
+    rows += [("noisy", float(x), float(x) + (1.0 if x % 2 else -1.0)) for x in range(10)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    out = {r.grp: r for r in linreg(df, "grp", F.col("x"), F.col("y")).collect()}
+    assert abs(out["lin"].slope - 2.0) < 1e-9
+    assert abs(out["lin"].intercept - 3.0) < 1e-9
+    assert abs(out["lin"].r2 - 1.0) < 1e-9
+    assert out["flat"].slope is None and out["flat"].r2 is None
+    assert out["noisy"].r2 < 1.0
+    # partition-order independence (decimal-exact sufficient statistics)
+    out2 = {r.grp: r for r in linreg(df.repartition(7), "grp", F.col("x"), F.col("y")).collect()}
+    assert all(out[g] == out2[g] for g in out)
+
+
+def test_profile_exact_and_native_ordering(spark):
+    """dp1: null/distinct counts are exact, min/max use NATIVE ordering
+    (9 < 10 numerically) and only then become strings."""
+    from pdf_etl_pipeline_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(9, "b"), (10, None), (9, "a"), (None, "a")],
+        "num long, s string",
+    )
+    out = {r.col_name: r for r in profile(df, ["num", "s"]).collect()}
+    assert out["num"].n_rows == 4 and out["num"].n_null == 1
+    assert out["num"].n_distinct == 2
+    assert out["num"].min_str == "9" and out["num"].max_str == "10"  # not lexicographic
+    assert out["s"].n_null == 1 and out["s"].n_distinct == 2
+    assert out["s"].min_str == "a" and out["s"].max_str == "b"
+    # approx mode stays close on tiny cardinalities
+    ap = {r.col_name: r for r in profile(df, ["num"], exact_distinct=False).collect()}
+    assert abs(ap["num"].n_distinct - 2) <= 1

@@ -252,6 +252,24 @@ CHECKS = {
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "ml1_linreg": {
+        # the whole fit is ONE keyed aggregation (partial_ stats map-side);
+        # no window, no join, no Python — the sufficient-statistics contract
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "Window", "Join", "CartesianProduct"],
+    },
+    "dp1_profile": {
+        # all stats ride one scan: multiple exact distincts plan via Expand
+        # over a single FileScan (SortAggregate here — first()+min/max over
+        # expanded gid streams) — assert one scan, no join, no Python
+        "must": ["Expand", "Aggregate"],
+        "must_not": ["BatchEvalPython", "Join", "CartesianProduct"],
+        "check": lambda plan: (
+            []
+            if plan.count("Scan parquet") == 1
+            else [f"expected exactly 1 parquet scan, found {plan.count('Scan parquet')}"]
+        ),
+    },
     "st6_attribution_join": {
         # interval join must equi-join on user_id (BroadcastHashJoin at
         # this SF via AQE; SortMergeJoin at scale) with the time range as a
