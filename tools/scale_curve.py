@@ -314,6 +314,90 @@ def measure_ss6(label: str, emb: DataFrame, k: int = 10) -> dict:
     }
 
 
+def hub_graph(spark, n_rim: int, hub_spokes: int, seed: int = 23) -> DataFrame:
+    """Skewed co-occurrence-shaped graph: one hub wired to ``hub_spokes``
+    nodes plus a sparse pseudo-random rim (each node links to 3 hashed
+    neighbors) — the degree distribution that breaks naive wedge joins."""
+    nodes = spark.range(1, n_rim + 1).select(F.col("id").alias("u"))
+    spokes = spark.range(1, hub_spokes + 1).select(
+        F.lit(0).alias("u"), F.col("id").alias("v")
+    )
+    rim = nodes.select(
+        "u",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(F.md5(F.concat(F.lit(f"g2_{seed}_{i}_"), F.col("u").cast("string"))), 1, 8),
+                            16,
+                            10,
+                        ).cast("long")
+                        % n_rim
+                        + 1
+                    )
+                    for i in range(3)
+                ]
+            )
+        ).alias("v"),
+    )
+    return spokes.unionAll(rim)
+
+
+def measure_g2(label: str, edges: DataFrame) -> dict:
+    """Wedge volume with vs without degree orientation — the quantity the
+    E^1.5 bound caps. 'naive' is what a join on the shared endpoint of the
+    UNDIRECTED edge list generates (sum over nodes of deg·(deg−1)/2)."""
+    from pdf_etl_pipeline_spark.operators.triangles import triangle_count
+
+    canon = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .dropDuplicates()
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("deg").alias("max_deg"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("naive_wedges"),
+    ).collect()[0]
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    wd = canon.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = wd.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o_wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .count()
+    )
+    t0 = time.time()
+    tri = triangle_count(canon).collect()[0]
+    wall = round(time.time() - t0, 2)
+    n_edges = canon.count()
+    canon.unpersist()
+    return {
+        "graph": label,
+        "n_nodes": stats.n_nodes,
+        "n_edges": n_edges,
+        "max_deg": stats.max_deg,
+        "naive_wedges": int(stats.naive_wedges),
+        "oriented_wedges": o_wedges,
+        "e_pow_1_5": int(n_edges**1.5),
+        "n_triangles": tri.n_triangles,
+        "wall_sec": wall,
+    }
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     spark = get_spark("scale_curve")
@@ -323,6 +407,7 @@ def main() -> None:
         "dd5": [],
         "j5": [],
         "ss6": [],
+        "g2": [],
     }
 
     for sf in ("sf0.01", "sf0.1"):
@@ -354,6 +439,25 @@ def main() -> None:
     for n in (1_000, 4_000, 12_000) if not quick else (1_000, 4_000):
         out["ss6"].append(measure_ss6(f"shaped {n // 1000}k", shaped_embeddings(spark, n)))
         print(json.dumps(out["ss6"][-1]), flush=True)
+
+    for sf in ("sf0.001", "sf0.01"):
+        li = load_table(spark, f"/root/testdata/{sf}", "lineitem")
+        co = (
+            li.alias("a")
+            .join(
+                li.alias("b"),
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        )
+        out["g2"].append(measure_g2(f"co-order {sf}", co))
+        print(json.dumps(out["g2"][-1]), flush=True)
+    for n_rim, spokes in ((5_000, 5_000), (20_000, 20_000)) if not quick else ((5_000, 5_000),):
+        out["g2"].append(
+            measure_g2(f"hub {spokes // 1000}k-spoke", hub_graph(spark, n_rim, spokes))
+        )
+        print(json.dumps(out["g2"][-1]), flush=True)
 
     print(json.dumps(out))
     spark.stop()
