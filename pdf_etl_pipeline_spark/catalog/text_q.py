@@ -188,3 +188,23 @@ def tx8_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx9_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return TX.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+# --- IR1: BM25 ranked retrieval -----------------------------------------------
+from pdf_etl_pipeline_spark.llmdata.retrieval import bm25_topk, bm25_topk_sql  # noqa: E402
+
+_IR1_QUERIES = {
+    1: ["spark", "shuffle", "partition"],
+    2: ["window", "aggregate", "sort"],
+    3: ["vector", "index"],
+}
+
+
+@register(
+    "ir1_bm25_topk",
+    oracle=bm25_topk_sql("documents", _IR1_QUERIES, k=5),
+    doc="IR1 BM25 top-5 retrieval for 3 keyword queries (Lucene idf, k1=1.2, b=0.75): corpus explodes once into (doc, tok, tf) postings, the broadcast query table equi-joins the postings — only matching documents are ever scored; per-query window top-k",
+)
+def ir1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return bm25_topk(load_table(spark, sf_dir, "documents"), _IR1_QUERIES, k=5)

@@ -23,16 +23,16 @@ from pyspark.sql import functions as F
 from pdf_etl_pipeline_spark.functions.scalars import dec_sum, dec_sum_sql
 
 
-def linreg(df: DataFrame, group_col: str, x: Column, y: Column) -> DataFrame:
-    """Per-group OLS fit of y = slope·x + intercept, with R².
-
-    Null x or y rows are excluded (the SQL-standard regr_* convention).
-    Degenerate groups (zero x-variance) yield null slope/intercept/r2.
-    """
+def suffstats(df: DataFrame, group_col: str, x: Column, y: Column) -> DataFrame:
+    """The 6 sufficient statistics per group — a MERGEABLE sketch (counts
+    and exact decimal sums combine associatively), so this same expression
+    runs unchanged as an INCREMENTAL streaming aggregation: feed it a
+    streaming DataFrame and the state per group is six numbers
+    (streamed-equals-batch pinned in tests/test_streaming.py)."""
     rows = df.select(
         F.col(group_col), x.alias("x"), y.alias("y")
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
-    stats = rows.groupBy(group_col).agg(
+    return rows.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         dec_sum("x").alias("sx"),
         dec_sum("y").alias("sy"),
@@ -40,6 +40,11 @@ def linreg(df: DataFrame, group_col: str, x: Column, y: Column) -> DataFrame:
         dec_sum(F.col("x") * F.col("y")).alias("sxy"),
         dec_sum(F.col("y") * F.col("y")).alias("syy"),
     )
+
+
+def fit_from_stats(stats: DataFrame, group_col: str) -> DataFrame:
+    """Closed-form OLS from a sufficient-statistics relation — pure
+    projection arithmetic, O(groups)."""
     varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
@@ -53,6 +58,15 @@ def linreg(df: DataFrame, group_col: str, x: Column, y: Column) -> DataFrame:
             (cov * cov) / F.nullif(varx * vary, F.lit(0.0)), 6
         ).alias("r2"),
     ).orderBy(group_col)
+
+
+def linreg(df: DataFrame, group_col: str, x: Column, y: Column) -> DataFrame:
+    """Per-group OLS fit of y = slope·x + intercept, with R².
+
+    Null x or y rows are excluded (the SQL-standard regr_* convention).
+    Degenerate groups (zero x-variance) yield null slope/intercept/r2.
+    """
+    return fit_from_stats(suffstats(df, group_col, x, y), group_col)
 
 
 def linreg_sql(table: str, group_col: str, x_expr: str, y_expr: str) -> str:

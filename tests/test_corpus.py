@@ -310,3 +310,27 @@ def test_cohort_retention_invariants(spark, sf_dir):
             assert r.retention == 1.0
     # offsets are non-negative (min ts defines week 0)
     assert min(r.week_offset for r in out) == 0
+
+
+def test_bm25_semantics(spark):
+    """ir1: a doc containing ALL query terms outranks a doc with one term;
+    term repetition saturates (k1) rather than growing linearly; docs
+    sharing no term never appear."""
+    from pdf_etl_pipeline_spark.llmdata.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle partition join"),
+            (2, "spark spark spark spark spark spark spark spark"),
+            (3, "cooking recipes and gardens"),
+            (4, "spark shuffle"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, {1: ["spark", "shuffle", "partition"]}, k=4).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids  # no shared term -> never scored
+    assert ids[0] == 1  # all three terms beat any single-term doc
+    scores = {r.doc_id: r.score for r in out}
+    # saturation: 8x repetition of one term must NOT reach the 2-term doc
+    assert scores[2] < scores[4]

@@ -449,3 +449,41 @@ def test_streaming_histogram_counts_merge_across_batches(spark, sf_dir, tmp_path
     }
     for r in sq.collect():
         assert abs(r.q0_5 - exact[r.event_type].p50) <= (hi - lo) / 256
+
+
+# --- ST9: streaming OLS via mergeable sufficient statistics ---------------------
+def test_streaming_linreg_equals_batch(spark, sf_dir, tmp_path):
+    """The ml1 sufficient statistics (count + decimal-exact sums) are a
+    mergeable sketch, so the identical suffstats expression runs as an
+    incremental streaming aggregation: one-file micro-batches produce a
+    BIT-IDENTICAL fit to the batch path — online model fitting with six
+    numbers of state per group."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.operators.linreg import fit_from_stats, linreg, suffstats
+    from pdf_etl_pipeline_spark.session import load_events
+
+    events = load_events(spark, sf_dir)
+    drop_dir = str(tmp_path / "linreg_drops")
+    events.coalesce(4).write.mode("overwrite").parquet(drop_dir)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+        .option("maxFilesPerTrigger", 1)
+        .load(drop_dir)
+    )
+    q = (
+        suffstats(stream, "event_type", F2.hour("ts"), F2.col("value"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("st9_stats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed_fit = fit_from_stats(spark.table("st9_stats"), "event_type").collect()
+    batch_fit = linreg(events, "event_type", F2.hour("ts"), F2.col("value")).collect()
+    assert sorted(map(tuple, streamed_fit)) == sorted(map(tuple, batch_fit))
+    assert len(batch_fit) > 0

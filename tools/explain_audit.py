@@ -252,6 +252,20 @@ CHECKS = {
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "ir1_bm25_topk": {
+        # the query table and 1-row corpus stats broadcast to the postings
+        # (equi-join on tok = postings-list lookup); only matching docs are
+        # scored; top-k is a query-partitioned window — no Python, no
+        # corpus cross-join
+        "must": ["HashAggregate", "BroadcastHashJoin", "Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            f"window not partitioned by query_id: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(query_id#" not in ln
+        ],
+    },
     "ml1_linreg": {
         # the whole fit is ONE keyed aggregation (partial_ stats map-side);
         # no window, no join, no Python — the sufficient-statistics contract
