@@ -264,3 +264,37 @@ ORDER BY source, rank"""
 def cc5_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return source_cap(load_table(spark, sf_dir, "documents"))
+
+
+# --- CC6: token-budget corpus mixing ------------------------------------------
+from pdf_etl_pipeline_spark.llmdata.curation import TOKEN_BUDGET, token_budget_mix  # noqa: E402
+
+_CC6_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, round({_QUALITY}, 6) AS quality_score,
+         len({_TOKS}) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id) AS rank,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY quality_score DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+           AS start_offset
+  FROM scored
+)
+SELECT source, rank, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start_offset
+FROM ranked WHERE start_offset < {TOKEN_BUDGET}
+ORDER BY source, rank"""
+
+
+@register(
+    "cc6_token_budget_mix",
+    oracle=_CC6_ORACLE,
+    doc="CC6 token-quota corpus mixing: admit each source's docs in quality order until an 800-token budget fills (start_offset < budget, pk1 convention) — how pretraining mixes are specified; rank + running total are source-partitioned windows, no global sort",
+)
+def cc6_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return token_budget_mix(load_table(spark, sf_dir, "documents"))

@@ -208,3 +208,17 @@ _IR1_QUERIES = {
 def ir1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return bm25_topk(load_table(spark, sf_dir, "documents"), _IR1_QUERIES, k=5)
+
+
+# --- ML2: multinomial Naive Bayes ---------------------------------------------
+from pdf_etl_pipeline_spark.llmdata.classify import naive_bayes_classify, naive_bayes_sql  # noqa: E402
+
+
+@register(
+    "ml2_naive_bayes",
+    oracle=naive_bayes_sql("documents"),
+    doc="ML2 multinomial Naive Bayes trained AND applied in one plan (no MLlib): class/token counts and Laplace-smoothed log-likelihoods as aggregations, scoring as an equi-join on the token with a smoothed floor for unseen pairs, argmax per doc via window — the model never leaves the cluster",
+)
+def ml2_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return naive_bayes_classify(load_table(spark, sf_dir, "documents"))

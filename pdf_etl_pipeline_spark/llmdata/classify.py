@@ -1,0 +1,152 @@
+"""Multinomial Naive Bayes, trained AND applied in one declarative plan
+(ML2, beyond-reference) — the classic supervised text classifier as
+pure DataFrame algebra, no MLlib, no driver-side model object.
+
+Where tx1 is a rule-based language ID (fixed stopword lists), ml2
+LEARNS the model from the labeled corpus itself: per-class priors and
+Laplace-smoothed token likelihoods are aggregations; "the model" is
+just two small relations that stay on the cluster and join back to the
+data they score. At 100 TB this is the shape that matters — training is
+one map-side-combinable pass (class/token counts), scoring is an
+equi-join on the token, and no parameter ever funnels through the
+driver.
+
+Plan: tokens explode once; (lang, tok) counts + per-lang totals + vocab
+size V are aggregations; each document's tokens join the per-class
+likelihood table for ALL classes (a |tokens| × |classes| relation —
+linear, classes is a small constant) with a LEFT join so unseen
+(class, token) pairs fall back to the smoothed floor ln(1/(total+V));
+per-(doc, class) log-scores are decimal-exact sums; argmax is a window
+partitioned by doc_id.
+
+Determinism: every ln term rounds to 6 before the exact decimal sum
+(libm convention, see text.unigram_logprob); argmax ties break on the
+class name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_etl_pipeline_spark.functions.scalars import dec_sum, dec_sum_sql
+from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col, tokens_sql
+
+
+def naive_bayes_classify(docs: DataFrame, label_col: str = "lang") -> DataFrame:
+    """(doc_id, lang_true, lang_pred, log_score): self-train multinomial
+    NB on the labeled corpus and classify every document with it."""
+    toks = docs.select(
+        "doc_id",
+        F.col(label_col).alias("lang_true"),
+        F.explode(tokens_col("text", distinct=False)).alias("tok"),
+    )
+    class_tok = toks.groupBy("lang_true", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    class_tot = class_tok.groupBy("lang_true").agg(F.sum("cnt").alias("total"))
+    vocab = toks.select("tok").distinct().agg(F.count(F.lit(1)).alias("v"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    priors = (
+        docs.groupBy(F.col(label_col).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("lang", F.round(F.log(F.col("n") / F.col("n_docs")), 6).alias("log_prior"))
+    )
+    # per-class likelihood table with the smoothing constants attached
+    lik = (
+        class_tok.select(F.col("lang_true").alias("lang"), "tok", "cnt")
+        .join(class_tot.select(F.col("lang_true").alias("lang"), "total"), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "tok",
+            F.round(F.log((F.col("cnt") + 1) / (F.col("total") + F.col("v"))), 6).alias(
+                "logp"
+            ),
+        )
+    )
+    # floor for unseen (class, token): ln(1 / (total + V))
+    floors = (
+        class_tot.select(F.col("lang_true").alias("lang"), "total")
+        .crossJoin(F.broadcast(vocab))
+        .select("lang", F.round(F.log(1 / (F.col("total") + F.col("v"))), 6).alias("floor"))
+    )
+    # every doc token scored under EVERY class
+    classes = priors.select("lang")
+    scored_toks = (
+        toks.crossJoin(F.broadcast(classes))
+        .join(lik, ["lang", "tok"], "left")
+        .join(F.broadcast(floors), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("logp"), F.col("floor")).alias("term"),
+        )
+    )
+    doc_scores = (
+        scored_toks.groupBy("doc_id", "lang")
+        .agg(F.round(dec_sum("term"), 6).alias("sum_terms"))
+        .join(F.broadcast(priors), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("sum_terms") + F.col("log_prior"), 6).alias("log_score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("log_score"), F.asc("lang"))
+    best = doc_scores.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        docs.select("doc_id", F.col(label_col).alias("lang_true"))
+        .join(best.select("doc_id", F.col("lang").alias("lang_pred"), "log_score"), "doc_id", "left")
+        .orderBy("doc_id")
+    )
+
+
+def naive_bayes_sql(table: str, label_col: str = "lang") -> str:
+    """DuckDB oracle for :func:`naive_bayes_classify`."""
+    toks = tokens_sql("text", distinct=False)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {label_col} AS lang_true, unnest({toks}) AS tok FROM {table}
+),
+class_tok AS (SELECT lang_true, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+class_tot AS (SELECT lang_true, SUM(cnt) AS total FROM class_tok GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+priors AS (
+  SELECT {label_col} AS lang, round(ln(COUNT(*) / n_docs), 6) AS log_prior
+  FROM {table}, n GROUP BY 1, n_docs
+),
+lik AS (
+  SELECT ct.lang_true AS lang, tok,
+         round(ln((cnt + 1) / (total + v)), 6) AS logp
+  FROM class_tok ct JOIN class_tot tt ON ct.lang_true = tt.lang_true, vocab
+),
+floors AS (
+  SELECT lang_true AS lang, round(ln(1 / (total + v)), 6) AS floor
+  FROM class_tot, vocab
+),
+scored_toks AS (
+  SELECT t.doc_id AS doc_id, c.lang AS lang,
+         COALESCE(l.logp, f.floor) AS term
+  FROM toks t
+  CROSS JOIN (SELECT lang FROM priors) c
+  LEFT JOIN lik l ON l.lang = c.lang AND l.tok = t.tok
+  JOIN floors f ON f.lang = c.lang
+),
+doc_scores AS (
+  SELECT s.doc_id AS doc_id, s.lang AS lang,
+         round(round({dec_sum_sql('term')}, 6) + ANY_VALUE(p.log_prior), 6) AS log_score
+  FROM scored_toks s JOIN priors p ON s.lang = p.lang
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY log_score DESC, lang) AS rk
+  FROM doc_scores
+)
+SELECT d.doc_id AS doc_id, d.{label_col} AS lang_true,
+       b.lang AS lang_pred, b.log_score AS log_score
+FROM {table} d
+LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+ORDER BY d.doc_id"""

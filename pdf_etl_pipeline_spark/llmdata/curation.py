@@ -172,3 +172,54 @@ def source_cap(docs: DataFrame, cap: int = SOURCE_CAP) -> DataFrame:
         .select("source", "rank", "doc_id", "quality_score")
         .orderBy("source", "rank")
     )
+
+
+TOKEN_BUDGET = 800
+
+
+def token_budget_mix(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+    """Token-quota corpus mixing: admit each source's documents in quality
+    order until the source's TOKEN budget is exhausted — how pretraining
+    mixes are actually specified ("50 B tokens of web, 5 B of code"),
+    which a doc-count cap (cc5) cannot express because document lengths
+    vary by orders of magnitude.
+
+    Greedy prefix rule: a doc is admitted iff the tokens admitted BEFORE
+    it fit the budget (start_offset < budget, the pk1 packing
+    convention), so each source overflows by at most its boundary doc.
+
+    Shape for scale: token counting is codegen over the scan; ranking and
+    the running total are ONE window each, both partitioned by source —
+    keyed shuffles, no global sort, no driver state. Same skew posture as
+    cc5: a pathologically hot source is one fat (id, score, count)
+    partition, and the budget means the window can early-out of it after
+    ~budget tokens when combined with a coarse pre-filter at read time.
+    """
+    from pyspark.sql import Window
+
+    from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col
+
+    scored = (
+        docs.join(text_stats(docs).select("doc_id", "quality_score"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            F.size(tokens_col("text", distinct=False)).cast("long").alias("n_tokens"),
+        )
+    )
+    order = [F.desc("quality_score"), F.asc("doc_id")]
+    w_rank = Window.partitionBy("source").orderBy(*order)
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.row_number().over(w_rank).alias("rank"),
+        (F.sum("n_tokens").over(w_cum) - F.col("n_tokens")).alias("start_offset"),
+    )
+    return (
+        ranked.filter(F.col("start_offset") < budget)
+        .select("source", "rank", "doc_id", "n_tokens", "start_offset")
+        .orderBy("source", "rank")
+    )

@@ -334,3 +334,49 @@ def test_bm25_semantics(spark):
     scores = {r.doc_id: r.score for r in out}
     # saturation: 8x repetition of one term must NOT reach the 2-term doc
     assert scores[2] < scores[4]
+
+
+def test_naive_bayes_recovers_separable_classes(spark):
+    """ml2: with disjoint class vocabularies the self-trained classifier
+    reproduces every label; a doc of UNSEEN tokens still classifies (via
+    the smoothed floor + prior, favoring the majority class)."""
+    from pdf_etl_pipeline_spark.llmdata.classify import naive_bayes_classify
+
+    rows = [(i, "apple banana cherry fruit", "food") for i in range(6)]
+    rows += [(10 + i, "gear piston engine torque", "cars") for i in range(3)]
+    rows += [(20, "zzz qqq xxx", "food")]  # unseen tokens at train AND test
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in naive_bayes_classify(docs).collect()}
+    for i in range(6):
+        assert out[i].lang_pred == "food"
+    for i in range(3):
+        assert out[10 + i].lang_pred == "cars"
+    # all-unseen-token doc: every class gets the same floor terms, so the
+    # prior decides — 'food' has 7 of 10 docs
+    assert out[20].lang_pred == "food"
+    assert all(r.log_score < 0 for r in out.values())
+
+
+def test_token_budget_mix_invariants(spark, sf_dir):
+    """cc6: admitted docs are the quality-ranked prefix, offsets are exact
+    prefix sums, the pre-boundary tokens fit the budget, and raising the
+    budget only grows the admitted set (nested mixes)."""
+    from pdf_etl_pipeline_spark.llmdata.curation import token_budget_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    small = token_budget_mix(docs, budget=300).collect()
+    large = token_budget_mix(docs, budget=900).collect()
+    ids_small = {r.doc_id for r in small}
+    ids_large = {r.doc_id for r in large}
+    assert ids_small < ids_large
+    by_src = {}
+    for r in sorted(small, key=lambda r: (r.source, r.rank)):
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        # ranks are a contiguous prefix 1..m and offsets are prefix sums
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        off = 0
+        for r in rows:
+            assert r.start_offset == off
+            assert r.start_offset < 300
+            off += r.n_tokens

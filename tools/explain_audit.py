@@ -266,6 +266,31 @@ CHECKS = {
             and "windowspecdefinition(query_id#" not in ln
         ],
     },
+    "ml2_naive_bayes": {
+        # train+apply in one plan: likelihood scoring joins on the token,
+        # the class table is a tiny broadcast (BNLJ over a handful of rows,
+        # legitimate like tx7's 1-row total); argmax windows by doc_id
+        "must": ["HashAggregate", "Window", "BroadcastNestedLoopJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            f"window not partitioned by doc_id: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(doc_id#" not in ln
+        ],
+    },
+    "cc6_token_budget_mix": {
+        # rank + running total are source-partitioned windows — a keyed
+        # shuffle, never a global or partition-less sort
+        "must": ["Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            f"window not partitioned by source: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(source#" not in ln
+        ],
+    },
     "ml1_linreg": {
         # the whole fit is ONE keyed aggregation (partial_ stats map-side);
         # no window, no join, no Python — the sufficient-statistics contract
