@@ -47,6 +47,10 @@ EXTENDED_QUERIES = [
     "j5_fuzzy_supplier_match",
     "sk2_kmv_distinct",
     "tx7_unigram_logprob",
+    "g2_triangle_count",
+    "ir1_bm25_topk",
+    "ml2_naive_bayes",
+    "tx8_tfidf_topk",
 ]
 
 

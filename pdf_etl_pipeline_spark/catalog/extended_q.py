@@ -750,3 +750,23 @@ _DP1_COLS = ["l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_lines
 def dp1_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return profile(load_table(spark, sf_dir, "lineitem"), _DP1_COLS)
+
+
+# --- RS4: truncated EWMA smoothing ---------------------------------------------
+from pdf_etl_pipeline_spark.operators.ewma import ewma, ewma_sql  # noqa: E402
+
+
+@register(
+    "rs4_ewma",
+    oracle=ewma_sql(
+        "(SELECT * FROM events WHERE value IS NOT NULL) ev",
+        "event_type",
+        ["ts", "event_id"],
+        "value",
+    ),
+    doc="RS4 truncated EWMA (alpha=0.3, 32-row frame; dropped tail < 1e-5, below output precision): the sequential smoothing recursion re-expressed as a bounded keyed window — no cross-row dependency chain, safe at any history length; fixed-order fold of rounded terms is bit-identical across engines",
+)
+def rs4_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return ewma(ev, "event_type", ["ts", "event_id"], "value")

@@ -512,3 +512,32 @@ def test_profile_exact_and_native_ordering(spark):
     # approx mode stays close on tiny cardinalities
     ap = {r.col_name: r for r in profile(df, ["num"], exact_distinct=False).collect()}
     assert abs(ap["num"].n_distinct - 2) <= 1
+
+
+def test_ewma_matches_recursion_within_truncation(spark):
+    """rs4: the truncated-window EWMA tracks the exact sequential
+    recursion within the documented (1-alpha)^W tail bound, and a step
+    change decays toward the new level monotonically."""
+    from pdf_etl_pipeline_spark.operators.ewma import ALPHA, W_ROWS, ewma
+
+    xs = [10.0] * 40 + [50.0] * 40
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "key string, i long, value double"
+    )
+    out = [r.ewma for r in ewma(df, "key", ["i"], "value").collect()]
+    # exact recursion with s_0 = alpha * x_0 (the truncated form's seed)
+    s, exact = 0.0, []
+    for x in xs:
+        s = ALPHA * x + (1 - ALPHA) * s
+        exact.append(s)
+    tail = (1 - ALPHA) ** W_ROWS * max(xs)
+    assert all(abs(a - b) <= tail + 1e-9 for a, b in zip(out, exact))
+    # step response: rises toward 50 while old values remain in frame,
+    # then plateaus at 50*(1 - (1-alpha)^W) once the frame is all-new
+    post = out[40:]
+    rising = post[: W_ROWS - 1]
+    assert all(b > a for a, b in zip(rising, rising[1:]))
+    assert abs(post[-1] - 50.0 * (1 - (1 - ALPHA) ** W_ROWS)) < 1e-9
+    # settled on the old level first (within the truncation tail 10*0.7^32
+    # plus the 12-decimal weight quantization)
+    assert abs(out[39] - 10.0 * (1 - (1 - ALPHA) ** W_ROWS)) < 1e-9

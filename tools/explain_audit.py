@@ -266,6 +266,18 @@ CHECKS = {
             and "windowspecdefinition(query_id#" not in ln
         ],
     },
+    "rs4_ewma": {
+        # the smoothing recursion must stay ONE frame-bounded window
+        # partitioned by the key — no global sort, no Python fold
+        "must": ["Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "Join"],
+        "check": lambda plan: [
+            f"window not partitioned by event_type: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(event_type#" not in ln
+        ],
+    },
     "ml2_naive_bayes": {
         # train+apply in one plan: likelihood scoring joins on the token,
         # the class table is a tiny broadcast (BNLJ over a handful of rows,
