@@ -372,3 +372,89 @@ def metadata_only_projection(assets: DataFrame) -> DataFrame:
     return assets.select(
         "asset_id", "kind", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
     )
+
+
+# --- Perceptual-hash image dedup (MM2) ---------------------------------------
+PHASH_SCHEMA = "asset_id long, phash long"
+PHASH_BANDS = 4  # 4 x 16-bit bands: Hamming <= 3 => some band matches exactly
+
+
+def perceptual_hash(assets: DataFrame, decode: str = "fake") -> DataFrame:
+    """64-bit average-hash (aHash) per image: decode → 8×8 nearest-neighbor
+    downsample → threshold at the mean → bit per cell. Near-identical
+    images (recompression, mild noise, small edits) land within a few bits
+    of each other — the standard first-pass image dedup for training
+    corpora. Only the hash extraction is Python (Arrow-batched
+    mapInPandas); everything downstream is native columnar."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            hashes = []
+            for content, meta in zip(b["content"], b["meta"]):
+                img = _decode(content, meta, decode)
+                ys = np.linspace(0, img.shape[0] - 1, 8).astype(int)
+                xs = np.linspace(0, img.shape[1] - 1, 8).astype(int)
+                small = img[np.ix_(ys, xs)].astype(np.float64)
+                bits = (small > small.mean()).flatten()
+                h = np.uint64(0)
+                for bit in bits:
+                    h = np.uint64(h << np.uint64(1)) | np.uint64(int(bit))
+                hashes.append(np.int64(h.astype(np.int64)))
+            yield pd.DataFrame({"asset_id": b["asset_id"], "phash": hashes})
+
+    return assets.mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(asset_a, asset_b, hamming) pairs with Hamming(phash) ≤ ``max_hamming``
+    — via the EXACT pigeonhole banding: split the 64-bit hash into
+    ``PHASH_BANDS`` 16-bit bands; any pair within Hamming 3 must agree
+    exactly on at least one band (4 bands, 3 differing bits), so a
+    per-band equi-join finds every qualifying pair with NO false
+    negatives (unlike probabilistic LSH) and the exact popcount verify
+    prunes band-collision false positives.
+
+    Scale shape: the same as dd3 — banding is an explode + self-equi-join
+    on (band_idx, band_value), linear in corpus size for bounded bucket
+    sizes; the verify (xor + bit_count, pure codegen) touches only
+    banding survivors. Never an all-pairs product."""
+    banded = hashes.select(
+        "asset_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("asset_id", "phash", "b.band_idx", "b.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .dropDuplicates(["asset_a", "asset_b"])
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("asset_a", "asset_b", "hamming")
+        .orderBy("asset_a", "asset_b")
+    )

@@ -531,3 +531,46 @@ def test_pq_rerank_full_shortlist_equals_exact(spark, sf_dir):
     adc5 = {(r.query_id, r.cand_id) for r in pq_adc_topk(emb, qids, k=5).collect()}
     rr25 = {(r.query_id, r.cand_id) for r in pq_rerank_topk(emb, qids, k=5, shortlist=25).collect()}
     assert len(exact_set & rr25) >= len(exact_set & adc5)
+
+
+def test_perceptual_hash_dedup_real_png(spark):
+    """mm2: aHash over REAL PNG decode — an image and its lightly-noised
+    copy pair up within Hamming 3; a structurally different image does
+    not; banding finds exactly the brute-force Hamming pairs."""
+    import numpy as np
+
+    from pdf_etl_pipeline_spark.llmdata.multimodal import (
+        ASSET_SCHEMA,
+        encode_png,
+        perceptual_hash,
+        phash_dup_pairs,
+    )
+
+    h, w = 24, 32
+    base = ((np.arange(h)[:, None] * 8 + np.arange(w)[None, :]) % 251).astype(np.uint8)
+    noisy = base.copy()
+    noisy[::7, ::9] = np.minimum(noisy[::7, ::9] + 2, 250)  # sub-threshold noise
+    inverted = (250 - base).astype(np.uint8)  # structurally opposite
+    checker = (((np.arange(h)[:, None] // 3 + np.arange(w)[None, :] // 4) % 2) * 255).astype(np.uint8)
+    rows = [
+        (1, "image", encode_png(img), (w, h, 0, 1, "png"))
+        for img in (base,)
+    ]
+    rows += [(2, "image", encode_png(noisy), (w, h, 0, 1, "png"))]
+    rows += [(3, "image", encode_png(inverted), (w, h, 0, 1, "png"))]
+    rows += [(4, "image", encode_png(checker), (w, h, 0, 1, "png"))]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    hashes = perceptual_hash(assets, decode="real")
+    pairs = {(r.asset_a, r.asset_b): r.hamming for r in phash_dup_pairs(hashes).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert all((3 not in p) or p == (3,) for p in pairs)  # inverted never pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    # banding == brute force on this set (exactness of the pigeonhole)
+    hs = {r.asset_id: r.phash & ((1 << 64) - 1) for r in hashes.collect()}
+    brute = {
+        (a, b)
+        for a in hs
+        for b in hs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    assert set(pairs) == brute
