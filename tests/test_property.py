@@ -307,3 +307,80 @@ def test_png_roundtrip_property(h, w, seed, filters):
     out = MM._decode_png(MM.encode_png(img, filters=filters))
     assert out.shape == (h, w)
     assert np.array_equal((out * 255.0).round().astype(np.uint8), img)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=10_000), min_size=30, max_size=80),
+    k_small=st.integers(min_value=1, max_value=10),
+)
+def test_weighted_sample_nested_and_partition_stable(spark, weights, k_small):
+    """sp4 properties under generated weights: (a) top-k ordering makes
+    samples NESTED in k (the k-sample is a prefix of the k'-sample for
+    k < k'), (b) the draw is invariant under repartitioning, (c) ranks
+    are dense 1..k."""
+    from pdf_etl_pipeline_spark.llmdata.corpus import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, n_chars long"
+    )
+    k_big = k_small + 10
+    small = [r.doc_id for r in weighted_sample(docs, k=k_small).collect()]
+    big = [r.doc_id for r in weighted_sample(docs, k=k_big).collect()]
+    assert big[: len(small)] == small  # nested: prefix property
+    re_part = [r.doc_id for r in weighted_sample(docs.repartition(5), k=k_big).collect()]
+    assert re_part == big
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    xs=st.lists(
+        st.floats(min_value=0.1, max_value=999.9, allow_nan=False).map(lambda v: round(v, 2)),
+        min_size=5,
+        max_size=50,
+    ),
+    c=st.integers(min_value=2, max_value=9),
+)
+def test_ewma_scale_equivariance(spark, xs, c):
+    """rs4 property: EWMA is linear, so scaling every input by an integer
+    c scales every output by c (exactly, up to the decimal quantization of
+    the scaled inputs)."""
+    from pdf_etl_pipeline_spark.operators.ewma import ewma
+
+    base = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "key string, i long, value double"
+    )
+    scaled = spark.createDataFrame(
+        [("k", i, round(x * c, 2)) for i, x in enumerate(xs)],
+        "key string, i long, value double",
+    )
+    a = [r.ewma for r in ewma(base, "key", ["i"], "value").collect()]
+    b = [r.ewma for r in ewma(scaled, "key", ["i"], "value").collect()]
+    # inputs at 2 decimals scale exactly by an integer c, so outputs do too
+    for ea, eb in zip(a, b):
+        assert abs(eb - c * ea) < 1e-9
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_profile_matches_python_reference(spark, vals):
+    """dp1 property: null count, distinct count, and native-ordered
+    min/max agree with a plain Python recompute for any generated column."""
+    from pdf_etl_pipeline_spark.operators.profile import profile
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v long")
+    r = {row.col_name: row for row in profile(df, ["v"]).collect()}["v"]
+    present = [v for v in vals if v is not None]
+    assert r.n_rows == len(vals)
+    assert r.n_null == len(vals) - len(present)
+    assert r.n_distinct == len(set(present))
+    if present:
+        assert r.min_str == str(min(present)) and r.max_str == str(max(present))
+    else:
+        assert r.min_str is None and r.max_str is None
