@@ -393,3 +393,17 @@ def dd7_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.containment_pairs(
         docs, threshold=0.8, max_df=395, sets=DD.shingles_col("text")
     ).orderBy("doc_a", "doc_b")
+
+
+# --- DD8: duplicated-span accounting ------------------------------------------
+from pdf_etl_pipeline_spark.llmdata.dedup import dup_span_stats, dup_span_stats_sql  # noqa: E402
+
+
+@register(
+    "dd8_dup_spans",
+    oracle=dup_span_stats_sql("documents"),
+    doc="DD8 exact-substring duplication accounting (Lee et al. 2021 signal): every 10-token window hashed, cross-doc duplicated hashes found by ONE keyed aggregation, per-doc duplicated fraction via semi-join — sees boilerplate/syndication that whole-doc dedup cannot; no pairwise comparison anywhere",
+)
+def dd8_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return dup_span_stats(load_table(spark, sf_dir, "documents"))

@@ -626,3 +626,88 @@ def cosine_sql(a: str, b: str) -> str:
     na = f"sqrt(list_reduce(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))"
     nb = f"sqrt(list_reduce(list_transform(range(1, len({b}) + 1), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y))"
     return f"(list_reduce({prod}, (x, y) -> x + y) / ({na} * {nb}))"
+
+
+# --- DD8: duplicated-span accounting -----------------------------------------
+DUP_SPAN_N = 10  # tokens per span (Lee et al. 2021 use 50-token chars; 10 fits short docs)
+
+
+def dup_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """Per-document exact-substring duplication accounting (the signal
+    behind Lee et al. 2021's 'Deduplicating Training Data Makes Language
+    Models Better'): every ``n``-token window is hashed, a span is
+    DUPLICATED if its hash occurs in ≥ 2 distinct documents, and each doc
+    reports what fraction of its windows are duplicated — the trim/drop
+    signal for boilerplate and cross-site syndication that whole-doc
+    dedup (dd1/dd3) cannot see.
+
+    Shape for scale: windows explode to (doc_id, h) WITH multiplicity —
+    linear in corpus tokens; the cross-doc test is one map-side-combined
+    aggregation on the hash; flagging is a semi-join of spans to the
+    duplicated-hash relation (the dc1 shape, turned inward on the corpus
+    itself). No pairwise doc comparison anywhere — the hash groupBy does
+    the all-pairs work implicitly.
+    """
+    toks = tokens_col("text", distinct=False)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    mk = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + off) for off in range(n)])
+    grams = F.when(F.size(toks) >= n, F.transform(starts, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+    hashes = F.transform(grams, lambda g: portable_hash32(g) % P31)
+    spans = docs.select("doc_id", F.explode(hashes).alias("h"))
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = spans.join(dup_h, "h", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans")
+    )
+    totals = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0))
+                / F.nullif(F.coalesce("n_spans", F.lit(0)), F.lit(0)),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_span_stats_sql(table: str, n: int = DUP_SPAN_N) -> str:
+    """DuckDB oracle for :func:`dup_span_stats`."""
+    toks = tokens_sql("text", distinct=False)
+    parts = " || ' ' || ".join(f"({toks})[i + {off}]" for off in range(n))
+    h = portable_hash32_sql("g") + f" % {P31}"
+    return f"""
+WITH spans AS (
+  SELECT doc_id, unnest(list_transform(list_transform(
+    range(1, greatest(len({toks}) - {n - 1}, 0) + 1), i -> {parts}), g -> {h})) AS h
+  FROM {table}
+),
+dup_h AS (
+  SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY 1),
+flagged AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans
+  FROM spans WHERE h IN (SELECT h FROM dup_h) GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+       CAST(COALESCE(t.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(f.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       round(COALESCE(f.n_dup_spans, 0) / nullif(COALESCE(t.n_spans, 0), 0), 6) AS dup_frac
+FROM {table} d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN flagged f ON d.doc_id = f.doc_id
+ORDER BY d.doc_id"""

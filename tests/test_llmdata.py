@@ -574,3 +574,30 @@ def test_perceptual_hash_dedup_real_png(spark):
         if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
     }
     assert set(pairs) == brute
+
+
+def test_dup_span_stats_cross_doc_only(spark):
+    """dd8: spans duplicated ACROSS documents are flagged; a phrase
+    repeated only WITHIN one document is not (cross-doc definition);
+    fully unique docs report zero."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import dup_span_stats
+
+    shared = "the quick brown fox jumps over the lazy sleeping dog tonight again"
+    internal = "one two three four five six seven eight nine ten " * 2  # repeats itself
+    unique = "completely different words appear in this standalone document here now truly"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta"),
+            (2, "prefix words " + shared),
+            (3, internal),
+            (4, unique),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_span_stats(docs, n=10).collect()}
+    # docs 1 and 2 share an 12-token run -> >= 3 duplicated 10-windows each
+    assert out[1].n_dup_spans >= 3 and out[2].n_dup_spans >= 3
+    assert 0 < out[1].dup_frac <= 1.0
+    # internal repetition is not cross-doc duplication
+    assert out[3].n_dup_spans == 0
+    assert out[4].n_dup_spans == 0 and out[4].n_spans > 0
