@@ -46,7 +46,9 @@ def bm25_topk(docs: DataFrame, queries: dict[int, list[str]], k: int = 5) -> Dat
     )
     toks = docs.select("doc_id", F.explode(tokens_col("text", distinct=False)).alias("tok"))
     postings = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # doc length from the postings themselves (sum of tf) — the expensive
+    # token explode runs ONCE; dl/df/avgdl all derive from the postings
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     corpus = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
     )
