@@ -266,6 +266,12 @@ CHECKS = {
             and "windowspecdefinition(query_id#" not in ln
         ],
     },
+    "dd8_dup_spans": {
+        # cross-doc span test is ONE keyed aggregation on the hash + a
+        # semi-join back — never a pairwise doc comparison
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     "rs4_ewma": {
         # the smoothing recursion must stay ONE frame-bounded window
         # partitioned by the key — no global sort, no Python fold
