@@ -72,3 +72,63 @@ def _quarter(p: str) -> int:
         if f.endswith(".parquet")
     )
     return total // 4 + 1
+
+
+# --- S15: dynamic partition overwrite ------------------------------------------
+def test_dynamic_partition_overwrite_touches_only_its_partitions(spark, tmp_path):
+    """S15: a backfill batch replaces exactly its own day-partitions;
+    untouched days keep their FILES (not just their rows) — and the
+    partition-column filter prunes at listing level (PartitionFilters)."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.operators.partitioned_sink import (
+        overwrite_partitions,
+        read_day,
+        write_partitioned,
+    )
+    from pdf_etl_pipeline_spark.session import load_events
+
+    path = str(tmp_path / "events_by_day")
+    ev = load_events(spark, "/root/testdata/sf0.001").withColumn(
+        "day", F2.date_format("ts", "yyyy-MM-dd")
+    )
+    write_partitioned(ev, path, "day")
+    days = sorted(d.split("=")[1] for d in os.listdir(path) if d.startswith("day="))
+    assert len(days) >= 2
+    target, untouched = days[0], days[1]
+
+    def files_of(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted((f, os.path.getmtime(os.path.join(d, f))) for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_untouched = files_of(untouched)
+    before_total = spark.read.parquet(path).count()
+    n_target_before = read_day(spark, path, "day", target).count()
+
+    # backfill: day[0] rewritten with values doubled and HALF the rows dropped
+    batch = (
+        ev.filter(F2.col("day") == target)
+        .filter(F2.col("event_id") % 2 == 0)
+        .withColumn("value", F2.col("value") * 2)
+    )
+    n_batch = batch.count()
+    overwrite_partitions(batch, path, "day")
+
+    # untouched partition: identical files (names AND mtimes)
+    assert files_of(untouched) == before_untouched
+    # target partition: exactly the batch rows
+    assert read_day(spark, path, "day", target).count() == n_batch
+    assert n_batch < n_target_before
+    assert spark.read.parquet(path).count() == before_total - n_target_before + n_batch
+    # static overwrite would have truncated: all other days must still exist
+    assert sorted(d.split("=")[1] for d in os.listdir(path) if d.startswith("day=")) == days
+
+    # listing-level pruning: the day filter appears in PartitionFilters
+    plan = read_day(spark, path, "day", target)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and f"isnotnull(day" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "day" in pf and "=" in pf  # the equality reached the listing layer
