@@ -132,3 +132,78 @@ def test_dynamic_partition_overwrite_touches_only_its_partitions(spark, tmp_path
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "day" in pf and "=" in pf  # the equality reached the listing layer
+
+
+# --- S16: Z-order clustering ----------------------------------------------------
+def test_zorder_prunes_2d_boxes_better_than_linear(spark, tmp_path):
+    """S16: measured from the written files' REAL parquet footer stats —
+    across a mixed workload (user-range queries, time-of-day queries,
+    both), Z-order must touch strictly fewer files than a 1-D user sort
+    into the same file count, and both layouts hold identical data."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.operators.zorder import write_linear, write_zordered
+    from pdf_etl_pipeline_spark.session import load_events
+
+    # dims scaled to EQUAL bit widths (0..1023 each) — unbalanced widths
+    # let the wider dim dominate the curve's high bits and starve the
+    # narrow dim's pruning (measured: raw 0..149 user ids made user-only
+    # queries touch all files); user id and minute-of-day both uniform
+    ev = load_events(spark, "/root/testdata/sf0.01").select(
+        F2.expr("CAST(user_id * 1024 div 150 AS INT)").alias("ub"),
+        F2.expr("CAST((hour(ts) * 60 + minute(ts)) * 1024 div 1440 AS INT)").alias("tb"),
+        "event_id",
+    )
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "linear")
+    write_zordered(ev, zpath, "ub", "tb", n_files=16)
+    write_linear(ev, lpath, "ub", n_files=16)
+    assert spark.read.parquet(zpath).count() == spark.read.parquet(lpath).count()
+
+    def files_touched(path, lo_a, hi_a, lo_b, hi_b):
+        touched, total = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.read_metadata(os.path.join(path, f))
+            mins = {"ub": None, "tb": None}
+            maxs = {"ub": None, "tb": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        s = col.statistics
+                        mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                        maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+            if mins["ub"] is None:
+                touched += 1  # no stats -> must read
+            elif not (maxs["ub"] < lo_a or mins["ub"] > hi_a or maxs["tb"] < lo_b or mins["tb"] > hi_b):
+                touched += 1
+        return touched, total
+
+    # mixed workload: time-of-day-only windows (1-D layout cannot prune),
+    # user-only ranges, and 2-D boxes
+    boxes = [
+        (0, 1023, 0, 127),       # ~midnight-3am, all users
+        (0, 1023, 384, 511),     # ~9am-noon, all users
+        (0, 1023, 896, 1023),    # ~9pm-midnight, all users
+        (0, 255, 0, 1023),       # user range only
+        (0, 255, 384, 511),      # both dims
+        (640, 1023, 640, 767),   # both dims
+    ]
+    z_touch = sum(files_touched(zpath, *b)[0] for b in boxes)
+    l_touch = sum(files_touched(lpath, *b)[0] for b in boxes)
+    z_total = files_touched(zpath, -10**9, 10**9, -10**9, 10**9)[1]
+    assert z_total >= 8
+    # the time-only queries read ALL 1-D files (ub stats span everything);
+    # Z-order prunes every query on either dim -> strictly fewer touches
+    assert z_touch < l_touch
+    # and a same-box query returns identical rows from both layouts
+    lo_a, hi_a, lo_b, hi_b = boxes[4]
+    za = spark.read.parquet(zpath).filter(f"ub between {lo_a} and {hi_a} and tb between {lo_b} and {hi_b}")
+    la = spark.read.parquet(lpath).filter(f"ub between {lo_a} and {hi_a} and tb between {lo_b} and {hi_b}")
+    assert sorted(r.event_id for r in za.collect()) == sorted(r.event_id for r in la.collect())
