@@ -770,3 +770,17 @@ def rs4_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
     return ewma(ev, "event_type", ["ts", "event_id"], "value")
+
+
+# --- SK4: KMV audience overlap -------------------------------------------------
+from pdf_etl_pipeline_spark.operators.sketches import kmv_overlap, kmv_overlap_sql  # noqa: E402
+
+
+@register(
+    "sk4_kmv_overlap",
+    oracle=kmv_overlap_sql("events", "event_type", "user_id"),
+    doc="SK4 KMV sketch set algebra (Beyer et al. 2007): pairwise union/intersection/Jaccard estimates between event-type audiences from mergeable k-min sketches — one corpus pass builds groups*k sketch rows, the quadratic pair work never touches the corpus; exact when a merged sketch is not full",
+)
+def sk4_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return kmv_overlap(load_events(spark, sf_dir), "event_type", "user_id")

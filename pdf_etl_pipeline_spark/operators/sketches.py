@@ -142,3 +142,119 @@ SELECT t.{group_col},
        COALESCE(k.sketch_size, 0) AS sketch_size
 FROM base t LEFT JOIN kth k ON t.{group_col} = k.{group_col}
 ORDER BY t.{group_col}"""
+
+
+# --- SK4: KMV set algebra (audience overlap) ----------------------------------
+def kmv_overlap(
+    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise union/intersection/Jaccard ESTIMATES between every two
+    groups' value sets, from their KMV sketches alone — sketch set
+    algebra (Beyer et al. 2007): KMV sketches are mergeable (min-k of a
+    union is computable from the two min-k sets), and the fraction of the
+    merged sketch present in both input sketches estimates the Jaccard.
+
+    This is the audience-overlap query ("how many users do segments A and
+    B share?") at 100 TB cost: ONE corpus pass builds |groups|·k sketch
+    rows; every pairwise estimate then runs on that tiny relation — the
+    quadratic pair work never touches the corpus. If a merged sketch
+    holds fewer than k hashes, both input sets were fully enumerated and
+    the union/intersection are EXACT (the estimate degrades to truth).
+
+    Output: (grp_a, grp_b, est_union, est_intersection, est_jaccard,
+    merged_size) rounded to 6, grp_a < grp_b.
+    """
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        portable_hash32(F.col(value_col).cast("string")).alias("h"),
+    ).dropDuplicates(["grp", "h"])
+    w = Window.partitionBy("grp").orderBy("h")
+    sketch = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    a = sketch.select(F.col("grp").alias("grp_a"), F.col("h").alias("h"))
+    b = sketch.select(F.col("grp").alias("grp_b"), F.col("h").alias("h"))
+    pairs = (
+        sketch.select("grp").distinct().alias("x")
+        .join(sketch.select("grp").distinct().alias("y"), F.col("x.grp") < F.col("y.grp"))
+        .select(F.col("x.grp").alias("grp_a"), F.col("y.grp").alias("grp_b"))
+    )
+    pooled = (
+        pairs.join(a, "grp_a").select("grp_a", "grp_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionAll(
+            pairs.join(b, "grp_b").select(
+                "grp_a", "grp_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    merged = pooled.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= k)
+    stats = merged.groupBy("grp_a", "grp_b").agg(
+        F.max("h").alias("h_k"),
+        F.count(F.lit(1)).alias("merged_size"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("inter_cnt"),
+    )
+    full = F.col("merged_size") >= k
+    est_union = F.when(
+        full, (F.lit(k - 1) * F.lit(float(M_SPACE))) / F.col("h_k")
+    ).otherwise(F.col("merged_size").cast("double"))
+    rho = F.col("inter_cnt") / F.col("merged_size")
+    return stats.select(
+        "grp_a",
+        "grp_b",
+        F.round(est_union, 6).alias("est_union"),
+        F.round(rho * est_union, 6).alias("est_intersection"),
+        F.round(rho, 6).alias("est_jaccard"),
+        F.col("merged_size").cast("long").alias("merged_size"),
+    ).orderBy("grp_a", "grp_b")
+
+
+def kmv_overlap_sql(table: str, group_col: str, value_col: str, k: int = KMV_K) -> str:
+    """DuckDB oracle reproducing :func:`kmv_overlap` bit-for-bit."""
+    from pdf_etl_pipeline_spark.functions.scalars import portable_hash32_sql
+
+    h = portable_hash32_sql(f"CAST({value_col} AS VARCHAR)")
+    return f"""
+WITH hashed AS (SELECT DISTINCT {group_col} AS grp, {h} AS h FROM {table}),
+sketch AS (
+  SELECT * FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {k}
+),
+pairs AS (
+  SELECT x.grp AS grp_a, y.grp AS grp_b
+  FROM (SELECT DISTINCT grp FROM sketch) x
+  JOIN (SELECT DISTINCT grp FROM sketch) y ON x.grp < y.grp
+),
+pooled AS (
+  SELECT grp_a, grp_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT p.grp_a AS grp_a, p.grp_b AS grp_b, s.h AS h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sketch s ON s.grp = p.grp_a
+    UNION ALL
+    SELECT p.grp_a AS grp_a, p.grp_b AS grp_b, s.h AS h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sketch s ON s.grp = p.grp_b
+  ) GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn
+    FROM pooled
+  ) WHERE rn <= {k}
+),
+stats AS (
+  SELECT grp_a, grp_b, MAX(h) AS h_k, COUNT(*) AS merged_size,
+         SUM(in_a * in_b) AS inter_cnt
+  FROM merged GROUP BY 1, 2
+)
+SELECT grp_a, grp_b,
+       round(CASE WHEN merged_size >= {k}
+                  THEN ({k - 1} * CAST({float(M_SPACE)} AS DOUBLE)) / h_k
+                  ELSE CAST(merged_size AS DOUBLE) END, 6) AS est_union,
+       round((inter_cnt / merged_size) * CASE WHEN merged_size >= {k}
+                  THEN ({k - 1} * CAST({float(M_SPACE)} AS DOUBLE)) / h_k
+                  ELSE CAST(merged_size AS DOUBLE) END, 6) AS est_intersection,
+       round(inter_cnt / merged_size, 6) AS est_jaccard,
+       CAST(merged_size AS BIGINT) AS merged_size
+FROM stats ORDER BY grp_a, grp_b"""

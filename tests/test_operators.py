@@ -541,3 +541,26 @@ def test_ewma_matches_recursion_within_truncation(spark):
     # settled on the old level first (within the truncation tail 10*0.7^32
     # plus the 12-decimal weight quantization)
     assert abs(out[39] - 10.0 * (1 - (1 - ALPHA) ** W_ROWS)) < 1e-9
+
+
+def test_kmv_overlap_accuracy_and_exact_path(spark):
+    """sk4: on planted sets with known overlap the sketch estimates land
+    within the standard KMV error envelope; small sets take the exact
+    path (merged sketch not full -> union and intersection are truth)."""
+    from pdf_etl_pipeline_spark.operators.sketches import KMV_K, kmv_overlap
+
+    # A = 0..3999, B = 2000..5999 -> union 6000, intersection 2000, J=1/3
+    rows = [("A", v) for v in range(4000)] + [("B", v) for v in range(2000, 6000)]
+    # C, D tiny with known overlap 5: exact path
+    rows += [("C", v) for v in range(20)] + [("D", v) for v in range(15, 40)]
+    df = spark.createDataFrame(rows, "grp string, user long")
+    out = {(r.grp_a, r.grp_b): r for r in kmv_overlap(df, "grp", "user").collect()}
+    ab = out[("A", "B")]
+    rel = 4.0 / (KMV_K - 2) ** 0.5  # ~4 standard errors
+    assert abs(ab.est_union - 6000) / 6000 < rel
+    assert abs(ab.est_jaccard - 1 / 3) < 0.25  # binomial(k, 1/3) envelope
+    assert ab.merged_size == KMV_K
+    cd = out[("C", "D")]
+    assert cd.merged_size < KMV_K  # exact path
+    assert cd.est_union == 40.0  # |C ∪ D| exactly
+    assert cd.est_intersection == 5.0 and abs(cd.est_jaccard - 5 / 40) < 1e-9
