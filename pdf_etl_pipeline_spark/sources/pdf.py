@@ -90,10 +90,39 @@ def _extract_pdf_lines(content: bytes | None) -> list[str]:
     return [l for l in lines if l.strip()]
 
 
+def _try_bitmap_ocr(content: bytes | None) -> list[dict] | None:
+    """Decode BMP/PNG/PPM bytes with the pure-numpy codecs and run the
+    5×7 bitmap OCR; None when the payload is not a decodable bitmap
+    (callers fall back to the stub)."""
+    if not content:
+        return None
+    try:
+        from pdf_etl_pipeline_spark.llmdata import multimodal as MM
+        from pdf_etl_pipeline_spark.sources.ocr import ocr_bitmap
+
+        raw = bytes(content)
+        if raw.startswith(b"BM"):
+            img = MM._decode_bmp(raw)
+        elif raw.startswith(b"\x89PNG"):
+            img = MM._decode_png(raw)
+        elif raw[:2] in (b"P5", b"P6"):
+            img = MM._decode_ppm(raw)
+        else:
+            return None
+        return ocr_bitmap(img)
+    except Exception:
+        return None  # corrupt/unsupported bitmap -> stub path
+
+
 def _extract_image_words(content: bytes | None) -> list[dict]:
-    """S4: word boxes [x0,y0,x2,y2,word] via tesseract (stub: one word per
-    whitespace token on synthetic y rows)."""
+    """S4: word boxes [x0,y0,x2,y2,word] — tesseract when present; for
+    real decodable bitmaps (BMP/PNG/PPM) the in-container deterministic
+    bitmap OCR (sources/ocr.py) runs on the actual pixels; otherwise the
+    documented synthetic stub."""
     if not HAVE_TESSERACT:
+        real = _try_bitmap_ocr(content)
+        if real is not None:
+            return real
         out = []
         for y, line in enumerate(_stub_decode(content)):
             x = 0

@@ -204,3 +204,44 @@ def test_receipt_lookback_descriptions(spark):
     r4 = by(rows, description="HOSE CLIP")
     assert (r4.sku, r4.qty, r4.price, r4.total) == (None, 1.0, 8.98, 8.9)
     assert abs(r4.items_total - 27.8) < 1e-9
+
+
+# --- S4 real path: bitmap OCR on real PNG pixels --------------------------------
+def test_bitmap_ocr_end_to_end_through_spark(spark):
+    """S3/S4 real execution: render receipt-style text with the 5x7 font,
+    encode as REAL PNG bytes, run the corpus through extract_word_boxes
+    (Arrow-batched) and group_ocr_words — the recognized reading-order
+    lines must reproduce the rendered text exactly."""
+    import numpy as np
+
+    from pdf_etl_pipeline_spark.llmdata.multimodal import encode_png
+    from pdf_etl_pipeline_spark.operators.sessionize import group_ocr_words
+    from pdf_etl_pipeline_spark.sources.ocr import render_text_image
+    from pdf_etl_pipeline_spark.sources.pdf import extract_word_boxes
+
+    pages = {
+        "a.png": ["MR. D.I.Y. SDN", "GST ID: 123-456", "TOTAL $45.90"],
+        "b.png": ["INVOICE NO: INV-2024", "QTY 3 PRICE $12.50"],
+    }
+    rows = []
+    for path, lines in pages.items():
+        # line_gap=8: group_ocr_words merges rows within 10px, so real
+        # visual lines must sit further apart than the merge radius
+        img = (render_text_image(lines, line_gap=8) * 255).astype(np.uint8)
+        rows.append((path, bytearray(encode_png(img))))
+    corpus = spark.createDataFrame(rows, "path string, content binary")
+    words = extract_word_boxes(corpus)  # already (filename, x0, y0, x2, y2, line)
+    grouped = group_ocr_words(words).collect()
+    got = {}
+    for r in grouped:
+        got.setdefault(r.filename, []).append(r.line)
+    assert got == pages
+    # noise robustness: flipping a couple of glyph pixels must not change
+    # the recognized text (nearest-glyph Hamming matching absorbs it)
+    img = render_text_image(["TOTAL $45.90"])
+    img[3, 3] = 1.0 - img[3, 3]
+    img[5, 10] = 1.0 - img[5, 10]
+    noisy = (img * 255).astype(np.uint8)
+    c2 = spark.createDataFrame([("n.png", bytearray(encode_png(noisy)))], "path string, content binary")
+    w2 = extract_word_boxes(c2).orderBy("x0").collect()
+    assert " ".join(r.line for r in w2) == "TOTAL $45.90"
