@@ -70,6 +70,9 @@ FONT = {
     "$": "..#..|.####|#.#..|.###.|..#.#|####.|..#..",
     "/": "....#|...#.|...#.|..#..|.#...|.#...|#....",
     ":": ".....|.##..|.##..|.....|.##..|.##..|.....",
+    ",": ".....|.....|.....|.....|.##..|..#..|.#...",
+    "@": ".###.|#...#|....#|.##.#|#.#.#|#.#.#|.###.",
+    "%": "##..#|##..#|...#.|..#..|.#...|#..##|#..##",
 }
 
 GLYPH_W, GLYPH_H = 5, 7

@@ -245,3 +245,34 @@ def test_bitmap_ocr_end_to_end_through_spark(spark):
     c2 = spark.createDataFrame([("n.png", bytearray(encode_png(noisy)))], "path string, content binary")
     w2 = extract_word_boxes(c2).orderBy("x0").collect()
     assert " ".join(r.line for r in w2) == "TOTAL $45.90"
+
+
+def test_receipt_pipeline_on_real_pixels(spark):
+    """The COMPLETE image branch of the reference pipeline on real pixel
+    data: receipt fixture rendered to PNG → pure-numpy decode → bitmap
+    OCR → spatial line grouping → T4 receipt parser — the parsed items
+    must equal parsing the same (uppercased) lines fed in directly."""
+    import numpy as np
+
+    from pdf_etl_pipeline_spark.llmdata.multimodal import encode_png
+    from pdf_etl_pipeline_spark.operators.sessionize import group_ocr_words
+    from pdf_etl_pipeline_spark.parsers.receipt import parse_receipts
+    from pdf_etl_pipeline_spark.sources.ocr import render_text_image
+    from pdf_etl_pipeline_spark.sources.pdf import extract_word_boxes
+
+    path, lines = FX.RECEIPT_LINES
+    up = [l.upper() for l in lines]
+    img = (render_text_image(up, line_gap=8) * 255).astype(np.uint8)
+    corpus = spark.createDataFrame(
+        [(path, bytearray(encode_png(img)))], "path string, content binary"
+    )
+    grouped = group_ocr_words(extract_word_boxes(corpus))
+    ocr_docs = grouped.groupBy(F.col("filename").alias("path")).agg(
+        F.array_sort(F.collect_list(F.struct("y0", "line"))).alias("yl")
+    ).select("path", F.transform("yl", lambda s: s["line"]).alias("lines"))
+    direct_docs = spark.createDataFrame([(path, up)], "path string, lines array<string>")
+
+    via_ocr = sorted(map(tuple, parse_receipts(ocr_docs).collect()), key=repr)
+    direct = sorted(map(tuple, parse_receipts(direct_docs).collect()), key=repr)
+    assert via_ocr == direct
+    assert len(direct) >= 3  # the fixture's item grammars all parsed
