@@ -438,3 +438,48 @@ def ss4_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_NPROBE,
         centroids=shared_centroids(spark, sf_dir),
     )
+
+
+# --- SS9: hybrid retrieval (BM25 + dense, reciprocal-rank fusion) --------------
+from pyspark.sql import functions as F  # noqa: E402
+
+from pdf_etl_pipeline_spark.llmdata.retrieval import (  # noqa: E402
+    bm25_topk,
+    bm25_topk_sql,
+    rrf_fuse,
+    rrf_fuse_sql,
+)
+
+_SS9_QUERIES = {1: ["spark", "shuffle", "partition"], 2: ["window", "aggregate", "sort"], 3: ["vector", "index"]}
+_SS9_DEPTH = 20
+
+_SS9_COSINE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({", ".join(map(str, sorted(_SS9_QUERIES)))})),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id, {_COS} AS cos
+  FROM q JOIN c ON query_id <> cand_id
+),
+rankedc AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id AS doc_id, rank FROM rankedc WHERE rank <= {_SS9_DEPTH}"""
+
+
+@register(
+    "ss9_hybrid_rrf",
+    oracle=rrf_fuse_sql(
+        [bm25_topk_sql("documents", _SS9_QUERIES, k=_SS9_DEPTH), _SS9_COSINE_SQL],
+        k=10,
+    ),
+    doc="SS9 hybrid retrieval: BM25 lexical ranks fused with exact-cosine dense ranks by reciprocal-rank fusion (1/(60+rank), no score calibration) — doc_id and vec_id share the id space by design; fusion is a union + keyed agg + per-query window over already-top-N inputs",
+)
+def ss9_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    lex = bm25_topk(load_table(spark, sf_dir, "documents"), _SS9_QUERIES, k=_SS9_DEPTH)
+    sem = SS.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), sorted(_SS9_QUERIES), k=_SS9_DEPTH
+    ).select("query_id", F.col("cand_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, sem], k=10)

@@ -131,3 +131,60 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank"""
+
+
+# --- SS9: hybrid retrieval via reciprocal-rank fusion -------------------------
+RRF_K = 60
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 10, rrf_k: int = RRF_K) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of ranked lists:
+    score(q, d) = Σ_r 1/(rrf_k + rank_r(q, d)) over the rankings that
+    retrieved d — THE standard hybrid-retrieval combiner (lexical BM25 +
+    dense vectors) because it needs no score calibration, only ranks.
+
+    Each input is (query_id, doc_id, rank). Shape for scale: the inputs
+    are already top-N per query (tiny relative to the corpus), so fusion
+    is a union + one keyed aggregation + a per-query window — cost is in
+    the upstream retrievers, never here. Determinism: 1/(60+rank) is the
+    same double in every engine; per-doc sums have ≤ |rankings| terms and
+    are rounded to 9.
+    """
+    tagged = [r.select("query_id", "doc_id", "rank") for r in rankings]
+    pooled = tagged[0]
+    for t in tagged[1:]:
+        pooled = pooled.unionAll(t)
+    scored = pooled.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(1.0 / (F.lit(rrf_k) + F.col("rank"))), 9).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf_score", "n_lists")
+        .orderBy("query_id", "rank")
+    )
+
+
+def rrf_fuse_sql(ranking_sqls: list[str], k: int = 10, rrf_k: int = RRF_K) -> str:
+    """DuckDB oracle for :func:`rrf_fuse`: each input SQL must yield
+    (query_id, doc_id, rank)."""
+    pooled = "\nUNION ALL\n".join(f"SELECT query_id, doc_id, rank FROM ({s})" for s in ranking_sqls)
+    return f"""
+WITH pooled AS (
+{pooled}
+),
+scored AS (
+  SELECT query_id, doc_id,
+         round(SUM(1.0 / ({rrf_k} + rank)), 9) AS rrf_score,
+         COUNT(*) AS n_lists
+  FROM pooled GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, rrf_score, n_lists
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""

@@ -380,3 +380,24 @@ def test_token_budget_mix_invariants(spark, sf_dir):
             assert r.start_offset == off
             assert r.start_offset < 300
             off += r.n_tokens
+
+
+def test_rrf_fusion_semantics(spark):
+    """ss9: a doc ranked moderately in BOTH lists outranks a doc ranked
+    top-1 in only one (the consensus property RRF is chosen for), scores
+    match the hand formula, and n_lists counts the contributing lists."""
+    from pdf_etl_pipeline_spark.llmdata.retrieval import RRF_K, rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)], "query_id long, doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(1, 20, 1), (1, 30, 2), (1, 40, 3)], "query_id long, doc_id long, rank long"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([lex, sem], k=10).collect()}
+    # doc 20: rank 2 + rank 1 beats doc 10 (rank 1, one list only)
+    assert out[20].rank == 1 and out[30].rank == 2
+    assert out[10].n_lists == 1 and out[20].n_lists == 2
+    expected_20 = round(1 / (RRF_K + 2) + 1 / (RRF_K + 1), 9)
+    assert abs(out[20].rrf_score - expected_20) < 1e-12
+    assert out[40].n_lists == 1
