@@ -207,3 +207,66 @@ def test_zorder_prunes_2d_boxes_better_than_linear(spark, tmp_path):
     za = spark.read.parquet(zpath).filter(f"ub between {lo_a} and {hi_a} and tb between {lo_b} and {hi_b}")
     la = spark.read.parquet(lpath).filter(f"ub between {lo_a} and {hi_a} and tb between {lo_b} and {hi_b}")
     assert sorted(r.event_id for r in za.collect()) == sorted(r.event_id for r in la.collect())
+
+
+# --- S17: right-to-be-forgotten deletion ---------------------------------------
+def test_forget_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    """S17: deleting a user's rows rewrites only the day-partitions that
+    contained them (others keep identical files+mtimes), removes every
+    trace of the keys, conserves everyone else's rows, and fully drops a
+    partition whose rows all belonged to the deleted keys."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.operators.forget import forget_keys
+    from pdf_etl_pipeline_spark.operators.partitioned_sink import write_partitioned
+    from pdf_etl_pipeline_spark.session import load_events
+
+    path = str(tmp_path / "log")
+    ev = load_events(spark, "/root/testdata/sf0.001").withColumn(
+        "day", F2.date_format("ts", "yyyy-MM-dd")
+    )
+    write_partitioned(ev, path, "day")
+    days = sorted(d.split("=")[1] for d in os.listdir(path) if d.startswith("day="))
+
+    # pick a user and note which days they appear in
+    target = ev.select("user_id").first().user_id
+    user_days = {
+        r.day for r in ev.filter(F2.col("user_id") == target).select("day").distinct().collect()
+    }
+    clean_days = [d for d in days if d not in user_days]
+    assert clean_days, "need at least one untouched partition for the test"
+
+    def files_of(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_clean = {d: files_of(d) for d in clean_days}
+    n_total = spark.read.parquet(path).count()
+    n_target = spark.read.parquet(path).filter(F2.col("user_id") == target).count()
+    assert n_target > 0
+
+    rewritten = forget_keys(spark, path, "day", "user_id", [target])
+    # partition values round-trip through the parquet reader as DATEs
+    assert sorted(str(p) for p in rewritten) == sorted(user_days)
+    assert spark.read.parquet(path).filter(F2.col("user_id") == target).count() == 0
+    assert spark.read.parquet(path).count() == n_total - n_target
+    for d in clean_days:
+        assert files_of(d) == before_clean[d]
+
+    # a partition populated ONLY by the deleted key must disappear entirely
+    lonely = str(tmp_path / "lonely")
+    solo = spark.createDataFrame(
+        [(99, "2030-01-01"), (99, "2030-01-01"), (7, "2030-01-02")],
+        "user_id long, day string",
+    )
+    write_partitioned(solo, lonely, "day")
+    forget_keys(spark, lonely, "day", "user_id", [99])
+    left = spark.read.parquet(lonely)
+    assert [r.user_id for r in left.collect()] == [7]
+    assert not os.path.isdir(os.path.join(lonely, "day=2030-01-01"))
