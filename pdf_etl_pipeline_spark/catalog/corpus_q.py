@@ -211,3 +211,44 @@ def tx5_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     d = load_table(spark, sf_dir, "documents").withColumn("aug", _aug_spark())
     return CP.pii_scrub(d, text="aug").orderBy("doc_id")
+
+
+# --- DC2: near-duplicate decontamination --------------------------------------
+from pdf_etl_pipeline_spark.llmdata import dedup as DD  # noqa: E402
+
+_DC2_SIG = DD.minhash_signature_sql("text")
+_DC2_TOKSH = DD.token_hashes_sql("text")
+_DC2_BANDS = ", ".join(f"({b})" for b in range(DD.BANDS))
+
+
+@register(
+    "dc2_near_decontamination",
+    oracle=f"""
+WITH sigs AS (SELECT doc_id, {_DC2_SIG} AS sig FROM documents),
+banded AS (
+  SELECT doc_id, band,
+         array_to_string(sig[band * {DD.ROWS_PER_BAND} + 1 : (band + 1) * {DD.ROWS_PER_BAND}], '-') AS key
+  FROM sigs, (VALUES {_DC2_BANDS}) bb(band)
+),
+cands AS (
+  SELECT c.doc_id AS doc_id, b.doc_id AS bench_id
+  FROM banded c JOIN banded b
+    ON c.band = b.band AND c.key = b.key
+   AND c.doc_id % {CP.BENCH_MOD} <> 0 AND b.doc_id % {CP.BENCH_MOD} = 0
+  GROUP BY 1, 2
+),
+toks AS (SELECT doc_id, {_DC2_TOKSH} AS th FROM documents)
+SELECT cands.doc_id AS doc_id, cands.bench_id AS bench_id,
+       round(len(list_intersect(ta.th, tb.th)) /
+             (len(ta.th) + len(tb.th) - len(list_intersect(ta.th, tb.th))), 6) AS jaccard
+FROM cands
+JOIN toks ta ON ta.doc_id = cands.doc_id
+JOIN toks tb ON tb.doc_id = cands.bench_id
+WHERE len(list_intersect(ta.th, tb.th)) /
+      (len(ta.th) + len(tb.th) - len(list_intersect(ta.th, tb.th))) >= 0.9
+ORDER BY cands.doc_id, cands.bench_id""",
+    doc="DC2 near-duplicate benchmark decontamination: MinHash-LSH banding made BIPARTITE (corpus bands vs broadcast benchmark bands — benchmarks are thousands of docs, the corpus is billions; no self-join), exact Jaccard verify on banding survivors only — catches the paraphrased leakage exact-shingle dc1 misses",
+)
+def dc2_near_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return CP.near_decontaminate(load_table(spark, sf_dir, "documents"))

@@ -390,3 +390,54 @@ def pii_scrub(docs: DataFrame, text: Column | str = "text") -> DataFrame:
         F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
         F.md5(scrubbed).alias("scrub_md5"),
     )
+
+
+def near_decontaminate(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """DC2: NEAR-duplicate benchmark contamination — MinHash-LSH banding
+    between the corpus and the benchmark set (``doc_id % BENCH_MOD == 0``),
+    catching the paraphrased/lightly-edited leakage that exact-shingle
+    decontamination (:func:`decontaminate`) misses.
+
+    Shape for scale: identical to dd3 with the join made BIPARTITE — the
+    benchmark side's bands are a tiny relation (benchmarks are thousands
+    of docs, the corpus is billions), so the band equi-join broadcasts
+    the benchmark bands and the corpus side never self-joins; the exact
+    Jaccard verify touches only banding survivors.
+
+    Output: (doc_id, bench_id, jaccard) for corpus docs within
+    ``threshold`` of any benchmark doc.
+    """
+    from pdf_etl_pipeline_spark.llmdata.dedup import (
+        bands_from_signatures,
+        hashed_tokens,
+        signatures_from_hashed,
+    )
+
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    hashed = hashed_tokens(docs).dropDuplicates(["doc_id", "h"])
+    bands = bands_from_signatures(signatures_from_hashed(hashed))
+    corpus_bands = bands.filter(~(F.col("doc_id") % BENCH_MOD == 0))
+    bench_bands = bands.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "band", "key"
+    )
+    cands = (
+        corpus_bands.join(F.broadcast(bench_bands), ["band", "key"])
+        .select("doc_id", "bench_id")
+        .dropDuplicates()
+    )
+    toks = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("th"))
+    ta = toks.select(F.col("doc_id").alias("doc_id"), F.col("th").alias("ta"))
+    tb = toks.select(F.col("doc_id").alias("bench_id"), F.col("th").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        cands.join(ta, "doc_id")
+        .join(tb, "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_id", "bench_id")
+    )

@@ -401,3 +401,22 @@ def test_rrf_fusion_semantics(spark):
     expected_20 = round(1 / (RRF_K + 2) + 1 / (RRF_K + 1), 9)
     assert abs(out[20].rrf_score - expected_20) < 1e-12
     assert out[40].n_lists == 1
+
+
+def test_near_decontamination_flags_paraphrased_benchmark(spark):
+    """dc2: a corpus doc that is a benchmark doc with one word swapped
+    (Jaccard ~0.96) is flagged with the right jaccard; an unrelated doc
+    is not; benchmark docs themselves never appear on the corpus side."""
+    base = " ".join(f"tok{i}" for i in range(50))
+    edited = base.replace("tok25", "changed")
+    rows = [
+        (0, base),            # benchmark (0 % 97 == 0)
+        (1, edited),          # near-duplicate of the benchmark
+        (2, "entirely different words " * 10),
+        (97, base + " extra"),  # ALSO benchmark (97 % 97 == 0)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_id, r.bench_id): r.jaccard for r in CP.near_decontaminate(docs).collect()}
+    assert (1, 0) in out and out[(1, 0)] >= 0.9
+    assert all(d != 2 for d, _ in out)
+    assert all(d % 97 != 0 for d, _ in out)  # corpus side excludes benchmarks
