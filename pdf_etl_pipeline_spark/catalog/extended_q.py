@@ -784,3 +784,78 @@ from pdf_etl_pipeline_spark.operators.sketches import kmv_overlap, kmv_overlap_s
 def sk4_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return kmv_overlap(load_events(spark, sf_dir), "event_type", "user_id")
+
+
+# --- EV2: RFM segmentation ------------------------------------------------------
+_EV2_SEG_SQL = """CASE
+  WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+  WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+  WHEN m_score = 5 THEN 'big_spender'
+  WHEN r_score >= 4 THEN 'recent'
+  ELSE 'other' END"""
+
+
+@register(
+    "ev2_rfm_segmentation",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id,
+         MAX(ts) AS last_ts,
+         COUNT(*) AS frequency,
+         {dec_sum_sql('COALESCE(value, 0.0)')} AS monetary
+  FROM events GROUP BY 1
+),
+anchor AS (SELECT MAX(ts) AS now_ts FROM events),
+metrics AS (
+  SELECT user_id, frequency, monetary,
+         date_diff('second', last_ts, now_ts) AS recency_s
+  FROM base, anchor
+),
+scored AS (
+  SELECT user_id, recency_s, frequency, monetary,
+         ntile(5) OVER (ORDER BY recency_s DESC, user_id) AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+         ntile(5) OVER (ORDER BY monetary ASC, user_id) AS m_score
+  FROM metrics
+)
+SELECT user_id, recency_s, frequency, monetary,
+       r_score, f_score, m_score,
+       {_EV2_SEG_SQL} AS segment
+FROM scored ORDER BY user_id""",
+    doc="EV2 RFM customer segmentation: per-user recency/frequency/monetary (decimal-exact spend), quintile scores via user_id-tiebroken ntile, deterministic segment labels — the CRM staple; the global ntile runs over the per-user AGGREGATE (|users| rows, not events; plan-audited), and at extreme user counts the lever is histogram-quantile bucket boundaries (pc2) instead of exact ntile",
+)
+def ev2_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    base = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        dec_sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("monetary"),
+    )
+    anchor = ev.agg(F.max("ts").alias("now_ts"))
+    metrics = base.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (F.unix_timestamp("now_ts") - F.unix_timestamp("last_ts")).alias("recency_s"),
+        "frequency",
+        "monetary",
+    )
+    r_w = Window.orderBy(F.desc("recency_s"), F.asc("user_id"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.asc("monetary"), F.asc("user_id"))
+    scored = metrics.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk_loyal")
+        .when(F.col("m_score") == 5, "big_spender")
+        .when(F.col("r_score") >= 4, "recent")
+        .otherwise("other")
+    )
+    return scored.withColumn("segment", seg).orderBy("user_id")

@@ -564,3 +564,27 @@ def test_kmv_overlap_accuracy_and_exact_path(spark):
     assert cd.merged_size < KMV_K  # exact path
     assert cd.est_union == 40.0  # |C ∪ D| exactly
     assert cd.est_intersection == 5.0 and abs(cd.est_jaccard - 5 / 40) < 1e-9
+
+
+def test_rfm_segmentation_invariants(spark, sf_dir):
+    """ev2: quintiles are balanced (sizes differ by <= 1), scores agree
+    with metric order (top-monetary user has m_score 5), and segment
+    labels follow the case chain."""
+    from pdf_etl_pipeline_spark.catalog.extended_q import ev2_rfm_segmentation
+
+    rows = ev2_rfm_segmentation(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = {}
+        for r in rows:
+            sizes[r[col]] = sizes.get(r[col], 0) + 1
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+    top_m = max(rows, key=lambda r: (r.monetary, -r.user_id))
+    assert top_m.m_score == 5
+    for r in rows:
+        if r.r_score >= 4 and r.f_score >= 4 and r.m_score >= 4:
+            assert r.segment == "champion"
+        if r.segment == "big_spender":
+            assert r.m_score == 5

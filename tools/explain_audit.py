@@ -266,6 +266,23 @@ CHECKS = {
             and "windowspecdefinition(query_id#" not in ln
         ],
     },
+    "ev2_rfm_segmentation": {
+        # the global ntile windows are safe ONLY because their input is the
+        # per-user aggregate — assert the pk1-style structure: every
+        # SinglePartition exchange fed directly by a HashAggregate/Sort
+        # over the user_id aggregation, never the raw event scan
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            "SinglePartition exchange not fed by the per-user aggregate"
+            for i, l in enumerate(plan.splitlines())
+            if "Exchange SinglePartition" in l
+            and not any(
+                "HashAggregate(keys=[user_id" in nxt or "Project" in nxt
+                for nxt in plan.splitlines()[i + 1 : i + 3]
+            )
+        ],
+    },
     "dd8_dup_spans": {
         # cross-doc span test is ONE keyed aggregation on the hash + a
         # semi-join back — never a pairwise doc comparison
