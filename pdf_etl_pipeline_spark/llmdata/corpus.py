@@ -414,10 +414,13 @@ def near_decontaminate(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
     )
 
     is_bench = F.col("doc_id") % BENCH_MOD == 0
-    hashed = hashed_tokens(docs).dropDuplicates(["doc_id", "h"])
+    # persist: hashed feeds the signatures AND both sides' verify sets —
+    # unpersisted, Catalyst replicates the tokenize+md5 explode per
+    # consumer (the dd3 lesson, llmdata/dedup.py minhash_lsh_pairs)
+    hashed = hashed_tokens(docs).dropDuplicates(["doc_id", "h"]).persist()
     bands = bands_from_signatures(signatures_from_hashed(hashed))
-    corpus_bands = bands.filter(~(F.col("doc_id") % BENCH_MOD == 0))
-    bench_bands = bands.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+    corpus_bands = bands.filter(~is_bench)
+    bench_bands = bands.filter(is_bench).select(
         F.col("doc_id").alias("bench_id"), "band", "key"
     )
     cands = (
@@ -430,14 +433,13 @@ def near_decontaminate(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
     tb = toks.select(F.col("doc_id").alias("bench_id"), F.col("th").alias("tb"))
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.size("ta") + F.size("tb") - inter
+    # threshold the UNROUNDED ratio (matching the oracle) — filtering the
+    # rounded value would admit pairs in [threshold - 5e-7, threshold)
     return (
         cands.join(ta, "doc_id")
         .join(tb, "bench_id")
-        .select(
-            "doc_id",
-            "bench_id",
-            F.round(inter / union, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "bench_id", (inter / union).alias("jac_raw"))
+        .filter(F.col("jac_raw") >= threshold)
+        .select("doc_id", "bench_id", F.round("jac_raw", 6).alias("jaccard"))
         .orderBy("doc_id", "bench_id")
     )

@@ -655,7 +655,10 @@ def dup_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
         F.array().cast("array<string>")
     )
     hashes = F.transform(grams, lambda g: portable_hash32(g) % P31)
-    spans = docs.select("doc_id", F.explode(hashes).alias("h"))
+    # persist: spans (the per-window concat+md5 explode, the heaviest
+    # relation here) feeds THREE consumers — dup_h, the flagged semi-join,
+    # and totals; unpersisted it would be evaluated three times
+    spans = docs.select("doc_id", F.explode(hashes).alias("h")).persist()
     dup_h = (
         spans.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

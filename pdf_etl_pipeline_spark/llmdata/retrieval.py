@@ -111,9 +111,12 @@ idf AS (
   FROM df, corpus
 ),
 contrib AS (
+  -- constants go through CAST(... AS DOUBLE): DuckDB types bare literals
+  -- as DECIMAL and computes tf * 2.2 EXACTLY, while Spark computes it in
+  -- doubles — a last-ulp divergence that can flip the rounded 6th decimal
   SELECT query_id, p.doc_id AS doc_id,
-         round(idf * (tf * ({K1} + 1))
-               / (tf + {K1} * (1 - {B} + {B} * dl / avgdl)), 6) AS c
+         round(idf * (tf * CAST({K1 + 1} AS DOUBLE))
+               / (tf + CAST({K1} AS DOUBLE) * (1 - {B} + {B} * dl / avgdl)), 6) AS c
   FROM postings p
   JOIN q ON p.tok = q.tok
   JOIN idf ON p.tok = idf.tok

@@ -169,7 +169,12 @@ def kmv_overlap(
         portable_hash32(F.col(value_col).cast("string")).alias("h"),
     ).dropDuplicates(["grp", "h"])
     w = Window.partitionBy("grp").orderBy("h")
-    sketch = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    # persist: the sketch relation (hash + dedup + per-group top-k) is
+    # consumed four times (a, b, and twice inside pairs) — persisting it
+    # is what makes "ONE corpus pass builds the sketch rows" true
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).persist()
+    )
     a = sketch.select(F.col("grp").alias("grp_a"), F.col("h").alias("h"))
     b = sketch.select(F.col("grp").alias("grp_b"), F.col("h").alias("h"))
     pairs = (

@@ -29,11 +29,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
-    """1-row (n_nodes, n_edges, n_triangles) for an undirected simple
-    graph given as (u, v) pairs in any order/duplication (canonicalized
-    and deduplicated here; self-loops dropped)."""
-    canon = (
+def canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected simple-graph canonical form: (u < v), deduplicated,
+    self-loops dropped. Shared by the operator and the scale-curve tool."""
+    return (
         edges.filter(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"),
@@ -41,32 +40,49 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .dropDuplicates()
     )
-    deg = (
+
+
+def degrees(canon: DataFrame) -> DataFrame:
+    """(node, deg) over the canonical edge list."""
+    return (
         canon.select(F.col("u").alias("node"))
         .unionAll(canon.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # orient from the lower (deg, id) endpoint to the higher
+
+
+def orient(canon: DataFrame, deg: DataFrame) -> DataFrame:
+    """(src, dst) with every edge directed from its lower-(deg, id)
+    endpoint — out-degrees capped at O(√|E|)."""
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     with_deg = canon.join(du, "u").join(dv, "v")
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = with_deg.select(
+    return with_deg.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """1-row (n_nodes, n_edges, n_triangles) for an undirected simple
+    graph given as (u, v) pairs in any order/duplication."""
+    canon = canonical_edges(edges)
+    deg = degrees(canon)
+    oriented = orient(canon, deg)
     wedges = oriented.alias("e1").join(
         oriented.alias("e2"), F.col("e1.dst") == F.col("e2.src")
     ).select(
         F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
     )
+    # the closing edge of a wedge a->b->c is always oriented a->c: the
+    # orientation follows a total order, and a ≺ b ≺ c implies a ≺ c —
+    # so the reversed direction can never match and is not probed
     closed = wedges.join(
-        oriented.select(F.col("src").alias("a"), F.col("dst").alias("c")).unionAll(
-            oriented.select(F.col("dst").alias("a"), F.col("src").alias("c"))
-        ),
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("c")),
         ["a", "c"],
         "left_semi",
     )

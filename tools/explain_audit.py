@@ -278,8 +278,11 @@ CHECKS = {
             for i, l in enumerate(plan.splitlines())
             if "Exchange SinglePartition" in l
             and not any(
-                "HashAggregate(keys=[user_id" in nxt or "Project" in nxt
-                for nxt in plan.splitlines()[i + 1 : i + 3]
+                # per-user aggregate (the ntile input) or a keyless scalar
+                # aggregate (the 1-row max-ts anchor) — both are bounded
+                "HashAggregate(keys=[user_id" in nxt
+                or "HashAggregate(keys=[]" in nxt
+                for nxt in plan.splitlines()[i + 1 : i + 4]
             )
         ],
     },

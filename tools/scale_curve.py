@@ -318,6 +318,8 @@ def hub_graph(spark, n_rim: int, hub_spokes: int, seed: int = 23) -> DataFrame:
     """Skewed co-occurrence-shaped graph: one hub wired to ``hub_spokes``
     nodes plus a sparse pseudo-random rim (each node links to 3 hashed
     neighbors) — the degree distribution that breaks naive wedge joins."""
+    from pdf_etl_pipeline_spark.functions.scalars import portable_hash32
+
     nodes = spark.range(1, n_rim + 1).select(F.col("id").alias("u"))
     spokes = spark.range(1, hub_spokes + 1).select(
         F.lit(0).alias("u"), F.col("id").alias("v")
@@ -327,15 +329,11 @@ def hub_graph(spark, n_rim: int, hub_spokes: int, seed: int = 23) -> DataFrame:
         F.explode(
             F.array(
                 *[
-                    (
-                        F.conv(
-                            F.substring(F.md5(F.concat(F.lit(f"g2_{seed}_{i}_"), F.col("u").cast("string"))), 1, 8),
-                            16,
-                            10,
-                        ).cast("long")
-                        % n_rim
-                        + 1
+                    portable_hash32(
+                        F.concat(F.lit(f"g2_{seed}_{i}_"), F.col("u").cast("string"))
                     )
+                    % n_rim
+                    + 1
                     for i in range(3)
                 ]
             )
@@ -348,33 +346,21 @@ def measure_g2(label: str, edges: DataFrame) -> dict:
     """Wedge volume with vs without degree orientation — the quantity the
     E^1.5 bound caps. 'naive' is what a join on the shared endpoint of the
     UNDIRECTED edge list generates (sum over nodes of deg·(deg−1)/2)."""
-    from pdf_etl_pipeline_spark.operators.triangles import triangle_count
+    from pdf_etl_pipeline_spark.operators.triangles import (
+        canonical_edges,
+        degrees,
+        orient,
+        triangle_count,
+    )
 
-    canon = (
-        edges.filter(F.col("u") != F.col("v"))
-        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
-        .dropDuplicates()
-        .persist()
-    )
-    deg = (
-        canon.select(F.col("u").alias("node"))
-        .unionAll(canon.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    canon = canonical_edges(edges).persist()
+    deg = degrees(canon)
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.max("deg").alias("max_deg"),
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("naive_wedges"),
     ).collect()[0]
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    wd = canon.join(du, "u").join(dv, "v")
-    fwd = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    oriented = wd.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    oriented = orient(canon, deg)
     o_wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
