@@ -152,15 +152,14 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    # threshold the UNROUNDED ratio (the oracle's WHERE is unrounded) —
+    # filtering the rounded value would admit [threshold - 5e-7, threshold)
+    jac_raw = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(jac_raw >= threshold)
+        .select("doc_a", "doc_b", F.round(jac_raw, 6).alias("jaccard"))
     )
 
 
@@ -356,10 +355,10 @@ def minhash_lsh_pairs(
     verified = cands.join(ta, "doc_a").join(tb, "doc_b")
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.size("ta") + F.size("tb") - inter
+    # threshold the UNROUNDED ratio (oracle parity; see the dd2 note)
     result = (
-        verified.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        verified.filter((inter / union) >= threshold)
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
     )
     if materialize:
         result = result.localCheckpoint()  # eager; pair relation is small

@@ -119,7 +119,7 @@ def admission_matches(
             ex_toks.select(F.col("doc_id").alias("old_id"), F.col("toks").alias("tb")),
             "old_id",
         )
-        .filter(F.round(inter / union, 6) >= threshold)
+        .filter((inter / union) >= threshold)
         .select(F.col("new_id").alias("doc_id"))
         .distinct()
     )
@@ -160,7 +160,7 @@ def ingest_batch(batch_docs: DataFrame, index_dir: str, threshold: float = 0.9) 
     pairs = (
         cands.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .filter(F.round(inter / union, 6) >= threshold)
+        .filter((inter / union) >= threshold)
         .select("doc_a", "doc_b")
     )
     kept = (
