@@ -859,3 +859,38 @@ def ev2_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("other")
     )
     return scored.withColumn("segment", seg).orderBy("user_id")
+
+
+# --- J6: point-in-time (bitemporal) join ---------------------------------------
+from pdf_etl_pipeline_spark.operators.scd import point_in_time_join  # noqa: E402
+
+
+@register(
+    "j6_point_in_time",
+    oracle=f"""
+WITH hist AS ({scd2_history_sql("events", "user_id", "event_type", "ts", "event_id")}),
+facts AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id AS event_id, f.user_id AS user_id, f.value AS value,
+       h.event_type AS state_at_time, h.valid_from AS valid_from
+FROM facts f
+LEFT JOIN hist h
+  ON f.user_id = h.user_id
+ AND f.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+ORDER BY event_id""",
+    doc="J6 bitemporal point-in-time join: each purchase picks up the SCD-2 state interval containing its own timestamp (leakage-safe dimension lookup — never a future state); key equality is the join key, interval containment the join filter; tiling guarantees at most one match and fact cardinality is preserved",
+)
+def j6_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    hist = scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return (
+        point_in_time_join(facts, hist, "user_id", "event_type", "ts")
+        .select("event_id", "user_id", "value", "state_at_time", "valid_from")
+        .orderBy("event_id")
+    )

@@ -77,3 +77,42 @@ iv AS (
 )
 SELECT {key}, {attr}, valid_from, valid_to, valid_to IS NULL AS is_current
 FROM iv ORDER BY {key}, valid_from"""
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    attr: str,
+    ts_col: str,
+) -> DataFrame:
+    """J6: bitemporal point-in-time join — each fact row picks up the
+    dimension state that was VALID at the fact's own timestamp (the
+    [valid_from, valid_to) interval containing it), the correctness
+    discipline that prevents training-data leakage from future dimension
+    states ("the user was 'basic' when they purchased, upgraded later").
+
+    ``history`` is an SCD-2 relation (:func:`scd2_history` output or any
+    (key, attr, valid_from, valid_to) tiling). The interval containment
+    lives INSIDE the left-join condition (key equality + ``valid_from <=
+    ts < valid_to``): Spark plans the equality as the join key and the
+    interval test as the join filter — per-key histories are short
+    (state changes, not events), so the equi-join dominates and no
+    interval bucketization is needed; at extreme history sizes the rj1
+    range-bucketing lever applies unchanged. Tiling guarantees at most
+    one match per fact; facts before the key's first interval (or with
+    no history at all) keep a NULL state — fact cardinality is preserved
+    exactly.
+    """
+    h = history.select(
+        F.col(key).alias("_h_key"),
+        F.col(attr).alias("state_at_time"),
+        "valid_from",
+        "valid_to",
+    )
+    cond = (
+        (facts[key] == F.col("_h_key"))
+        & (facts[ts_col] >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (facts[ts_col] < F.col("valid_to")))
+    )
+    return facts.join(h, on=cond, how="left").drop("_h_key", "valid_to")

@@ -588,3 +588,29 @@ def test_rfm_segmentation_invariants(spark, sf_dir):
             assert r.segment == "champion"
         if r.segment == "big_spender":
             assert r.m_score == 5
+
+
+def test_point_in_time_join_semantics(spark):
+    """j6: each fact sees the state valid AT its timestamp — never a
+    future state; facts before any history keep NULL; boundary ts
+    (exactly at valid_from) takes the NEW state; cardinality preserved."""
+    from pdf_etl_pipeline_spark.operators.scd import point_in_time_join, scd2_history
+
+    dim_events = spark.createDataFrame(
+        [(1, "basic", 100, 1), (1, "pro", 300, 2), (2, "basic", 100, 3)],
+        "user_id long, plan string, ts_n long, eid long",
+    )
+    hist = scd2_history(dim_events, "user_id", "plan", "ts_n", "eid")
+    facts = spark.createDataFrame(
+        [(10, 1, 150), (11, 1, 300), (12, 1, 999), (13, 2, 50), (14, 3, 100)],
+        "fact_id long, user_id long, ts_n long",
+    )
+    out = {r.fact_id: r.state_at_time for r in
+           point_in_time_join(facts, hist, "user_id", "plan", "ts_n").collect()}
+    assert out[10] == "basic"   # before the upgrade
+    assert out[11] == "pro"     # boundary: valid_from is inclusive
+    assert out[12] == "pro"     # open-ended current interval
+    assert out[13] is None      # fact precedes user 2's first interval? no -
+    # user 2's history starts at 100; fact at 50 predates it -> NULL
+    assert out[14] is None      # user with no history at all
+    assert len(out) == 5        # fact cardinality preserved
