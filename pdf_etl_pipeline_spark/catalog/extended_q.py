@@ -894,3 +894,40 @@ def j6_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value", "state_at_time", "valid_from")
         .orderBy("event_id")
     )
+
+
+# --- MK1: event-transition matrix ----------------------------------------------
+@register(
+    "mk1_transition_matrix",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+trans AS (
+  SELECT src, dst, COUNT(*) AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT src, SUM(n) AS row_total FROM trans GROUP BY 1)
+SELECT trans.src AS src, dst, n,
+       round(n / row_total, 6) AS p
+FROM trans JOIN tot ON trans.src = tot.src
+ORDER BY src, dst""",
+    doc="MK1 user-flow transition matrix (first-order Markov estimate): per-user lead() over the event sequence, keyed (src,dst) counts, row-normalized probabilities — the product-analytics flow map; one user-partitioned window + two map-side-combined aggregations, no global order",
+)
+def mk1_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("src").agg(F.sum("n").alias("row_total"))
+    return (
+        trans.join(tot, "src")
+        .select("src", "dst", "n", F.round(F.col("n") / F.col("row_total"), 6).alias("p"))
+        .orderBy("src", "dst")
+    )
