@@ -222,3 +222,26 @@ from pdf_etl_pipeline_spark.llmdata.classify import naive_bayes_classify, naive_
 def ml2_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return naive_bayes_classify(load_table(spark, sf_dir, "documents"))
+
+
+# --- ML3: classifier evaluation (confusion matrix) -----------------------------
+@register(
+    "ml3_nb_confusion",
+    oracle=f"""
+WITH preds AS ({naive_bayes_sql("documents")})
+SELECT lang_true, lang_pred, COUNT(*) AS n,
+       round(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY lang_true), 6) AS row_frac
+FROM preds GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="ML3 classifier evaluation: confusion matrix of the in-plan Naive Bayes vs ground-truth labels with per-true-class row fractions — the eval step of the train/apply/evaluate loop, all inside one declarative plan",
+)
+def ml3_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    preds = naive_bayes_classify(load_table(spark, sf_dir, "documents"))
+    cm = preds.groupBy("lang_true", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang_true")
+    return (
+        cm.withColumn("row_frac", F.round(F.col("n") / F.sum("n").over(w), 6))
+        .orderBy("lang_true", "lang_pred")
+    )

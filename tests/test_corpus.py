@@ -420,3 +420,22 @@ def test_near_decontamination_flags_paraphrased_benchmark(spark):
     assert (1, 0) in out and out[(1, 0)] >= 0.9
     assert all(d != 2 for d, _ in out)
     assert all(d % 97 != 0 for d, _ in out)  # corpus side excludes benchmarks
+
+
+def test_nb_confusion_matrix_properties(spark, sf_dir):
+    """ml3: row fractions sum to 1 per true class and counts total the
+    corpus size. (No diagonal-dominance assertion: the synthetic corpus's
+    lang labels do NOT correlate with vocabulary, and the eval op's job
+    is to report that honestly — separable-class accuracy is pinned by
+    test_naive_bayes_recovers_separable_classes instead.)"""
+    from pdf_etl_pipeline_spark.catalog.text_q import ml3_nb_confusion
+
+    rows = ml3_nb_confusion(spark, sf_dir).collect()
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r.lang_true, []).append(r)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    for lt, rs in by_true.items():
+        assert abs(sum(r.row_frac for r in rs) - 1.0) < 1e-4
+        assert all(r.n > 0 for r in rs)
