@@ -636,14 +636,12 @@ def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
         [(1, 1, "a", 1), (2, 1, "b", 2), (3, 1, "a", 3), (4, 2, "a", 1), (5, 2, "b", 2)],
         "event_id long, user_id long, event_type string, t long",
     ).select("event_id", "user_id", "event_type", F2.col("t").cast("timestamp").alias("ts"))
-    from pdf_etl_pipeline_spark.session import tune
     # reuse the same plan shape inline
     from pyspark.sql.window import Window as W2
     w = W2.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select("event_type", F2.lead("event_type").over(w).alias("dst")).filter(
         F2.col("dst").isNotNull()
     )
-    got = {(r.event_type, r.dst): 1 for r in seq.collect()}
     trans = seq.groupBy("event_type", "dst").count().collect()
     counts = {(r.event_type, r.dst): r["count"] for r in trans}
     assert counts == {("a", "b"): 2, ("b", "a"): 1}
