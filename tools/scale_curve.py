@@ -384,6 +384,49 @@ def measure_g2(label: str, edges: DataFrame) -> dict:
     }
 
 
+def measure_dc2(label: str, docs: DataFrame) -> dict:
+    """Bipartite decontamination volumes: benchmark size, banding
+    candidates (the quantity that must stay linear in corpus size for a
+    fixed benchmark), and verified contamination pairs."""
+    from pdf_etl_pipeline_spark.llmdata.corpus import BENCH_MOD, near_decontaminate
+    from pdf_etl_pipeline_spark.llmdata.dedup import (
+        bands_from_signatures,
+        hashed_tokens,
+        signatures_from_hashed,
+    )
+
+    docs = docs.persist()
+    n = docs.count()
+    n_bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).count()
+    hashed = hashed_tokens(docs).dropDuplicates(["doc_id", "h"]).persist()
+    bands = bands_from_signatures(signatures_from_hashed(hashed))
+    is_b = F.col("doc_id") % BENCH_MOD == 0
+    cands = (
+        bands.filter(~is_b)
+        .join(
+            bands.filter(is_b).select(F.col("doc_id").alias("bench_id"), "band", "key"),
+            ["band", "key"],
+        )
+        .select("doc_id", "bench_id")
+        .dropDuplicates()
+        .count()
+    )
+    t0 = time.time()
+    verified = near_decontaminate(docs).count()
+    wall = round(time.time() - t0, 2)
+    hashed.unpersist()
+    docs.unpersist()
+    return {
+        "corpus": label,
+        "n_docs": n,
+        "n_bench": n_bench,
+        "brute_pairs": (n - n_bench) * n_bench,
+        "band_candidates": cands,
+        "verified_pairs": verified,
+        "wall_sec": wall,
+    }
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     spark = get_spark("scale_curve")
@@ -444,6 +487,12 @@ def main() -> None:
             measure_g2(f"hub {spokes // 1000}k-spoke", hub_graph(spark, n_rim, spokes))
         )
         print(json.dumps(out["g2"][-1]), flush=True)
+
+    out["dc2"] = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = load_table(spark, f"/root/testdata/{sf}", "documents")
+        out["dc2"].append(measure_dc2(f"driver {sf}", docs))
+        print(json.dumps(out["dc2"][-1]), flush=True)
 
     print(json.dumps(out))
     spark.stop()
