@@ -931,3 +931,32 @@ def mk1_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "n", F.round(F.col("n") / F.col("row_total"), 6).alias("p"))
         .orderBy("src", "dst")
     )
+
+
+# --- CM1: Count-Min point-frequency sketch -------------------------------------
+from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col, tokens_sql  # noqa: E402
+from pdf_etl_pipeline_spark.operators.sketches import (  # noqa: E402
+    cms_build,
+    cms_estimate,
+    cms_sql,
+)
+
+_CM1_PROBES = ["table", "spark", "vector", "window", "zzzneverseen"]
+
+
+@register(
+    "cm1_count_min",
+    oracle=cms_sql("documents", tokens_sql("text", distinct=False), _CM1_PROBES),
+    doc="CM1 Count-Min sketch (4x1024 counters, engine-portable hashes): constant-size mergeable point-frequency summary built in one map-side-combined aggregation; probe estimates = min over rows, never undercounting — truth column included so the overestimate property is hash-checked",
+)
+def cm1_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text", distinct=False)).alias("tok"))
+    est = cms_estimate(cms_build(toks), _CM1_PROBES)
+    probe_df = spark.createDataFrame([(t,) for t in _CM1_PROBES], "tok string")
+    truth = (
+        probe_df.join(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")), "tok", "left")
+        .select("tok", F.coalesce("c", F.lit(0)).alias("true_cnt"))
+    )
+    return est.join(truth, "tok").select("tok", "est", "true_cnt").orderBy("tok")

@@ -263,3 +263,102 @@ SELECT grp_a, grp_b,
        round(inter_cnt / merged_size, 6) AS est_jaccard,
        CAST(merged_size AS BIGINT) AS merged_size
 FROM stats ORDER BY grp_a, grp_b"""
+
+
+# --- CM1: Count-Min sketch ----------------------------------------------------
+CMS_D = 4  # hash rows
+CMS_W = 1024  # counters per row
+
+
+def cms_build(
+    toks: DataFrame, tok_col: str = "tok", d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """(row, col, cnt) Count-Min sketch of a token stream (Cormode &
+    Muthukrishnan 2005): each occurrence increments one counter per hash
+    row. The sketch is d*w counters TOTAL — constant size regardless of
+    corpus scale — and MERGEABLE by plain addition, so it builds as one
+    map-side-combined aggregation and the identical expression runs as an
+    incremental streaming aggregation (pinned streamed-equals-batch in
+    tests, like the st8 histogram)."""
+    rows = [
+        toks.select(
+            F.lit(di).alias("row"),
+            (
+                portable_hash32(F.concat(F.lit(f"cms{di}_"), F.col(tok_col))) % w
+            ).alias("col"),
+        )
+        for di in range(d)
+    ]
+    pooled = rows[0]
+    for r in rows[1:]:
+        pooled = pooled.unionAll(r)
+    return pooled.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: list[str], d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """(tok, est): point-frequency estimates = min over rows of the
+    probed counters (missing counter = 0). Estimates NEVER undercount;
+    overcounting is collision noise bounded by ~2*N/w w.h.p."""
+    spark = sketch.sparkSession
+    probe_cells = spark.createDataFrame(
+        [(t, di) for t in probes for di in range(d)], "tok string, row int"
+    ).select(
+        "tok",
+        "row",
+        (
+            portable_hash32(
+                F.concat(
+                    F.lit("cms"), F.col("row").cast("string"), F.lit("_"), F.col("tok")
+                )
+            )
+            % w
+        ).alias("col"),
+    )
+    return (
+        probe_cells.join(sketch, ["row", "col"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+        .orderBy("tok")
+    )
+
+
+def cms_sql(
+    table: str, text_toks_sql: str, probes: list[str], d: int = CMS_D, w: int = CMS_W
+) -> str:
+    """DuckDB oracle: build + probe + exact truth for the probe set."""
+    from pdf_etl_pipeline_spark.functions.scalars import portable_hash32_sql
+
+    row_parts = []
+    for di in range(d):
+        h = portable_hash32_sql("'cms" + str(di) + "_' || tok")
+        row_parts.append(
+            "SELECT " + str(di) + " AS row, " + h + " % " + str(w) + " AS col FROM toks"
+        )
+    row_selects = "\nUNION ALL\n".join(row_parts)
+    probe_vals = []
+    for t in probes:
+        for di in range(d):
+            h = portable_hash32_sql("'cms" + str(di) + "_" + t + "'")
+            probe_vals.append("('" + t + "', " + str(di) + ", " + h + " % " + str(w) + ")")
+    probe_rows = ", ".join(probe_vals)
+    return f"""
+WITH toks AS (SELECT unnest({text_toks_sql}) AS tok FROM {table}),
+cells AS (
+{row_selects}
+),
+sketch AS (SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+probes(tok, row, col) AS (VALUES {probe_rows}),
+est AS (
+  SELECT tok, MIN(COALESCE(cnt, 0)) AS est
+  FROM probes LEFT JOIN sketch USING (row, col) GROUP BY tok
+),
+truth AS (
+  SELECT p.tok AS tok, COUNT(t.tok) AS true_cnt
+  FROM (SELECT DISTINCT tok FROM probes) p
+  LEFT JOIN toks t ON t.tok = p.tok GROUP BY 1
+)
+SELECT est.tok AS tok, est, true_cnt
+FROM est JOIN truth ON est.tok = truth.tok
+ORDER BY tok"""

@@ -645,3 +645,31 @@ def test_transition_matrix_rows_sum_to_one(spark, sf_dir):
     trans = seq.groupBy("event_type", "dst").count().collect()
     counts = {(r.event_type, r.dst): r["count"] for r in trans}
     assert counts == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_count_min_overestimates_and_merges(spark, sf_dir):
+    """cm1: estimates never undercount (every probe's est >= truth, the
+    absent token reads its collision noise only), and the sketch is
+    MERGEABLE — building on two halves and adding counters equals
+    building on the whole (the property that makes it streamable)."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.catalog.extended_q import cm1_count_min
+    from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col
+    from pdf_etl_pipeline_spark.operators.sketches import cms_build
+    from pdf_etl_pipeline_spark.session import load_table
+
+    rows = cm1_count_min(spark, sf_dir).collect()
+    assert rows and all(r.est >= r.true_cnt for r in rows)
+    seen = {r.tok: r for r in rows}
+    assert seen["zzzneverseen"].true_cnt == 0
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F2.explode(tokens_col("text", distinct=False)).alias("tok"))
+    whole = {(r.row, r.col): r.cnt for r in cms_build(toks).collect()}
+    h1 = cms_build(toks.filter(F2.col("doc_id") % 2 == 0)).collect()
+    h2 = cms_build(toks.filter(F2.col("doc_id") % 2 == 1)).collect()
+    merged = {}
+    for r in list(h1) + list(h2):
+        merged[(r.row, r.col)] = merged.get((r.row, r.col), 0) + r.cnt
+    assert merged == whole
