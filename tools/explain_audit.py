@@ -266,6 +266,24 @@ CHECKS = {
             and "windowspecdefinition(query_id#" not in ln
         ],
     },
+    "j6_point_in_time": {
+        # interval containment must ride the user_id equi-join as a join
+        # filter — never a nested-loop theta join over facts x history
+        "must": ["HashJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "mk1_transition_matrix": {
+        # the sequence window partitions by user_id; transitions aggregate
+        # map-side — no global order anywhere
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            f"window not partitioned by user_id: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(user_id#" not in ln
+        ],
+    },
     "ev2_rfm_segmentation": {
         # the global ntile windows are safe ONLY because their input is the
         # per-user aggregate — assert the pk1-style structure: every
