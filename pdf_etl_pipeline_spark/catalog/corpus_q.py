@@ -251,4 +251,4 @@ ORDER BY cands.doc_id, cands.bench_id""",
 )
 def dc2_near_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return CP.near_decontaminate(load_table(spark, sf_dir, "documents"))
+    return CP.near_decontaminate(load_table(spark, sf_dir, "documents"), materialize=True)

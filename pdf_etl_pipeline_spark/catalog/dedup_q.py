@@ -406,4 +406,4 @@ from pdf_etl_pipeline_spark.llmdata.dedup import dup_span_stats, dup_span_stats_
 )
 def dd8_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return dup_span_stats(load_table(spark, sf_dir, "documents"))
+    return dup_span_stats(load_table(spark, sf_dir, "documents"), materialize=True)

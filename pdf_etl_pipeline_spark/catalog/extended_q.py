@@ -191,7 +191,7 @@ WITH binned AS (
          greatest(CAST(0 AS BIGINT), least({_ST8_BINS - 1},
            CAST(floor((CAST(value AS DOUBLE) - {_ST8_LO!r}) / {_ST8_HI - _ST8_LO!r} * {_ST8_BINS}) AS BIGINT))) AS bin,
          COUNT(*) AS c
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 cum AS (
   SELECT *, CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
@@ -783,7 +783,7 @@ from pdf_etl_pipeline_spark.operators.sketches import kmv_overlap, kmv_overlap_s
 )
 def sk4_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return kmv_overlap(load_events(spark, sf_dir), "event_type", "user_id")
+    return kmv_overlap(load_events(spark, sf_dir), "event_type", "user_id", materialize=True)
 
 
 # --- EV2: RFM segmentation ------------------------------------------------------

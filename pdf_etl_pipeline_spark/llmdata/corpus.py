@@ -392,7 +392,9 @@ def pii_scrub(docs: DataFrame, text: Column | str = "text") -> DataFrame:
     )
 
 
-def near_decontaminate(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
+def near_decontaminate(
+    docs: DataFrame, threshold: float = 0.9, materialize: bool = False
+) -> DataFrame:
     """DC2: NEAR-duplicate benchmark contamination — MinHash-LSH banding
     between the corpus and the benchmark set (``doc_id % BENCH_MOD == 0``),
     catching the paraphrased/lightly-edited leakage that exact-shingle
@@ -435,7 +437,7 @@ def near_decontaminate(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
     union = F.size("ta") + F.size("tb") - inter
     # threshold the UNROUNDED ratio (matching the oracle) — filtering the
     # rounded value would admit pairs in [threshold - 5e-7, threshold)
-    return (
+    result = (
         cands.join(ta, "doc_id")
         .join(tb, "bench_id")
         .select("doc_id", "bench_id", (inter / union).alias("jac_raw"))
@@ -443,3 +445,9 @@ def near_decontaminate(docs: DataFrame, threshold: float = 0.9) -> DataFrame:
         .select("doc_id", "bench_id", F.round("jac_raw", 6).alias("jaccard"))
         .orderBy("doc_id", "bench_id")
     )
+    if materialize:
+        # contamination pairs are small — checkpoint and release the
+        # hashed-token cache (see dup_span_stats)
+        result = result.localCheckpoint()
+        hashed.unpersist()
+    return result

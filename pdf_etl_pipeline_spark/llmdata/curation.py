@@ -149,9 +149,10 @@ def source_cap(docs: DataFrame, cap: int = SOURCE_CAP) -> DataFrame:
     crawler-friendly sites can contribute millions of near-identical
     pages; capping per registered domain is the standard fix).
 
-    Shape for scale: quality scoring is pure codegen over the scan
-    (text_stats adds no shuffle); the cap is ONE window partitioned by
-    ``source`` — a keyed shuffle, never a global sort. A pathologically
+    Shape for scale: quality scoring is pure codegen attached in the SAME
+    projection as the scan (``text.quality_score_col`` — no join back to
+    text_stats, no second corpus scan); the cap is ONE window partitioned
+    by ``source`` — a keyed shuffle, never a global sort. A pathologically
     hot source makes this aggregation-skew; the row_number frame is
     rank-only (no payload carried), so even a 100M-page domain is a
     single fat partition of (doc_id, score) pairs — and the W5-style
@@ -160,9 +161,11 @@ def source_cap(docs: DataFrame, cap: int = SOURCE_CAP) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    scored = docs.join(
-        text_stats(docs).select("doc_id", "quality_score"), "doc_id"
-    ).select("doc_id", "source", "quality_score")
+    from pdf_etl_pipeline_spark.llmdata.text import quality_score_col
+
+    scored = docs.select(
+        "doc_id", "source", quality_score_col("text").alias("quality_score")
+    )
     w = Window.partitionBy("source").orderBy(
         F.desc("quality_score"), F.asc("doc_id")
     )
@@ -198,15 +201,15 @@ def token_budget_mix(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
     from pyspark.sql import Window
 
     from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col
+    from pdf_etl_pipeline_spark.llmdata.text import quality_score_col
 
-    scored = (
-        docs.join(text_stats(docs).select("doc_id", "quality_score"), "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            "quality_score",
-            F.size(tokens_col("text", distinct=False)).cast("long").alias("n_tokens"),
-        )
+    # quality and token count attach in the SAME projection as the scan —
+    # no join back to text_stats (see source_cap)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_score_col("text").alias("quality_score"),
+        F.size(tokens_col("text", distinct=False)).cast("long").alias("n_tokens"),
     )
     order = [F.desc("quality_score"), F.asc("doc_id")]
     w_rank = Window.partitionBy("source").orderBy(*order)

@@ -631,7 +631,9 @@ def cosine_sql(a: str, b: str) -> str:
 DUP_SPAN_N = 10  # tokens per span (Lee et al. 2021 use 50-token chars; 10 fits short docs)
 
 
-def dup_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+def dup_span_stats(
+    docs: DataFrame, n: int = DUP_SPAN_N, materialize: bool = False
+) -> DataFrame:
     """Per-document exact-substring duplication accounting (the signal
     behind Lee et al. 2021's 'Deduplicating Training Data Makes Language
     Models Better'): every ``n``-token window is hashed, a span is
@@ -668,7 +670,7 @@ def dup_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
         F.count(F.lit(1)).alias("n_dup_spans")
     )
     totals = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
-    return (
+    result = (
         docs.select("doc_id")
         .join(totals, "doc_id", "left")
         .join(flagged, "doc_id", "left")
@@ -684,6 +686,14 @@ def dup_span_stats(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    if materialize:
+        # eager checkpoint of the small per-doc result, then release the
+        # heavy spans cache — repeated invocations in one session (bench
+        # min-of-N, the oracle sweep) must not accumulate cached blocks
+        # (the minhash_lsh_pairs materialize discipline)
+        result = result.localCheckpoint()
+        spans.unpersist()
+    return result
 
 
 def dup_span_stats_sql(table: str, n: int = DUP_SPAN_N) -> str:

@@ -418,6 +418,12 @@ def phash_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     on (band_idx, band_value), linear in corpus size for bounded bucket
     sizes; the verify (xor + bit_count, pure codegen) touches only
     banding survivors. Never an all-pairs product."""
+    if max_hamming > PHASH_BANDS - 1:
+        raise ValueError(
+            f"pigeonhole banding with {PHASH_BANDS} bands is complete only for "
+            f"Hamming <= {PHASH_BANDS - 1}; max_hamming={max_hamming} would "
+            "silently return an incomplete pair set (add bands to go further)"
+        )
     banded = hashes.select(
         "asset_id",
         "phash",

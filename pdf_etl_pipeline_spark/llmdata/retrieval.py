@@ -150,15 +150,18 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 10, rrf_k: int = RRF_K) -> Data
     are already top-N per query (tiny relative to the corpus), so fusion
     is a union + one keyed aggregation + a per-query window — cost is in
     the upstream retrievers, never here. Determinism: 1/(60+rank) is the
-    same double in every engine; per-doc sums have ≤ |rankings| terms and
-    are rounded to 9.
+    same double in every engine, each term rounds to 9 and the per-doc
+    sum runs through exact decimals (dec_sum) — a plain double sum would
+    become partition-order-dependent the moment a third ranking is fused.
     """
     tagged = [r.select("query_id", "doc_id", "rank") for r in rankings]
     pooled = tagged[0]
     for t in tagged[1:]:
         pooled = pooled.unionAll(t)
     scored = pooled.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum(1.0 / (F.lit(rrf_k) + F.col("rank"))), 9).alias("rrf_score"),
+        F.round(
+            dec_sum(F.round(1.0 / (F.lit(rrf_k) + F.col("rank")), 9), scale=9), 9
+        ).alias("rrf_score"),
         F.count(F.lit(1)).alias("n_lists"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
@@ -180,7 +183,7 @@ WITH pooled AS (
 ),
 scored AS (
   SELECT query_id, doc_id,
-         round(SUM(1.0 / ({rrf_k} + rank)), 9) AS rrf_score,
+         round({dec_sum_sql(f'round(1.0 / ({rrf_k} + rank), 9)', 9)}, 9) AS rrf_score,
          COUNT(*) AS n_lists
   FROM pooled GROUP BY 1, 2
 ),

@@ -72,6 +72,33 @@ def lang_id_sql(text_expr: str) -> str:
     return out
 
 
+def quality_score_col(text: Column | str = "text") -> Column:
+    """The composite quality score as a pure Column expression (rounded to
+    6) — extracted so curation ops can attach it in the SAME projection
+    as the scan instead of joining back to text_stats (a corpus-sized
+    self-join on doc_id for a value derivable inline)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens_col(c, distinct=False)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    avg_word_len = sum_len / F.nullif(n_tokens, F.lit(0))
+    ttr = n_distinct / F.nullif(n_tokens, F.lit(0))
+    stop_ratio = stop_hits / F.nullif(n_tokens, F.lit(0))
+    digit_ratio = digits / F.nullif(n_chars, F.lit(0))
+    quality = (
+        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.3
+        + F.coalesce(ttr, F.lit(0.0)) * 0.3
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 8), 0.2).otherwise(0.0)
+        + F.coalesce(stop_ratio, F.lit(0.0)) * 0.2
+        - F.coalesce(digit_ratio, F.lit(0.0)) * 0.2
+    )
+    return F.round(quality, 6)
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """Quality-scoring feature set + composite score."""
     text = F.col("text")

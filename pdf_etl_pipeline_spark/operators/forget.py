@@ -62,7 +62,10 @@ def forget_keys(
     remaining = (
         spark.read.parquet(path)
         .filter(F.col(partition_col).isin(parts))  # listing-level pruning
-        .filter(~F.col(key_col).isin(keys))  # broadcast-size tombstone list
+        # NULL-keyed rows (e.g. anonymous events) are NOT targets and must
+        # survive: plain `~isin` evaluates to NULL for them (NULL NOT IN
+        # semantics) and would silently destroy every such row
+        .filter(~F.col(key_col).isin(keys) | F.col(key_col).isNull())
     )
     still_present = {
         r[0] for r in remaining.select(partition_col).distinct().collect()

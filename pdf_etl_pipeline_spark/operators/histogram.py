@@ -40,6 +40,11 @@ def histogram_quantiles(
     ``n_rows``. Estimate = linear interpolation inside the bin covering
     rank q·n of the cumulative bin counts; exact when a bin holds one
     distinct value, within one bin width otherwise."""
+    # NULLs are excluded up front: floor(NULL) -> NULL would otherwise
+    # slip through least/greatest (which SKIP nulls) into the top bin,
+    # silently biasing every quantile upward — in BOTH engines, so the
+    # oracle hash could never catch it
+    df = df.filter(F.col(value_col).isNotNull())
     span = df.groupBy(group_col).agg(
         F.min(F.col(value_col).cast("double")).alias("lo"),
         F.max(F.col(value_col).cast("double")).alias("hi"),
@@ -104,7 +109,9 @@ def fixed_histogram_counts(
     incrementally across micro-batches (the streaming twin of the batch
     two-pass path, which learns edges from min/max; a stream fixes them
     up front — the standard production trade). Out-of-range values clamp
-    to the edge bins."""
+    to the edge bins. NULL values are excluded (same rationale as
+    histogram_quantiles — they would land in the top bin)."""
+    df = df.filter(F.col(value_col).isNotNull())
     v = F.col(value_col).cast("double")
     bin_ = F.greatest(
         F.lit(0).cast("long"),
@@ -178,10 +185,11 @@ def histogram_quantiles_sql(
             f"THEN {est} END) * 1000000 + 0.5) / 1000000 AS {name}"
         )
     return f"""
-WITH span AS (
+WITH nn AS (SELECT * FROM {table} WHERE {value_col} IS NOT NULL),
+span AS (
   SELECT {group_col}, MIN(CAST({value_col} AS DOUBLE)) AS lo,
          MAX(CAST({value_col} AS DOUBLE)) AS hi
-  FROM {table} GROUP BY 1
+  FROM nn GROUP BY 1
 ),
 binned AS (
   SELECT t.{group_col},
@@ -190,7 +198,7 @@ binned AS (
                          CAST(floor((CAST({value_col} AS DOUBLE) - lo) / (hi - lo) * {n_bins}) AS BIGINT))
          END AS bin,
          COUNT(*) AS c
-  FROM {table} t JOIN span s USING ({group_col})
+  FROM nn t JOIN span s USING ({group_col})
   GROUP BY 1, 2
 ),
 cum AS (

@@ -146,7 +146,11 @@ ORDER BY t.{group_col}"""
 
 # --- SK4: KMV set algebra (audience overlap) ----------------------------------
 def kmv_overlap(
-    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = KMV_K,
+    materialize: bool = False,
 ) -> DataFrame:
     """Pairwise union/intersection/Jaccard ESTIMATES between every two
     groups' value sets, from their KMV sketches alone — sketch set
@@ -204,7 +208,7 @@ def kmv_overlap(
         full, (F.lit(k - 1) * F.lit(float(M_SPACE))) / F.col("h_k")
     ).otherwise(F.col("merged_size").cast("double"))
     rho = F.col("inter_cnt") / F.col("merged_size")
-    return stats.select(
+    result = stats.select(
         "grp_a",
         "grp_b",
         F.round(est_union, 6).alias("est_union"),
@@ -212,6 +216,12 @@ def kmv_overlap(
         F.round(rho, 6).alias("est_jaccard"),
         F.col("merged_size").cast("long").alias("merged_size"),
     ).orderBy("grp_a", "grp_b")
+    if materialize:
+        # pair output is tiny — checkpoint eagerly and release the sketch
+        # cache so repeated calls in one session do not accumulate blocks
+        result = result.localCheckpoint()
+        sketch.unpersist()
+    return result
 
 
 def kmv_overlap_sql(table: str, group_col: str, value_col: str, k: int = KMV_K) -> str:
@@ -280,19 +290,26 @@ def cms_build(
     map-side-combined aggregation and the identical expression runs as an
     incremental streaming aggregation (pinned streamed-equals-batch in
     tests, like the st8 histogram)."""
-    rows = [
-        toks.select(
-            F.lit(di).alias("row"),
-            (
-                portable_hash32(F.concat(F.lit(f"cms{di}_"), F.col(tok_col))) % w
-            ).alias("col"),
-        )
-        for di in range(d)
-    ]
-    pooled = rows[0]
-    for r in rows[1:]:
-        pooled = pooled.unionAll(r)
-    return pooled.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    # one scan: each token explodes into its d (row, col) cells (the
+    # phash banding shape) — a unionAll of d projections would re-run the
+    # upstream tokenize+explode d times
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(di).alias("row"),
+                (
+                    portable_hash32(F.concat(F.lit(f"cms{di}_"), F.col(tok_col))) % w
+                ).alias("col"),
+            )
+            for di in range(d)
+        ]
+    )
+    return (
+        toks.select(F.explode(cells).alias("c"))
+        .select("c.row", "c.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def cms_estimate(

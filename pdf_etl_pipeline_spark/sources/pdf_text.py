@@ -71,20 +71,25 @@ def _balanced_dict(data: bytes, start: int) -> tuple[bytes, int]:
     return data[start:], n
 
 
-def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
-    """All top-level objects: {num: (dict_bytes, raw_stream_or_None)}.
+def _scan_objects(
+    data: bytes,
+) -> tuple[dict[int, tuple[bytes, bytes | None]], dict[int, int]]:
+    """All top-level objects: ({num: (dict_bytes, raw_stream_or_None)},
+    {num: file_position}).
     File order, later wins — the incremental-update rule without touching
     xref tables (hybrid-xref files Just Work). The scan is SEQUENTIAL and
     jumps over stream bodies: binary image data is full of accidental
     ``N G obj`` byte patterns, and matching them would turn the scan
     quadratic (each false hit searching to EOF for its endobj)."""
     out: dict[int, tuple[bytes, bytes | None]] = {}
+    positions: dict[int, int] = {}
     pos, n = 0, len(data)
     while pos < n:
         m = _OBJ_RE.search(data, pos)
         if not m:
             break
         num = int(m.group(1))
+        positions[num] = m.start()
         i = m.end()
         while i < n and data[i : i + 1] in b" \r\n\t":
             i += 1
@@ -112,7 +117,7 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         else:
             out[num] = (dct, None)
             pos = j
-    return out
+    return out, positions
 
 
 def _direct_length(dct: bytes, objs: dict) -> int | None:
@@ -148,11 +153,18 @@ def _decoded_stream(dct: bytes, raw: bytes | None) -> bytes | None:
     return raw
 
 
-def _expand_objstms(objs: dict[int, tuple[bytes, bytes | None]]) -> None:
+def _expand_objstms(
+    objs: dict[int, tuple[bytes, bytes | None]],
+    positions: dict[int, int] | None = None,
+) -> None:
     """Merge objects embedded in /Type/ObjStm streams (dict-only objects —
-    the spec forbids streams inside object streams). Top-level definitions
-    keep precedence: ObjStm members only fill absent numbers."""
-    for dct, raw in list(objs.values()):
+    the spec forbids streams inside object streams). Precedence follows
+    the incremental-update rule — LATER in the file wins: an ObjStm
+    appended by an update overrides stale top-level objects from the
+    original body (a member's position is its container ObjStm's
+    position). Without a position map, members only fill absent numbers."""
+    positions = positions or {}
+    for stm_num, (dct, raw) in list(objs.items()):
         if b"/ObjStm" not in dct:
             continue
         data = _decoded_stream(dct, raw)
@@ -160,6 +172,7 @@ def _expand_objstms(objs: dict[int, tuple[bytes, bytes | None]]) -> None:
         mf = re.search(rb"/First\s+(\d+)", dct)
         if data is None or not mn or not mf:
             continue
+        stm_pos = positions.get(stm_num, -1)
         first = int(mf.group(1))
         header = _INT_RE.findall(data[:first])
         pairs = [
@@ -167,10 +180,11 @@ def _expand_objstms(objs: dict[int, tuple[bytes, bytes | None]]) -> None:
             for i in range(0, 2 * int(mn.group(1)) - 1, 2)
         ]
         for idx, (num, off) in enumerate(pairs):
-            if num in objs:
-                continue
+            if num in objs and positions.get(num, -1) >= stm_pos:
+                continue  # existing definition is not older than this ObjStm
             end = pairs[idx + 1][1] if idx + 1 < len(pairs) else len(data) - first
             objs[num] = (data[first + off : first + end], None)
+            positions[num] = stm_pos
 
 
 # ---------------------------------------------------------------------------
@@ -494,8 +508,8 @@ def extract_pdf_text_lines(content: bytes) -> list[str]:
     left-right). Image-only pages yield nothing (S3's OCR fallback owns
     those). Raises nothing: malformed input degrades to []."""
     try:
-        objs = _scan_objects(bytes(content))
-        _expand_objstms(objs)
+        objs, positions = _scan_objects(bytes(content))
+        _expand_objstms(objs, positions)
         out: list[str] = []
         for page in _page_content_streams(objs):
             out.extend(_lines_from_runs(_runs_of(page)))

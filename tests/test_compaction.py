@@ -270,3 +270,25 @@ def test_forget_keys_rewrites_only_affected_partitions(spark, tmp_path):
     left = spark.read.parquet(lonely)
     assert [r.user_id for r in left.collect()] == [7]
     assert not os.path.isdir(os.path.join(lonely, "day=2030-01-01"))
+
+
+def test_forget_keys_preserves_null_keyed_rows(spark, tmp_path):
+    """S17: rows whose key is NULL (anonymous events) are never targets
+    and must survive the rewrite — plain NOT IN would silently drop them."""
+    from pdf_etl_pipeline_spark.operators.forget import forget_keys
+    from pdf_etl_pipeline_spark.operators.partitioned_sink import write_partitioned
+
+    path = str(tmp_path / "anon")
+    df = spark.createDataFrame(
+        [(1, "d1"), (None, "d1"), (2, "d1"), (None, "d2"), (3, "d2")],
+        "user_id long, day string",
+    )
+    write_partitioned(df, path, "day")
+    forget_keys(spark, path, "day", "user_id", [1])
+    left = sorted(
+        [(r.user_id, str(r.day)) for r in spark.read.parquet(path).collect()],
+        key=repr,
+    )
+    assert (1, "d1") not in left
+    assert sum(1 for u, _ in left if u is None) == 2  # anonymous rows intact
+    assert len(left) == 4

@@ -398,7 +398,8 @@ def test_rrf_fusion_semantics(spark):
     # doc 20: rank 2 + rank 1 beats doc 10 (rank 1, one list only)
     assert out[20].rank == 1 and out[30].rank == 2
     assert out[10].n_lists == 1 and out[20].n_lists == 2
-    expected_20 = round(1 / (RRF_K + 2) + 1 / (RRF_K + 1), 9)
+    # terms round to 9 before the exact decimal sum (engine contract)
+    expected_20 = round(round(1 / (RRF_K + 2), 9) + round(1 / (RRF_K + 1), 9), 9)
     assert abs(out[20].rrf_score - expected_20) < 1e-12
     assert out[40].n_lists == 1
 

@@ -601,3 +601,14 @@ def test_dup_span_stats_cross_doc_only(spark):
     # internal repetition is not cross-doc duplication
     assert out[3].n_dup_spans == 0
     assert out[4].n_dup_spans == 0 and out[4].n_spans > 0
+
+
+def test_phash_max_hamming_guard():
+    """mm2: distances beyond the pigeonhole guarantee raise instead of
+    silently returning an incomplete pair set."""
+    import pytest
+
+    from pdf_etl_pipeline_spark.llmdata.multimodal import phash_dup_pairs
+
+    with pytest.raises(ValueError, match="incomplete"):
+        phash_dup_pairs(None, max_hamming=4)

@@ -156,3 +156,37 @@ def test_real_award_letter_t5_parse(spark):
     assert row.vendor == "Lanford Brothers Co., Inc."
     assert row.state == "NORTH CAROLINA"
     assert row.owner == "DEPARTMENT OF TRANSPORTATION"
+
+
+def test_objstm_incremental_update_wins_over_stale_body():
+    """A compressed (ObjStm) incremental update appended AFTER the original
+    body must override the stale top-level object — the later-definitions-
+    win rule the scanner implements for plain updates must hold for
+    object-stream updates too."""
+    import zlib
+
+    from pdf_etl_pipeline_spark.sources.pdf_text import (
+        _expand_objstms,
+        _scan_objects,
+    )
+
+    member = b"<< /Type /Test /Version 2 >>"
+    # ObjStm header fields reference member number 5 at offset 0
+    stm_hdr = b"5 0"
+    data = zlib.compress(stm_hdr + b" " + member)
+    # compute First = len("5 0 ")
+    f = len(stm_hdr) + 1
+    pdf = (
+        b"%PDF-1.5\n"
+        b"5 0 obj << /Type /Test /Version 1 >> endobj\n"
+        b"9 0 obj << /Type /ObjStm /N 1 /First " + str(f).encode() + b" /Filter /FlateDecode "
+        b"/Length " + str(len(data)).encode() + b" >> stream\n" + data + b"\nendstream endobj\n"
+    )
+    objs, positions = _scan_objects(pdf)
+    assert b"/Version 1" in objs[5][0]  # stale body version seen first
+    _expand_objstms(objs, positions)
+    assert b"/Version 2" in objs[5][0]  # the appended ObjStm member won
+    # and WITHOUT positions the conservative fill-absent-only rule holds
+    objs2, _ = _scan_objects(pdf)
+    _expand_objstms(objs2, None)
+    assert b"/Version 1" in objs2[5][0]

@@ -306,7 +306,16 @@ CHECKS = {
     },
     "dd8_dup_spans": {
         # cross-doc span test is ONE keyed aggregation on the hash + a
-        # semi-join back — never a pairwise doc comparison
+        # semi-join back — never a pairwise doc comparison. The registered
+        # query materializes (checkpoint scan), so audit the library plan.
+        "build": lambda spark, sf_dir: __import__(
+            "pdf_etl_pipeline_spark.llmdata.dedup", fromlist=["dup_span_stats"]
+        ).dup_span_stats(
+            __import__(
+                "pdf_etl_pipeline_spark.session", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "documents"),
+            materialize=False,
+        ),
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
     },
