@@ -612,3 +612,26 @@ def test_phash_max_hamming_guard():
 
     with pytest.raises(ValueError, match="incomplete"):
         phash_dup_pairs(None, max_hamming=4)
+
+
+def test_materialized_queries_leave_no_cached_blocks(spark, sf_dir):
+    """The materialize discipline (dd8/sk4/dc2): after the registered
+    query runs, the HEAVY build caches (span explodes, hashed tokens,
+    sketches) are released — only the tiny localCheckpoint'ed results may
+    remain (ContextCleaner GCs those when their refs drop), so cached
+    BYTES stay result-sized, not corpus-sized."""
+    from pdf_etl_pipeline_spark.catalog.corpus_q import dc2_near_decontamination
+    from pdf_etl_pipeline_spark.catalog.dedup_q import dd8_dup_spans
+    from pdf_etl_pipeline_spark.catalog.extended_q import sk4_kmv_overlap
+
+    def cached_bytes():
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(i.memSize() + i.diskSize() for i in infos)
+
+    base = cached_bytes()
+    for fn in (dd8_dup_spans, sk4_kmv_overlap, dc2_near_decontamination):
+        fn(spark, sf_dir).collect()
+    grown = cached_bytes() - base
+    # three small checkpointed results; the spans/hashed/sketch caches
+    # (MBs even at sf0.001) must be gone
+    assert grown < 1_000_000, f"cached bytes grew by {grown}"
