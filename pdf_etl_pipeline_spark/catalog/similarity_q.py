@@ -483,3 +483,48 @@ def ss9_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), sorted(_SS9_QUERIES), k=_SS9_DEPTH
     ).select("query_id", F.col("cand_id").alias("doc_id"), "rank")
     return rrf_fuse([lex, sem], k=10)
+
+
+# --- DD9: SemDeDup (cluster-scoped semantic dedup) -----------------------------
+from pdf_etl_pipeline_spark.catalog.dedup_q import _TWIN_SQL, _augmented_embeddings  # noqa: E402
+
+_DD9_COS_AB = cosine_sql("va", "vb")
+
+
+@register(
+    "dd9_semdedup",
+    oracle=f"""
+WITH {_kmeans_ctes(SS.N_CELLS, SS.KMEANS_ITERS)},
+aug AS MATERIALIZED (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+  UNION ALL{_TWIN_SQL.replace("AS id,", "AS id,").replace("AS v", "AS emb")}
+),
+scored AS (
+  SELECT a.id AS vec_id, a.emb AS embedding, c.cell_id,
+         {cosine_sql("emb", "centroid")} AS cos_c
+  FROM aug a CROSS JOIN {_FINAL_C} c
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+a AS (SELECT cell_id, vec_id AS id_a, embedding AS va FROM assigned),
+b AS (SELECT cell_id, vec_id AS id_b, embedding AS vb FROM assigned),
+pairs AS (
+  SELECT a.cell_id AS cell_id, id_a, id_b, {_DD9_COS_AB} AS cos
+  FROM a JOIN b ON a.cell_id = b.cell_id AND id_a < id_b
+)
+SELECT cell_id, id_a, id_b, round(cos, 6) AS cosine
+FROM pairs WHERE cos >= 0.9
+ORDER BY id_a, id_b""",
+    doc="DD9 SemDeDup (Abbas et al. 2023): semantic near-dup pairs via learned k-means cells — the index is learned ONCE on the base corpus (shared with ss3/ss4) and the twin-augmented corpus is assigned to it; pairwise cosine runs only WITHIN a cell, bounding the quadratic term at sum(cell^2); dd5's banded LSH is the recall-oriented alternative",
+)
+def dd9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return SS.semdedup_pairs(
+        _augmented_embeddings(spark, sf_dir),
+        threshold=0.9,
+        cents=shared_centroids(spark, sf_dir),
+    )

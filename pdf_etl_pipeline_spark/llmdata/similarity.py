@@ -735,3 +735,43 @@ def ivf_topk(
         .select("query_id", "cand_id", F.round("cos", 6).alias("cosine"), F.col("rank").cast("long").alias("rank"))
         .orderBy("query_id", "rank")
     )
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """DD9: SemDeDup (Abbas et al. 2023) — semantic near-duplicate pairs
+    via k-means clustering: vectors are assigned to learned cells and
+    pairwise cosine runs ONLY within a cell, the approximation the paper
+    applies at web scale (LAION/C4) because ε-near semantic duplicates
+    land in the same cluster with overwhelming probability.
+
+    Cost shape vs dd5 (banded sign-LSH over the same corpus): here the
+    quadratic term is Σ_cells |cell|² — bounded by (n/k)·n for balanced
+    cells, tunable with k — and the candidate generator is the SAME
+    learned index ss3/ss4 search (centroids learned once per session via
+    ``catalog.similarity_q.shared_centroids``). Recall misses are pairs
+    straddling a cell boundary — the paper's accepted trade; dd5's
+    banded-hyperplane generator is the recall-oriented alternative.
+
+    Determinism: the clustering chain is the hash-checked deterministic
+    k-means (decimal-exact means); the threshold compares the UNROUNDED
+    cosine (oracle parity), rounded only for output.
+    """
+    cents = cents if cents is not None else kmeans_centroids(embeddings)
+    assigned = assign_cells(embeddings, cents)
+    a = assigned.select(
+        F.col("cell_id"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        F.col("cell_id"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, "cell_id").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.filter(cos >= threshold)
+        .select("cell_id", "id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
