@@ -487,3 +487,41 @@ def test_streaming_linreg_equals_batch(spark, sf_dir, tmp_path):
     batch_fit = linreg(events, "event_type", F2.hour("ts"), F2.col("value")).collect()
     assert sorted(map(tuple, streamed_fit)) == sorted(map(tuple, batch_fit))
     assert len(batch_fit) > 0
+
+
+# --- CM1 streaming twin: Count-Min as an incremental aggregation ----------------
+def test_streaming_count_min_equals_batch(spark, sf_dir, tmp_path):
+    """The Count-Min counters are mergeable by addition, so cms_build
+    runs unchanged as an incremental streaming aggregation: one-file
+    micro-batches yield a BIT-IDENTICAL sketch to the batch pass."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col
+    from pdf_etl_pipeline_spark.operators.sketches import cms_build
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    drop_dir = str(tmp_path / "cms_drops")
+    docs.coalesce(3).write.mode("overwrite").parquet(drop_dir)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .load(drop_dir)
+    )
+    stream_toks = stream.select(F2.explode(tokens_col("text", distinct=False)).alias("tok"))
+    q = (
+        cms_build(stream_toks)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cm1_sketch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = {(r.row, r.col): r.cnt for r in spark.table("cm1_sketch").collect()}
+    batch_toks = docs.select(F2.explode(tokens_col("text", distinct=False)).alias("tok"))
+    batch = {(r.row, r.col): r.cnt for r in cms_build(batch_toks).collect()}
+    assert streamed == batch and len(batch) > 100
