@@ -284,6 +284,19 @@ CHECKS = {
             and "windowspecdefinition(user_id#" not in ln
         ],
     },
+    "dd9_semdedup": {
+        # pairwise cosine must ride the cell_id equi-join; the only
+        # nested-loop is the 16-row centroid broadcast in the assignment
+        # (legitimate, like ss8's cell probe). SortAggregate here — the
+        # max_by(struct) argmax is sort-based
+        "must": ["Aggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: (
+            []
+            if any("Join" in l and "cell_id" in l for l in plan.splitlines())
+            else ["pair join not keyed on cell_id"]
+        ),
+    },
     "ev2_rfm_segmentation": {
         # the global ntile windows are safe ONLY because their input is the
         # per-user aggregate — assert the pk1-style structure: every
