@@ -25,7 +25,7 @@ from pdf_etl_pipeline_spark.llmdata.dedup import (
     minhash_lsh_pairs,
     near_dup_clusters,
 )
-from pdf_etl_pipeline_spark.llmdata.text import lang_id, text_stats
+from pdf_etl_pipeline_spark.llmdata.text import lang_id
 
 
 def curate_corpus(
@@ -40,19 +40,25 @@ def curate_corpus(
     ``pairs`` optionally injects a prebuilt near-dup pair relation (the
     LSH index built once per session and shared across queries — the
     scale-correct reuse pattern)."""
+    from pdf_etl_pipeline_spark.llmdata.text import quality_score_col
+    from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col
+
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, threshold=near_dup_threshold)
     exact_keep = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
     near_losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    stats = text_stats(docs).select("doc_id", "n_tokens", "quality_score")
-    langs = docs.select("doc_id", lang_id("text").alias("lang_pred"))
+    # lang, quality and token count attach in ONE projection over the scan
+    # (no text_stats join-back — Catalyst shares the tokenize subtree)
+    feats = docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        F.size(tokens_col("text", distinct=False)).cast("long").alias("n_tokens"),
+        quality_score_col("text").alias("quality_score"),
+    )
     return (
-        docs.select("doc_id")
-        .join(exact_keep, "doc_id", "left_semi")
+        feats.join(exact_keep, "doc_id", "left_semi")
         .join(near_losers, "doc_id", "left_anti")
-        .join(langs, "doc_id")
         .filter(F.col("lang_pred") == lang)
-        .join(stats, "doc_id")
         .filter(F.col("quality_score") >= min_quality)
         .select("doc_id", "n_tokens", "quality_score")
         .orderBy("doc_id")
@@ -75,19 +81,23 @@ def curate_corpus_clustered(
     an exact-dup group is always one near-dup component and only its min
     doc_id survives; no separate md5 pass needed.
     """
+    from pdf_etl_pipeline_spark.llmdata.text import quality_score_col
+    from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col
+
     keepers = (
         near_dup_clusters(docs, threshold=near_dup_threshold, pairs=pairs)
         .filter(F.col("is_keeper"))
         .select("doc_id")
     )
-    stats = text_stats(docs).select("doc_id", "n_tokens", "quality_score")
-    langs = docs.select("doc_id", lang_id("text").alias("lang_pred"))
+    feats = docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        F.size(tokens_col("text", distinct=False)).cast("long").alias("n_tokens"),
+        quality_score_col("text").alias("quality_score"),
+    )
     return (
-        docs.select("doc_id")
-        .join(keepers, "doc_id", "left_semi")
-        .join(langs, "doc_id")
+        feats.join(keepers, "doc_id", "left_semi")
         .filter(F.col("lang_pred") == lang)
-        .join(stats, "doc_id")
         .filter(F.col("quality_score") >= min_quality)
         .select("doc_id", "n_tokens", "quality_score")
     )
