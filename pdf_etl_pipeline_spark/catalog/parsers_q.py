@@ -88,7 +88,7 @@ _INVOICE_ORACLE = f"""
 WITH {_docs_values(FX.INVOICE_DOCS)},
 meta AS (
   SELECT path, lines,
-    lines[1] AS supplier_name,
+    nullif(array_to_string(list_filter(list_transform(lines[1:2], l -> trim(l)), s -> s <> ''), ' '), '') AS supplier_name,
     list_filter(list_transform(lines, l -> regexp_extract(l, '{_TIN_RE2}', 2)), x -> x <> '') AS tins,
     nullif(regexp_replace({_bill_to}, '^M/s:\\s*', ''), '') AS client_name,
     {_inv_no} AS invoice_number,

@@ -150,10 +150,17 @@ def weighted_sample(docs: DataFrame, k: int = 200) -> DataFrame:
 
     Determinism: keys are rounded to 9 decimals in both engines (libm
     ``ln`` ulp convention) with doc_id as the total-order tiebreak.
+
+    Zero-weight docs (n_chars <= 0) are filtered out before the draw:
+    A-ES gives weight-0 items zero inclusion probability, and computing
+    their key would divide by zero — ln(u)/0 = -Inf, and in the u == 1
+    corner 0/0 = NaN, which Spark's DESC sort orders ABOVE every double,
+    so a NaN-keyed empty doc would otherwise top the sample.
     """
     u = (_salted_bucket(F.col("doc_id"), WEIGHTED_SALT, U32) + 1) / F.lit(float(U32))
     key = F.round(F.log(u) / F.col("n_chars"), 9)
-    ranked = docs.select("doc_id", "n_chars", key.alias("key")).orderBy(
+    eligible = docs.filter(F.col("n_chars") > 0)
+    ranked = eligible.select("doc_id", "n_chars", key.alias("key")).orderBy(
         F.desc("key"), F.asc("doc_id")
     )
     w = Window.orderBy(F.desc("key"), F.asc("doc_id"))
@@ -168,7 +175,7 @@ def weighted_sample_sql(table: str, k: int = 200) -> str:
     return f"""
 WITH keyed AS (
   SELECT doc_id, n_chars, round(ln({u}) / n_chars, 9) AS key
-  FROM {table}
+  FROM {table} WHERE n_chars > 0
 ),
 ranked AS (
   SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rank FROM keyed
@@ -393,7 +400,7 @@ def pii_scrub(docs: DataFrame, text: Column | str = "text") -> DataFrame:
 
 
 def near_decontaminate(
-    docs: DataFrame, threshold: float = 0.9, materialize: bool = False
+    docs: DataFrame, threshold: float = 0.9, materialize: bool = True
 ) -> DataFrame:
     """DC2: NEAR-duplicate benchmark contamination — MinHash-LSH banding
     between the corpus and the benchmark set (``doc_id % BENCH_MOD == 0``),
@@ -408,6 +415,11 @@ def near_decontaminate(
 
     Output: (doc_id, bench_id, jaccard) for corpus docs within
     ``threshold`` of any benchmark doc.
+
+    ``materialize=False`` returns the lazy plan (for .explain auditing)
+    but leaves the hashed-token cache persisted with no handle for the
+    caller to release — library callers in long-lived sessions should
+    keep the default.
     """
     from pdf_etl_pipeline_spark.llmdata.dedup import (
         bands_from_signatures,

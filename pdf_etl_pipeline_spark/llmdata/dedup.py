@@ -629,10 +629,11 @@ def cosine_sql(a: str, b: str) -> str:
 
 # --- DD8: duplicated-span accounting -----------------------------------------
 DUP_SPAN_N = 10  # tokens per span (Lee et al. 2021 use 50-token chars; 10 fits short docs)
+ROLL_B = 131  # polynomial rolling-hash base; acc*B + t < P31*131 + P31 << 2^63
 
 
 def dup_span_stats(
-    docs: DataFrame, n: int = DUP_SPAN_N, materialize: bool = False
+    docs: DataFrame, n: int = DUP_SPAN_N, materialize: bool = True
 ) -> DataFrame:
     """Per-document exact-substring duplication accounting (the signal
     behind Lee et al. 2021's 'Deduplicating Training Data Makes Language
@@ -648,18 +649,39 @@ def dup_span_stats(
     duplicated-hash relation (the dc1 shape, turned inward on the corpus
     itself). No pairwise doc comparison anywhere — the hash groupBy does
     the all-pairs work implicitly.
+
+    Window hashing is a POLYNOMIAL ROLLING combine: each token is md5'd
+    exactly once (O(tokens) md5s), and every n-token window hash is a
+    Horner fold acc = (acc*B + t_hash) mod P over the per-token hashes —
+    pure codegen integer arithmetic, no per-window string materialization.
+    The previous shape concat_ws'd every window then md5'd it: O(tokens·n)
+    bytes allocated and hashed. The DuckDB oracle applies the identical
+    fold (list_reduce seeds with the first element, which equals a 0-seeded
+    Horner step since t_hash < P), so results stay bit-identical.
+
+    ``materialize=False`` returns the lazy plan (for .explain auditing /
+    composition) but leaves the spans relation persisted with no handle
+    for the caller to release — library callers in long-lived sessions
+    should keep the default.
     """
     toks = tokens_col("text", distinct=False)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    mk = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + off) for off in range(n)])
-    grams = F.when(F.size(toks) >= n, F.transform(starts, mk)).otherwise(
-        F.array().cast("array<string>")
+    # one md5 per TOKEN, computed in its own projection so the window
+    # folds below reuse it instead of re-hashing per window
+    tok_hash = F.transform(toks, lambda t: portable_hash32(t) % P31)
+    base = docs.select("doc_id", tok_hash.alias("th"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("th") - (n - 1), F.lit(0)))
+    roll = lambda i: F.aggregate(
+        F.slice("th", i, n),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_B + t) % P31,
     )
-    hashes = F.transform(grams, lambda g: portable_hash32(g) % P31)
-    # persist: spans (the per-window concat+md5 explode, the heaviest
-    # relation here) feeds THREE consumers — dup_h, the flagged semi-join,
-    # and totals; unpersisted it would be evaluated three times
-    spans = docs.select("doc_id", F.explode(hashes).alias("h")).persist()
+    hashes = F.when(F.size("th") >= n, F.transform(starts, roll)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    # persist: spans (the heaviest relation here) feeds THREE consumers —
+    # dup_h, the flagged semi-join, and totals; unpersisted it would be
+    # evaluated three times
+    spans = base.select("doc_id", F.explode(hashes).alias("h")).persist()
     dup_h = (
         spans.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -697,15 +719,20 @@ def dup_span_stats(
 
 
 def dup_span_stats_sql(table: str, n: int = DUP_SPAN_N) -> str:
-    """DuckDB oracle for :func:`dup_span_stats`."""
+    """DuckDB oracle for :func:`dup_span_stats` — same per-token md5 and
+    the same Horner fold (list_reduce's first-element seed equals the
+    0-seeded fold because every token hash is already < P31)."""
     toks = tokens_sql("text", distinct=False)
-    parts = " || ' ' || ".join(f"({toks})[i + {off}]" for off in range(n))
-    h = portable_hash32_sql("g") + f" % {P31}"
+    th = portable_hash32_sql("t") + f" % {P31}"
     return f"""
-WITH spans AS (
-  SELECT doc_id, unnest(list_transform(list_transform(
-    range(1, greatest(len({toks}) - {n - 1}, 0) + 1), i -> {parts}), g -> {h})) AS h
-  FROM {table}
+WITH tokhash AS (
+  SELECT doc_id, list_transform({toks}, t -> {th}) AS th FROM {table}
+),
+spans AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(len(th) - {n - 1}, 0) + 1),
+    i -> list_reduce(th[i:i+{n - 1}], (a, b) -> (a * {ROLL_B} + b) % {P31}))) AS h
+  FROM tokhash
 ),
 dup_h AS (
   SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2

@@ -115,15 +115,6 @@ def text_stats(docs: DataFrame) -> DataFrame:
     stop_ratio = stop_hits / F.nullif(n_tokens, F.lit(0))
     punct_ratio = punct / F.nullif(n_chars, F.lit(0))
     digit_ratio = digits / F.nullif(n_chars, F.lit(0))
-    # composite quality: length-normalized, rewards lexical diversity and
-    # typical word length, penalizes symbol/digit noise
-    quality = (
-        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.3
-        + F.coalesce(ttr, F.lit(0.0)) * 0.3
-        + F.when((avg_word_len >= 3) & (avg_word_len <= 8), 0.2).otherwise(0.0)
-        + F.coalesce(stop_ratio, F.lit(0.0)) * 0.2
-        - F.coalesce(digit_ratio, F.lit(0.0)) * 0.2
-    )
     return docs.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars_m"),
@@ -134,7 +125,9 @@ def text_stats(docs: DataFrame) -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(digit_ratio, 6).alias("digit_ratio"),
-        F.round(quality, 6).alias("quality_score"),
+        # the composite formula lives ONCE, in quality_score_col — reported
+        # stats and curation scoring cannot drift apart
+        quality_score_col(text).alias("quality_score"),
     ).orderBy("doc_id")
 
 

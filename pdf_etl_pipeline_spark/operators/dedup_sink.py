@@ -109,3 +109,28 @@ def write_jdbc_dedup(
     if n:
         fresh.write.jdbc(url, table, mode="append", properties=properties or {})
     return n
+
+
+def invoice_exists_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    company_id: int,
+    invoice_number: str,
+    invoice_date,
+    properties: dict | None = None,
+) -> bool:
+    """S8 against a live database (reference db_connection.py:72-88): the
+    three predicates push down to the database as a WHERE clause (JDBC
+    source predicate pushdown) — the probe ships no table data to Spark."""
+    t = spark.read.jdbc(url, table, properties=properties or {})
+    return (
+        t.filter(
+            (F.col("company_id") == company_id)
+            & (F.col("invoice_number") == invoice_number)
+            & (F.col("invoice_date") == F.lit(invoice_date).cast("date"))
+        )
+        .limit(1)
+        .count()
+        > 0
+    )

@@ -21,14 +21,74 @@ Cost scales with the data that actually contains the keys, not the
 table: a user active 3 days costs 3 partition rewrites out of 1000.
 The test pins untouched partitions by file mtime, full disappearance of
 the keys, and row conservation for everyone else.
+
+Partition-value fidelity: directory names are derived with the same
+escaping Spark itself uses when writing partition paths
+(ExternalCatalogUtils.escapePathName: '%XX' for '/', ':', '=', '#',
+control chars, ...) and NULL partition values map to the Hive default
+partition directory (__HIVE_DEFAULT_PARTITION__); the partition-match
+predicate carries an explicit isNull branch so rows in the NULL
+partition are found and rewritten rather than silently skipped by
+NULL-propagating `isin`.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_etl_pipeline_spark.operators.partitioned_sink import overwrite_partitions
+
+# Characters Spark escapes in partition directory names (Hive path-name
+# escaping, org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils):
+# ASCII control chars 0x01-0x1F, 0x7F, and " # % ' * / : = ? \ { [ ] ^
+_ESCAPE_CHARS = frozenset(
+    {chr(c) for c in range(0x01, 0x20)} | {chr(0x7F)} | set('"#%\'*/:=?\\{[]^')
+)
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_path_name(s: str) -> str:
+    """Spark/Hive partition-path escaping: '%XX' (uppercase hex) for each
+    special character, everything else verbatim."""
+    return "".join(f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in s)
+
+
+def _partition_dirname(partition_col: str, value_str: str | None) -> str:
+    """The directory name Spark writes for this partition value (NULL ->
+    __HIVE_DEFAULT_PARTITION__)."""
+    enc = _HIVE_DEFAULT_PARTITION if value_str is None else _escape_path_name(value_str)
+    return f"{_escape_path_name(partition_col)}={enc}"
+
+
+def _partition_match(col: Column, parts: list) -> Column:
+    """Predicate `col IN parts` with an explicit NULL branch: plain
+    `isin` evaluates to NULL (thus false) for NULL partition values, so a
+    NULL partition containing target keys would never be rewritten."""
+    non_null = [p for p in parts if p is not None]
+    cond = F.lit(False)
+    if non_null:
+        cond = cond | col.isin(non_null)
+    if any(p is None for p in parts):
+        cond = cond | col.isNull()
+    return cond
+
+
+def _affected_partitions_df(
+    spark: SparkSession, path: str, partition_col: str, key_col: str, keys: list
+) -> DataFrame:
+    """The relation behind the ONLY driver-side collect in the find step:
+    a distinct-aggregate of the partition column alone, over a scan pruned
+    to (partition_col, key_col). Exposed so tools/explain_audit.py can
+    assert the collect input stays metadata-bounded (rows = #distinct
+    partition values, never data-scale)."""
+    return (
+        spark.read.parquet(path)
+        .select(partition_col, key_col)
+        .filter(F.col(key_col).isin(keys))
+        .select(partition_col)
+        .distinct()
+    )
 
 
 def affected_partitions(
@@ -36,15 +96,22 @@ def affected_partitions(
 ) -> list:
     """Partition values containing any of ``keys`` — pruned scan reading
     only (partition_col, key_col)."""
-    rows = (
-        spark.read.parquet(path)
-        .select(partition_col, key_col)
-        .filter(F.col(key_col).isin(keys))
-        .select(partition_col)
-        .distinct()
-        .collect()
-    )
+    rows = _affected_partitions_df(spark, path, partition_col, key_col, keys).collect()
     return [r[0] for r in rows]
+
+
+def _distinct_partition_strings_df(df: DataFrame, partition_col: str) -> DataFrame:
+    """The relation behind the rewrite step's collect: a distinct of the
+    cast-to-string partition column only — same metadata bound as
+    _affected_partitions_df, audited the same way."""
+    return df.select(F.col(partition_col).cast("string").alias("_p")).distinct()
+
+
+def _distinct_partition_strings(df: DataFrame, partition_col: str) -> set:
+    """Distinct partition values as the strings Spark would write in the
+    directory path (cast-to-string; NULL stays None). Bounded by the
+    number of distinct partition values — metadata scale, not data scale."""
+    return {r["_p"] for r in _distinct_partition_strings_df(df, partition_col).collect()}
 
 
 def forget_keys(
@@ -52,7 +119,8 @@ def forget_keys(
 ) -> list:
     """Delete every row whose ``key_col`` is in ``keys``; rewrites ONLY
     the partitions that contain them. Returns the rewritten partition
-    values (empty = nothing to do)."""
+    values as path strings (None = the NULL partition; empty list =
+    nothing to do)."""
     import os
     import shutil
 
@@ -61,27 +129,30 @@ def forget_keys(
         return []
     remaining = (
         spark.read.parquet(path)
-        .filter(F.col(partition_col).isin(parts))  # listing-level pruning
+        .filter(_partition_match(F.col(partition_col), parts))  # listing-level pruning
         # NULL-keyed rows (e.g. anonymous events) are NOT targets and must
         # survive: plain `~isin` evaluates to NULL for them (NULL NOT IN
         # semantics) and would silently destroy every such row
         .filter(~F.col(key_col).isin(keys) | F.col(key_col).isNull())
     )
-    still_present = {
-        r[0] for r in remaining.select(partition_col).distinct().collect()
-    }
+    # String forms for directory bookkeeping — same cast Spark applies
+    # when stringifying partition values into the path.
+    part_strs = _distinct_partition_strings(
+        spark.read.parquet(path).filter(
+            _partition_match(F.col(partition_col), parts)
+        ),
+        partition_col,
+    )
+    still_present = _distinct_partition_strings(remaining, partition_col)
     if still_present:
-        overwrite_partitions(
-            remaining.filter(F.col(partition_col).isin(list(still_present))),
-            path,
-            partition_col,
-        )
+        overwrite_partitions(remaining, path, partition_col)
     # dynamic overwrite only replaces partitions PRESENT in the batch — a
     # partition whose every row was deleted would silently survive, so
     # drop its directory explicitly (a table format does this inside the
-    # same transaction at cluster scale)
-    for p in set(parts) - still_present:
-        d = os.path.join(path, f"{partition_col}={p}")
+    # same transaction at cluster scale), using Spark's own path escaping
+    # so special-char / NULL partition values resolve to the real dir.
+    for p in part_strs - still_present:
+        d = os.path.join(path, _partition_dirname(partition_col, p))
         if os.path.isdir(d):
             shutil.rmtree(d)
-    return sorted(parts)
+    return sorted(part_strs, key=lambda s: (s is None, s or ""))

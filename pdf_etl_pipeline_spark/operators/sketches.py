@@ -150,7 +150,7 @@ def kmv_overlap(
     group_col: str,
     value_col: str,
     k: int = KMV_K,
-    materialize: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairwise union/intersection/Jaccard ESTIMATES between every two
     groups' value sets, from their KMV sketches alone — sketch set
@@ -167,6 +167,11 @@ def kmv_overlap(
 
     Output: (grp_a, grp_b, est_union, est_intersection, est_jaccard,
     merged_size) rounded to 6, grp_a < grp_b.
+
+    ``materialize=False`` returns the lazy plan (for .explain auditing)
+    but leaves the sketch relation persisted with no handle for the
+    caller to release — library callers in long-lived sessions should
+    keep the default.
     """
     hashed = df.select(
         F.col(group_col).alias("grp"),

@@ -12,7 +12,11 @@ INVOICE_DOCS: list[tuple[str, list[str]]] = [
     (
         "data/company-B/raw/sample1.pdf",
         [
-            "J.K. Computers",
+            # the big-font letterhead renders on two baselines, so text
+            # extraction splits it across two lines — T1 reassembles them
+            # (reference parse_utils.py:174 joins text_list[:2])
+            "J.K.",
+            "Computers",
             "2481 Felosa Drive",
             "Llano, Texas Pin Code 78643",
             "TIN: 14122226789",

@@ -49,8 +49,23 @@ def invoice_metadata(lines: Column) -> Column:
     tax_amount = S.parse_float(F.nullif(F.regexp_extract(gst_line, r"([\d,]+\.\d{2})\s*$", 1), F.lit("")))
     total = S.parse_float(first_extract(lines, r"^Total\s+\$?([\d,]+(?:\.\d+)?)"))
     invoice_date = S.parse_date(first_extract(lines, r"Invoice\s+Date:\s*(.+?)\s*$"))
+    # supplier = the FIRST TWO lines joined (reference parse_utils.py:174
+    # `" ".join(text_list[:2])`): big-font letterheads render as two
+    # baselines, so pdfplumber-style extraction splits "J.K." /
+    # "Computers" across lines and the reference reassembles them here —
+    # including the quirk that a one-line header swallows the line below
+    supplier = F.nullif(
+        F.array_join(
+            F.filter(
+                F.transform(F.slice(lines, 1, 2), lambda l: F.trim(l)),
+                lambda s: s != "",
+            ),
+            " ",
+        ),
+        F.lit(""),
+    )
     return F.struct(
-        F.try_element_at(lines, F.lit(1)).alias("supplier_name"),
+        supplier.alias("supplier_name"),
         F.try_element_at(tins, F.lit(1)).alias("supplier_tin"),
         F.nullif(
             F.regexp_replace(first_extract(lines, r"Bill\s+to:\s*(.+?)\s*$"), r"^M/s:\s*", ""),

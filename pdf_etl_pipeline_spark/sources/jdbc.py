@@ -6,9 +6,12 @@ subquery (the database does projection/filter), parallel partitioned reads
 via (partitionColumn, lowerBound, upperBound, numPartitions), and
 executor-parallel batched writes.
 
-No database ships in this container — these wrappers are exercised against
-parquet-backed equivalents in tests (operators/dedup_sink.py carries the
-storage-agnostic logic); pointing them at a real warehouse is config only.
+These wrappers run against a REAL database in-container: pyspark bundles
+Apache Derby (derby-*.jar in its jars directory), so tests drive the full
+lifecycle — DDL, dedup-insert idempotence, partitioned read-back, point
+probe — over ``jdbc:derby:memory:`` (tests/test_jdbc_derby.py), alongside
+the storage-agnostic parquet twins in operators/dedup_sink.py. Pointing
+them at a production warehouse is config only.
 """
 
 from __future__ import annotations
@@ -46,3 +49,28 @@ def fetch_dataframe(
             .option("numPartitions", num_partitions)
         )
     return reader.load()
+
+
+def execute_ddl(
+    spark: SparkSession, url: str, *statements: str, properties: dict | None = None
+) -> None:
+    """S9 against a live database: run DDL statements (CREATE TABLE, ...)
+    through the JVM's DriverManager — the reference's ``cursor.execute``
+    setup path (db_connection.py:27-34 connects; run.ipynb creates the
+    invoices table). Data movement never goes through here: reads are
+    ``spark.read.jdbc`` (parallel, pushed-down), writes are
+    ``df.write.jdbc`` (executor-parallel batched)."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        st = conn.createStatement()
+        try:
+            for s in statements:
+                st.executeUpdate(s)
+        finally:
+            st.close()
+    finally:
+        conn.close()

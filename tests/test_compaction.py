@@ -292,3 +292,42 @@ def test_forget_keys_preserves_null_keyed_rows(spark, tmp_path):
     assert (1, "d1") not in left
     assert sum(1 for u, _ in left if u is None) == 2  # anonymous rows intact
     assert len(left) == 4
+
+
+def test_forget_keys_special_char_and_null_partitions(spark, tmp_path):
+    """S17: partition values with path-escaped characters (Spark writes
+    ':' as '%3A') and NULL partition values (__HIVE_DEFAULT_PARTITION__)
+    must be found, rewritten, and — when fully emptied — dropped. Before
+    the fix, the raw-value dir join missed escaped names and NULL rows
+    were skipped by NULL-propagating `isin`."""
+    import os
+
+    from pdf_etl_pipeline_spark.operators.forget import forget_keys
+    from pdf_etl_pipeline_spark.operators.partitioned_sink import write_partitioned
+
+    path = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [
+            (1, "2030-01-01 10:00"),  # key 1 in an escaped-name partition
+            (1, "2030-01-01 10:00"),  # ... and it's the whole partition
+            (2, "2030-01-01 11:00"),  # escaped partition that must survive
+            (1, None),  # key 1 also hides in the NULL partition
+            (3, None),  # NULL-partition row for another user
+        ],
+        "user_id long, hour string",
+    )
+    write_partitioned(df, path, "hour")
+    # Spark escaped the colons on write; NULL went to the Hive default dir
+    assert os.path.isdir(os.path.join(path, "hour=2030-01-01 10%3A00"))
+    assert os.path.isdir(os.path.join(path, "hour=__HIVE_DEFAULT_PARTITION__"))
+
+    rewritten = forget_keys(spark, path, "hour", "user_id", [1])
+    assert rewritten == ["2030-01-01 10:00", None]  # NULL partition sorts last
+    left = spark.read.parquet(path)
+    assert left.filter("user_id = 1").count() == 0  # NULL-partition copy gone too
+    assert sorted(r.user_id for r in left.collect()) == [2, 3]
+    # the fully-emptied escaped partition's REAL directory was dropped
+    assert not os.path.isdir(os.path.join(path, "hour=2030-01-01 10%3A00"))
+    # NULL partition still holds user 3; untouched escaped partition intact
+    assert os.path.isdir(os.path.join(path, "hour=__HIVE_DEFAULT_PARTITION__"))
+    assert os.path.isdir(os.path.join(path, "hour=2030-01-01 11%3A00"))

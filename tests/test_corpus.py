@@ -269,6 +269,18 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     assert [r.rank for r in out] == list(range(1, 41))
 
 
+def test_weighted_sample_excludes_zero_weight_docs(spark):
+    """sp4: n_chars <= 0 means zero inclusion probability under A-ES; the
+    key would be ln(u)/0 = -Inf (or NaN at u == 1, which Spark's DESC sort
+    orders above every double) — such docs must never appear, even when k
+    exceeds the eligible population."""
+    rows = [(1, 100), (2, 0), (3, 50), (4, -5), (5, 0)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = CP.weighted_sample(docs, k=10).collect()
+    assert sorted(r.doc_id for r in out) == [1, 3]  # only positive-weight docs
+    assert all(r.n_chars > 0 for r in out)
+
+
 def test_source_cap_keeps_top_quality(spark, sf_dir):
     """cc5: no source exceeds the cap, and every kept doc's quality is >=
     every dropped doc's quality within its source (ties broken by id)."""

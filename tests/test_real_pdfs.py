@@ -56,7 +56,9 @@ def test_real_invoice_pdfs_t1_t3_through_spark(spark):
     assert len(s1) == 4
     meta = s1[0]
     assert meta.invoice_number == "100"
-    assert meta.supplier_name == "J.K."  # first text line (big-font split)
+    # the big-font letterhead splits across two baselines; T1 joins the
+    # first two lines back (reference parse_utils.py:174)
+    assert meta.supplier_name == "J.K. Computers"
     assert str(meta.invoice_date) == "2021-01-20"
     assert str(meta.due_date) == "2021-02-10"
     assert meta.tax_amount == 1520.0

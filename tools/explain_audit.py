@@ -43,6 +43,53 @@ def _pk1_tiny_window_input(plan: str) -> list[str]:
     ]
 
 
+_FORGET_TMP: dict = {}
+
+
+def _forget_table(spark, sf_dir: str) -> str:
+    """A small day-partitioned event log for the S17 audits (memoized —
+    both checks share one write)."""
+    if "path" not in _FORGET_TMP:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from pdf_etl_pipeline_spark.operators.partitioned_sink import write_partitioned
+        from pdf_etl_pipeline_spark.session import load_events
+
+        path = tempfile.mkdtemp(prefix="forget_audit_") + "/log"
+        ev = load_events(spark, sf_dir).withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        write_partitioned(ev, path, "day")
+        _FORGET_TMP["path"] = path
+    return _FORGET_TMP["path"]
+
+
+def _forget_find_df(spark, sf_dir):
+    from pdf_etl_pipeline_spark.operators.forget import _affected_partitions_df
+
+    return _affected_partitions_df(
+        spark, _forget_table(spark, sf_dir), "day", "user_id", [1, 2]
+    )
+
+
+def _forget_rewrite_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.operators.forget import (
+        _distinct_partition_strings_df,
+        _partition_match,
+    )
+
+    remaining = (
+        spark.read.parquet(_forget_table(spark, sf_dir))
+        .filter(_partition_match(F.col("day"), ["2024-01-01", None]))
+        .filter(~F.col("user_id").isin([1, 2]) | F.col("user_id").isNull())
+    )
+    return _distinct_partition_strings_df(remaining, "day")
+
+
 CHECKS = {
     "a8_pricing_summary": {
         "must": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate", "HashAggregate"],
@@ -393,6 +440,34 @@ CHECKS = {
         # post-join condition — never a nested-loop theta join
         "must": ["HashJoin [user_id", "HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "s17_forget_find_collect": {
+        # the find step's driver-side collect is safe ONLY because its
+        # input is a distinct-agg of the partition column over a scan
+        # pruned to (partition col, key col) — rows bounded by #distinct
+        # partition values, never data scale. Pin the structure so a
+        # refactor that collects raw rows fails the audit.
+        "build": _forget_find_df,
+        "must": ["HashAggregate(keys=[day"],
+        "must_not": ["BatchEvalPython", "Join", "Window", "CartesianProduct"],
+        "check": lambda plan: (
+            []
+            if "ReadSchema: struct<user_id:" in plan
+            else ["find scan not pruned to the key column"]
+        ),
+    },
+    "s17_forget_rewrite_collect": {
+        # same bound for the rewrite step's collect: a distinct of the
+        # cast-to-string partition column only, key filter pushed to the
+        # pruned scan
+        "build": _forget_rewrite_df,
+        "must": ["HashAggregate(keys=[_p"],
+        "must_not": ["BatchEvalPython", "Join", "Window", "CartesianProduct"],
+        "check": lambda plan: (
+            []
+            if "ReadSchema: struct<user_id:" in plan
+            else ["rewrite scan not pruned to the key column"]
+        ),
     },
 }
 
