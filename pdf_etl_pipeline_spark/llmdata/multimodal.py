@@ -5,9 +5,12 @@ The Spark-side plumbing — schema, Arrow batch shape, partition sizing — is
 real and tested; the codec step honors the driver brief (image/audio
 libraries are not in this container): ``decode=\"fake\"`` produces a
 deterministic synthetic decode so the downstream plumbing is exercised,
-``decode=\"real\"`` runs pure stdlib/numpy codecs for BMP, PPM/PGM, and PNG
-(zlib + per-row unfilter) and raises ``NotImplementedError`` only for
-formats that genuinely need Pillow/torchcodec (JPEG, audio, video).
+``decode=\"real\"`` runs pure stdlib/numpy codecs for BMP, PPM/PGM, PNG
+(zlib + per-row unfilter), and baseline JPEG (Huffman + dequant + 8x8
+IDCT — covers the reference's own receipt scans in
+data/company-A/raw/sample*.jpg), and raises ``NotImplementedError`` only
+for formats that genuinely need torchcodec (audio, video, progressive
+JPEG).
 
 Scale notes: binary payloads dominate partition bytes — the asset table
 should set ``spark.sql.files.maxPartitionBytes`` so one task holds a few
@@ -195,11 +198,233 @@ def _decode_png(content: bytes) -> np.ndarray:
     return img / 255.0
 
 
+# --- baseline JPEG (ITU-T T.81 sequential DCT) ------------------------------
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# orthonormal 8-point DCT-II basis: spatial = M.T @ F @ M
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _BitReader:
+    """MSB-first bit reader over de-stuffed entropy-coded bytes."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, n: int) -> int:
+    """JPEG EXTEND: map an n-bit magnitude to its signed value."""
+    return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _huff_decode(r: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid huffman code")
+
+
+def _decode_jpeg(content: bytes) -> np.ndarray:
+    """Baseline sequential JPEG (SOF0/SOF1) → (h, w) float grayscale.
+
+    Pure stdlib/numpy — marker walk, per-block Huffman entropy decode,
+    dequantize in zigzag order, then ONE vectorized 8×8 IDCT over all luma
+    blocks. Only the Y channel is reconstructed (chroma blocks are
+    entropy-decoded to keep the bitstream aligned but never IDCT'd), which
+    is exactly what the grayscale feature/phash consumers need. Restart
+    markers (DRI/RSTn) reset DC predictors per spec. Progressive (SOF2)
+    raises — that genuinely needs a multi-pass coefficient store.
+    """
+    import struct
+
+    raw = bytes(content)
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG: magic={raw[:2]!r}")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> code table
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hsamp, vsamp, qtab)
+    w = h = None
+    restart = 0
+    scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_tab, ac_tab)
+    i = 2
+    while i + 4 <= len(raw):
+        if raw[i] != 0xFF:
+            i += 1
+            continue
+        m = raw[i + 1]
+        if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
+            i += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", raw, i + 2)
+        seg = raw[i + 4 : i + 2 + seglen]
+        if m == 0xDB:  # DQT — may hold several tables
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if prec:
+                    qt[tid] = np.frombuffer(seg, dtype=">u2", count=64, offset=p).astype(np.int32)
+                    p += 128
+                else:
+                    qt[tid] = np.frombuffer(seg, dtype=np.uint8, count=64, offset=p).astype(np.int32)
+                    p += 64
+        elif m in (0xC0, 0xC1):  # SOF0/1: baseline (extended-sequential shares the layout)
+            _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + c * 3 : 9 + c * 3]
+                comps.append((cid, samp >> 4, samp & 15, tq))
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF{m - 0xC0} (non-baseline) not supported")
+        elif m == 0xC4:  # DHT — may hold several tables
+            p = 0
+            while p < len(seg):
+                tclass, tid = seg[p] >> 4, seg[p] & 15
+                counts = seg[p + 1 : p + 17]
+                p += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = seg[p]
+                        code += 1
+                        p += 1
+                    code <<= 1
+                huff[(tclass, tid)] = table
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:  # SOS — entropy-coded data follows
+            ns = seg[0]
+            for c in range(ns):
+                cs, tabs = seg[1 + c * 2], seg[2 + c * 2]
+                idx = next(k for k, cp in enumerate(comps) if cp[0] == cs)
+                scan.append((idx, tabs >> 4, tabs & 15))
+            i += 2 + seglen
+            break
+        i += 2 + seglen
+    if w is None or not scan:
+        raise ValueError("JPEG: missing SOF/SOS")
+
+    # split entropy data at restart markers, de-stuff 0xFF00 within each
+    segments: list[bytes] = []
+    start = i
+    j = i
+    while j + 1 < len(raw):
+        if raw[j] == 0xFF and raw[j + 1] != 0x00:
+            mk = raw[j + 1]
+            if 0xD0 <= mk <= 0xD7:
+                segments.append(raw[start:j].replace(b"\xff\x00", b"\xff"))
+                j += 2
+                start = j
+                continue
+            break  # EOI or next marker
+        j += 1
+    segments.append(raw[start:j].replace(b"\xff\x00", b"\xff"))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    y_idx = scan[0][0]  # first scan component is luma
+    y_h, y_v = comps[y_idx][1], comps[y_idx][2]
+    yw, yh = mcus_x * y_h * 8, mcus_y * y_v * 8
+
+    y_blocks: list[np.ndarray] = []
+    y_pos: list[tuple[int, int]] = []
+    dc_pred = [0] * len(comps)
+    seg_iter = iter(segments)
+    r = _BitReader(next(seg_iter))
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if restart and mcu and mcu % restart == 0:
+            r = _BitReader(next(seg_iter))  # RST: byte-aligned, DC reset
+            dc_pred = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, dc_t, ac_t in scan:
+            _cid, ch, cv, tq = comps[ci]
+            q = qt[tq]
+            dct, act = huff[(0, dc_t)], huff[(1, ac_t)]
+            for by in range(cv):
+                for bx in range(ch):
+                    coef = np.zeros(64, dtype=np.int32)
+                    s = _huff_decode(r, dct)
+                    dc_pred[ci] += _extend(r.receive(s), s)
+                    coef[0] = dc_pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(r, act)
+                        rr, ss = rs >> 4, rs & 15
+                        if ss == 0:
+                            if rr == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rr
+                        if k > 63:
+                            raise ValueError("JPEG: AC index overrun")
+                        coef[k] = _extend(r.receive(ss), ss)
+                        k += 1
+                    if ci == y_idx:
+                        dq = np.zeros(64, dtype=np.int32)
+                        dq[_ZIGZAG] = coef * q
+                        y_blocks.append(dq.reshape(8, 8))
+                        y_pos.append(((my * cv + by) * 8, (mx * ch + bx) * 8))
+
+    # one vectorized IDCT over every luma block
+    blocks = np.stack(y_blocks).astype(np.float64)
+    spatial = np.einsum("ux,nuv,vy->nxy", _DCT_M, blocks, _DCT_M) + 128.0
+    out = np.zeros((yh, yw), dtype=np.float64)
+    for (py, px), blk in zip(y_pos, spatial):
+        out[py : py + 8, px : px + 8] = blk
+    return np.clip(out[:h, :w], 0.0, 255.0).astype(np.float32) / 255.0
+
+
 _REAL_DECODERS = {
     "bmp": _decode_bmp,
     "ppm": _decode_ppm,
     "pgm": _decode_ppm,
     "png": _decode_png,
+    "jpg": _decode_jpeg,
+    "jpeg": _decode_jpeg,
 }
 
 
@@ -297,8 +522,8 @@ def extract_features(assets: DataFrame, decode: str = "fake") -> DataFrame:
 
     The batch shape (one pandas batch per input split, vectorized numpy
     inside) is the production shape. ``decode="real"`` runs the pure-numpy
-    BMP/PPM/PGM codecs in-container; other codecs raise NotImplementedError
-    (Pillow/torchcodec live on the cluster image, not here)."""
+    BMP/PPM/PGM/PNG/baseline-JPEG codecs in-container; audio/video raise
+    NotImplementedError (torchcodec lives on the cluster image, not here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -334,9 +334,73 @@ def test_multimodal_feature_plumbing(spark):
 
 
 def test_multimodal_real_decode_unknown_codec_raises():
-    # only external-library codecs are still gated; dispatch is per-row now
+    # only external-library codecs are still gated (audio/video now that
+    # baseline JPEG decodes in-repo); dispatch is per-row
     with pytest.raises(NotImplementedError):
-        MM._decode(b"\xff\xd8\xff", {"codec": "jpeg"}, "real")
+        MM._decode(b"\x00\x00\x00\x18ftypmp42", {"codec": "mp4"}, "real")
+
+
+def _minimal_gray_jpeg(dc: int) -> bytes:
+    """Hand-assembled 8x8 single-component baseline JPEG whose only block
+    carries DC coefficient ``dc`` (identity quant table, AC all zero) —
+    decoded pixels must be exactly dc/8 + 128."""
+    import struct
+
+    cat = dc.bit_length()  # dc > 0: category = bit length
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes([1] * 64)
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    # one length-2 code ("00") in each table: DC symbol = category, AC = EOB
+    counts = bytes([0, 1] + [0] * 14)
+    dht_dc = b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1) + b"\x00" + counts + bytes([cat])
+    dht_ac = b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1) + b"\x10" + counts + bytes([0x00])
+    sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    bits = "00" + format(dc, f"0{cat}b") + "00"  # DC code + magnitude + EOB
+    bits += "1" * (-len(bits) % 8)
+    scan = int(bits, 2).to_bytes(len(bits) // 8, "big").replace(b"\xff", b"\xff\x00")
+    return b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+
+
+def test_jpeg_decode_exact_dc_block():
+    """The baseline JPEG decoder reconstructs a known DC-only block to the
+    exact pixel value (identity quant, orthonormal IDCT: flat = DC/8+128)."""
+    import numpy as np
+
+    for dc in (256, 8, 504):  # 160, 129, 191 gray levels
+        img = MM._decode_jpeg(_minimal_gray_jpeg(dc))
+        assert img.shape == (8, 8)
+        expect = (dc / 8 + 128) / 255.0
+        assert np.allclose(img, expect, atol=1e-6), (dc, img[0, 0], expect)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/data/company-A/raw"),
+    reason="reference corpus not mounted",
+)
+def test_jpeg_real_receipts_features_and_phash(spark):
+    """mm1/mm2 on the reference's OWN receipt scans (baseline JPEG,
+    2x2-subsampled luma): decode -> 8-dim features and perceptual hashes
+    through the full Spark mapInPandas path. Receipts are white paper —
+    mean luma must be high and structure (std) nonzero."""
+    import glob
+
+    paths = sorted(glob.glob("/root/reference/data/company-A/raw/*.jpg"))
+    assert len(paths) >= 2
+    rows = [
+        (i, "image", open(p, "rb").read(), (0, 0, 0, 1, "jpg"))
+        for i, p in enumerate(paths)
+    ]
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    feats = MM.extract_features(assets, decode="real").collect()
+    assert len(feats) == len(paths)
+    for f in feats:
+        assert f.feat_dim == 8 and len(f.feature) == 8
+        assert all(0.0 <= v <= 1.0 for v in f.feature)
+        # paper-white dominates the top rows of both scans
+        assert sum(f.feature) / 8 > 0.4
+    ph = MM.perceptual_hash(assets, decode="real").collect()
+    assert len(ph) == len(paths)
+    # two different receipts must not collide
+    assert ph[0].phash != ph[1].phash
 
 
 def test_bmp_ppm_roundtrip_exact():
