@@ -741,6 +741,7 @@ def semdedup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     cents: DataFrame | None = None,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """DD9: SemDeDup (Abbas et al. 2023) — semantic near-duplicate pairs
     via k-means clustering: vectors are assigned to learned cells and
@@ -759,16 +760,46 @@ def semdedup_pairs(
     Determinism: the clustering chain is the hash-checked deterministic
     k-means (decimal-exact means); the threshold compares the UNROUNDED
     cosine (oracle parity), rounded only for output.
+
+    ``cell_cap`` bounds the quadratic term BY CONSTRUCTION: a cell larger
+    than the cap (skewed embedding distribution — k-means cannot promise
+    balance) is split into ceil(|cell|/cap) sub-cells by a deterministic
+    secondary hash of vec_id, and the pair join keys on (cell, sub-cell).
+    Total pair work then ≤ Σ n_sub·cap² ≈ n·cap instead of Σ|cell|².
+    Unlike ss5's salting (which re-partitions the SAME pairs across
+    tasks), sub-bucketing DROPS pairs straddling a sub-cell — the same
+    accepted trade as SemDeDup's own cell boundaries, one level down.
+    When no cell exceeds the cap the split is a no-op (n_sub=1
+    everywhere) and results are bit-identical to the uncapped join.
     """
     cents = cents if cents is not None else kmeans_centroids(embeddings)
     assigned = assign_cells(embeddings, cents)
+    if cell_cap is not None:
+        from pdf_etl_pipeline_spark.functions.scalars import portable_hash32
+
+        # oversized-cell list is tiny by definition — broadcast it
+        hot = (
+            assigned.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("csize"))
+            .filter(F.col("csize") > cell_cap)
+            .select("cell_id", F.ceil(F.col("csize") / cell_cap).alias("n_sub"))
+        )
+        assigned = assigned.join(F.broadcast(hot), "cell_id", "left").withColumn(
+            "sub",
+            F.coalesce(
+                portable_hash32(F.col("vec_id").cast("string")) % F.col("n_sub"),
+                F.lit(0).cast("long"),
+            ),
+        )
+    else:
+        assigned = assigned.withColumn("sub", F.lit(0).cast("long"))
     a = assigned.select(
-        F.col("cell_id"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        "cell_id", "sub", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
     )
     b = assigned.select(
-        F.col("cell_id"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+        "cell_id", "sub", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
     )
-    pairs = a.join(b, "cell_id").filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, ["cell_id", "sub"]).filter(F.col("id_a") < F.col("id_b"))
     cos = cosine(F.col("va"), F.col("vb"))
     return (
         pairs.filter(cos >= threshold)

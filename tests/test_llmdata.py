@@ -715,3 +715,53 @@ def test_semdedup_recovers_planted_twins(spark, sf_dir):
     assert all(r.cosine >= 0.9 for r in pairs)
     twins = {(r.id_a, r.id_b) for r in pairs if r.id_b == r.id_a + _TWIN_OFFSET}
     assert len(twins) >= 0.95 * n_base
+
+    # a cap no cell reaches is a structural no-op: results BIT-IDENTICAL
+    capped = semdedup_pairs(aug, threshold=0.9, cell_cap=10_000_000).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, pairs))
+
+
+def test_semdedup_cell_cap_bounds_skewed_cells(spark):
+    """dd9 cell_cap: a skew-planted corpus (every vector near one
+    direction -> k-means dumps them into one mega-cell) re-quadratizes the
+    pair join; the cap splits the cell into ceil(|cell|/cap) sub-cells by
+    a secondary hash, bounding pair work by construction. Found pairs are
+    a subset of the uncapped result (the documented recall trade); twin
+    pairs sharing a sub-cell are still found with exact cosines."""
+    import math
+
+    from pdf_etl_pipeline_spark.llmdata.similarity import semdedup_pairs
+
+    n, n_hot, dim = 400, 360, 8
+    rows = []
+    for i in range(n_hot):
+        # 360 EXACTLY identical embeddings — k-means must put them in one
+        # cell, the mega-cell no balance promise can prevent
+        rows.append((i, [1.0] + [0.0] * (dim - 1)))
+    for i in range(n_hot, n):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    full = semdedup_pairs(emb, threshold=0.999).collect()
+    cap = 50
+    capped = semdedup_pairs(emb, threshold=0.999, cell_cap=cap).collect()
+
+    full_set = {(r.id_a, r.id_b): r.cosine for r in full}
+    capped_set = {(r.id_a, r.id_b): r.cosine for r in capped}
+    # subset with identical cosines — sub-bucketing drops pairs, never
+    # invents or rescores them
+    for k, v in capped_set.items():
+        assert k in full_set and full_set[k] == v
+    # the bound is real at the JOIN level (threshold=-1 admits every
+    # candidate, so counts measure the pair join itself): with n_sub =
+    # ceil(n/cap) hash-balanced sub-cells, candidates collapse from
+    # C(n, 2) toward Σ C(|sub|, 2) — 2x headroom for hash imbalance
+    full_cand = semdedup_pairs(emb, threshold=-1.0).count()
+    capped_cand = semdedup_pairs(emb, threshold=-1.0, cell_cap=cap).count()
+    assert full_cand >= n_hot * (n_hot - 1) / 2  # the mega-cell went quadratic
+    n_sub = math.ceil(n_hot / cap)
+    ideal = n_sub * (n_hot / n_sub) * ((n_hot / n_sub) - 1) / 2
+    spread_slack = (n - n_hot) * (n - n_hot - 1) / 2
+    assert capped_cand <= 2 * (ideal + spread_slack) < full_cand
