@@ -396,6 +396,64 @@ def test_ingest_streaming_foreachbatch(spark, sf_dir, tmp_path):
     assert minhash_lsh_pairs(surviving, 0.9, materialize=True).count() == 0
 
 
+def test_ingest_streaming_equals_batch_twin_on_staged_drops(spark, sf_dir, tmp_path):
+    """st7 end-to-end equivalence: the SAME staged document drops, driven
+    once through the real file-source stream (readStream.parquet +
+    maxFilesPerTrigger=1, availableNow) and once through ingest_batch in
+    the same order, admit IDENTICAL doc sets. The file source processes
+    files in modification-time order, so explicit mtimes pin the
+    micro-batch sequence to the batch twin's loop order."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.llmdata.ingest import (
+        TOKS_SUBDIR,
+        ingest_batch,
+        near_dup_ingest_stream,
+    )
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = [(0, 150), (150, 320), (320, 10**9)]
+    drop_dir = str(tmp_path / "staged_drops")
+    os.makedirs(drop_dir)
+    drops = []
+    for i, (lo, hi) in enumerate(cuts):
+        d = docs.filter((F2.col("doc_id") >= lo) & (F2.col("doc_id") < hi))
+        drops.append(d)
+        tmp = str(tmp_path / f"stage_{i}")
+        d.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(drop_dir, f"drop_{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    ix_stream = str(tmp_path / "ix_s")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .load(drop_dir)
+    )
+    q = near_dup_ingest_stream(stream, ix_stream).start()
+    q.awaitTermination(300)
+
+    ix_batch = str(tmp_path / "ix_b")
+    batch_kept: set = set()
+    for d in drops:
+        batch_kept |= {r.doc_id for r in ingest_batch(d, ix_batch).collect()}
+
+    stream_kept = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(ix_stream, TOKS_SUBDIR))
+        .select("doc_id")
+        .collect()
+    }
+    assert stream_kept == batch_kept
+
+
 # --- ST8: streaming histogram sketch ------------------------------------------
 def test_streaming_histogram_counts_merge_across_batches(spark, sf_dir, tmp_path):
     """Histogram bin counts are a MERGEABLE sketch, so the streaming form
