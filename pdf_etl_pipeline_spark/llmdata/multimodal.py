@@ -6,11 +6,12 @@ real and tested; the codec step honors the driver brief (image/audio
 libraries are not in this container): ``decode=\"fake\"`` produces a
 deterministic synthetic decode so the downstream plumbing is exercised,
 ``decode=\"real\"`` runs pure stdlib/numpy codecs for BMP, PPM/PGM, PNG
-(zlib + per-row unfilter), and baseline JPEG (Huffman + dequant + 8x8
+(zlib + per-row unfilter), baseline JPEG (Huffman + dequant + 8x8
 IDCT — covers the reference's own receipt scans in
-data/company-A/raw/sample*.jpg), and raises ``NotImplementedError`` only
-for formats that genuinely need torchcodec (audio, video, progressive
-JPEG).
+data/company-A/raw/sample*.jpg), RIFF/WAVE PCM audio, and RIFF/AVI MJPEG
+video (per-frame JPEGs through the same JPEG decoder), and raises
+``NotImplementedError`` only for formats that genuinely need torchcodec
+(compressed audio, mp4/mkv, progressive JPEG).
 
 Scale notes: binary payloads dominate partition bytes — the asset table
 should set ``spark.sql.files.maxPartitionBytes`` so one task holds a few
@@ -69,10 +70,11 @@ def _decode_stub(content: bytes, meta) -> np.ndarray:
 
 # --- Real codecs (pure stdlib/numpy — no Pillow needed) ----------------------
 # BMP (24-bit uncompressed) and PPM/PGM (binary P6/P5) are header-plus-raster
-# formats, and PNG is zlib (stdlib) + per-row unfiltering, so
-# ``decode="real"`` genuinely decodes all four in this container; the
-# NotImplementedError surface shrinks to codecs that need external libraries
-# (JPEG/audio/video → Pillow/torchcodec on the cluster image).
+# formats, PNG is zlib (stdlib) + per-row unfiltering, baseline JPEG is
+# Huffman + dequant + IDCT, WAV is a RIFF chunk walk, and MJPEG-AVI frames
+# are JPEGs — ``decode="real"`` genuinely decodes all of these in this
+# container; the NotImplementedError surface shrinks to codecs that need
+# external libraries (compressed audio / mp4 / mkv → torchcodec).
 def _decode_ppm(content: bytes) -> np.ndarray:
     """Binary PPM (P6, RGB) / PGM (P5, gray) → (h, w) float grayscale."""
     raw = bytes(content)
@@ -418,6 +420,110 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
     return np.clip(out[:h, :w], 0.0, 255.0).astype(np.float32) / 255.0
 
 
+# --- WAV (RIFF PCM) audio ----------------------------------------------------
+
+
+def _decode_wav(content: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM (8- or 16-bit) → 1-D float samples in [-1, 1],
+    channel-meaned to mono. Pure stdlib/numpy chunk walk."""
+    import struct
+
+    raw = bytes(content)
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError(f"not a WAV: magic={raw[:4]!r}/{raw[8:12]!r}")
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(raw):
+        cid = raw[i : i + 4]
+        (clen,) = struct.unpack_from("<I", raw, i + 4)
+        body = raw[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)  # chunks pad to even length
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    audio_fmt, n_ch, _rate, _bps, _align, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV variant: fmt={audio_fmt} bits={bits}")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    else:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000, bits: int = 16) -> bytes:
+    """1-D float samples in [-1, 1] → mono RIFF/WAVE PCM bytes."""
+    import struct
+
+    if bits == 16:
+        pcm = np.clip(np.rint(samples * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    else:
+        pcm = np.rint(np.clip(samples, -1, 1) * 127.0 + 128.0).astype(np.uint8).tobytes()
+    block = bits // 8
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * block, block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --- AVI (RIFF) with MJPEG frames --------------------------------------------
+# MJPEG = one baseline JPEG per frame, so the in-repo JPEG decoder makes
+# this a REAL video path: RIFF walk → per-frame JPEG bytes → _decode_jpeg.
+
+
+def _avi_mjpeg_frames(content: bytes) -> list[bytes]:
+    """RIFF/AVI → list of per-frame JPEG byte strings ('00dc'/'00db'
+    chunks inside the movi LIST)."""
+    import struct
+
+    raw = bytes(content)
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError(f"not an AVI: magic={raw[:4]!r}/{raw[8:12]!r}")
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        i = lo
+        while i + 8 <= hi:
+            cid = raw[i : i + 4]
+            (clen,) = struct.unpack_from("<I", raw, i + 4)
+            if cid == b"LIST":
+                walk(i + 12, i + 8 + clen)  # skip the 4-byte list type
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(raw[i + 8 : i + 8 + clen])
+            i += 8 + clen + (clen & 1)
+
+    walk(12, len(raw))
+    return frames
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 4) -> bytes:
+    """Per-frame JPEG bytes → minimal RIFF/AVI (hdrl + movi, no idx1)."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I", 10**6 // fps, 0, 0, 0, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0, 0)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return b"RIFF" + struct.pack("<I", len(b"AVI " + hdrl + movi)) + b"AVI " + hdrl + movi
+
+
 _REAL_DECODERS = {
     "bmp": _decode_bmp,
     "ppm": _decode_ppm,
@@ -572,20 +678,73 @@ def resize_thumbnails(
     return assets.mapInPandas(run, THUMB_SCHEMA)
 
 
-def sample_frames(assets: DataFrame, every_n: int = 4) -> DataFrame:
-    """Video frame sampling plumbing: one input row → n_frames/every_n rows
-    (UDTF shape, like the document parsers)."""
+def extract_audio_features(assets: DataFrame, decode: str = "fake") -> DataFrame:
+    """Audio → 8-dim feature (per-window RMS energy over 8 equal frames),
+    Arrow-batched mapInPandas like the image path. ``decode="real"``
+    decodes RIFF/WAVE PCM in-repo; other audio codecs (mp3/flac/opus)
+    genuinely need torchcodec and raise."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats = []
+            for content, meta in zip(b["content"], b["meta"]):
+                if decode == "fake":
+                    x = (
+                        np.frombuffer(bytes(content), dtype=np.uint8).astype(np.float32)
+                        - 128.0
+                    ) / 128.0
+                elif str(meta["codec"]).lower() in ("wav", "wave"):
+                    x = _decode_wav(content)
+                else:
+                    raise NotImplementedError(
+                        f"real audio decode for codec {meta['codec']!r} requires torchcodec"
+                    )
+                wins = np.array_split(x, 8)
+                feats.append(
+                    [float(np.sqrt(np.mean(np.square(w)))) if len(w) else 0.0 for w in wins]
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": b["asset_id"],
+                    "kind": b["kind"],
+                    "feature": feats,
+                    "feat_dim": [8] * len(feats),
+                }
+            )
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 4, decode: str = "fake") -> DataFrame:
+    """Video frame sampling: one input row → n_frames/every_n rows (UDTF
+    shape, like the document parsers). ``decode="real"`` walks RIFF/AVI
+    and emits the actual per-frame MJPEG bytes — each sampled frame is a
+    baseline JPEG the in-repo ``_decode_jpeg`` can open; other containers
+    (mp4/mkv) genuinely need torchcodec and raise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out_id, out_idx, out_frame = [], [], []
             for asset_id, content, meta in zip(b["asset_id"], b["content"], b["meta"]):
-                n = int(meta["n_frames"])
+                if decode == "fake":
+                    n = int(meta["n_frames"])
+                    frames = None
+                elif str(meta["codec"]).lower() == "avi":
+                    frames = _avi_mjpeg_frames(content)
+                    n = len(frames)
+                else:
+                    raise NotImplementedError(
+                        f"real video decode for codec {meta['codec']!r} requires torchcodec"
+                    )
                 for idx in range(0, n, every_n):
                     out_id.append(asset_id)
                     out_idx.append(idx)
-                    # stub frame: slice of the payload, deterministic
-                    out_frame.append(bytes(content)[idx : idx + 16])
+                    out_frame.append(
+                        # stub frame: deterministic payload slice
+                        bytes(content)[idx : idx + 16]
+                        if frames is None
+                        else frames[idx]
+                    )
             yield pd.DataFrame({"asset_id": out_id, "frame_idx": out_idx, "frame": out_frame})
 
     return assets.mapInPandas(run, FRAME_SCHEMA)

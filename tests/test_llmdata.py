@@ -372,6 +372,84 @@ def test_jpeg_decode_exact_dc_block():
         assert np.allclose(img, expect, atol=1e-6), (dc, img[0, 0], expect)
 
 
+def test_wav_roundtrip_and_audio_features(spark):
+    """Real audio path: RIFF/WAVE PCM round-trips within quantization, a
+    stereo file channel-means to mono, and the Spark feature op reports
+    per-window RMS energy that tracks the planted loud/quiet structure."""
+    import struct
+
+    import numpy as np
+
+    t = np.arange(16000, dtype=np.float32) / 16000.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    for bits, tol in ((16, 1.0 / 32000), (8, 1.0 / 120)):
+        y = MM._decode_wav(MM.encode_wav(x, 16000, bits=bits))
+        assert y.shape == x.shape
+        assert np.abs(y - x).max() < tol
+    # stereo: L = 2R — decoded mono must be the channel mean
+    left = (np.clip(0.5 * np.ones(100), -1, 1) * 32767).astype("<i2")
+    right = (np.clip(0.25 * np.ones(100), -1, 1) * 32767).astype("<i2")
+    inter = np.empty(200, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    fmt = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", inter.nbytes) + inter.tobytes()
+    stereo = b"RIFF" + struct.pack("<I", len(body)) + body
+    m = MM._decode_wav(stereo)
+    assert np.allclose(m, 0.375, atol=1e-3)
+
+    # loud first half, silent second half → first 4 windows energetic,
+    # last 4 near zero, through the Spark mapInPandas path
+    sig = np.concatenate([0.8 * np.sin(2 * np.pi * 220 * t[:8000]), np.zeros(8000, np.float32)])
+    assets = spark.createDataFrame(
+        [(0, "audio", MM.encode_wav(sig, 16000), (0, 0, 16000, 1, "wav"))], MM.ASSET_SCHEMA
+    )
+    (f,) = MM.extract_audio_features(assets, decode="real").collect()
+    assert f.feat_dim == 8
+    assert all(v > 0.3 for v in f.feature[:4])
+    assert all(v < 0.01 for v in f.feature[4:])
+    with pytest.raises(Exception):
+        MM.extract_audio_features(
+            spark.createDataFrame(
+                [(0, "audio", b"ID3\x04", (0, 0, 44100, 1, "mp3"))], MM.ASSET_SCHEMA
+            ),
+            decode="real",
+        ).collect()
+
+
+def test_avi_mjpeg_real_frame_sampling(spark):
+    """Real video path: an MJPEG AVI assembled from known DC-only JPEG
+    frames; sample_frames(decode="real") must emit every_n-th frame as
+    actual JPEG bytes whose decoded gray level matches the plant."""
+    import numpy as np
+
+    dcs = [64 + 32 * i for i in range(8)]  # 8 frames, distinct gray levels
+    frames = [_minimal_gray_jpeg(dc) for dc in dcs]
+    avi = MM.encode_avi_mjpeg(frames, width=8, height=8, fps=4)
+    assert MM._avi_mjpeg_frames(avi) == frames  # container round-trip
+
+    assets = spark.createDataFrame(
+        [(7, "video", avi, (8, 8, 0, len(frames), "avi"))], MM.ASSET_SCHEMA
+    )
+    out = sorted(
+        MM.sample_frames(assets, every_n=3, decode="real").collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in out] == [0, 3, 6]
+    for r in out:
+        img = MM._decode_jpeg(bytes(r.frame))
+        expect = (dcs[r.frame_idx] / 8 + 128) / 255.0
+        assert np.allclose(img, expect, atol=1e-6)
+    with pytest.raises(Exception):
+        MM.sample_frames(
+            spark.createDataFrame(
+                [(0, "video", b"\x00\x00\x00\x18ftypmp42", (8, 8, 0, 4, "mp4"))],
+                MM.ASSET_SCHEMA,
+            ),
+            decode="real",
+        ).collect()
+
+
 @pytest.mark.skipif(
     not os.path.isdir("/root/reference/data/company-A/raw"),
     reason="reference corpus not mounted",
