@@ -752,6 +752,23 @@ def dp1_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(load_table(spark, sf_dir, "lineitem"), _DP1_COLS)
 
 
+_DP2_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "dp2_correlation",
+    oracle=__import__(
+        "pdf_etl_pipeline_spark.operators.profile", fromlist=["correlation_matrix_sql"]
+    ).correlation_matrix_sql("lineitem", _DP2_COLS),
+    doc="DP2 pairwise Pearson correlation matrix: every sufficient statistic (n, Σx, Σx², Σxy per pair) from ONE aggregation over ONE lineitem scan — O(|cols|²) doubles shuffle, nothing else; decimal-exact sums make the closed form engine-identical",
+)
+def dp2_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_etl_pipeline_spark.operators.profile import correlation_matrix
+
+    tune(spark)
+    return correlation_matrix(load_table(spark, sf_dir, "lineitem"), _DP2_COLS)
+
+
 # --- RS4: truncated EWMA smoothing ---------------------------------------------
 from pdf_etl_pipeline_spark.operators.ewma import ewma, ewma_sql  # noqa: E402
 
@@ -859,6 +876,49 @@ def ev2_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("other")
     )
     return scored.withColumn("segment", seg).orderBy("user_id")
+
+
+# --- EV3: rolling active users (DAU / trailing-7-day AU) -------------------------
+@register(
+    "ev3_active_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+spine AS (SELECT DISTINCT day FROM du),
+contrib AS (
+  SELECT CAST(unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS wday,
+         user_id
+  FROM du
+),
+wau AS (
+  SELECT wday AS day, COUNT(DISTINCT user_id) AS wau_7d FROM contrib
+  WHERE wday IN (SELECT day FROM spine) GROUP BY 1
+),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1)
+SELECT dau.day AS day, dau.dau AS dau, wau.wau_7d AS wau_7d
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY day""",
+    doc="EV3 rolling active users: exact DAU and trailing-7-day AU per activity day. Sliding COUNT(DISTINCT) is NOT windowable, so each (day,user) row is exploded to the 7 window-days it contributes to — a pure keyed shuffle of 7x|day-users| rows, no range join, no per-day rescan; the standard engagement metric at any corpus size",
+)
+def ev3_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_events(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    contrib = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(du.select("day").distinct(), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau_7d"))
+    )
+    return dau.join(wau, "day").orderBy("day")
 
 
 # --- J6: point-in-time (bitemporal) join ---------------------------------------

@@ -441,6 +441,25 @@ CHECKS = {
         "must": ["HashJoin [user_id", "HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "dp2_correlation": {
+        # every sufficient statistic (per-column sums + per-pair products)
+        # rides ONE aggregation over ONE scan — no join, no window, no
+        # Python; the pair matrix is a post-agg explode of O(|cols|²) rows
+        "must": ["HashAggregate", "Generate"],
+        "must_not": ["BatchEvalPython", "Join", "Window", "CartesianProduct"],
+        "check": lambda plan: (
+            []
+            if plan.count("Scan parquet") == 1
+            else [f"expected exactly 1 parquet scan, found {plan.count('Scan parquet')}"]
+        ),
+    },
+    "ev3_active_users": {
+        # sliding COUNT(DISTINCT) is not windowable: each (day,user) row
+        # explodes to its 7 window-days (Generate) and every aggregate/join
+        # keys on day — never a range/nested-loop join over the day spine
+        "must": ["HashAggregate", "Generate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     "s17_forget_find_collect": {
         # the find step's driver-side collect is safe ONLY because its
         # input is a distinct-agg of the partition column over a scan
