@@ -451,7 +451,9 @@ def _decode_wav(content: bytes) -> np.ndarray:
     if bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     else:
-        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        # 8-bit PCM is unsigned; the 127.5 midpoint maps [0, 255] onto
+        # exactly [-1, 1] (the encoder's inverse)
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0
     if n_ch > 1:
         x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
     return x
@@ -462,9 +464,11 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000, bits: int = 16) ->
     import struct
 
     if bits == 16:
-        pcm = np.clip(np.rint(samples * 32767.0), -32768, 32767).astype("<i2").tobytes()
+        # symmetric with the decoder's /32768: quantization stays within
+        # half an LSB everywhere except the +1.0 clip edge (one LSB)
+        pcm = np.clip(np.rint(samples * 32768.0), -32768, 32767).astype("<i2").tobytes()
     else:
-        pcm = np.rint(np.clip(samples, -1, 1) * 127.0 + 128.0).astype(np.uint8).tobytes()
+        pcm = np.rint((np.clip(samples, -1, 1) + 1.0) * 127.5).astype(np.uint8).tobytes()
     block = bits // 8
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * block, block, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt

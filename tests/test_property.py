@@ -309,6 +309,48 @@ def test_png_roundtrip_property(h, w, seed, filters):
     assert np.array_equal((out * 255.0).round().astype(np.uint8), img)
 
 
+# --- WAV codec round-trip (pure python, no Spark job per example) -------------
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    bits=st.sampled_from([8, 16]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(n, seed, bits, rate):
+    """decode(encode(x)) stays within one quantization step for arbitrary
+    lengths/contents at both PCM widths."""
+    import numpy as np
+
+    from pdf_etl_pipeline_spark.llmdata import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.0, 1.0, size=n).astype(np.float32)
+    y = MM._decode_wav(MM.encode_wav(x, rate, bits=bits))
+    assert y.shape == x.shape
+    # half an LSB of quantization everywhere; the 16-bit +1.0 clip edge
+    # costs up to one LSB
+    tol = 1.0 / 32768 if bits == 16 else 0.51 / 127.5
+    assert np.abs(y - x).max() <= tol
+
+
+# --- baseline JPEG: DC-only block decodes exactly ------------------------------
+@settings(max_examples=40, deadline=None)
+@given(dc=st.integers(min_value=1, max_value=1000))
+def test_jpeg_dc_block_property(dc):
+    """A hand-assembled DC-only baseline JPEG decodes to exactly
+    clip(dc/8 + 128) at every coefficient magnitude category."""
+    import numpy as np
+
+    from pdf_etl_pipeline_spark.llmdata import multimodal as MM
+    from tests.test_llmdata import _minimal_gray_jpeg
+
+    img = MM._decode_jpeg(_minimal_gray_jpeg(dc))
+    expect = min(max(dc / 8 + 128, 0.0), 255.0) / 255.0
+    assert img.shape == (8, 8)
+    assert np.allclose(img, expect, atol=1e-6)
+
+
 @settings(max_examples=5, deadline=None)
 @given(
     weights=st.lists(st.integers(min_value=1, max_value=10_000), min_size=30, max_size=80),
