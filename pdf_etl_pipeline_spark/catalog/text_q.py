@@ -168,6 +168,42 @@ def tx7_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.unigram_logprob(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+# --- TX10: bigram-LM quality score ----------------------------------------------
+@register(
+    "tx10_bigram_logprob",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+  FROM base
+),
+bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgf GROUP BY 1, 2),
+hc AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT tok) AS vs FROM (SELECT unnest(t) AS tok FROM base)),
+lp AS (
+  SELECT w1, w2, round(ln((c12 + {TX.BIGRAM_K}) / (c1 + {TX.BIGRAM_K} * vs)), 6) AS logp
+  FROM bc JOIN hc USING (w1), v
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         round({dec_sum_sql('logp')} / COUNT(*), 6) AS avg_logprob
+  FROM bgf JOIN lp USING (w1, w2) GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       p.avg_logprob
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id""",
+    doc="TX10 bigram-LM quality score with add-k smoothing (the context-aware tx7 upgrade): adjacent-token pairs come from a per-row array zip (no window shuffle), head counts derive from the bigram counts (one corpus pass), |V| is a 1-row broadcast, decimal-exact per-doc mean",
+)
+def tx10_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return TX.bigram_logprob(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 # --- TX8: TF-IDF keyword extraction -------------------------------------------
 @register(
     "tx8_tfidf_topk",

@@ -233,6 +233,82 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
+BIGRAM_K = 0.5  # add-k smoothing constant
+
+
+def bigram_logprob(docs: DataFrame, k_smooth: float = BIGRAM_K) -> DataFrame:
+    """Bigram language-model quality score — the context-aware upgrade of
+    :func:`unigram_logprob` (CCNet proper uses a 5-gram KenLM; the bigram
+    form is the largest order whose counts stay a single keyed aggregate):
+    each document's average log P(w2 | w1) under the corpus's own bigram
+    distribution with add-k smoothing,
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·|V|).
+
+    Shape for scale: bigrams come from one per-row array zip (NO window —
+    adjacent-token pairing happens inside the token array, so there is no
+    per-token shuffle to restore order); counts are two keyed aggregates
+    (the head count derives from the bigram counts, not a second corpus
+    pass); |V| joins as a 1-row broadcast (the tx7 move); scoring is an
+    equi-join on the bigram. Docs with < 2 tokens report 0 bigrams and a
+    null score.
+
+    Determinism: counts are exact integers, the smoothed ratio and its log
+    are double ops on those integers (engine-identical), rounded to 6
+    before the decimal-exact per-doc mean.
+    """
+    from pdf_etl_pipeline_spark.functions.scalars import dec_sum
+
+    toks = tokens_col("text", distinct=False)
+    base = docs.select("doc_id", toks.alias("t"))
+    pair_t = "array<struct<w1:string,w2:string>>"
+    pairs_arr = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at("t", i).alias("w1"),
+                F.element_at("t", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast(pair_t))
+    bg = base.select("doc_id", F.explode(pairs_arr).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = base.select(F.explode("t").alias("tok")).agg(
+        F.count_distinct("tok").alias("vs")
+    )
+    lp = (
+        bc.join(hc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("c12") + k_smooth) / (F.col("c1") + k_smooth * F.col("vs"))), 6
+            ).alias("logp"),
+        )
+    )
+    per_doc = (
+        bg.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(dec_sum("logp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprints: md5 of normalized text + a 1-perm MinHash of
     8-gram character shingles (rolling-hash analog, content-defined)."""

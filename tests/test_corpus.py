@@ -206,6 +206,40 @@ def test_unigram_logprob_hand_computed(spark):
     assert scores[1] > scores[9]
 
 
+def test_bigram_logprob_hand_computed(spark):
+    """tx10 on a 3-doc corpus with hand-computable bigram counts under
+    add-k smoothing (k=0.5): P(w2|w1) = (c12 + .5) / (c1 + .5*|V|)."""
+    import math
+
+    from pdf_etl_pipeline_spark.llmdata.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "a"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    # corpus bigrams: (a,b)x3 (doc1 twice, doc2 once), (b,a)x1, (b,c)x1
+    # head counts: a->3, b->2 ; |V| = 3 (a, b, c)
+    lp = {
+        ("a", "b"): round(math.log((3 + 0.5) / (3 + 0.5 * 3)), 6),
+        ("b", "a"): round(math.log((1 + 0.5) / (2 + 0.5 * 3)), 6),
+        ("b", "c"): round(math.log((1 + 0.5) / (2 + 0.5 * 3)), 6),
+    }
+    for d, bgs in (
+        (1, [("a", "b"), ("b", "a"), ("a", "b")]),
+        (2, [("a", "b"), ("b", "c")]),
+    ):
+        assert out[d].n_bigrams == len(bgs)
+        want = sum(lp[b] for b in bgs) / len(bgs)
+        # 1.1e-6: banker's vs HALF_UP rounding at the 6th decimal
+        assert abs(out[d].avg_logprob - want) < 1.1e-6
+    # single-token and empty docs: 0 bigrams, null score
+    for d in (3, 4):
+        assert out[d].n_bigrams == 0 and out[d].avg_logprob is None
+    # a doc of corpus-frequent bigrams outscores one of rare transitions
+    assert out[1].avg_logprob > out[2].avg_logprob
+
+
 def test_tfidf_rare_term_outranks_common(spark):
     """tx8: a term unique to one doc must outscore a corpus-wide term in
     that doc, and the hand-computed score must match (idf rounded to 6)."""
