@@ -43,6 +43,7 @@ _MODULES = [
     "text_q",
     "curation_q",
     "ingest_q",
+    "quality_q",
 ]
 
 

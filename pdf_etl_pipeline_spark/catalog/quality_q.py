@@ -1,0 +1,186 @@
+"""Data-quality & join-pruning query family (dp3 / dq1 / bf1) — the audit
+and scale-pattern ops a 100 TB warehouse runs before trusting or joining
+a table: robust outlier detection (median/MAD), referential-integrity
+audit (orphan-FK rates), and observable Bloom-filter join pruning.
+
+All three are fully SQL-expressible and hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.catalog import register
+from pdf_etl_pipeline_spark.operators.bloom import bloom_semi_stats, bloom_semi_stats_sql
+from pdf_etl_pipeline_spark.session import load_events, load_table, tune
+
+
+# --- DP3: robust outlier detection (median / MAD z-scores) -----------------------
+@register(
+    "dp3_robust_outliers",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag, l_linestatus, l_extendedprice AS x
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+med AS (
+  SELECT l_returnflag, l_linestatus, round(quantile_cont(x, 0.5), 6) AS med
+  FROM v GROUP BY 1, 2
+),
+dev AS (
+  SELECT v.*, med, abs(x - med) AS dev
+  FROM v JOIN med USING (l_returnflag, l_linestatus)
+),
+mad AS (
+  SELECT l_returnflag, l_linestatus, round(quantile_cont(dev, 0.5), 6) AS mad
+  FROM dev GROUP BY 1, 2
+),
+z AS (
+  SELECT dev.l_returnflag, dev.l_linestatus, dev.med, mad,
+         round(0.6745 * (x - med) / mad, 6) AS z
+  FROM dev JOIN mad USING (l_returnflag, l_linestatus)
+)
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       MAX(med) AS med, MAX(mad) AS mad,
+       CAST(SUM(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(MAX(abs(z)), 6) AS max_abs_z
+FROM z GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="DP3 robust outlier audit (Iglewicz-Hoaglin modified z-score): per-group "
+    "median and MAD of l_extendedprice, rows with |0.6745*(x-med)/MAD| > 3.5 "
+    "flagged — immune to the outliers it hunts, unlike mean/stddev z-scores. "
+    "Two keyed exact-median passes (the MAD is a nested median, irreducibly "
+    "two-pass) with the tiny per-group stats broadcast back; at 100 TB the "
+    "exact percentile swaps for the pc2 histogram-sketch quantile, same plan "
+    "shape. Rounded medians feed the z formula so both engines run identical "
+    "double arithmetic.",
+)
+def dp3_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    g = ["l_returnflag", "l_linestatus"]
+    v = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(*g, F.col("l_extendedprice").alias("x"))
+    )
+    med = v.groupBy(*g).agg(F.round(F.expr("percentile(x, 0.5)"), 6).alias("med"))
+    dev = v.join(F.broadcast(med), g).withColumn("dev", F.abs(F.col("x") - F.col("med")))
+    mad = dev.groupBy(*g).agg(F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad"))
+    z = dev.join(F.broadcast(mad), g).withColumn(
+        "z", F.round(F.lit(0.6745) * (F.col("x") - F.col("med")) / F.col("mad"), 6)
+    )
+    return (
+        z.groupBy(*g)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(F.when(F.abs("z") > 3.5, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+        )
+        .orderBy(*g)
+    )
+
+
+# --- DQ1: referential-integrity audit --------------------------------------------
+# (label, fact table, fk column, dim table, dim key, dim broadcastable)
+_DQ1_RELS = [
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey", True),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey", True),
+]
+
+
+def _dq1_sql() -> str:
+    parts = []
+    for label, facts, fk, dim, dk, _ in _DQ1_RELS:
+        parts.append(
+            f"""SELECT '{label}' AS relation,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+  CAST(SUM(CASE WHEN {fk} IS NOT NULL
+             AND {fk} NOT IN (SELECT {dk} FROM {dim} WHERE {dk} IS NOT NULL)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+  round(CAST(SUM(CASE WHEN {fk} IS NOT NULL
+             AND {fk} NOT IN (SELECT {dk} FROM {dim} WHERE {dk} IS NOT NULL)
+           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS orphan_rate
+FROM {facts}"""
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY relation"
+
+
+@register(
+    "dq1_ref_integrity",
+    oracle=_dq1_sql(),
+    doc="DQ1 referential-integrity audit: per FK relation, row count, NULL-FK "
+    "count and orphan count (non-null FK with no dim match, via left-anti "
+    "join) — the pre-join trust check for every edge of the star schema. "
+    "Small dims broadcast their distinct-key sets; the fact-fact edge "
+    "(lineitem->orders) is a shuffled anti join AQE plans. NULL dim keys "
+    "are excluded on both engines so the anti join and NOT IN agree.",
+)
+def dq1_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    outs = []
+    for label, facts_name, fk, dim_name, dk, can_broadcast in _DQ1_RELS:
+        facts = (
+            load_events(spark, sf_dir)
+            if facts_name == "events"
+            else load_table(spark, sf_dir, facts_name)
+        )
+        dim = load_table(spark, sf_dir, dim_name)
+        f = facts.select(F.col(fk).alias("fk"))
+        dimk = dim.select(F.col(dk).alias("fk")).filter(F.col("fk").isNotNull()).distinct()
+        if can_broadcast:
+            dimk = F.broadcast(dimk)
+        counts = f.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("fk").isNull(), 1)).alias("n_null_fk"),
+        )
+        orph = (
+            f.filter(F.col("fk").isNotNull())
+            .join(dimk, "fk", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        outs.append(
+            counts.crossJoin(F.broadcast(orph)).select(
+                F.lit(label).alias("relation"),
+                "n_rows",
+                "n_null_fk",
+                "n_orphans",
+                F.round(F.col("n_orphans").cast("double") / F.col("n_rows"), 6).alias(
+                    "orphan_rate"
+                ),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("relation")
+
+
+# --- BF1: Bloom-filter join pruning ----------------------------------------------
+@register(
+    "bf1_bloom_semi_join",
+    oracle=bloom_semi_stats_sql(
+        "orders",
+        "o_custkey",
+        "(SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') dimsel",
+        "c_custkey",
+    ),
+    doc="BF1 Bloom-filter join pruning, made observable: an 8192-bit / 4-hash "
+    "filter of the selective dim side (BUILDING customers) prunes the fact "
+    "side (orders) before the exact semi join — the runtime-filter pattern "
+    "that turns a full fact shuffle into a broadcast of <=m bit positions "
+    "at 100 TB. Engine-portable md5 hashing makes the bit pattern, the "
+    "false-positive count and the fill ratio identical in the DuckDB "
+    "oracle; exact verification rides behind the filter so correctness "
+    "never depends on it (no false negatives by construction).",
+)
+def bf1_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return bloom_semi_stats(orders, "o_custkey", dim, "c_custkey")

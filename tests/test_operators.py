@@ -673,3 +673,74 @@ def test_count_min_overestimates_and_merges(spark, sf_dir):
     for r in list(h1) + list(h2):
         merged[(r.row, r.col)] = merged.get((r.row, r.col), 0) + r.cnt
     assert merged == whole
+
+
+def test_bloom_filter_no_false_negatives_and_pruning(spark):
+    """bf1: every true match survives the filter (no false negatives, by
+    construction), a disjoint key is pruned, and a tiny m forces observable
+    false positives that exact verification then removes."""
+    from pdf_etl_pipeline_spark.operators.bloom import (
+        bloom_bits,
+        bloom_candidates,
+        bloom_semi_stats,
+    )
+
+    dim = spark.createDataFrame([(k,) for k in (1, 2, 3)], "k long")
+    facts = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (100,), (101,), (102,), (None,)], "fk long"
+    )
+    stats = bloom_semi_stats(facts, "fk", dim, "k").collect()[0]
+    assert stats.n_fact_keys == 6  # null excluded
+    assert stats.n_true_match == 2
+    # no false negatives: candidates contain all true matches
+    assert stats.n_candidates >= stats.n_true_match
+    assert stats.false_positives == stats.n_candidates - stats.n_true_match
+    assert stats.rows_total == 7 and stats.rows_pass >= 3
+    # tiny filter (m=8, k=2): bits saturate, disjoint keys leak through as
+    # false positives — but NEVER as false negatives
+    bits = bloom_bits(dim, "k", m=8, k=2)
+    cand = {r.key for r in bloom_candidates(facts, "fk", bits, m=8, k=2).collect()}
+    assert {1, 2} <= cand
+
+
+def test_robust_outliers_flags_planted_point(spark, sf_dir):
+    """dp3: a planted far point is flagged by the MAD z-score while the
+    tight cluster is not; median/MAD are immune to the outlier itself."""
+    from pdf_etl_pipeline_spark.catalog.quality_q import dp3_robust_outliers
+
+    rows = dp3_robust_outliers(spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.mad > 0 and r.n > 0 and r.max_abs_z >= 0
+    # planted-frame check of the formula itself
+    from pyspark.sql import functions as F
+
+    li = spark.createDataFrame(
+        [("A", "F", float(x)) for x in (10, 11, 12, 13, 14, 1000)],
+        "l_returnflag string, l_linestatus string, l_extendedprice double",
+    )
+    import pdf_etl_pipeline_spark.catalog.quality_q as Q
+
+    orig = Q.load_table
+    Q.load_table = lambda s, d, t: li
+    try:
+        out = dp3_robust_outliers(spark, sf_dir).collect()[0]
+    finally:
+        Q.load_table = orig
+    # med = 12.5, dev = [2.5, 1.5, .5, .5, 1.5, 987.5] -> mad = 1.5
+    assert out.med == 12.5 and out.mad == 1.5
+    assert out.n_outliers == 1  # only the 1000 point: |0.6745*987.5/1.5| >> 3.5
+    assert abs(out.max_abs_z - round(0.6745 * 987.5 / 1.5, 6)) < 1e-9
+
+
+def test_ref_integrity_counts_planted_orphans(spark):
+    """dq1 shape on planted data: NULL FKs are counted separately, orphans
+    are non-null FKs without a dim match, and NULL dim keys match nothing."""
+    from pyspark.sql import functions as F
+
+    facts = spark.createDataFrame([(1,), (2,), (7,), (None,), (None,)], "fk long")
+    dim = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    dimk = dim.select(F.col("k").alias("fk")).filter(F.col("fk").isNotNull()).distinct()
+    n_null = facts.filter(F.col("fk").isNull()).count()
+    orph = facts.filter(F.col("fk").isNotNull()).join(dimk, "fk", "left_anti").count()
+    assert n_null == 2 and orph == 1  # only 7 is an orphan; NULLs are not

@@ -488,6 +488,36 @@ CHECKS = {
             else ["rewrite scan not pruned to the key column"]
         ),
     },
+    "dp3_robust_outliers": {
+        # per-group median/MAD stats must broadcast back to the fact scan
+        # (6-row frames), never shuffle lineitem for the join; scan pruned
+        # to the three referenced columns
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+        "check": lambda plan: (
+            []
+            if "ReadSchema: struct<l_extendedprice:" in plan
+            else ["lineitem scan not pruned to extendedprice+group columns"]
+        ),
+    },
+    "dq1_ref_integrity": {
+        # small-dim orphan checks are broadcast anti joins; the only
+        # nested-loop joins are the 1-row stats combiners
+        "must": ["LeftAnti, BuildRight", "BroadcastNestedLoopJoin BuildRight, Cross"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
+    "bf1_bloom_semi_join": {
+        # the bit-set (<=m rows) and candidate-key joins broadcast; no
+        # all-pairs anything — the whole point of the filter
+        "must": ["BroadcastHashJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
+    "tx10_bigram_logprob": {
+        # adjacent-pairing is an in-row array zip (Generate over the token
+        # array), |V| joins as a 1-row broadcast; no window over the corpus
+        "must": ["Generate", "BroadcastNestedLoopJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "Window"],
+    },
 }
 
 
