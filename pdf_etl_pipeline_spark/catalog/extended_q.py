@@ -1020,3 +1020,194 @@ def cm1_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", F.coalesce("c", F.lit(0)).alias("true_cnt"))
     )
     return est.join(truth, "tok").select("tok", "est", "true_cnt").orderBy("tok")
+
+
+# --- ML4: chi-square independence test ------------------------------------------
+@register(
+    "ml4_chi2",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type AS a, CAST(hour(ts) // 6 AS INT) AS b FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+obs AS (SELECT a, b, COUNT(*) AS n FROM base GROUP BY 1, 2),
+ra AS (SELECT a, SUM(n) AS na FROM obs GROUP BY 1),
+rb AS (SELECT b, SUM(n) AS nb FROM obs GROUP BY 1),
+tot AS (SELECT SUM(n) AS nn, COUNT(*) FILTER (WHERE TRUE) AS _ FROM obs),
+cells AS (
+  SELECT ra.a, rb.b, COALESCE(obs.n, 0) AS n,
+         CAST(na * nb AS DOUBLE) / nn AS e
+  FROM ra CROSS JOIN rb CROSS JOIN tot
+  LEFT JOIN obs ON obs.a = ra.a AND obs.b = rb.b
+),
+contrib AS (SELECT round((n - e) * (n - e) / e, 6) AS c FROM cells),
+stats AS (
+  SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM obs) AS n_rows,
+         (SELECT COUNT(*) FROM ra) AS levels_a,
+         (SELECT COUNT(*) FROM rb) AS levels_b,
+         (SELECT {dec_sum_sql('c')} FROM contrib) AS chi2
+)
+SELECT n_rows, levels_a, levels_b,
+       CAST((levels_a - 1) * (levels_b - 1) AS BIGINT) AS dof,
+       round(chi2, 6) AS chi2,
+       round(sqrt(chi2 / (n_rows * least(levels_a - 1, levels_b - 1))), 6) AS cramers_v
+FROM stats""",
+    doc="ML4 chi-square test of independence (event_type x six-hour daypart) "
+    "computed entirely in-plan: one keyed count over the corpus, margins and "
+    "expected counts derived from the tiny contingency table (never a second "
+    "corpus pass), zero-observed cells restored by the levels cross join so "
+    "the statistic matches the textbook definition; per-cell contributions "
+    "rounded then decimal-summed for engine-identical chi2 and Cramer's V",
+)
+def ml4_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    base = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.col("event_type").alias("a"),
+            (F.hour("ts") / 6).cast("int").alias("b"),
+        )
+    )
+    obs = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    ra = obs.groupBy("a").agg(F.sum("n").alias("na"))
+    rb = obs.groupBy("b").agg(F.sum("n").alias("nb"))
+    tot = obs.agg(F.sum("n").alias("nn"))
+    cells = (
+        ra.crossJoin(F.broadcast(rb))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(obs), ["a", "b"], "left")
+        .select(
+            F.coalesce("n", F.lit(0)).alias("n"),
+            ((F.col("na") * F.col("nb")).cast("double") / F.col("nn")).alias("e"),
+        )
+    )
+    contrib = cells.select(
+        F.round((F.col("n") - F.col("e")) * (F.col("n") - F.col("e")) / F.col("e"), 6).alias("c")
+    )
+    n_rows = obs.agg(F.sum("n").cast("long").alias("n_rows"))
+    la = ra.agg(F.count(F.lit(1)).alias("levels_a"))
+    lb = rb.agg(F.count(F.lit(1)).alias("levels_b"))
+    chi2 = contrib.agg(dec_sum("c").alias("chi2"))
+    return (
+        n_rows.crossJoin(F.broadcast(la))
+        .crossJoin(F.broadcast(lb))
+        .crossJoin(F.broadcast(chi2))
+        .select(
+            "n_rows",
+            "levels_a",
+            "levels_b",
+            ((F.col("levels_a") - 1) * (F.col("levels_b") - 1)).cast("long").alias("dof"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n_rows") * F.least(F.col("levels_a") - 1, F.col("levels_b") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# --- AB1: deterministic A/B assignment + two-proportion z-test -------------------
+from pdf_etl_pipeline_spark.functions.scalars import portable_hash32, portable_hash32_sql  # noqa: E402
+
+
+@register(
+    "ab1_two_proportion_z",
+    oracle=f"""
+WITH assign AS (
+  SELECT DISTINCT user_id,
+         {portable_hash32_sql("'ab1_' || CAST(user_id AS VARCHAR)")} % 2 AS variant
+  FROM events WHERE user_id IS NOT NULL
+),
+conv AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value >= 150
+),
+per AS (
+  SELECT variant, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN user_id IN (SELECT user_id FROM conv) THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM assign GROUP BY 1
+),
+wide AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+         MAX(CASE WHEN variant = 0 THEN x END) AS x_a,
+         MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+         MAX(CASE WHEN variant = 1 THEN x END) AS x_b
+  FROM per
+)
+SELECT n_a, x_a, round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+       n_b, x_b, round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+       CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL ELSE
+       round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+             / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_stat
+FROM wide""",
+    doc="AB1 experimentation readout: deterministic variant assignment by "
+    "engine-portable hash of user_id (the sp1 split move — reproducible, "
+    "no stored assignment table), per-variant conversion (>=1 high-value "
+    "purchase, value >= 150), pooled two-proportion z-statistic in closed "
+    "form (NULL when degenerate: 0%% or 100%% pooled rate). Everything "
+    "derives from two keyed distincts + one tiny pivot; identical double "
+    "arithmetic on exact counts in both engines",
+)
+def ab1_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    assign = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (portable_hash32(F.concat(F.lit("ab1_"), F.col("user_id").cast("string"))) % 2).alias(
+                "variant"
+            ),
+        )
+    )
+    conv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 150))
+        .select("user_id")
+        .distinct()
+    )
+    flagged = assign.join(
+        F.broadcast(conv.withColumn("_c", F.lit(1))), "user_id", "left"
+    ).select("variant", F.coalesce("_c", F.lit(0)).alias("converted"))
+    per = flagged.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("long").alias("x")
+    )
+    wide = per.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x_b"),
+    )
+    p_a = F.col("x_a").cast("double") / F.col("n_a")
+    p_b = F.col("x_b").cast("double") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    return wide.select(
+        "n_a",
+        "x_a",
+        F.round(p_a, 6).alias("rate_a"),
+        "n_b",
+        "x_b",
+        F.round(p_b, 6).alias("rate_b"),
+        F.when(
+            (F.col("x_a") + F.col("x_b") == 0)
+            | (F.col("x_a") + F.col("x_b") == F.col("n_a") + F.col("n_b")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (p_a - p_b)
+                / F.sqrt(
+                    pool * (1 - pool) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+                ),
+                6,
+            )
+        )
+        .alias("z_stat"),
+    )

@@ -744,3 +744,66 @@ def test_ref_integrity_counts_planted_orphans(spark):
     n_null = facts.filter(F.col("fk").isNull()).count()
     orph = facts.filter(F.col("fk").isNotNull()).join(dimk, "fk", "left_anti").count()
     assert n_null == 2 and orph == 1  # only 7 is an orphan; NULLs are not
+
+
+def test_chi2_hand_computed_2x2(spark, sf_dir):
+    """ml4: on a planted 2x2 table the statistic must equal the textbook
+    chi-square, including the zero-observed cell's contribution."""
+    from pyspark.sql import Row, functions as F
+    import pdf_etl_pipeline_spark.catalog.extended_q as X
+
+    # a=u: 30 rows at hour 0 (b=0), 10 at hour 12 (b=2)
+    # a=v: 10 rows at hour 0,        30 at hour 12
+    rows = (
+        [Row(event_type="u", h=0)] * 30
+        + [Row(event_type="u", h=12)] * 10
+        + [Row(event_type="v", h=0)] * 10
+        + [Row(event_type="v", h=12)] * 30
+    )
+    ev = spark.createDataFrame(rows).select(
+        "event_type", F.expr("make_timestamp(2024, 1, 1, h, 0, 0)").alias("ts")
+    )
+    orig = X.load_events
+    X.load_events = lambda s, d: ev
+    try:
+        out = X.ml4_chi2(spark, sf_dir).collect()[0]
+    finally:
+        X.load_events = orig
+    # margins 40/40 and 40/40, N=80 -> every expected cell = 20;
+    # chi2 = 4 * (10^2/20) = 20; V = sqrt(20/80) = 0.5
+    assert out.n_rows == 80 and out.dof == 1
+    assert abs(out.chi2 - 20.0) < 1e-9
+    assert abs(out.cramers_v - 0.5) < 1e-9
+
+
+def test_ab1_assignment_deterministic_and_balanced(spark, sf_dir):
+    """ab1: variant assignment is a pure function of user_id (stable across
+    runs/partitionings) and the z-stat is 0 when both variants convert
+    identically."""
+    from pyspark.sql import functions as F
+    import pdf_etl_pipeline_spark.catalog.extended_q as X
+
+    out1 = X.ab1_two_proportion_z(spark, sf_dir).collect()[0]
+    out2 = X.ab1_two_proportion_z(spark, sf_dir).collect()[0]
+    assert out1 == out2  # deterministic end to end
+    from pdf_etl_pipeline_spark.session import load_events
+
+    n_users = load_events(spark, sf_dir).select("user_id").distinct().count()
+    assert out1.n_a + out1.n_b == n_users and out1.x_a <= out1.n_a
+    assert out1.n_a > 0 and out1.n_b > 0
+    # planted: 4 users, hash-assigned, each variant converts its one user
+    # with value>=150 -> equal rates -> z == 0
+    ev = spark.createDataFrame(
+        [(u, "purchase", 200.0) for u in (1, 2, 3, 4)]
+        + [(u, "purchase", 10.0) for u in (1, 2, 3, 4)],
+        "user_id long, event_type string, value double",
+    )
+    orig = X.load_events
+    X.load_events = lambda s, d: ev
+    try:
+        out = X.ab1_two_proportion_z(spark, sf_dir).collect()[0]
+    finally:
+        X.load_events = orig
+    # all 4 users convert -> degenerate 100% pooled rate -> NULL z by contract
+    assert out.x_a == out.n_a and out.x_b == out.n_b
+    assert out.z_stat is None

@@ -512,6 +512,19 @@ CHECKS = {
         "must": ["BroadcastHashJoin"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "ml4_chi2": {
+        # one keyed count over the corpus; margins/expected derive from the
+        # tiny contingency relation (broadcast), never a second corpus agg
+        # keyed on the cross of levels
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    },
+    "ab1_two_proportion_z": {
+        # conversion set joins the assignment as a broadcast; variant
+        # assignment is a pure hash projection (no stored table)
+        "must": ["BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    },
     "tx10_bigram_logprob": {
         # adjacent-pairing is an in-row array zip (Generate over the token
         # array), |V| joins as a 1-row broadcast; no window over the corpus
