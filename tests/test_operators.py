@@ -807,3 +807,23 @@ def test_ab1_assignment_deterministic_and_balanced(spark, sf_dir):
     # all 4 users convert -> degenerate 100% pooled rate -> NULL z by contract
     assert out.x_a == out.n_a and out.x_b == out.n_b
     assert out.z_stat is None
+
+
+def test_bloom_bits_mergeable_incremental_build(spark, sf_dir):
+    """bf1 streamability: the bit-position relation is mergeable by plain
+    union+distinct, so an incremental (micro-batched) build over dim
+    halves equals the batch build over the whole dim — the property that
+    lets the filter maintain itself under streaming dim updates."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.operators.bloom import bloom_bits
+    from pdf_etl_pipeline_spark.session import load_table
+
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F2.col("c_mktsegment") == "BUILDING"
+    )
+    whole = {r.bit for r in bloom_bits(dim, "c_custkey").collect()}
+    h1 = bloom_bits(dim.filter(F2.col("c_custkey") % 2 == 0), "c_custkey")
+    h2 = bloom_bits(dim.filter(F2.col("c_custkey") % 2 == 1), "c_custkey")
+    merged = {r.bit for r in h1.unionAll(h2).distinct().collect()}
+    assert merged == whole and len(whole) > 0
