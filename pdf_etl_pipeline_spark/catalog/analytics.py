@@ -237,3 +237,61 @@ def a9_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_partkey").alias("n_parts"))
         .orderBy("l_returnflag")
     )
+
+
+# --- A10: TPC-H Q5-shape star join -----------------------------------------
+@register(
+    "a10_star_join_revenue",
+    oracle=f"""
+SELECT n_name,
+       {dec_sum_sql('l_extendedprice * (1 - l_discount)', 2)} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name""",
+    doc="A10 local-supplier revenue per nation (TPC-H Q5 shape): the 6-table "
+    "star join — lineitem->orders->customer on the fact spine, "
+    "lineitem->supplier, the c_nationkey = s_nationkey locality filter, and "
+    "the fixed-size region->nation pre-join broadcast to prune nations "
+    "before any big join. Declared as plain joins + filters so Catalyst "
+    "reorders and AQE picks broadcast vs shuffle per side at the actual "
+    "scale (customer/supplier broadcast at test SF, shuffle on keys at "
+    "100 TB — same declarative plan); decimal-exact revenue sum",
+)
+def a10_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    # fixed-size dims (5 regions x 25 nations): pre-join and broadcast so
+    # the nation filter prunes before any data-scale join
+    nations = F.broadcast(
+        load_table(spark, sf_dir, "nation").join(
+            load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )

@@ -512,6 +512,22 @@ CHECKS = {
         "must": ["BroadcastHashJoin"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "a10_star_join_revenue": {
+        # Q5 shape: date range pushed to the orders scan; the
+        # c_nationkey = s_nationkey locality filter must merge INTO the
+        # supplier join keys (not run as a post-join filter) — asserted by
+        # a single join line carrying both l_suppkey and c_nationkey
+        "must": ["PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: (
+            []
+            if any(
+                "Join" in l and "l_suppkey" in l and "c_nationkey" in l
+                for l in plan.splitlines()
+            )
+            else ["locality filter not merged into the supplier join keys"]
+        ),
+    },
     "ml4_chi2": {
         # one keyed count over the corpus; margins/expected derive from the
         # tiny contingency relation (broadcast), never a second corpus agg
