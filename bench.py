@@ -51,6 +51,8 @@ EXTENDED_QUERIES = [
     "ir1_bm25_topk",
     "ml2_naive_bayes",
     "tx8_tfidf_topk",
+    "a10_star_join_revenue",
+    "dp3_robust_outliers",
 ]
 
 

@@ -38,7 +38,7 @@ mad AS (
 ),
 z AS (
   SELECT dev.l_returnflag, dev.l_linestatus, dev.med, mad,
-         round(0.6745 * (x - med) / mad, 6) AS z
+         CASE WHEN mad > 0 THEN round(0.6745 * (x - med) / mad, 6) END AS z
   FROM dev JOIN mad USING (l_returnflag, l_linestatus)
 )
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -66,8 +66,14 @@ def dp3_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = v.groupBy(*g).agg(F.round(F.expr("percentile(x, 0.5)"), 6).alias("med"))
     dev = v.join(F.broadcast(med), g).withColumn("dev", F.abs(F.col("x") - F.col("med")))
     mad = dev.groupBy(*g).agg(F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad"))
+    # mad = 0 (a constant-valued group, e.g. a single-row group): z is
+    # undefined — NULL z, zero outliers, NULL max_abs_z, no ANSI error
     z = dev.join(F.broadcast(mad), g).withColumn(
-        "z", F.round(F.lit(0.6745) * (F.col("x") - F.col("med")) / F.col("mad"), 6)
+        "z",
+        F.when(
+            F.col("mad") > 0,
+            F.round(F.lit(0.6745) * (F.col("x") - F.col("med")) / F.col("mad"), 6),
+        ),
     )
     return (
         z.groupBy(*g)

@@ -716,7 +716,8 @@ def test_robust_outliers_flags_planted_point(spark, sf_dir):
     from pyspark.sql import functions as F
 
     li = spark.createDataFrame(
-        [("A", "F", float(x)) for x in (10, 11, 12, 13, 14, 1000)],
+        [("A", "F", float(x)) for x in (10, 11, 12, 13, 14, 1000)]
+        + [("Z", "Z", 5.0)] * 3,  # constant group: mad 0 -> NULL z by contract
         "l_returnflag string, l_linestatus string, l_extendedprice double",
     )
     import pdf_etl_pipeline_spark.catalog.quality_q as Q
@@ -724,13 +725,16 @@ def test_robust_outliers_flags_planted_point(spark, sf_dir):
     orig = Q.load_table
     Q.load_table = lambda s, d, t: li
     try:
-        out = dp3_robust_outliers(spark, sf_dir).collect()[0]
+        outs = dp3_robust_outliers(spark, sf_dir).collect()
     finally:
         Q.load_table = orig
+    out, const = outs[0], outs[1]
     # med = 12.5, dev = [2.5, 1.5, .5, .5, 1.5, 987.5] -> mad = 1.5
     assert out.med == 12.5 and out.mad == 1.5
     assert out.n_outliers == 1  # only the 1000 point: |0.6745*987.5/1.5| >> 3.5
     assert abs(out.max_abs_z - round(0.6745 * 987.5 / 1.5, 6)) < 1e-9
+    # constant group: mad 0 -> z undefined -> 0 outliers, NULL max_abs_z
+    assert const.mad == 0.0 and const.n_outliers == 0 and const.max_abs_z is None
 
 
 def test_ref_integrity_counts_planted_orphans(spark):
