@@ -1211,3 +1211,33 @@ def ab1_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("z_stat"),
     )
+
+
+# --- RS5: rolling z-score anomaly detection -------------------------------------
+from pdf_etl_pipeline_spark.operators.rolling_anomaly import (  # noqa: E402
+    rolling_anomalies,
+    rolling_anomalies_sql,
+)
+
+
+@register(
+    "rs5_rolling_anomaly",
+    oracle=rolling_anomalies_sql(
+        "(SELECT * FROM events WHERE value IS NOT NULL) ev",
+        "event_type",
+        ["ts", "event_id"],
+        "value",
+    ),
+    doc="RS5 rolling z-score anomaly detection: each observation scored "
+    "against the trailing 32 points of its own series (strictly-prior "
+    "frame — leakage-free), |z| > 3 flagged. ONE keyed frame-bounded "
+    "window (the rs4 cost shape — a single keyed shuffle at any history "
+    "length); rolling moments from decimal-exact frame sums so evaluation "
+    "order cannot flicker the result; variance gated on n>=2 and clamped "
+    "at 0 before sqrt (NaN orders differently across engines — the trap); "
+    "zero-variance windows yield NULL z like dp3's zero-MAD contract",
+)
+def rs5_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return rolling_anomalies(ev, "event_type", ["ts", "event_id"], "value")

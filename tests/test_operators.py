@@ -831,3 +831,25 @@ def test_bloom_bits_mergeable_incremental_build(spark, sf_dir):
     h2 = bloom_bits(dim.filter(F2.col("c_custkey") % 2 == 1), "c_custkey")
     merged = {r.bit for r in h1.unionAll(h2).distinct().collect()}
     assert merged == whole and len(whole) > 0
+
+
+def test_rolling_anomaly_hand_computed(spark):
+    """rs5: a spike after a stable warmup is flagged with the hand-computed
+    z; warmup rows (n < MIN_N) and stable rows are not flagged; the frame
+    is strictly prior (the spike does not pollute its own score)."""
+    import math
+
+    from pdf_etl_pipeline_spark.operators.rolling_anomaly import rolling_anomalies
+
+    # series g: 10 alternating 10/12 values, then a 100 spike
+    vals = [10.0, 12.0] * 5 + [100.0]
+    rows = [("g", i, v) for i, v in enumerate(vals)] + [("h", 0, 999.0)]
+    df = spark.createDataFrame(rows, "k string, i long, value double")
+    out = rolling_anomalies(df, "k", ["i"], "value", w_rows=32, min_n=8).collect()
+    assert len(out) == 1 and out[0].k == "g" and out[0].i == 10
+    # trailing window = the 10 warmup points: mean 11, sample std of
+    # five 10s and five 12s = sqrt(10/9)
+    std = math.sqrt(10 / 9)
+    assert abs(out[0].z - round((100 - 11) / std, 6)) < 1.1e-6
+    assert abs(out[0].mean_w - 11.0) < 1e-9
+    # series h has a single row: empty prior frame, never scored

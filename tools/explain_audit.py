@@ -528,6 +528,17 @@ CHECKS = {
             else ["locality filter not merged into the supplier join keys"]
         ),
     },
+    "rs5_rolling_anomaly": {
+        # one keyed frame-bounded window over the scan — no joins, no
+        # global sort of the corpus beyond the output ordering
+        "must": ["Window", "PushedFilters: [IsNotNull(value)"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "Join"],
+        "check": lambda plan: (
+            []
+            if "Exchange hashpartitioning(event_type" in plan
+            else ["rolling window not keyed by event_type (would globalize the sort)"]
+        ),
+    },
     "ml4_chi2": {
         # one keyed count over the corpus; margins/expected derive from the
         # tiny contingency relation (broadcast), never a second corpus agg
