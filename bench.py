@@ -53,6 +53,7 @@ EXTENDED_QUERIES = [
     "tx8_tfidf_topk",
     "a10_star_join_revenue",
     "dp3_robust_outliers",
+    "rs5_rolling_anomaly",
 ]
 
 
