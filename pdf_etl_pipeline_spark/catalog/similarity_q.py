@@ -528,3 +528,87 @@ def dd9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.9,
         cents=shared_centroids(spark, sf_dir),
     )
+
+
+# --- ML5: clustering quality — simplified silhouette ---------------------------
+@register(
+    "ml5_silhouette",
+    oracle=f"""
+WITH {_kmeans_ctes(SS.N_CELLS, SS.KMEANS_ITERS)},
+scored AS (
+  SELECT e.vec_id, c.cell_id, {_COS_C} AS cos_c
+  FROM embeddings e CROSS JOIN {_FINAL_C} c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell_id) AS rn
+  FROM scored
+),
+per AS (
+  SELECT r1.vec_id, r1.cell_id, r1.cos_c AS cos1, r2.cos_c AS cos2
+  FROM (SELECT * FROM ranked WHERE rn = 1) r1
+  JOIN (SELECT * FROM ranked WHERE rn = 2) r2 USING (vec_id)
+),
+sil AS (
+  SELECT vec_id, cell_id,
+         CASE WHEN greatest(1 - cos1, 1 - cos2) > 0
+              THEN round((cos1 - cos2) / greatest(1 - cos1, 1 - cos2), 6)
+         END AS s
+  FROM per
+)
+SELECT cell_id, COUNT(*) AS n_vecs,
+       round({{0}} / COUNT(s), 6) AS mean_sil
+FROM sil GROUP BY cell_id ORDER BY cell_id""".format(
+        __import__(
+            "pdf_etl_pipeline_spark.functions.scalars", fromlist=["dec_sum_sql"]
+        ).dec_sum_sql("s")
+    ),
+    doc="ML5 clustering-quality metric for the learned IVF index: simplified "
+    "silhouette per cell (centroid-distance form, Hruschka et al. — "
+    "cohesion a = cosine distance to own centroid, separation b = distance "
+    "to the nearest other centroid, s = (b-a)/max(a,b) which reduces to "
+    "(cos1-cos2)/(1-cos2)). O(n*k) centroid scoring — one broadcast of 16 "
+    "centroids, one keyed aggregate — NEVER the O(n^2) pairwise silhouette; "
+    "same index relation ss3/ss4/dd9 share, so the metric prices the index "
+    "those queries actually use. NULL s when a vector ties both centroids "
+    "exactly (degenerate denominator)",
+)
+def ml5_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.functions.scalars import dec_sum
+    from pdf_etl_pipeline_spark.llmdata.dedup import cosine
+
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = shared_centroids(spark, sf_dir)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell_id",
+        cosine(F.col("embedding"), F.col("centroid")).alias("cos_c"),
+    )
+    per = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cell_id", F.struct(F.col("cos_c"), (-F.col("cell_id")).alias("neg"))
+        ).alias("cell_id"),
+        F.max("cos_c").alias("cos1"),
+        F.sort_array(F.collect_list("cos_c"), asc=False).getItem(1).alias("cos2"),
+    )
+    sil = per.select(
+        "cell_id",
+        F.when(
+            F.greatest(1 - F.col("cos1"), 1 - F.col("cos2")) > 0,
+            F.round(
+                (F.col("cos1") - F.col("cos2"))
+                / F.greatest(1 - F.col("cos1"), 1 - F.col("cos2")),
+                6,
+            ),
+        ).alias("s"),
+    )
+    return (
+        sil.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(dec_sum("s") / F.count("s"), 6).alias("mean_sil"),
+        )
+        .orderBy("cell_id")
+    )

@@ -853,3 +853,32 @@ def test_rolling_anomaly_hand_computed(spark):
     assert abs(out[0].z - round((100 - 11) / std, 6)) < 1.1e-6
     assert abs(out[0].mean_w - 11.0) < 1e-9
     # series h has a single row: empty prior frame, never scored
+
+
+def test_silhouette_formula_on_planted_cells(spark, sf_dir):
+    """ml5: vectors sitting exactly on their centroid score s=1, an
+    equidistant vector scores s=0, and per-cell means follow."""
+    import pdf_etl_pipeline_spark.catalog.similarity_q as SQ
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.7071067811865476, 0.7071067811865476]),  # equidistant
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell_id long, centroid array<double>"
+    )
+    orig_lt, orig_sc = SQ.load_table, SQ.shared_centroids
+    SQ.load_table = lambda s, d, t: emb
+    SQ.shared_centroids = lambda s, d: cents
+    try:
+        out = {r.cell_id: r for r in SQ.ml5_silhouette(spark, sf_dir).collect()}
+    finally:
+        SQ.load_table, SQ.shared_centroids = orig_lt, orig_sc
+    # cell 0 holds vecs 0,1 (s=1 each) + the tie-broken 45-degree vec (s=0)
+    assert out[0].n_vecs == 3 and abs(out[0].mean_sil - round(2 / 3, 6)) < 1.1e-6
+    assert out[1].n_vecs == 1 and out[1].mean_sil == 1.0

@@ -528,6 +528,13 @@ CHECKS = {
             else ["locality filter not merged into the supplier join keys"]
         ),
     },
+    "ml5_silhouette": {
+        # O(n*k): the 16-row centroid relation broadcasts into a nested-loop
+        # scoring join, argmax/top-2 fold as one keyed aggregate — never the
+        # O(n^2) pairwise silhouette
+        "must": ["BroadcastNestedLoopJoin", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "SortMergeJoin", "CartesianProduct"],
+    },
     "rs5_rolling_anomaly": {
         # one keyed frame-bounded window over the scan — no joins, no
         # global sort of the corpus beyond the output ordering
