@@ -612,3 +612,92 @@ def ml5_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id")
     )
+
+
+# --- SS10: ANN recall evaluation -----------------------------------------------
+def _ss10_oracle() -> str:
+    """Compose the already-registered exact/LSH/IVF oracles (DuckDB allows
+    CTE-bearing subqueries) so the recall grid is measured against the
+    IDENTICAL relations the gate checks."""
+    from pdf_etl_pipeline_spark.catalog import REGISTRY
+
+    ss1 = REGISTRY["ss1_cosine_topk"].oracle
+    ss2 = REGISTRY["ss2_hyperplane_lsh_topk"].oracle
+    ss3 = REGISTRY["ss3_ivf_topk"].oracle
+    ss4 = REGISTRY["ss4_ivf_multiprobe"].oracle
+    return f"""
+WITH exact AS (SELECT query_id, cand_id FROM ({ss1})),
+apx AS (
+  SELECT 'hyperplane_lsh' AS method, query_id, cand_id FROM ({ss2})
+  UNION ALL
+  SELECT 'ivf_nprobe1' AS method, query_id, cand_id FROM ({ss3})
+  UNION ALL
+  SELECT 'ivf_nprobe2' AS method, query_id, cand_id FROM ({ss4})
+),
+q AS (SELECT DISTINCT query_id FROM exact),
+hits AS (
+  SELECT method, query_id, COUNT(*) AS n_hit
+  FROM apx JOIN exact USING (query_id, cand_id) GROUP BY 1, 2
+),
+grid AS (
+  SELECT method, query_id
+  FROM (VALUES ('hyperplane_lsh'), ('ivf_nprobe1'), ('ivf_nprobe2')) mm(method) CROSS JOIN q
+)
+SELECT method, query_id,
+       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       round(COALESCE(n_hit, 0) / 5.0, 6) AS recall_at_5
+FROM grid LEFT JOIN hits USING (method, query_id)
+ORDER BY method, query_id"""
+
+
+@register(
+    "ss10_ann_recall",
+    oracle=_ss10_oracle(),
+    doc="SS10 ANN recall@5 evaluation IN-PLAN: each approximate method's "
+    "top-5 (hyperplane-LSH ss2, IVF nprobe=1 ss3) joined against the exact "
+    "ss1 ground truth per query — the accept/reject metric every ANN "
+    "deployment runs before trusting an index, as a hash-checked query "
+    "instead of an offline notebook. The expensive inputs are the very "
+    "relations the other gates already compute (shared k-means centroids "
+    "memoized); the evaluation itself is two tiny key joins",
+)
+def ss10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = SS.cosine_topk(emb, _QUERY_IDS, k=5).select("query_id", "cand_id")
+    apx = (
+        SS.hyperplane_lsh_topk(emb, _QUERY_IDS, k=5)
+        .select(F.lit("hyperplane_lsh").alias("method"), "query_id", "cand_id")
+        .unionByName(
+            SS.ivf_topk(emb, _QUERY_IDS, k=5, centroids=shared_centroids(spark, sf_dir))
+            .select(F.lit("ivf_nprobe1").alias("method"), "query_id", "cand_id")
+        )
+        .unionByName(
+            SS.ivf_topk(
+                emb, _QUERY_IDS, k=5, nprobe=_NPROBE,
+                centroids=shared_centroids(spark, sf_dir),
+            ).select(F.lit("ivf_nprobe2").alias("method"), "query_id", "cand_id")
+        )
+    )
+    q = exact.select("query_id").distinct()
+    methods = q.sparkSession.createDataFrame(
+        [("hyperplane_lsh",), ("ivf_nprobe1",), ("ivf_nprobe2",)], "method string"
+    )
+    hits = (
+        apx.join(exact, ["query_id", "cand_id"])
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    grid = methods.crossJoin(F.broadcast(q))
+    return (
+        grid.join(hits, ["method", "query_id"], "left")
+        .select(
+            "method",
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+        )
+        .orderBy("method", "query_id")
+    )

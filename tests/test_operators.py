@@ -882,3 +882,21 @@ def test_silhouette_formula_on_planted_cells(spark, sf_dir):
     # cell 0 holds vecs 0,1 (s=1 each) + the tie-broken 45-degree vec (s=0)
     assert out[0].n_vecs == 3 and abs(out[0].mean_sil - round(2 / 3, 6)) < 1.1e-6
     assert out[1].n_vecs == 1 and out[1].mean_sil == 1.0
+
+
+def test_ann_recall_monotone_in_nprobe(spark, sf_dir):
+    """ss10: recall@5 lies in [0,1], every method/query cell is present,
+    and IVF recall is monotone in nprobe — probing a superset of cells can
+    only add candidates, and a candidate outscoring a true top-5 hit would
+    itself be a global top-5 member, so hits never decrease."""
+    from pdf_etl_pipeline_spark.catalog.similarity_q import ss10_ann_recall
+
+    rows = ss10_ann_recall(spark, sf_dir).collect()
+    assert len(rows) == 15  # 3 methods x 5 queries
+    by = {(r.method, r.query_id): r for r in rows}
+    for r in rows:
+        assert 0.0 <= r.recall_at_5 <= 1.0 and r.n_hit == round(r.recall_at_5 * 5)
+    for q in range(5):
+        assert (
+            by[("ivf_nprobe2", q)].recall_at_5 >= by[("ivf_nprobe1", q)].recall_at_5
+        )

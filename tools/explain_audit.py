@@ -528,6 +528,13 @@ CHECKS = {
             else ["locality filter not merged into the supplier join keys"]
         ),
     },
+    "ss10_ann_recall": {
+        # evaluation layer is two tiny key joins over the audited ANN
+        # relations; no Python eval, no all-pairs beyond ss1's intended
+        # broadcast-query-side scoring
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
     "ml5_silhouette": {
         # O(n*k): the 16-row centroid relation broadcasts into a nested-loop
         # scoring join, argmax/top-2 fold as one keyed aggregate — never the
