@@ -298,3 +298,186 @@ ORDER BY source, rank"""
 def cc6_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return token_budget_mix(load_table(spark, sf_dir, "documents"))
+
+
+# --- CC7: curation funnel report ----------------------------------------------
+_CC7_STAGES = [
+    "raw",
+    "cluster_dedup",
+    "lang",
+    "quality",
+    "repetition",
+    "decontaminated",
+]
+
+
+def _cc7_oracle() -> str:
+    """Per-doc stage flags from the SAME fragments cc2/cc4 check, folded
+    into cumulative stage sums and unpivoted to one row per stage."""
+    from pdf_etl_pipeline_spark.llmdata import corpus as CPm
+
+    sh = CPm._shingle_hashes_sql("text", CPm.DECON_N)
+    toks = DD.tokens_sql("text", distinct=False)
+    two = f"list_transform(range(1, greatest(len({toks}) - 1, 0) + 1), i -> '2:' || ({toks})[i] || ' ' || ({toks})[i + 1])"
+    three = f"list_transform(range(1, greatest(len({toks}) - 2, 0) + 1), i -> '3:' || ({toks})[i] || ' ' || ({toks})[i + 1] || ' ' || ({toks})[i + 2])"
+    stage_rows = []
+    for i, name in enumerate(_CC7_STAGES):
+        stage_rows.append(
+            f"SELECT {i} AS stage, '{name}' AS stage_name, s{i}d AS n_docs, s{i}t AS n_tokens,\n"
+            f"       round(CAST(s{i}d AS DOUBLE) / s0d, 6) AS doc_retention FROM wide"
+        )
+    unpivot = "\nUNION ALL\n".join(stage_rows)
+    return f"""
+WITH {_DD3_CTES},
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cands WHERE {_DD3_JACCARD} >= 0.9
+),
+e AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+{_label_rounds(DD.CLUSTER_ITERS)},
+keepers AS (
+  SELECT doc_id FROM l{DD.CLUSTER_ITERS} WHERE doc_id = cluster_id
+),
+feats AS (
+  SELECT doc_id,
+         len({_TOKS}) AS n_tokens,
+         round({_QUALITY}, 6) AS quality_score,
+         {TX.lang_id_sql('text')} AS lang_pred
+  FROM documents
+),
+sh AS (SELECT doc_id, unnest({sh}) AS h FROM documents),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % {CPm.BENCH_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (h) WHERE s.doc_id % {CPm.BENCH_MOD} <> 0
+),
+grams AS (
+  SELECT doc_id, unnest(list_concat({two}, {three})) AS gram FROM documents
+),
+gcounts AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           round(MAX(CASE WHEN gram LIKE '2:%' THEN cnt ELSE 0 END)
+                 / nullif(SUM(CASE WHEN gram LIKE '2:%' THEN cnt ELSE 0 END), 0), 6) AS tb,
+           round(SUM(CASE WHEN gram NOT LIKE '2:%' AND cnt >= 2 THEN cnt ELSE 0 END)
+                 / nullif(SUM(CASE WHEN gram NOT LIKE '2:%' THEN cnt ELSE 0 END), 0), 6) AS dt
+    FROM gcounts GROUP BY 1
+  ) WHERE tb > {MAX_TOP_BIGRAM_FRAC} OR dt > {MAX_DUP_TRIGRAM_FRAC}
+),
+flags AS (
+  SELECT f.doc_id, f.n_tokens,
+         (k.doc_id IS NOT NULL) AS f_dedup,
+         (f.lang_pred = 'en') AS f_lang,
+         (f.quality_score >= 0.5) AS f_quality,
+         (f.doc_id NOT IN (SELECT doc_id FROM rep)) AS f_rep,
+         (f.doc_id % {CPm.BENCH_MOD} <> 0
+          AND f.doc_id NOT IN (SELECT doc_id FROM contaminated)) AS f_decon
+  FROM feats f LEFT JOIN keepers k ON k.doc_id = f.doc_id
+),
+cum AS (
+  SELECT n_tokens,
+         TRUE AS s0,
+         f_dedup AS s1,
+         f_dedup AND f_lang AS s2,
+         f_dedup AND f_lang AND f_quality AS s3,
+         f_dedup AND f_lang AND f_quality AND f_rep AS s4,
+         f_dedup AND f_lang AND f_quality AND f_rep AND f_decon AS s5
+  FROM flags
+),
+wide AS (
+  SELECT {', '.join(
+    f"CAST(SUM(CASE WHEN s{i} THEN 1 ELSE 0 END) AS BIGINT) AS s{i}d, "
+    f"CAST(SUM(CASE WHEN s{i} THEN n_tokens ELSE 0 END) AS BIGINT) AS s{i}t"
+    for i in range(6)
+  )}
+  FROM cum
+)
+{unpivot}
+ORDER BY stage"""
+
+
+@register(
+    "cc7_curation_funnel",
+    oracle=_cc7_oracle(),
+    doc="CC7 curation-funnel observability report: doc and token counts "
+    "surviving each cumulative stage of the cc4 recipe (raw -> cluster "
+    "dedup -> lang -> quality -> repetition -> decontamination) plus "
+    "retention fractions — the run-report every production curation "
+    "pipeline emits so a filter silently eating the corpus is caught from "
+    "the numbers, not the training curves. ONE pass over a per-doc flag "
+    "relation (stage sums are conditional aggregates of the same row — no "
+    "per-stage rescans); the flag inputs are the identical oracle-checked "
+    "cc2/cc4 fragments",
+)
+def cc7_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+    from pdf_etl_pipeline_spark.llmdata.corpus import BENCH_MOD, decontaminate
+    from pdf_etl_pipeline_spark.llmdata.dedup import near_dup_clusters, tokens_col
+    from pdf_etl_pipeline_spark.llmdata.text import (
+        lang_id,
+        quality_score_col,
+        repetition_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = (
+        near_dup_clusters(docs, threshold=0.9, pairs=shared_pairs(spark, sf_dir, 0.9))
+        .filter(F.col("is_keeper"))
+        .select("doc_id", F.lit(1).alias("_k"))
+    )
+    rep = (
+        repetition_stats(docs)
+        .filter(
+            (F.col("top_bigram_frac") > MAX_TOP_BIGRAM_FRAC)
+            | (F.col("dup_trigram_frac") > MAX_DUP_TRIGRAM_FRAC)
+        )
+        .select("doc_id", F.lit(1).alias("_r"))
+    )
+    cont = decontaminate(docs).select("doc_id", F.lit(1).alias("_c"))
+    feats = docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        F.size(tokens_col("text", distinct=False)).cast("long").alias("n_tokens"),
+        quality_score_col("text").alias("quality_score"),
+    )
+    flags = (
+        feats.join(keepers, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "n_tokens",
+            F.col("_k").isNotNull().alias("f_dedup"),
+            (F.col("lang_pred") == "en").alias("f_lang"),
+            (F.col("quality_score") >= 0.5).alias("f_quality"),
+            F.col("_r").isNull().alias("f_rep"),
+            ((F.col("doc_id") % BENCH_MOD != 0) & F.col("_c").isNull()).alias("f_decon"),
+        )
+    )
+    stages = [
+        F.lit(True),
+        F.col("f_dedup"),
+        F.col("f_dedup") & F.col("f_lang"),
+        F.col("f_dedup") & F.col("f_lang") & F.col("f_quality"),
+        F.col("f_dedup") & F.col("f_lang") & F.col("f_quality") & F.col("f_rep"),
+        F.col("f_dedup") & F.col("f_lang") & F.col("f_quality") & F.col("f_rep") & F.col("f_decon"),
+    ]
+    aggs = []
+    for i, s in enumerate(stages):
+        aggs.append(F.sum(F.when(s, 1).otherwise(0)).cast("long").alias(f"s{i}d"))
+        aggs.append(
+            F.sum(F.when(s, F.col("n_tokens")).otherwise(0)).cast("long").alias(f"s{i}t")
+        )
+    wide = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}L, '{name}', s{i}d, s{i}t, round(CAST(s{i}d AS DOUBLE) / s0d, 6)"
+        for i, name in enumerate(_CC7_STAGES)
+    )
+    return wide.select(
+        F.expr(
+            f"stack(6, {stack_args}) AS (stage, stage_name, n_docs, n_tokens, doc_retention)"
+        )
+    ).orderBy("stage")

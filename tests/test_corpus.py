@@ -486,3 +486,25 @@ def test_nb_confusion_matrix_properties(spark, sf_dir):
     for lt, rs in by_true.items():
         assert abs(sum(r.row_frac for r in rs) - 1.0) < 1e-4
         assert all(r.n > 0 for r in rs)
+
+
+def test_curation_funnel_consistent_with_cc4(spark, sf_dir):
+    """cc7: stage counts are monotone non-increasing, raw matches the
+    corpus, and the last stage equals cc4's survivor set exactly (the
+    funnel reports the SAME recipe it narrates)."""
+    from pdf_etl_pipeline_spark.catalog.curation_q import (
+        cc4_full_curation,
+        cc7_curation_funnel,
+    )
+    from pdf_etl_pipeline_spark.session import load_table
+
+    rows = sorted(cc7_curation_funnel(spark, sf_dir).collect(), key=lambda r: r.stage)
+    assert [r.stage_name for r in rows] == [
+        "raw", "cluster_dedup", "lang", "quality", "repetition", "decontaminated",
+    ]
+    assert rows[0].n_docs == load_table(spark, sf_dir, "documents").count()
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs <= a.n_docs and b.n_tokens <= a.n_tokens
+    final = cc4_full_curation(spark, sf_dir)
+    assert rows[-1].n_docs == final.count()
+    assert rows[-1].doc_retention == round(rows[-1].n_docs / rows[0].n_docs, 6)

@@ -528,6 +528,13 @@ CHECKS = {
             else ["locality filter not merged into the supplier join keys"]
         ),
     },
+    "cc7_curation_funnel": {
+        # one pass over the per-doc flag relation: stage sums are
+        # conditional aggregates of the same rows, never per-stage rescans
+        # of the corpus; flag inputs join on doc_id
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
     "ss10_ann_recall": {
         # evaluation layer is two tiny key joins over the audited ANN
         # relations; no Python eval, no all-pairs beyond ss1's intended
