@@ -176,7 +176,7 @@ def dq1_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') dimsel",
         "c_custkey",
     ),
-    doc="BF1 Bloom-filter join pruning, made observable: an 8192-bit / 4-hash "
+    doc="BF1 Bloom-filter join pruning, made observable: a 32768-bit / 4-hash "
     "filter of the selective dim side (BUILDING customers) prunes the fact "
     "side (orders) before the exact semi join — the runtime-filter pattern "
     "that turns a full fact shuffle into a broadcast of <=m bit positions "
@@ -190,3 +190,94 @@ def bf1_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     dim = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     return bloom_semi_stats(orders, "o_custkey", dim, "c_custkey")
+
+
+# --- DQ2: declarative constraint audit -------------------------------------------
+_DQ2_ENUM = ("click", "error", "purchase", "signup", "view")
+
+
+def _dq2_oracle() -> str:
+    enum = ", ".join(f"'{v}'" for v in _DQ2_ENUM)
+    return f"""
+WITH o AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_pos,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uniq
+  FROM orders
+),
+l AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN NOT COALESCE(l_discount BETWEEN 0 AND 0.1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+         CAST(SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+         COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS v_pk
+  FROM lineitem
+),
+ev AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN NOT COALESCE(event_type IN ({enum}), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_enum,
+         CAST(SUM(CASE WHEN NOT COALESCE(value <= 250, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_cap
+  FROM events
+),
+rules AS (
+  SELECT 'events.event_type_enum' AS rule, n, v_enum AS n_violations FROM ev
+  UNION ALL SELECT 'events.value_cap_250', n, v_cap FROM ev
+  UNION ALL SELECT 'lineitem.l_discount_in_0_0.1', n, v_disc FROM l
+  UNION ALL SELECT 'lineitem.l_quantity_in_1_50', n, v_qty FROM l
+  UNION ALL SELECT 'lineitem.pk_orderkey_linenumber_unique', n, v_pk FROM l
+  UNION ALL SELECT 'orders.o_orderkey_unique', n, v_uniq FROM o
+  UNION ALL SELECT 'orders.o_totalprice_positive', n, v_pos FROM o
+)
+SELECT rule, CAST(n AS BIGINT) AS n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+       round(CAST(n_violations AS DOUBLE) / n, 6) AS violation_rate
+FROM rules ORDER BY rule"""
+
+
+@register(
+    "dq2_constraint_audit",
+    oracle=_dq2_oracle(),
+    doc="DQ2 declarative constraint audit (the expectations-suite staple): "
+    "range, enum-membership and key-uniqueness rules evaluated as "
+    "conditional aggregates — ONE scan per table covers all of its rules "
+    "(never a scan per rule), uniqueness as count-minus-distinct in the "
+    "same aggregate; NULLs fail closed (an unknown value violates a "
+    "domain rule). The composite-key rule genuinely fires on this corpus "
+    "(lineitem's (l_orderkey, l_linenumber) is not unique) — audits that "
+    "can never fail audit nothing",
+)
+def dq2_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+
+    def failed(cond):
+        return F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)).cast("long")
+
+    o = load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n"),
+        failed(F.col("o_totalprice") > 0).alias("v_pos"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("v_uniq"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n"),
+        failed(F.col("l_discount").between(0, 0.1)).alias("v_disc"),
+        failed(F.col("l_quantity").between(1, 50)).alias("v_qty"),
+        (F.count(F.lit(1)) - F.count_distinct("l_orderkey", "l_linenumber")).alias("v_pk"),
+    )
+    ev = load_events(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        failed(F.col("event_type").isin(*_DQ2_ENUM)).alias("v_enum"),
+        failed(F.col("value") <= 250).alias("v_cap"),
+    )
+    rules = (
+        ev.select(F.lit("events.event_type_enum").alias("rule"), "n", F.col("v_enum").alias("n_violations"))
+        .unionByName(ev.select(F.lit("events.value_cap_250").alias("rule"), "n", F.col("v_cap").alias("n_violations")))
+        .unionByName(li.select(F.lit("lineitem.l_discount_in_0_0.1").alias("rule"), "n", F.col("v_disc").alias("n_violations")))
+        .unionByName(li.select(F.lit("lineitem.l_quantity_in_1_50").alias("rule"), "n", F.col("v_qty").alias("n_violations")))
+        .unionByName(li.select(F.lit("lineitem.pk_orderkey_linenumber_unique").alias("rule"), "n", F.col("v_pk").alias("n_violations")))
+        .unionByName(o.select(F.lit("orders.o_orderkey_unique").alias("rule"), "n", F.col("v_uniq").alias("n_violations")))
+        .unionByName(o.select(F.lit("orders.o_totalprice_positive").alias("rule"), "n", F.col("v_pos").alias("n_violations")))
+    )
+    return rules.select(
+        "rule",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.round(F.col("n_violations").cast("double") / F.col("n"), 6).alias("violation_rate"),
+    ).orderBy("rule")

@@ -900,3 +900,29 @@ def test_ann_recall_monotone_in_nprobe(spark, sf_dir):
         assert (
             by[("ivf_nprobe2", q)].recall_at_5 >= by[("ivf_nprobe1", q)].recall_at_5
         )
+
+
+def test_constraint_audit_fail_closed_and_planted_violations(spark, sf_dir):
+    """dq2: NULLs fail domain rules closed, uniqueness counts duplicate
+    rows exactly, and the real corpus finding (lineitem composite key not
+    unique) is present with a nonzero rate."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.catalog.quality_q import dq2_constraint_audit
+
+    out = {r.rule: r for r in dq2_constraint_audit(spark, sf_dir).collect()}
+    assert len(out) == 7
+    for r in out.values():
+        assert 0.0 <= r.violation_rate <= 1.0
+        assert r.violation_rate == round(r.n_violations / r.n_rows, 6)
+    # audits that can never fail audit nothing: this one genuinely fires
+    assert out["lineitem.pk_orderkey_linenumber_unique"].n_violations > 0
+    assert out["orders.o_orderkey_unique"].n_violations == 0
+    # fail-closed semantics on a planted frame: NULL violates a range rule
+    df = spark.createDataFrame([(None,), (5.0,), (-1.0,)], "x double")
+    failed = df.agg(
+        F2.sum(
+            F2.when(~F2.coalesce(F2.col("x") > 0, F2.lit(False)), 1).otherwise(0)
+        ).alias("v")
+    ).collect()[0].v
+    assert failed == 2  # NULL and -1, not the 5.0

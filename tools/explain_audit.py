@@ -528,6 +528,12 @@ CHECKS = {
             else ["locality filter not merged into the supplier join keys"]
         ),
     },
+    "dq2_constraint_audit": {
+        # one scan per table covers all of that table's rules (conditional
+        # aggregates + count-distinct in the same agg) — never a scan per rule
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "Join"],
+    },
     "cc7_curation_funnel": {
         # one pass over the per-doc flag relation: stage sums are
         # conditional aggregates of the same rows, never per-stage rescans
