@@ -281,3 +281,49 @@ def ml3_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         cm.withColumn("row_frac", F.round(F.col("n") / F.sum("n").over(w), 6))
         .orderBy("lang_true", "lang_pred")
     )
+
+
+# --- TX11: Zipf-law fit of the token-frequency distribution ---------------------
+from pdf_etl_pipeline_spark.operators.linreg import linreg, linreg_sql  # noqa: E402
+
+_TX11_TOPK = 1000
+
+_TX11_RANKED = f"""(
+WITH tc AS (
+  SELECT tok, COUNT(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY 1
+),
+top AS (SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok LIMIT {_TX11_TOPK}),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM top
+)
+SELECT 'corpus' AS g, rank, cnt FROM ranked) zr"""
+
+
+@register(
+    "tx11_zipf_fit",
+    oracle=linreg_sql(_TX11_RANKED, "g", "ln(rank)", "ln(cnt)"),
+    doc="TX11 Zipf-law fit: OLS of ln(frequency) ~ ln(rank) over the top-1000 "
+    "tokens — slope estimates the Zipf exponent (natural corpora sit near "
+    "-1; a flat slope flags synthetic/templated text, a cliff flags "
+    "boilerplate). The rank window runs over the TakeOrderedAndProject'd "
+    "top-k relation (<=1000 rows — bounded single-partition sort by "
+    "design, standard practice for Zipf fits), and the fit is ml1's "
+    "mergeable sufficient-statistics aggregate — the corpus is scanned "
+    "once for token counts, nothing else",
+)
+def tx11_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(TX.tokens_col("text", distinct=False)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = tc.orderBy(F.desc("cnt"), "tok").limit(_TX11_TOPK)
+    ranked = top.select(
+        "cnt", F.row_number().over(Window.orderBy(F.desc("cnt"), "tok")).alias("rank")
+    ).withColumn("g", F.lit("corpus"))
+    return linreg(ranked, "g", F.log("rank"), F.log("cnt"))

@@ -508,3 +508,28 @@ def test_curation_funnel_consistent_with_cc4(spark, sf_dir):
     final = cc4_full_curation(spark, sf_dir)
     assert rows[-1].n_docs == final.count()
     assert rows[-1].doc_retention == round(rows[-1].n_docs / rows[0].n_docs, 6)
+
+
+def test_zipf_fit_recovers_planted_exponent(spark, sf_dir):
+    """tx11: a corpus whose token counts follow cnt = C * rank^-s exactly
+    must recover slope = -s (OLS on a perfectly linear log-log relation),
+    and the real corpus yields a negative slope with meaningful r2."""
+    import pdf_etl_pipeline_spark.catalog.text_q as TQ
+
+    real = TQ.tx11_zipf_fit(spark, sf_dir).collect()[0]
+    assert real.slope < 0 and 0 <= real.r2 <= 1
+
+    # plant cnt = 1024 * rank^-1 over 6 tokens: tok i appears 1024//i times
+    rows = []
+    for i in range(1, 7):
+        rows += [(len(rows) + j, f"tok{i:02d}") for j in range(1024 // i)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = TQ.load_table
+    TQ.load_table = lambda s, d, t: docs
+    try:
+        out = TQ.tx11_zipf_fit(spark, sf_dir).collect()[0]
+    finally:
+        TQ.load_table = orig
+    # counts 1024,512,341,256,204,170 are floor'd so the fit is near -1,
+    # not exact; r2 must be ~1 on the near-perfect line
+    assert abs(out.slope - (-1.0)) < 0.01 and out.r2 > 0.9999

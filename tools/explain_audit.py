@@ -528,6 +528,12 @@ CHECKS = {
             else ["locality filter not merged into the supplier join keys"]
         ),
     },
+    "tx11_zipf_fit": {
+        # top-k vocabulary via TakeOrderedAndProject (bounded heap), rank
+        # window over <=1000 rows, fit is one suffstats aggregate
+        "must": ["TakeOrderedAndProject", "HashAggregate", "Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "Join"],
+    },
     "dq2_constraint_audit": {
         # one scan per table covers all of that table's rules (conditional
         # aggregates + count-distinct in the same agg) — never a scan per rule
