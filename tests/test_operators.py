@@ -926,3 +926,55 @@ def test_constraint_audit_fail_closed_and_planted_violations(spark, sf_dir):
         ).alias("v")
     ).collect()[0].v
     assert failed == 2  # NULL and -1, not the 5.0
+
+
+def test_rolling_anomaly_chunk_halo_lever_exact(spark, sf_dir):
+    """SCALE.md's rs5 parallelization lever, executed: splitting each
+    series into chunks that carry a W-row halo from the previous chunk
+    and scoring per (key, chunk) reproduces the global keyed-window
+    result EXACTLY — the frame never reaches past W rows back, so the
+    few-series sort bottleneck converts to arbitrary parallelism with no
+    semantic change."""
+    from pyspark.sql import Window, functions as F2
+
+    from pdf_etl_pipeline_spark.operators.rolling_anomaly import (
+        W_ROWS,
+        rolling_anomalies,
+    )
+    from pdf_etl_pipeline_spark.session import load_events
+
+    ev = load_events(spark, sf_dir).filter(F2.col("value").isNotNull())
+    want = {
+        (r.event_type, r.event_id): (r.mean_w, r.std_w, r.z)
+        for r in rolling_anomalies(ev, "event_type", ["ts", "event_id"], "value").collect()
+    }
+    assert want  # the corpus does contain anomalies
+
+    chunk_rows = 200  # well above W_ROWS
+    idx = F2.row_number().over(
+        Window.partitionBy("event_type").orderBy("ts", "event_id")
+    )
+    indexed = ev.withColumn("_i", idx).withColumn(
+        "_chunk", ((F2.col("_i") - 1) / chunk_rows).cast("long")
+    )
+    # each chunk's own rows, plus the previous chunk's last W rows as halo
+    halo = indexed.filter(
+        ((F2.col("_i") - 1) % chunk_rows) >= chunk_rows - W_ROWS
+    ).withColumn("_chunk", F2.col("_chunk") + 1)
+    staged = indexed.unionByName(halo).withColumn(
+        "_key", F2.concat_ws("#", "event_type", F2.col("_chunk"))
+    )
+    got_rows = rolling_anomalies(staged, "_key", ["ts", "event_id"], "value").collect()
+    # keep only own-row scores (halo rows rescored in the next chunk have
+    # truncated frames and exist solely to warm it)
+    own_chunk = {
+        (r.event_type, r.event_id): r._chunk
+        for r in indexed.select("event_type", "event_id", "_chunk").collect()
+    }
+    flat = {}
+    for r in got_rows:
+        et, chunk = r._key.rsplit("#", 1)
+        k = (et, r.event_id)
+        if own_chunk[k] == int(chunk):
+            flat[k] = (r.mean_w, r.std_w, r.z)
+    assert flat == want
