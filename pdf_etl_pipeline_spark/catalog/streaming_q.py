@@ -171,3 +171,29 @@ def st5_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_etl_pipeline_spark.streaming.jobs import stateful_user_totals
 
     return stateful_user_totals(load_events(spark, sf_dir)).orderBy("user_id")
+
+
+# --- ST9: stateful rolling-anomaly stream (batch-mode check) ------------------
+from pdf_etl_pipeline_spark.operators.rolling_anomaly import rolling_anomalies_sql  # noqa: E402
+
+
+@register(
+    "st9_rolling_anomaly_stream",
+    oracle=rolling_anomalies_sql(
+        "(SELECT * FROM events WHERE value IS NOT NULL) ev",
+        "event_type",
+        ["ts", "event_id"],
+        "value",
+    ),
+    doc="ST9 rolling z-score anomaly detection as a custom stateful stream "
+    "(applyInPandasWithState; state = trailing W values per series, "
+    "decimal-exact sums mirrored step-for-step from the batch plan). "
+    "Batch mode delegates to the rs5 window, so this oracle checks the "
+    "shared semantics; the REAL streamed run over ordered micro-batches "
+    "is pinned bit-identical to batch in tests/test_streaming.py",
+)
+def st9_rolling_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.streaming.jobs import streaming_rolling_anomalies
+
+    return streaming_rolling_anomalies(load_events(spark, sf_dir))

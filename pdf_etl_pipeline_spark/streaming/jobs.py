@@ -169,3 +169,106 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def streaming_rolling_anomalies(
+    events: DataFrame,
+    w_rows: int | None = None,
+    min_n: int | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """rs5's rolling z-score anomaly detection as a custom STATEFUL
+    streaming operator (applyInPandasWithState): per event_type, the state
+    is just the trailing W raw values — the sequential form of the batch
+    plan's strictly-prior frame, so a stream processed in event-time order
+    emits EXACTLY the batch result (pinned in tests/test_streaming.py).
+
+    Exactness contract: the batch plan sums DECIMAL(12,6)-quantized values
+    (cast = HALF_UP on the double's shortest repr), casts the exact sums to
+    double, then runs double arithmetic. The Python state path reproduces
+    each step with decimal.Decimal — quantize(1e-6, HALF_UP) on repr(v),
+    exact sums, float() conversion (correctly rounded, same as the CAST) —
+    so streamed and batch z-scores are bit-identical, not approximately so.
+
+    In batch mode this delegates to the window implementation.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from pdf_etl_pipeline_spark.operators.rolling_anomaly import (
+        MIN_N,
+        THRESHOLD,
+        W_ROWS,
+        rolling_anomalies,
+    )
+
+    w_rows = W_ROWS if w_rows is None else w_rows
+    min_n = MIN_N if min_n is None else min_n
+    threshold = THRESHOLD if threshold is None else threshold
+
+    ev = events.filter(F.col("value").isNotNull())
+    if not events.isStreaming:
+        return rolling_anomalies(ev, "event_type", ["ts", "event_id"], "value")
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_type string, ts timestamp, event_id long, value double, "
+        "mean_w double, std_w double, z double"
+    )
+    state_schema = "vals array<double>"
+    SIX = Decimal("0.000001")
+
+    def _r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(SIX, ROUND_HALF_UP))
+
+    def update(key, pdfs, state: GroupState):
+        vals = list(state.get[0]) if state.exists else []
+        qsum = sum((Decimal(repr(v)).quantize(SIX, ROUND_HALF_UP) for v in vals), Decimal(0))
+        qsq = sum(
+            (
+                Decimal(repr(v)).quantize(SIX, ROUND_HALF_UP) ** 2
+                for v in vals
+            ),
+            Decimal(0),
+        )
+        out = {c: [] for c in ("event_type", "ts", "event_id", "value", "mean_w", "std_w", "z")}
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for row in pdf.itertuples(index=False):
+            v = float(row.value)
+            n = len(vals)
+            if n >= min_n:
+                s1 = float(qsum)
+                s2 = float(qsq)
+                mean = s1 / n
+                var = max((s2 - s1 * s1 / n) / (n - 1), 0.0)
+                std = var**0.5
+                if std > 0:
+                    z = _r6((v - mean) / std)
+                    if abs(z) > threshold:
+                        out["event_type"].append(key[0])
+                        out["ts"].append(row.ts)
+                        out["event_id"].append(row.event_id)
+                        out["value"].append(v)
+                        out["mean_w"].append(_r6(mean))
+                        out["std_w"].append(_r6(std))
+                        out["z"].append(z)
+            q = Decimal(repr(v)).quantize(SIX, ROUND_HALF_UP)
+            vals.append(v)
+            qsum += q
+            qsq += q * q
+            if len(vals) > w_rows:
+                dropped = Decimal(repr(vals.pop(0))).quantize(SIX, ROUND_HALF_UP)
+                qsum -= dropped
+                qsq -= dropped * dropped
+        state.update((vals,))
+        yield pd.DataFrame(out)
+
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -583,3 +583,62 @@ def test_streaming_count_min_equals_batch(spark, sf_dir, tmp_path):
     batch_toks = docs.select(F2.explode(tokens_col("text", distinct=False)).alias("tok"))
     batch = {(r.row, r.col): r.cnt for r in cms_build(batch_toks).collect()}
     assert streamed == batch and len(batch) > 100
+
+
+def test_streaming_rolling_anomalies_equal_batch_exact(spark, sf_dir, tmp_path):
+    """st9: the stateful rolling-anomaly stream, driven through a real
+    file-source query in TWO event-time-ordered micro-batches, emits
+    BIT-IDENTICAL anomalies to the batch rs5 window over the same events —
+    the decimal-exact state arithmetic reproduces the batch plan's sums
+    step for step, so this is equality, not tolerance."""
+    import glob
+    import os
+    import shutil
+
+    from pdf_etl_pipeline_spark.catalog.extended_q import rs5_rolling_anomaly
+    from pdf_etl_pipeline_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        streaming_rolling_anomalies,
+    )
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    split_ts = ev.selectExpr("percentile(unix_timestamp(ts), 0.5) p").collect()[0].p
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    for i, pred in enumerate(
+        [F.unix_timestamp("ts") < split_ts, F.unix_timestamp("ts") >= split_ts]
+    ):
+        staging = str(tmp_path / f"stage{i}")
+        ev.filter(pred).drop("ts_ns").coalesce(1).write.mode("overwrite").parquet(staging)
+        shutil.copy(
+            glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+            str(drops / f"{i:04d}.parquet"),
+        )
+
+    sink = str(tmp_path / "sink")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(drops))
+    )
+    q = (
+        streaming_rolling_anomalies(stream)
+        .writeStream.foreachBatch(lambda df, _id: df.write.mode("append").parquet(sink))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.event_type, r.event_id): (r.mean_w, r.std_w, r.z)
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r.event_type, r.event_id): (r.mean_w, r.std_w, r.z)
+        for r in rs5_rolling_anomaly(spark, sf_dir).collect()
+    }
+    assert len(want) > 0 and got == want
