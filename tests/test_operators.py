@@ -978,3 +978,48 @@ def test_rolling_anomaly_chunk_halo_lever_exact(spark, sf_dir):
         if own_chunk[k] == int(chunk):
             flat[k] = (r.mean_w, r.std_w, r.z)
     assert flat == want
+
+
+def test_cohens_kappa_hand_computed(spark, sf_dir):
+    """ml6: textbook kappa on planted whole-vs-half labels, the degenerate
+    single-label case yielding NULL, and a real-corpus value in [-1, 1]
+    with genuine split-half disagreement."""
+    import pdf_etl_pipeline_spark.catalog.extended_q as X
+
+    real = X.ml6_cohens_kappa(spark, sf_dir).collect()[0]
+    assert -1.0 <= real.kappa <= 1.0 and 0 < real.po <= 1
+
+    en = "the and of to is in that it"   # 27 chars, 8 en markers
+    fr = "le la les et de un une est"    # 26 chars, 8 fr markers
+    # mixed doc: halves split exactly at the joining space, so the whole
+    # doc ties en-vs-fr (priority -> en) while the second half is pure fr
+    rows = (
+        [(i, en + " " + en) for i in range(3)]   # a=en, b=en
+        + [(3, fr + " " + fr)]                    # a=fr, b=fr
+        + [(4, en + " " + fr), (5, en + " " + fr)]  # a=en, b=fr
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = X.load_table
+    X.load_table = lambda s, d, t: docs
+    try:
+        out = X.ml6_cohens_kappa(spark, sf_dir).collect()[0]
+    finally:
+        X.load_table = orig
+    # labels: a = en,en,en,fr,en,en ; b = en,en,en,fr,fr,fr
+    # po = 4/6; marginals a: en 5 fr 1, b: en 3 fr 3
+    # pe = (5*3 + 1*3)/36 = 1/2; kappa = (2/3 - 1/2)/(1/2) = 1/3
+    assert out.n_docs == 6 and out.n_agree == 4
+    assert abs(out.po - round(4 / 6, 6)) < 1.1e-6
+    assert out.pe == 0.5
+    assert abs(out.kappa - round(1 / 3, 6)) < 1.1e-6
+
+    # degenerate: one label everywhere -> pe = 1 -> NULL kappa
+    same = spark.createDataFrame(
+        [(1, en + " " + en), (2, en + " " + en)], "doc_id long, text string"
+    )
+    X.load_table = lambda s, d, t: same
+    try:
+        deg = X.ml6_cohens_kappa(spark, sf_dir).collect()[0]
+    finally:
+        X.load_table = orig
+    assert deg.kappa is None and deg.po == 1.0

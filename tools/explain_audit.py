@@ -528,6 +528,12 @@ CHECKS = {
             else ["locality filter not merged into the supplier join keys"]
         ),
     },
+    "ml6_cohens_kappa": {
+        # both labels from ONE projection over one scan; marginals join on
+        # the tiny label space; 1-row combiners broadcast
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    },
     "tx11_zipf_fit": {
         # top-k vocabulary via TakeOrderedAndProject (bounded heap), rank
         # window over <=1000 rows, fit is one suffstats aggregate
