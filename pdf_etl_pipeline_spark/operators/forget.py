@@ -47,6 +47,38 @@ _ESCAPE_CHARS = frozenset(
 )
 _HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
+# Hard ceiling on how many distinct partition values the find/rewrite
+# steps may materialize on the driver. The two collects below are
+# metadata-bounded BY INTENT (rows = #distinct partition values touched by
+# the deletion), but on a table with millions of partitions "metadata
+# scale" is still driver-OOM scale — so the bound is now enforced, not
+# assumed: exceeding it raises with guidance instead of silently
+# materializing. 100k partition strings ≈ a few MB on the driver — safely
+# inside any driver heap while far above sane per-deletion blast radii.
+MAX_AFFECTED_PARTITIONS = 100_000
+
+
+class TooManyPartitionsError(RuntimeError):
+    """A forget/rewrite step would touch more partitions than
+    ``max_partitions`` — refuse rather than materialize them all on the
+    driver."""
+
+
+def _bounded_collect(df: DataFrame, max_partitions: int, what: str) -> list:
+    """Collect a distinct-partition relation with an enforced ceiling:
+    fetch ``max_partitions + 1`` rows and raise if the extra row exists.
+    The limit is pushed into the plan (CollectLimit), so the driver never
+    receives more than the cap + 1 regardless of the true count."""
+    rows = df.limit(max_partitions + 1).collect()
+    if len(rows) > max_partitions:
+        raise TooManyPartitionsError(
+            f"{what} touches more than {max_partitions} distinct partitions; "
+            "refusing to materialize them on the driver. Narrow the key set, "
+            "raise max_partitions explicitly, or rewrite the table through a "
+            "full-table anti-join instead of partition-targeted deletion."
+        )
+    return rows
+
 
 def _escape_path_name(s: str) -> str:
     """Spark/Hive partition-path escaping: '%XX' (uppercase hex) for each
@@ -92,11 +124,21 @@ def _affected_partitions_df(
 
 
 def affected_partitions(
-    spark: SparkSession, path: str, partition_col: str, key_col: str, keys: list
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    key_col: str,
+    keys: list,
+    max_partitions: int = MAX_AFFECTED_PARTITIONS,
 ) -> list:
     """Partition values containing any of ``keys`` — pruned scan reading
-    only (partition_col, key_col)."""
-    rows = _affected_partitions_df(spark, path, partition_col, key_col, keys).collect()
+    only (partition_col, key_col). Raises :class:`TooManyPartitionsError`
+    above ``max_partitions`` instead of materializing on the driver."""
+    rows = _bounded_collect(
+        _affected_partitions_df(spark, path, partition_col, key_col, keys),
+        max_partitions,
+        f"forget_keys find step on {path}",
+    )
     return [r[0] for r in rows]
 
 
@@ -107,24 +149,42 @@ def _distinct_partition_strings_df(df: DataFrame, partition_col: str) -> DataFra
     return df.select(F.col(partition_col).cast("string").alias("_p")).distinct()
 
 
-def _distinct_partition_strings(df: DataFrame, partition_col: str) -> set:
+def _distinct_partition_strings(
+    df: DataFrame, partition_col: str, max_partitions: int = MAX_AFFECTED_PARTITIONS
+) -> set:
     """Distinct partition values as the strings Spark would write in the
     directory path (cast-to-string; NULL stays None). Bounded by the
-    number of distinct partition values — metadata scale, not data scale."""
-    return {r["_p"] for r in _distinct_partition_strings_df(df, partition_col).collect()}
+    number of distinct partition values — and the bound is enforced via
+    :func:`_bounded_collect`, same ceiling as the find step."""
+    return {
+        r["_p"]
+        for r in _bounded_collect(
+            _distinct_partition_strings_df(df, partition_col),
+            max_partitions,
+            "forget_keys rewrite step",
+        )
+    }
 
 
 def forget_keys(
-    spark: SparkSession, path: str, partition_col: str, key_col: str, keys: list
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    key_col: str,
+    keys: list,
+    max_partitions: int = MAX_AFFECTED_PARTITIONS,
 ) -> list:
     """Delete every row whose ``key_col`` is in ``keys``; rewrites ONLY
     the partitions that contain them. Returns the rewritten partition
     values as path strings (None = the NULL partition; empty list =
-    nothing to do)."""
+    nothing to do). Raises :class:`TooManyPartitionsError` when the
+    deletion would touch more than ``max_partitions`` partitions."""
     import os
     import shutil
 
-    parts = affected_partitions(spark, path, partition_col, key_col, keys)
+    parts = affected_partitions(
+        spark, path, partition_col, key_col, keys, max_partitions=max_partitions
+    )
     if not parts:
         return []
     remaining = (
@@ -142,8 +202,11 @@ def forget_keys(
             _partition_match(F.col(partition_col), parts)
         ),
         partition_col,
+        max_partitions=max_partitions,
     )
-    still_present = _distinct_partition_strings(remaining, partition_col)
+    still_present = _distinct_partition_strings(
+        remaining, partition_col, max_partitions=max_partitions
+    )
     if still_present:
         overwrite_partitions(remaining, path, partition_col)
     # dynamic overwrite only replaces partitions PRESENT in the batch — a

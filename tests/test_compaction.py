@@ -331,3 +331,39 @@ def test_forget_keys_special_char_and_null_partitions(spark, tmp_path):
     # NULL partition still holds user 3; untouched escaped partition intact
     assert os.path.isdir(os.path.join(path, "hour=__HIVE_DEFAULT_PARTITION__"))
     assert os.path.isdir(os.path.join(path, "hour=2030-01-01 11%3A00"))
+
+
+def test_forget_keys_partition_cap_guard(spark, tmp_path):
+    """S17 driver-safety: the find/rewrite collects are metadata-bounded by
+    an ENFORCED cap — a deletion touching more distinct partitions than
+    max_partitions raises TooManyPartitionsError (with guidance) instead of
+    materializing them on the driver, and the table is left untouched."""
+    import os
+
+    import pytest as _pytest
+
+    from pdf_etl_pipeline_spark.operators.forget import (
+        TooManyPartitionsError,
+        forget_keys,
+    )
+    from pdf_etl_pipeline_spark.operators.partitioned_sink import write_partitioned
+
+    path = str(tmp_path / "wide")
+    # one partition per row: user 1 appears in 6 partitions
+    df = spark.createDataFrame(
+        [(1, f"d{i:02d}") for i in range(6)] + [(2, "d99")],
+        "user_id long, day string",
+    )
+    write_partitioned(df, path, "day")
+    before = sorted(os.listdir(path))
+
+    with _pytest.raises(TooManyPartitionsError, match="more than 5 distinct partitions"):
+        forget_keys(spark, path, "day", "user_id", [1], max_partitions=5)
+    assert sorted(os.listdir(path)) == before  # refused before any rewrite
+    assert spark.read.parquet(path).filter("user_id = 1").count() == 6
+
+    # at or under the cap the deletion proceeds normally
+    out = forget_keys(spark, path, "day", "user_id", [1], max_partitions=6)
+    assert len(out) == 6
+    assert spark.read.parquet(path).filter("user_id = 1").count() == 0
+    assert spark.read.parquet(path).count() == 1
