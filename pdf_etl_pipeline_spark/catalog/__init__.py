@@ -44,6 +44,7 @@ _MODULES = [
     "curation_q",
     "ingest_q",
     "quality_q",
+    "tokenize_q",
 ]
 
 

@@ -1,0 +1,299 @@
+"""Learned BPE subword tokenization, trained AND applied in-plan — the
+token-denominator upgrade for every token-budgeted op (tx3 counts, cc6
+budgets, pk1 packing): real pipelines budget in learned subword tokens,
+not whitespace tokens.
+
+Algorithm (Sennrich et al. 2016, learned-order application variant):
+
+- **Pretokens** come from the shared corpus tokenizer (``tokens_col``);
+  BPE learns WITHIN pretoken boundaries (no cross-word merges, no
+  end-of-word marker — the boundary is the pretoken itself).
+- **Training**: the corpus collapses to its distinct-pretoken vocabulary
+  with counts — the only relation training ever touches (vocabulary
+  scale, millions of rows at 100 TB, never corpus scale). Each merge
+  step is ONE keyed aggregation over adjacent symbol pairs (the tx10 zip
+  shape, here as a lead() window over the positional symbol relation)
+  plus a 1-row argmax collect (metadata-bounded, like the iterative
+  rounds of label_components), then a window-based greedy merge apply.
+- **Merge application** is greedy left-to-right, exactly the reference
+  BPE semantics, expressed relationally so BOTH engines run the
+  identical algorithm: matches are marked with a lead() window, runs of
+  overlapping matches (only possible when a == b) are resolved with a
+  gaps-and-islands parity pick (positions 0, 2, 4… of each island —
+  byte-for-byte the left-to-right greedy scan), absorbed right-halves
+  are dropped via lag(), and positions renumber with row_number().
+- **Encoding** applies the learned merges in training order, each
+  exhaustively (the original subword-nmt application order). Documents
+  never re-tokenize per row: the ENCODED VOCABULARY (word → subword
+  count) broadcast-joins back to the corpus's exploded pretokens — at
+  100 TB the encode cost is one equi-join on the pretoken, and the
+  expensive iteration runs on the vocabulary relation only.
+
+Cross-engine determinism: pair counts are exact integer sums; the argmax
+tie-breaks on (count DESC, a ASC, b ASC) — a total order; every window
+orders by the unique ``pos``. The DuckDB oracle unrolls the SAME N merge
+stages as a MATERIALIZED CTE chain (materialization pinned so the
+twice-referenced stage relations evaluate once, not 2^N times).
+
+Scale notes: the driver loop collects ONE row per merge (the argmax) and
+localCheckpoints the vocabulary relation per stage — the same bounded
+iterative-algorithm pattern as label_components' pointer-doubling
+rounds. Nothing corpus-sized ever reaches the driver or a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col, tokens_sql
+
+N_MERGES = 16  # default merge-table size for the registry queries
+
+
+# --- relations ----------------------------------------------------------------
+def word_vocab(docs: DataFrame) -> DataFrame:
+    """Corpus → distinct-pretoken vocabulary with counts: the ONLY
+    relation BPE training iterates on (vocabulary scale, not corpus
+    scale)."""
+    return (
+        docs.select(F.explode(tokens_col("text", distinct=False)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+
+
+def symbols_rel(vocab: DataFrame) -> DataFrame:
+    """Vocabulary → positional symbol relation (word, wcnt, pos, sym):
+    one row per character, the unit the merge windows operate on."""
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.struct(i.alias("pos"), F.col("word").substr(i, F.lit(1)).alias("sym")),
+    )
+    return vocab.select("word", "wcnt", F.explode(syms).alias("x")).select(
+        "word", "wcnt", F.col("x.pos").alias("pos"), F.col("x.sym").alias("sym")
+    )
+
+
+def _with_pairs(rel: DataFrame) -> DataFrame:
+    """Attach each symbol's right neighbor (lead over pos within word) —
+    the adjacent-pair zip both the pair counts and the match marks read."""
+    w = Window.partitionBy("word").orderBy("pos")
+    return rel.withColumn("nxt", F.lead("sym").over(w))
+
+
+def pair_counts(rel: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent-pair counts — one keyed aggregation."""
+    return (
+        _with_pairs(rel)
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.sum("wcnt").alias("cnt"))
+    )
+
+
+def best_pair(rel: DataFrame):
+    """The next merge: argmax pair by (cnt DESC, a, b) — a 1-row collect,
+    metadata-bounded like every iterative-algorithm driver step here.
+    Returns (a, b, cnt) or None when no pairs remain."""
+    rows = pair_counts(rel).orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+    if not rows:
+        return None
+    r = rows[0]
+    return (r["a"], r["b"], int(r["cnt"]))
+
+
+def apply_merge(rel: DataFrame, a: str, b: str) -> DataFrame:
+    """Greedy left-to-right merge of adjacent (a, b) → a||b, relationally:
+
+    - ``m`` marks match positions (sym = a AND next = b; null-safe).
+    - Overlapping matches exist only for a == b (runs of equal symbols);
+      gaps-and-islands over consecutive match positions + parity keeps
+      islands' 0th, 2nd, 4th… matches — identical to the sequential scan.
+    - The absorbed right half (row after a selected match) drops via lag;
+      positions renumber so the next merge sees a dense relation.
+    """
+    w = Window.partitionBy("word").orderBy("pos")
+    p = _with_pairs(rel)
+    m = p.withColumn(
+        "m", F.coalesce((F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b)), F.lit(False))
+    )
+    g = m.withColumn(
+        "grp", F.col("pos") - F.row_number().over(Window.partitionBy("word", "m").orderBy("pos"))
+    )
+    s = g.withColumn(
+        "sel",
+        F.col("m")
+        & (
+            (F.row_number().over(Window.partitionBy("word", "m", "grp").orderBy("pos")) - 1) % 2
+            == 0
+        ),
+    )
+    k = s.withColumn("prev_sel", F.coalesce(F.lag("sel").over(w), F.lit(False)))
+    return (
+        k.filter(~F.col("prev_sel"))
+        .select(
+            "word",
+            "wcnt",
+            F.row_number().over(w).alias("pos"),
+            F.when(F.col("sel"), F.lit(a + b)).otherwise(F.col("sym")).alias("sym"),
+        )
+    )
+
+
+# --- train / encode -----------------------------------------------------------
+def train_bpe(docs: DataFrame, n_merges: int = N_MERGES):
+    """Learn ``n_merges`` BPE merges from the corpus. Returns
+    ``(merges, rel)``: the ordered merge list [(a, b, cnt), …] and the
+    final encoded-vocabulary symbol relation (word, wcnt, pos, sym) —
+    which IS the corpus vocabulary encoded under those merges, reused by
+    the counting queries so train+apply is one composition."""
+    rel = symbols_rel(word_vocab(docs)).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = best_pair(rel)
+        if best is None:
+            break
+        a, b, _cnt = best
+        merges.append(best)
+        # checkpoint per stage: truncates the 4-window lineage so stage
+        # N's plan stays constant-size (the label_components discipline)
+        rel = apply_merge(rel, a, b).localCheckpoint()
+    return merges, rel
+
+
+def encode_vocab(vocab: DataFrame, merges: list) -> DataFrame:
+    """Apply an already-learned merge list (training order, each
+    exhaustively) to a (word, wcnt) vocabulary — the encode path for NEW
+    text under a frozen tokenizer."""
+    rel = symbols_rel(vocab).localCheckpoint()
+    for a, b, *_ in merges:
+        rel = apply_merge(rel, a, b).localCheckpoint()
+    return rel
+
+
+def merge_table(spark: SparkSession, merges: list) -> DataFrame:
+    """The learned merge table as a relation (rank, a, b, merged, cnt)."""
+    rows = [(i + 1, a, b, a + b, cnt) for i, (a, b, cnt) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, a string, b string, merged string, cnt long"
+    ).orderBy("rank")
+
+
+def subword_counts(rel: DataFrame) -> DataFrame:
+    """Encoded symbol relation → (word, n_sub): subword count per
+    vocabulary word — the broadcast side of the corpus join."""
+    return rel.groupBy("word").agg(F.count(F.lit(1)).alias("n_sub"))
+
+
+def bpe_doc_counts(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """Per-document BPE token counts under a tokenizer trained on the
+    same corpus: (doc_id, ws_tokens, bpe_tokens, subword_ratio). The
+    encoded vocabulary joins the exploded pretokens on the pretoken —
+    the corpus is scanned once for the explode; the iteration cost lives
+    entirely on the vocabulary relation."""
+    merges, rel = train_bpe(docs, n_merges)
+    enc = subword_counts(rel)
+    dt = docs.select("doc_id", F.explode(tokens_col("text", distinct=False)).alias("word"))
+    per = (
+        dt.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_sub").alias("bpe_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ws_tokens", F.lit(0)).cast("long").alias("ws_tokens"),
+            F.coalesce("bpe_tokens", F.lit(0)).cast("long").alias("bpe_tokens"),
+            F.round(
+                F.col("bpe_tokens") / F.nullif(F.col("ws_tokens").cast("double"), F.lit(0.0)), 6
+            ).alias("subword_ratio"),
+        )
+    )
+
+
+# --- DuckDB oracle generators -------------------------------------------------
+def _base_ctes(table: str) -> str:
+    toks = tokens_sql("text", distinct=False)
+    return f"""toks AS MATERIALIZED (SELECT doc_id, unnest({toks}) AS word FROM {table}),
+vocab AS (SELECT word, COUNT(*) AS wcnt FROM toks GROUP BY 1),
+rel0 AS MATERIALIZED (
+  SELECT word, wcnt,
+         unnest(range(1, length(word) + 1)) AS pos,
+         unnest(list_transform(range(1, length(word) + 1),
+                               i -> substring(word, CAST(i AS INT), 1))) AS sym
+  FROM vocab)"""
+
+
+def _stage_ctes(i: int) -> str:
+    """One unrolled merge stage — the SAME lead/islands/parity/lag chain
+    as :func:`apply_merge`, with the argmax as a 1-row CTE cross-joined
+    in (MATERIALIZED where a relation is referenced twice, so the chain
+    evaluates linearly, not exponentially)."""
+    return f"""p{i} AS MATERIALIZED (
+  SELECT word, wcnt, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM rel{i - 1}),
+pc{i} AS (SELECT sym AS a, nxt AS b, SUM(wcnt) AS cnt
+          FROM p{i} WHERE nxt IS NOT NULL GROUP BY 1, 2),
+best{i} AS MATERIALIZED (SELECT a, b, cnt FROM pc{i} ORDER BY cnt DESC, a, b LIMIT 1),
+m{i} AS (SELECT p.word, p.wcnt, p.pos, p.sym, b.a AS ba, b.b AS bb,
+                coalesce(p.sym = b.a AND p.nxt = b.b, false) AS m
+         FROM p{i} p CROSS JOIN best{i} b),
+g{i} AS (SELECT *, pos - row_number() OVER (PARTITION BY word, m ORDER BY pos) AS grp
+         FROM m{i}),
+s{i} AS (SELECT *, m AND ((row_number() OVER (PARTITION BY word, m, grp ORDER BY pos) - 1) % 2 = 0) AS sel
+         FROM g{i}),
+k{i} AS (SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos), false) AS prev_sel
+         FROM s{i}),
+rel{i} AS MATERIALIZED (
+  SELECT word, wcnt,
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN sel THEN ba || bb ELSE sym END AS sym
+  FROM k{i} WHERE NOT prev_sel)"""
+
+
+def bpe_chain_sql(table: str, n_merges: int = N_MERGES) -> str:
+    """The shared WITH-clause body: base relations + n unrolled stages."""
+    parts = [_base_ctes(table)] + [_stage_ctes(i) for i in range(1, n_merges + 1)]
+    return ",\n".join(parts)
+
+
+def bpe_train_sql(table: str, n_merges: int = N_MERGES) -> str:
+    """Oracle for tk1: the learned merge table (rank, a, b, merged, cnt)."""
+    bests = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, a, b, a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {bpe_chain_sql(table, n_merges)}\nSELECT * FROM (\n{bests}\n) ORDER BY rank"
+
+
+def bpe_counts_tail_sql(table: str, n_merges: int = N_MERGES) -> str:
+    """Shared tail: per-doc (ws_tokens, bpe_tokens) from the final
+    encoded-vocabulary relation rel{n} — used by tk2 and the budget/
+    packing variants."""
+    n = n_merges
+    return f"""enc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub FROM rel{n} GROUP BY 1),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+               CAST(SUM(n_sub) AS BIGINT) AS bpe_tokens
+        FROM toks JOIN enc USING (word) GROUP BY 1),
+doc_counts AS (
+  SELECT d.doc_id AS doc_id,
+         coalesce(ws_tokens, 0) AS ws_tokens,
+         coalesce(bpe_tokens, 0) AS bpe_tokens
+  FROM {table} d LEFT JOIN per USING (doc_id))"""
+
+
+def bpe_encode_sql(table: str, n_merges: int = N_MERGES) -> str:
+    """Oracle for tk2: per-doc BPE token counts + subword ratio."""
+    return f"""WITH {bpe_chain_sql(table, n_merges)},
+{bpe_counts_tail_sql(table, n_merges)}
+SELECT doc_id, ws_tokens, bpe_tokens,
+       round(bpe_tokens / nullif(CAST(ws_tokens AS DOUBLE), 0), 6) AS subword_ratio
+FROM doc_counts ORDER BY doc_id"""

@@ -1,0 +1,83 @@
+"""TK1–TK4: learned BPE tokenizer — hand-computed merges, greedy-run
+semantics, frozen-tokenizer encode equivalence."""
+
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.llmdata import bpe
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_hand_computed_merges(spark):
+    """The classic BPE vocabulary {low:5, lower:2, newest:6, widest:3}
+    (Sennrich et al. 2016 §3, no end-of-word marker): merge order and the
+    encoded subword counts are fully hand-derivable.
+
+    Pair counts: (e,s)=9 and (s,t)=9 tie -> a ASC picks (e,s); after es,
+    (es,t)=9 wins; then (l,o)=7 ties (o,w)=7 -> (l,o); then (lo,w)=7.
+    """
+    docs = _docs(
+        spark,
+        [
+            "low low low low low",
+            "lower lower",
+            "newest newest newest newest newest newest",
+            "widest widest widest",
+        ],
+    )
+    merges, rel = bpe.train_bpe(docs, 4)
+    assert merges == [("e", "s", 9), ("es", "t", 9), ("l", "o", 7), ("lo", "w", 7)]
+    enc = {r["word"]: r["n_sub"] for r in bpe.subword_counts(rel).collect()}
+    assert enc == {"low": 1, "lower": 3, "newest": 4, "widest": 4}
+
+    # per-doc counts through the broadcast-join path
+    out = {r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"]) for r in bpe.bpe_doc_counts(docs, 4).collect()}
+    assert out == {1: (5, 5), 2: (2, 6), 3: (6, 24), 4: (3, 12)}
+
+
+def test_bpe_greedy_run_semantics(spark):
+    """Overlapping (a,a) matches resolve left-to-right greedily: aaaa ->
+    [aa, aa], aaa -> [aa, a] — the gaps-and-islands parity pick must be
+    byte-identical to the sequential scan."""
+    vocab = spark.createDataFrame([("aaaa", 1), ("aaa", 1), ("baab", 1)], "word string, wcnt long")
+    rel = bpe.encode_vocab(vocab, [("a", "a", 0)])
+    got = {
+        r["word"]: [s for _, s in sorted((x["pos"], x["sym"]) for x in rows)]
+        for r, rows in (
+            (w, [x for x in rel.collect() if x["word"] == w["word"]])
+            for w in vocab.select("word").collect()
+        )
+    }
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaa"] == ["aa", "a"]
+    assert got["baab"] == ["b", "aa", "b"]
+
+
+def test_bpe_encode_matches_training_relation(spark):
+    """Frozen-tokenizer path: encode_vocab(vocab, merges) reproduces the
+    training loop's final relation exactly — training IS encoding the
+    training vocabulary."""
+    docs = _docs(spark, ["the window the window slow", "slow slow batch the"])
+    merges, rel_train = bpe.train_bpe(docs, 5)
+    assert len(merges) == 5
+    rel_enc = bpe.encode_vocab(bpe.word_vocab(docs), merges)
+    a = sorted(map(tuple, rel_train.select("word", "pos", "sym").collect()))
+    b = sorted(map(tuple, rel_enc.select("word", "pos", "sym").collect()))
+    assert a == b
+
+
+def test_bpe_single_char_and_empty_docs(spark):
+    """1-char pretokens survive untouched; an empty doc reports 0/0 with a
+    null ratio."""
+    docs = _docs(spark, ["a a a b", ""])
+    merges, rel = bpe.train_bpe(docs, 3)
+    # only pair-less 1-char words -> no pairs at all -> training stops early
+    assert merges == []
+    out = {r["doc_id"]: r for r in bpe.bpe_doc_counts(docs, 3).collect()}
+    assert (out[1]["ws_tokens"], out[1]["bpe_tokens"]) == (4, 4)
+    assert (out[2]["ws_tokens"], out[2]["bpe_tokens"]) == (0, 0)
+    assert out[2]["subword_ratio"] is None

@@ -597,6 +597,21 @@ CHECKS = {
         "must": ["Generate", "BroadcastNestedLoopJoin"],
         "must_not": ["BatchEvalPython", "CartesianProduct", "Window"],
     },
+    "tk2_bpe_encode": {
+        # the encoded VOCABULARY broadcast-joins the corpus's exploded
+        # pretokens — the corpus-sized side never shuffles for the encode,
+        # and the whole tokenizer (train + apply) stays JVM-native
+        "must": ["BroadcastHashJoin", "Generate", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    },
+    "tk4_bpe_packing": {
+        # pk1's two-level cumsum discipline must survive the BPE-count
+        # substitution: the only SinglePartition exchange is the tiny
+        # per-bucket offsets relation, never the corpus
+        "must": ["BroadcastHashJoin", "Window"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        "check": _pk1_tiny_window_input,
+    },
 }
 
 
