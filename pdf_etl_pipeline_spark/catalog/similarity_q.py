@@ -701,3 +701,54 @@ def ss10_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method", "query_id")
     )
+
+
+# --- SS11: text -> hashed embeddings -> IVF top-k ------------------------------
+def _ss11_oracle() -> str:
+    """Featurize documents.text with random-sign feature hashing, learn
+    the same deterministic k-means index over the HASHED vectors, probe
+    nprobe=1 — the full text-to-ANN path with zero external artifacts."""
+    cos_c = cosine_sql("embedding", "centroid")
+    cos = cosine_sql("qv", "cv")
+    return f"""
+WITH {SS.feature_hash_sql('documents', SS.DIM)},
+{_kmeans_ctes(SS.N_CELLS, SS.KMEANS_ITERS, table="hv", prefix="fh")},
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cell_id, {cos_c} AS cos_c
+  FROM hv e CROSS JOIN fhc{SS.KMEANS_ITERS} c
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cell_id FROM assigned
+      WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
+c AS (SELECT vec_id AS cand_id, embedding AS cv, cell_id FROM assigned),
+pairs AS (
+  SELECT query_id, cand_id, {cos} AS cos
+  FROM q JOIN c USING (cell_id) WHERE query_id <> cand_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+  FROM pairs
+)
+SELECT query_id, cand_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+
+@register(
+    "ss11_text_ivf_topk",
+    oracle=_ss11_oracle(),
+    doc="SS11 end-to-end text-to-ANN: documents.text -> random-sign "
+    "feature-hashed 64-dim vectors (hashing trick, portable-md5 seeded — "
+    "no external embedding model) -> the ss3 deterministic k-means IVF "
+    "index learned over the hashed space -> nprobe=1 top-5. Featurization "
+    "is one keyed (doc, dim) aggregation capped at DIM rows/doc by the "
+    "map-side combiner; everything downstream reuses the audited IVF plans",
+)
+def ss11_text_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    hv = SS.feature_hash_vectors(load_table(spark, sf_dir, "documents"))
+    return SS.ivf_topk(hv, _QUERY_IDS, k=5)

@@ -806,3 +806,80 @@ def semdedup_pairs(
         .select("cell_id", "id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text → embedding featurization in-plan: random-sign feature hashing
+# (the "hashing trick", Weinberger et al. 2009) — hashed bag-of-tokens
+# projections so the whole ANN/SemDeDup family runs end-to-end from raw
+# text with no external embedding model. Each token contributes ±1 to one
+# of DIM dimensions, both chosen by the portable md5 hash pair — fully
+# deterministic and engine-identical, and unit-norm-free (cosine is
+# scale-invariant downstream).
+#
+# Shape for scale: explode → (doc, dim-index) keyed aggregation (one
+# shuffle, map-side combined: at most DIM rows per doc survive the
+# combiner regardless of document length) → per-doc dense assembly from a
+# collected sparse map. No corpus-sized window, no Python, no model
+# artifact to distribute.
+# ---------------------------------------------------------------------------
+FH_SIGN_SALT = "s|"  # domain-separates the sign hash from the index hash
+
+
+def feature_hash_vectors(docs: DataFrame, dim: int = DIM) -> DataFrame:
+    """(doc_id, text) → (vec_id, embedding array<double>[dim]) via
+    random-sign feature hashing. Docs whose components fully cancel (or
+    with no tokens) are dropped — a zero vector has no cosine direction
+    and would poison downstream normalization in both engines."""
+    from pdf_etl_pipeline_spark.functions.scalars import portable_hash32
+    from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col
+
+    feats = docs.select("doc_id", F.explode(tokens_col("text", distinct=False)).alias("tok"))
+    idx = (portable_hash32("tok") % dim).alias("idx")
+    sgn = (
+        F.when(portable_hash32(F.concat(F.lit(FH_SIGN_SALT), F.col("tok"))) % 2 == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("sgn")
+    )
+    # ±1.0 double sums are exact integers — order-independent without the
+    # decimal detour money aggregates need
+    sparse = feats.select("doc_id", idx, sgn).groupBy("doc_id", "idx").agg(
+        F.sum("sgn").alias("v")
+    )
+    dense = (
+        sparse.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("idx", "v"))).alias("m"))
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.coalesce(F.element_at("m", d.cast("long")), F.lit(0.0)),
+            ).alias("embedding"),
+        )
+    )
+    return dense.filter(F.size(F.filter("embedding", lambda x: x != 0)) > 0)
+
+
+def feature_hash_sql(table: str = "documents", dim: int = DIM) -> str:
+    """DuckDB CTE fragment producing the identical ``hv (vec_id,
+    embedding)`` relation as :func:`feature_hash_vectors`."""
+    from pdf_etl_pipeline_spark.functions.scalars import portable_hash32_sql
+    from pdf_etl_pipeline_spark.llmdata.dedup import tokens_sql
+
+    toks = tokens_sql("text", distinct=False)
+    h_idx = portable_hash32_sql("tok")
+    h_sgn = portable_hash32_sql(f"'{FH_SIGN_SALT}' || tok")
+    return f"""fh_feats AS (SELECT doc_id, unnest({toks}) AS tok FROM {table}),
+fh_sparse AS (
+  SELECT doc_id, {h_idx} % {dim} AS idx,
+         CAST(SUM(CASE WHEN {h_sgn} % 2 = 0 THEN 1.0 ELSE -1.0 END) AS DOUBLE) AS v
+  FROM fh_feats GROUP BY 1, 2),
+hv AS (
+  SELECT vec_id, embedding FROM (
+    SELECT dd.doc_id AS vec_id,
+           list(coalesce(s.v, 0.0) ORDER BY dims.d) AS embedding
+    FROM (SELECT DISTINCT doc_id FROM fh_sparse) dd
+    CROSS JOIN (SELECT unnest(range(0, {dim})) AS d) dims
+    LEFT JOIN fh_sparse s ON s.doc_id = dd.doc_id AND s.idx = dims.d
+    GROUP BY 1)
+  WHERE len(list_filter(embedding, x -> x <> 0)) > 0)"""

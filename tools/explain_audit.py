@@ -597,6 +597,14 @@ CHECKS = {
         "must": ["Generate", "BroadcastNestedLoopJoin"],
         "must_not": ["BatchEvalPython", "CartesianProduct", "Window"],
     },
+    "ss11_text_ivf_topk": {
+        # text -> hashed vectors -> IVF: featurization is a keyed (doc, dim)
+        # aggregate (map-side combined), the 16-row centroid relation
+        # broadcasts into assignment, the probe join is a broadcast hash
+        # equi-join on cell_id; no Python anywhere in the path
+        "must": ["HashAggregate", "BroadcastHashJoin", "Generate"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    },
     "tk2_bpe_encode": {
         # the encoded VOCABULARY broadcast-joins the corpus's exploded
         # pretokens — the corpus-sized side never shuffles for the encode,
