@@ -102,5 +102,8 @@ def st7_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     finally:
+        from pdf_etl_pipeline_spark.llmdata.ingest import drop_index
+
+        drop_index(spark, tmp)
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -62,11 +62,85 @@ BANDS_SUBDIR = "bands"
 TOKS_SUBDIR = "toks"
 TOK_BUCKETS = 8  # hash-cluster width for the verify-set files
 
+# Band partitions fragment by one file family per micro-batch; past this
+# many data files per partition the steady-state ingest compacts them
+# (see compact_index — measured flat-latency curve in SCALE.md).
+MAX_FILES_PER_BAND = 8
+
+
+# --- catalog registration -----------------------------------------------------
+# The index is a CATALOG TABLE pair, not a bare directory: existence is a
+# metastore probe (spark.catalog.tableExists), reads go through
+# spark.table() so Spark's table-level file-index cache and partition
+# pruning both apply, and appends go through saveAsTable so the cache
+# invalidates transactionally with the write. The directory layout under
+# index_dir is unchanged (bands/ partitioned by band, toks/
+# hash-clustered) — external tables point AT it, so a catalog that
+# doesn't survive the process (local in-memory metastore) recovers by
+# re-registering the location (_ensure_registered's CREATE TABLE ...
+# LOCATION path, schema and partitions inferred from the files).
+
+
+def _digest(index_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(index_dir).encode()).hexdigest()[:10]
+
+
+def bands_table(index_dir: str) -> str:
+    return f"st7_bands_{_digest(index_dir)}"
+
+
+def toks_table(index_dir: str) -> str:
+    return f"st7_toks_{_digest(index_dir)}"
+
+
+def _ensure_registered(spark, index_dir: str) -> bool:
+    """True iff the index exists: registered in the catalog, or present
+    on disk from a previous process — in which case it is re-registered
+    (external CREATE TABLE over the existing location; schema and the
+    band partitioning are inferred from the files)."""
+    bt, tt = bands_table(index_dir), toks_table(index_dir)
+    if spark.catalog.tableExists(bt) and spark.catalog.tableExists(tt):
+        return True
+    bpath = os.path.join(index_dir, BANDS_SUBDIR)
+    tpath = os.path.join(index_dir, TOKS_SUBDIR)
+    if not os.path.isdir(bpath):
+        return False
+    for name, path, partitioned in ((bt, bpath, True), (tt, tpath, False)):
+        if not spark.catalog.tableExists(name):
+            spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{path}'")
+            if partitioned:
+                # partition discovery is not implied by schema inference:
+                # without the repair the recovered table lists zero files
+                spark.sql(f"MSCK REPAIR TABLE {name}")
+    return True
+
 
 def _index_exists(spark, index_dir: str) -> bool:
-    # local-fs check; a cluster deployment would register the index as a
-    # catalog table and test its existence there instead
-    return os.path.isdir(os.path.join(index_dir, BANDS_SUBDIR))
+    return _ensure_registered(spark, index_dir)
+
+
+def drop_index(spark, index_dir: str) -> None:
+    """Unregister the index's catalog tables (files untouched) — callers
+    that delete a temporary index directory drop its tables first so the
+    catalog never points at a vanished location."""
+    for name in (bands_table(index_dir), toks_table(index_dir)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def _append_to_table(df: DataFrame, name: str, path: str, partition_by: str | None = None):
+    """Append through the catalog: first write creates the external table
+    at ``path``, later writes append to the registered table (which also
+    invalidates Spark's cached file listing — an external rewrite would
+    not)."""
+    spark = df.sparkSession
+    w = df.write.mode("append").format("parquet")
+    if partition_by is not None:
+        w = w.partitionBy(partition_by)
+    if not spark.catalog.tableExists(name):
+        w = w.option("path", path)
+    w.saveAsTable(name)
 
 
 def admission_matches(
@@ -91,9 +165,8 @@ def admission_matches(
     rows from a retired wider config can coexist in the index without ever
     being scanned."""
     probe = list(range(BANDS)) if probe_bands is None else sorted(probe_bands)
-    ex_bands = spark.read.parquet(os.path.join(index_dir, BANDS_SUBDIR)).filter(
-        F.col("band").isin(probe)
-    )
+    _ensure_registered(spark, index_dir)
+    ex_bands = spark.table(bands_table(index_dir)).filter(F.col("band").isin(probe))
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.size("ta") + F.size("tb") - inter
     xc = (
@@ -108,7 +181,7 @@ def admission_matches(
         .dropDuplicates(["new_id", "old_id"])
     )
     ex_toks = (
-        spark.read.parquet(os.path.join(index_dir, TOKS_SUBDIR))
+        spark.table(toks_table(index_dir))
         # semi-join the index's verify sets down to banding survivors
         # BEFORE the verify join — the full index never shuffles
         .join(xc.select(F.col("old_id").alias("doc_id")).distinct(), "doc_id", "left_semi")
@@ -125,10 +198,21 @@ def admission_matches(
     )
 
 
-def ingest_batch(batch_docs: DataFrame, index_dir: str, threshold: float = 0.9) -> DataFrame:
+def ingest_batch(
+    batch_docs: DataFrame,
+    index_dir: str,
+    threshold: float = 0.9,
+    compact_threshold: int | None = None,
+) -> DataFrame:
     """Admit one batch against (and into) the near-dup index at
     ``index_dir``; returns the admitted ``(doc_id)`` relation, already
     materialized (the index directory may be rewritten by later batches).
+
+    ``compact_threshold``: when set, band partitions holding more than
+    that many data files after the append are compacted in place
+    (:func:`compact_index`) — the steady-state maintenance lever: without
+    it, N micro-batches leave N file families per partition and admission
+    latency drifts up with file count (measured in SCALE.md).
     """
     from pyspark import StorageLevel
 
@@ -194,16 +278,23 @@ def ingest_batch(batch_docs: DataFrame, index_dir: str, threshold: float = 0.9) 
     # toks: hash-clustered by doc_id (repartition = one file family per hash
     # bucket; a metastore-bucketed table at cluster scale would make the
     # survivor semi-join shuffle-free on the index side too).
-    toks.join(kept, "doc_id", "left_semi").repartition(TOK_BUCKETS, "doc_id").write.mode(
-        "append"
-    ).parquet(os.path.join(index_dir, TOKS_SUBDIR))
+    _append_to_table(
+        toks.join(kept, "doc_id", "left_semi").repartition(TOK_BUCKETS, "doc_id"),
+        toks_table(index_dir),
+        os.path.join(index_dir, TOKS_SUBDIR),
+    )
     # bands: partitioned by band so admission probes prune to the probed
     # band partitions (PartitionFilters on the scan — see admission_matches).
-    bands.join(kept, "doc_id", "left_semi").write.mode("append").partitionBy("band").parquet(
-        os.path.join(index_dir, BANDS_SUBDIR)
+    _append_to_table(
+        bands.join(kept, "doc_id", "left_semi"),
+        bands_table(index_dir),
+        os.path.join(index_dir, BANDS_SUBDIR),
+        partition_by="band",
     )
     for cached in (bands, toks, hashed):
         cached.unpersist()
+    if compact_threshold is not None:
+        compact_index(spark, index_dir, max_files_per_band=compact_threshold)
     return kept
 
 
@@ -220,3 +311,60 @@ def near_dup_ingest_stream(docs_stream: DataFrame, index_dir: str, threshold: fl
         .foreachBatch(_batch)
         .trigger(availableNow=True)
     )
+
+
+def compact_index(
+    spark,
+    index_dir: str,
+    max_files_per_band: int = MAX_FILES_PER_BAND,
+    target_bytes: int = 128 << 20,
+) -> list:
+    """Steady-state index maintenance: compact band partitions (and the
+    toks relation) whose data-file count exceeds ``max_files_per_band``.
+
+    Each micro-batch appends one file family per band partition, so after
+    N batches every admission probe opens N files per probed partition —
+    footer reads and task-launch overhead grow linearly while data volume
+    doesn't. Compaction rewrites only the OVER-THRESHOLD partitions
+    (cost bounded by fragmentation, not index size), preserving layout:
+    band partitions stay band-partitioned, the toks relation is rewritten
+    back through the same doc_id hash-clustering as the original writes.
+    The admitted-set semantics are bit-identical before/after (pinned by
+    test) — this is pure physical-layout maintenance, the OPTIMIZE verb
+    of a table format, and the rewritten tables are refreshed in the
+    catalog so the table-level file-index cache never serves vanished
+    files.
+
+    Returns the list of compacted relation names (``band=K`` / ``toks``).
+    """
+    import glob
+
+    from pdf_etl_pipeline_spark.operators.compaction import (
+        compact_parquet_dir,
+        data_file_count,
+    )
+
+    compacted: list[str] = []
+    for pdir in sorted(glob.glob(os.path.join(index_dir, BANDS_SUBDIR, "band=*"))):
+        if data_file_count(pdir) > max_files_per_band:
+            compact_parquet_dir(spark, pdir, target_bytes)
+            compacted.append(os.path.basename(pdir))
+    tdir = os.path.join(index_dir, TOKS_SUBDIR)
+    # toks writes one TOK_BUCKETS-file family per batch; same threshold,
+    # scaled by the clustering width
+    if os.path.isdir(tdir) and data_file_count(tdir) > max_files_per_band * TOK_BUCKETS:
+        import shutil
+
+        df = spark.read.parquet(tdir).repartition(TOK_BUCKETS, "doc_id")
+        tmp = tdir.rstrip("/") + "._compact_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        old = tdir.rstrip("/") + "._compact_old"
+        os.rename(tdir, old)
+        os.rename(tmp, tdir)
+        shutil.rmtree(old)
+        compacted.append(TOKS_SUBDIR)
+    if compacted:
+        for name in (bands_table(index_dir), toks_table(index_dir)):
+            if spark.catalog.tableExists(name):
+                spark.catalog.refreshTable(name)
+    return compacted

@@ -642,3 +642,111 @@ def test_streaming_rolling_anomalies_equal_batch_exact(spark, sf_dir, tmp_path):
         for r in rs5_rolling_anomaly(spark, sf_dir).collect()
     }
     assert len(want) > 0 and got == want
+
+
+def test_ingest_index_catalog_registration_and_recovery(spark, sf_dir, tmp_path):
+    """ST7 index-as-catalog-table: existence is a metastore probe, reads
+    go through spark.table() with partition pruning intact, and a catalog
+    that lost the registration (new process, in-memory metastore)
+    recovers by re-registering the on-disk location — admission results
+    are identical before and after recovery."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.llmdata.ingest import (
+        _index_exists,
+        bands_table,
+        drop_index,
+        ingest_batch,
+        toks_table,
+    )
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    ix = str(tmp_path / "ix_cat")
+
+    assert not _index_exists(spark, ix)  # nothing registered, nothing on disk
+    ingest_batch(docs.filter(F2.col("doc_id") < cut), ix)
+    assert spark.catalog.tableExists(bands_table(ix))
+    assert spark.catalog.tableExists(toks_table(ix))
+    assert _index_exists(spark, ix)
+
+    # catalog table reads the same relation as the raw directory
+    n_tbl = spark.table(bands_table(ix)).count()
+    assert n_tbl == spark.read.parquet(str(tmp_path / "ix_cat" / "bands")).count()
+
+    # batch 2 admission through the catalog table
+    kept2_a = {r.doc_id for r in ingest_batch(docs.filter(F2.col("doc_id") >= cut), ix).collect()}
+
+    # simulate a new process: registration lost, files remain
+    drop_index(spark, ix)
+    assert not spark.catalog.tableExists(bands_table(ix))
+    assert _index_exists(spark, ix)  # recovery re-registered the location
+    assert spark.table(bands_table(ix)).count() > n_tbl  # includes batch 2's rows
+
+    # re-running batch 2 against the recovered index rejects everything
+    # it already admitted plus what it rejected before (idempotent replay:
+    # admitted docs now match themselves in the index)
+    kept2_b = {r.doc_id for r in ingest_batch(docs.filter(F2.col("doc_id") >= cut), ix).collect()}
+    assert kept2_b == set()  # every doc (or its canonical twin) is indexed
+    assert kept2_a  # the original admission was non-empty
+    drop_index(spark, ix)
+
+
+def test_ingest_compaction_invariance_and_file_bounds(spark, sf_dir, tmp_path):
+    """Steady-state maintenance: the SAME staged batches driven with and
+    without in-loop compaction admit the BIT-IDENTICAL doc set, while
+    compaction keeps per-band file counts bounded instead of growing one
+    file family per batch."""
+    import glob
+
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.llmdata.ingest import (
+        BANDS_SUBDIR,
+        drop_index,
+        ingest_batch,
+    )
+    from pdf_etl_pipeline_spark.operators.compaction import data_file_count
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    n_batches = 8
+    cuts = [ids[int(len(ids) * i / n_batches)] for i in range(1, n_batches)] + [ids[-1] + 1]
+
+    def run(ix, compact_threshold):
+        kept = set()
+        lo = None
+        for hi in cuts:
+            b = docs.filter(F2.col("doc_id") < hi)
+            if lo is not None:
+                b = b.filter(F2.col("doc_id") >= lo)
+            kept |= {
+                r.doc_id
+                for r in ingest_batch(b, ix, compact_threshold=compact_threshold).collect()
+            }
+            lo = hi
+        return kept
+
+    ix_plain = str(tmp_path / "ix_plain")
+    ix_compact = str(tmp_path / "ix_compact")
+    kept_plain = run(ix_plain, None)
+    kept_compact = run(ix_compact, 3)
+    assert kept_plain == kept_compact  # physical maintenance, zero semantics
+
+    def max_band_files(ix):
+        return max(
+            data_file_count(p) for p in glob.glob(f"{ix}/{BANDS_SUBDIR}/band=*")
+        )
+
+    # without compaction: one file family per batch accretes
+    assert max_band_files(ix_plain) >= n_batches
+    # with compaction at threshold 3: bounded by threshold + one fresh batch
+    assert max_band_files(ix_compact) <= 4
+    # the compacted index still serves admission correctly: replaying the
+    # full corpus admits nothing new
+    assert {r.doc_id for r in ingest_batch(docs, ix_compact).collect()} == set()
+    drop_index(spark, ix_plain)
+    drop_index(spark, ix_compact)
