@@ -103,17 +103,24 @@ def _ensure_registered(spark, index_dir: str) -> bool:
     bt, tt = bands_table(index_dir), toks_table(index_dir)
     if spark.catalog.tableExists(bt) and spark.catalog.tableExists(tt):
         return True
+    from pdf_etl_pipeline_spark.operators import fsutil
+
     bpath = os.path.join(index_dir, BANDS_SUBDIR)
     tpath = os.path.join(index_dir, TOKS_SUBDIR)
-    if not os.path.isdir(bpath):
+    # Hadoop-FS existence probe — the recovery path works wherever the
+    # index lives (local disk, HDFS, object store), not just on POSIX
+    if not fsutil.exists(bpath, spark):
         return False
     for name, path, partitioned in ((bt, bpath, True), (tt, tpath, False)):
         if not spark.catalog.tableExists(name):
-            spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{path}'")
+            # the table name is md5-derived (safe); the LOCATION path is
+            # caller-controlled, so escape it as a SQL string literal
+            loc = path.replace("'", "''")
+            spark.sql(f"CREATE TABLE `{name}` USING parquet LOCATION '{loc}'")
             if partitioned:
                 # partition discovery is not implied by schema inference:
                 # without the repair the recovered table lists zero files
-                spark.sql(f"MSCK REPAIR TABLE {name}")
+                spark.sql(f"MSCK REPAIR TABLE `{name}`")
     return True
 
 
@@ -331,40 +338,63 @@ def compact_index(
     back through the same doc_id hash-clustering as the original writes.
     The admitted-set semantics are bit-identical before/after (pinned by
     test) — this is pure physical-layout maintenance, the OPTIMIZE verb
-    of a table format, and the rewritten tables are refreshed in the
-    catalog so the table-level file-index cache never serves vanished
-    files.
+    of a table format.
+
+    The rewrite is **append-then-prune through the catalog tables** — the
+    compacted rows append via ``saveAsTable`` (same committer as the
+    ingest writes), then the superseded files are deleted individually
+    through the Hadoop FileSystem API and the table is refreshed. No
+    rename and no temp directory anywhere: object stores have neither an
+    atomic rename nor cheap directory moves, so this path runs unchanged
+    off local disk. Crash-recovery contract: a crash between append and
+    prune leaves DUPLICATE index rows — admission is duplicate-insensitive
+    (candidates are ``dropDuplicates``-ed, matches are ``distinct``-ed),
+    so the degraded state costs I/O, never correctness, and re-running
+    compaction converges it. A table-format transaction subsumes this at
+    cluster scale.
 
     Returns the list of compacted relation names (``band=K`` / ``toks``).
     """
-    import glob
+    from pdf_etl_pipeline_spark.operators import fsutil
 
-    from pdf_etl_pipeline_spark.operators.compaction import (
-        compact_parquet_dir,
-        data_file_count,
-    )
-
+    _ensure_registered(spark, index_dir)
+    bt, tt = bands_table(index_dir), toks_table(index_dir)
     compacted: list[str] = []
-    for pdir in sorted(glob.glob(os.path.join(index_dir, BANDS_SUBDIR, "band=*"))):
-        if data_file_count(pdir) > max_files_per_band:
-            compact_parquet_dir(spark, pdir, target_bytes)
-            compacted.append(os.path.basename(pdir))
+
+    def _rewrite(old_files: list, df, table: str, path: str, partition_by=None):
+        # read the EXPLICIT old-file list so the plan can never observe
+        # the files the append adds; then append through the catalog
+        # (cache invalidates with the write) and prune the old files
+        _append_to_table(df, table, path, partition_by=partition_by)
+        for uri in old_files:
+            fsutil.delete(uri, spark=spark)
+
+    band_type = {f.name: f.dataType.simpleString() for f in spark.table(bt).schema}["band"]
+    for pdir in fsutil.list_subdirs(os.path.join(index_dir, BANDS_SUBDIR), spark):
+        base = pdir.rstrip("/").rsplit("/", 1)[-1]
+        if not base.startswith("band="):
+            continue
+        files = [uri for uri, _ in fsutil.list_data_files(pdir, spark)]
+        if len(files) > max_files_per_band:
+            n_out = max(1, -(-fsutil.dir_bytes(pdir, spark) // target_bytes))
+            df = (
+                spark.read.parquet(*files)
+                .withColumn("band", F.lit(base.split("=", 1)[1]).cast(band_type))
+                .repartition(n_out)
+            )
+            _rewrite(files, df, bt, os.path.join(index_dir, BANDS_SUBDIR), "band")
+            compacted.append(base)
     tdir = os.path.join(index_dir, TOKS_SUBDIR)
+    tfiles = [uri for uri, _ in fsutil.list_data_files(tdir, spark)]
     # toks writes one TOK_BUCKETS-file family per batch; same threshold,
     # scaled by the clustering width
-    if os.path.isdir(tdir) and data_file_count(tdir) > max_files_per_band * TOK_BUCKETS:
-        import shutil
-
-        df = spark.read.parquet(tdir).repartition(TOK_BUCKETS, "doc_id")
-        tmp = tdir.rstrip("/") + "._compact_tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        old = tdir.rstrip("/") + "._compact_old"
-        os.rename(tdir, old)
-        os.rename(tmp, tdir)
-        shutil.rmtree(old)
+    if len(tfiles) > max_files_per_band * TOK_BUCKETS:
+        df = spark.read.parquet(*tfiles).repartition(TOK_BUCKETS, "doc_id")
+        _rewrite(tfiles, df, tt, tdir)
         compacted.append(TOKS_SUBDIR)
     if compacted:
-        for name in (bands_table(index_dir), toks_table(index_dir)):
-            if spark.catalog.tableExists(name):
-                spark.catalog.refreshTable(name)
+        for name in (bt, tt):
+            # the prunes happened outside the catalog — drop the cached
+            # file listing so no scan ever serves a vanished file
+            spark.catalog.refreshTable(name)
     return compacted

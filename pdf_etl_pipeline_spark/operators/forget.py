@@ -180,7 +180,8 @@ def forget_keys(
     nothing to do). Raises :class:`TooManyPartitionsError` when the
     deletion would touch more than ``max_partitions`` partitions."""
     import os
-    import shutil
+
+    from pdf_etl_pipeline_spark.operators import fsutil
 
     parts = affected_partitions(
         spark, path, partition_col, key_col, keys, max_partitions=max_partitions
@@ -214,8 +215,10 @@ def forget_keys(
     # drop its directory explicitly (a table format does this inside the
     # same transaction at cluster scale), using Spark's own path escaping
     # so special-char / NULL partition values resolve to the real dir.
+    # The drop goes through the Hadoop FileSystem API so this maintenance
+    # path runs unchanged against HDFS/object-store locations.
     for p in part_strs - still_present:
         d = os.path.join(path, _partition_dirname(partition_col, p))
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+        if fsutil.exists(d, spark):
+            fsutil.delete(d, recursive=True, spark=spark)
     return sorted(part_strs, key=lambda s: (s is None, s or ""))

@@ -750,3 +750,47 @@ def test_ingest_compaction_invariance_and_file_bounds(spark, sf_dir, tmp_path):
     assert {r.doc_id for r in ingest_batch(docs, ix_compact).collect()} == set()
     drop_index(spark, ix_plain)
     drop_index(spark, ix_compact)
+
+
+def test_ingest_index_quote_bearing_path(spark, sf_dir, tmp_path):
+    """Catalog recovery escapes the LOCATION literal: an index directory
+    containing a single quote registers and recovers cleanly."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.llmdata.ingest import (
+        _index_exists,
+        bands_table,
+        drop_index,
+        ingest_batch,
+    )
+    from pdf_etl_pipeline_spark.session import load_table
+
+    ix = str(tmp_path / "o'brien's corpus" / "ix")
+    docs = load_table(spark, sf_dir, "documents").filter(F2.col("doc_id") < 50)
+    kept = {r.doc_id for r in ingest_batch(docs, ix).collect()}
+    assert kept
+    # lose the registration; recovery runs CREATE TABLE ... LOCATION with
+    # the quote-bearing path (escaped) + MSCK
+    drop_index(spark, ix)
+    assert _index_exists(spark, ix)
+    assert spark.table(bands_table(ix)).count() > 0
+    # replay is fully rejected through the recovered table
+    assert {r.doc_id for r in ingest_batch(docs, ix).collect()} == set()
+    drop_index(spark, ix)
+
+
+def test_maintenance_paths_have_no_posix_layout_surgery():
+    """Object-store-safety pin: no rename / rmtree / os.walk / glob in any
+    maintenance path — compaction and partition drops must run against
+    HDFS/object-store locations, where POSIX directory surgery either
+    doesn't exist or isn't atomic. (fsutil routes everything through
+    org.apache.hadoop.fs.FileSystem.)"""
+    import inspect
+
+    from pdf_etl_pipeline_spark.llmdata import ingest
+    from pdf_etl_pipeline_spark.operators import compaction, forget
+
+    for mod in (ingest, compaction, forget):
+        src = inspect.getsource(mod)
+        for banned in ("os.rename", "shutil.rmtree", "os.walk", "glob.glob", "os.path.isdir"):
+            assert banned not in src, f"{mod.__name__} uses {banned}"
