@@ -245,7 +245,12 @@ pc{i} AS (SELECT sym AS a, nxt AS b, SUM(wcnt) AS cnt
 best{i} AS MATERIALIZED (SELECT a, b, cnt FROM pc{i} ORDER BY cnt DESC, a, b LIMIT 1),
 m{i} AS (SELECT p.word, p.wcnt, p.pos, p.sym, b.a AS ba, b.b AS bb,
                 coalesce(p.sym = b.a AND p.nxt = b.b, false) AS m
-         FROM p{i} p CROSS JOIN best{i} b),
+         -- LEFT JOIN ON TRUE, not CROSS JOIN: when merges exhaust before
+         -- n_merges, best{i} is EMPTY — a cross join would empty rel{i}
+         -- and every later stage, while train_bpe breaks early and keeps
+         -- the last relation. With the left join ba IS NULL, every m is
+         -- false, and rel{i} passes rel{i-1} through unchanged.
+         FROM p{i} p LEFT JOIN best{i} b ON TRUE),
 g{i} AS (SELECT *, pos - row_number() OVER (PARTITION BY word, m ORDER BY pos) AS grp
          FROM m{i}),
 s{i} AS (SELECT *, m AND ((row_number() OVER (PARTITION BY word, m, grp ORDER BY pos) - 1) % 2 = 0) AS sel

@@ -81,3 +81,44 @@ def test_bpe_single_char_and_empty_docs(spark):
     assert (out[1]["ws_tokens"], out[1]["bpe_tokens"]) == (4, 4)
     assert (out[2]["ws_tokens"], out[2]["bpe_tokens"]) == (0, 0)
     assert out[2]["subword_ratio"] is None
+
+
+def _duck(texts):
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "docs", pd.DataFrame({"doc_id": range(1, len(texts) + 1), "text": texts})
+    )
+    return con
+
+
+def test_bpe_oracle_degenerate_no_pairs():
+    """ADVICE r8: the unrolled DuckDB oracle must pass relations through
+    EMPTY best stages (merges exhausted) instead of emptying the chain —
+    parity with train_bpe's early break. All-1-char corpus: zero merges,
+    counts preserved."""
+    con = _duck(["a a a b", ""])
+    assert len(con.execute(bpe.bpe_train_sql("docs", 3)).df()) == 0
+    enc = con.execute(bpe.bpe_encode_sql("docs", 3)).df()
+    got = {int(r.doc_id): (int(r.ws_tokens), int(r.bpe_tokens)) for r in enc.itertuples()}
+    assert got == {1: (4, 4), 2: (0, 0)}
+
+
+def test_bpe_oracle_mid_chain_exhaustion_matches_spark(spark):
+    """Merges exhaust after 1 of 3 requested stages ("ab ab": one merge,
+    then single-symbol words). Oracle and Spark must agree on both the
+    merge table and the per-doc counts."""
+    texts = ["ab ab", "ab"]
+    con = _duck(texts)
+    train = con.execute(bpe.bpe_train_sql("docs", 3)).df()
+    merges, _rel = bpe.train_bpe(_docs(spark, texts), 3)
+    assert [(r.a, r.b, int(r.cnt)) for r in train.itertuples()] == merges == [("a", "b", 3)]
+    enc = con.execute(bpe.bpe_encode_sql("docs", 3)).df()
+    got = {int(r.doc_id): (int(r.ws_tokens), int(r.bpe_tokens)) for r in enc.itertuples()}
+    want = {
+        r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"])
+        for r in bpe.bpe_doc_counts(_docs(spark, texts), 3).collect()
+    }
+    assert got == want == {1: (2, 2), 2: (1, 1)}
