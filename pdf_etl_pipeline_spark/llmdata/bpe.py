@@ -142,6 +142,122 @@ def apply_merge(rel: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
+def apply_merges_batch(rel: DataFrame, batch: list) -> DataFrame:
+    """Apply a CONFLICT-FREE merge batch [(a, b), …] in one relational
+    pass — the scale lever for realistic (1k–32k) merge counts, where one
+    Spark job per merge is the bottleneck, not the data.
+
+    Conflict-freedom (enforced by the selector in
+    :func:`train_bpe_batched`): no two pairs share a symbol, and no
+    pair's symbol equals another pair's produced concatenation. Under
+    those constraints the batch is ORDER-INDEPENDENT and equals applying
+    each merge exhaustively in sequence:
+
+    - matches of different pairs can never be adjacent (consecutive
+      match positions imply a shared symbol), so the gaps-and-islands
+      parity resolution only ever sees same-pair runs — exactly the
+      single-pair semantics of :func:`apply_merge`;
+    - a merge's produced symbol can't feed another pair in the same
+      batch (the `produced` check), so no sequential-order effects.
+    """
+    w = Window.partitionBy("word").orderBy("pos")
+    p = _with_pairs(rel)
+    m_expr = F.lit(False)
+    repl = None
+    for a, b in batch:
+        hit = (F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b))
+        m_expr = m_expr | F.coalesce(hit, F.lit(False))
+        repl = F.when(hit, F.lit(a + b)) if repl is None else repl.when(hit, F.lit(a + b))
+    m = p.withColumn("m", m_expr).withColumn("repl", repl)
+    g = m.withColumn(
+        "grp", F.col("pos") - F.row_number().over(Window.partitionBy("word", "m").orderBy("pos"))
+    )
+    s = g.withColumn(
+        "sel",
+        F.col("m")
+        & (
+            (F.row_number().over(Window.partitionBy("word", "m", "grp").orderBy("pos")) - 1) % 2
+            == 0
+        ),
+    )
+    k = s.withColumn("prev_sel", F.coalesce(F.lag("sel").over(w), F.lit(False)))
+    return k.filter(~F.col("prev_sel")).select(
+        "word",
+        "wcnt",
+        F.row_number().over(w).alias("pos"),
+        F.when(F.col("sel"), F.col("repl")).otherwise(F.col("sym")).alias("sym"),
+    )
+
+
+def select_conflict_free(top_rows: list, round_size: int) -> list:
+    """Greedy driver-side scan over the collected top pair counts: take
+    pairs in (cnt DESC, a, b) order, skipping any pair that shares a
+    symbol with an already-taken pair OR whose symbol equals an
+    already-taken pair's produced concatenation (which sequential
+    Sennrich application could feed into — see divergence note on
+    :func:`train_bpe_batched`). Input is bounded (a LIMIT collect), so
+    this is metadata-scale work."""
+    out: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    produced: set[str] = set()
+    for r in top_rows:
+        if len(out) >= round_size:
+            break
+        a, b = r["a"], r["b"]
+        if {a, b} & (used | produced):
+            continue
+        out.append((a, b, int(r["cnt"])))
+        used |= {a, b}
+        produced.add(a + b)
+    return out
+
+
+def train_bpe_batched(
+    docs: DataFrame,
+    n_merges: int,
+    round_size: int = 64,
+    margin: int = 4,
+):
+    """Batched BPE training: each ROUND collects the top
+    ``margin * round_size`` pair counts (one bounded-LIMIT collect),
+    selects up to ``round_size`` conflict-free merges driver-side, and
+    applies them in ONE relational pass — ``n_merges`` merges cost
+    ``ceil(n_merges / round_size)`` Spark jobs instead of ``n_merges``.
+    Returns ``(merges, rel)`` like :func:`train_bpe`.
+
+    Divergence from strict Sennrich order (documented, pinned by test):
+    within a round, merges 2..K are chosen under the PRE-ROUND counts.
+    Conflict-freedom makes the selected pairs' counts invariant under
+    each other's application (disjoint pairs can neither create nor
+    destroy one another's adjacencies), so applying the batch equals
+    applying the selected list sequentially; what diverges is SELECTION —
+    strict Sennrich recounts after every merge and may rank a
+    freshly-produced symbol's pair (e.g. (ab, c)) above this round's #2.
+    ``round_size=1`` reproduces strict order exactly (pinned by test).
+
+    Scale: the per-round collect is ``margin*round_size`` rows (bounded,
+    driver-side); the apply pass is the same 4-window plan as
+    :func:`apply_merge` with a K-branch CASE. A 32k-merge vocabulary at
+    round_size=64 is 500 rounds — measured cost model in SCALE.md.
+    """
+    rel = symbols_rel(word_vocab(docs)).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges:
+        want = min(round_size, n_merges - len(merges))
+        top = (
+            pair_counts(rel)
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(max(margin * want, want))
+            .collect()
+        )
+        batch = select_conflict_free(top, want)
+        if not batch:
+            break
+        merges.extend(batch)
+        rel = apply_merges_batch(rel, [(a, b) for a, b, _ in batch]).localCheckpoint()
+    return merges, rel
+
+
 # --- train / encode -----------------------------------------------------------
 def train_bpe(docs: DataFrame, n_merges: int = N_MERGES):
     """Learn ``n_merges`` BPE merges from the corpus. Returns

@@ -470,6 +470,15 @@ def label_components(
         .union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .localCheckpoint()
     )
+    if edges.isEmpty():
+        # Empty pair graph: every node is its own (kept) component. Common
+        # in steady-state ingest — a clean batch generates no intra-batch
+        # LSH pairs — and the check is one first-partition probe of the
+        # just-checkpointed edges, vs two checkpoint+aggregate rounds of
+        # the loop below to certify the same fixed point.
+        return nodes.select(
+            "doc_id", F.col("doc_id").alias("cluster_id")
+        ).withColumn("is_keeper", F.lit(True))
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     prev_sum = None
     done = 0

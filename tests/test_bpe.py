@@ -122,3 +122,58 @@ def test_bpe_oracle_mid_chain_exhaustion_matches_spark(spark):
         for r in bpe.bpe_doc_counts(_docs(spark, texts), 3).collect()
     }
     assert got == want == {1: (2, 2), 2: (1, 1)}
+
+
+def test_bpe_batched_round_size_1_equals_strict(spark):
+    """train_bpe_batched(round_size=1) reproduces strict Sennrich order:
+    identical merge list AND identical final relation."""
+    docs = _docs(spark, ["the window the window slow", "slow slow batch the", "window batch"])
+    strict_m, strict_rel = bpe.train_bpe(docs, 8)
+    batch_m, batch_rel = bpe.train_bpe_batched(docs, 8, round_size=1)
+    assert batch_m == strict_m
+    a = sorted(map(tuple, strict_rel.select("word", "pos", "sym").collect()))
+    b = sorted(map(tuple, batch_rel.select("word", "pos", "sym").collect()))
+    assert a == b
+
+
+def test_bpe_batched_conflict_free_selection():
+    """The selector skips pairs sharing a symbol with a taken pair or
+    consuming a taken pair's produced concatenation."""
+    rows = [
+        {"a": "a", "b": "b", "cnt": 10},   # taken -> produces "ab"
+        {"a": "b", "b": "c", "cnt": 9},    # skipped: shares "b"
+        {"a": "ab", "b": "c", "cnt": 8},   # skipped: consumes produced "ab"
+        {"a": "x", "b": "y", "cnt": 7},    # taken
+        {"a": "c", "b": "d", "cnt": 6},    # taken (c unused: pair 2 was skipped)
+    ]
+    got = bpe.select_conflict_free(rows, 10)
+    assert got == [("a", "b", 10), ("x", "y", 7), ("c", "d", 6)]
+
+
+def test_bpe_batched_encoding_consistent(spark):
+    """A batched-trained tokenizer is a valid frozen tokenizer: encoding
+    the training vocabulary under the learned merge list reproduces the
+    training relation (same invariant train_bpe pins)."""
+    docs = _docs(spark, ["aa bb aa bb cc", "aa cc bb aa", "dd aa bb"])
+    merges, rel_train = bpe.train_bpe_batched(docs, 6, round_size=3)
+    assert len(merges) > 0
+    rel_enc = bpe.encode_vocab(bpe.word_vocab(docs), merges)
+    a = sorted(map(tuple, rel_train.select("word", "pos", "sym").collect()))
+    b = sorted(map(tuple, rel_enc.select("word", "pos", "sym").collect()))
+    assert a == b
+
+
+def test_bpe_batched_multi_pair_round_matches_sequential_apply(spark):
+    """One batched round applying K conflict-free pairs equals applying
+    the same pairs one at a time (order-independence under the
+    conflict-free constraint)."""
+    docs = _docs(spark, ["ab ab cd cd ef", "ab cd ef ef"])
+    rel0 = bpe.symbols_rel(bpe.word_vocab(docs)).localCheckpoint()
+    pairs = [("a", "b"), ("c", "d"), ("e", "f")]
+    batched = bpe.apply_merges_batch(rel0, pairs)
+    seq = rel0
+    for a, b in pairs:
+        seq = bpe.apply_merge(seq, a, b)
+    got = sorted(map(tuple, batched.select("word", "pos", "sym").collect()))
+    want = sorted(map(tuple, seq.select("word", "pos", "sym").collect()))
+    assert got == want

@@ -1,0 +1,195 @@
+"""Measured scale exponents sf0.01→sf0.1→sf1 for the six headline heavy
+queries (SCALE.md evidence — the numbers behind the claimed bounds).
+
+The driver's testdata stops at sf0.1, so this script SYNTHESIZES a
+three-point scale series (1×, 10×, 100× — the 100× point is the "sf1
+equivalent") with deterministic generators that mirror the driver
+tables' shapes, then times each query at each point and reports the
+measured growth exponent  e = log10(t_10x / t_1x)  per decade beside the
+claimed complexity bound.
+
+Generated tables (seeded, reproducible):
+- ``documents``  (500 / 5k / 50k): dup-CONTROLLED shape — per-doc token
+  namespaces + a fixed 10% planted near-copy rate, the regime real web
+  corpora live in (true near-dup pairs grow linearly with n). The
+  driver's own 31-word-vocab tables are dup-SATURATED (true pairs grow
+  ~n²) — scale exponents measured there would measure the corpus, not
+  the operator; tools/scale_curve.py documents that contrast.
+- ``events``     (10k / 100k / 1M): 30-day timestamps, users = n/66,
+  5 event types, exponential-ish values — the driver shape.
+- ``embeddings`` (500 / 2k / 20k): 64-dim gaussian, L2-normalized,
+  10 labels.
+- ``lineitem``   (60k / 600k / 6M): orders = n/4, parts = n/30 — only
+  (l_orderkey, l_partkey), the two columns g2 reads (column pruning
+  means the rest never leaves the scan anyway).
+
+Queries: st7_neardup_ingest, g2_triangle_count, ss8_ivf_adc_topk,
+dd3_minhash_lsh, rs5_rolling_anomaly, tk2_bpe_encode — each called
+through its REGISTERED catalog entry, so the measured plan is the
+shipped plan.
+
+Usage:
+    python tools/sf1_curves.py [workdir]         # default /tmp/sfgen
+    python tools/sf1_curves.py /tmp/sfgen 10     # cap scale at 10x
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+from pdf_etl_pipeline_spark.session import get_spark
+
+SCALES = {"1x": 1, "10x": 10, "100x": 100}
+BASE = {"documents": 500, "events": 10_000, "embeddings": 500, "lineitem": 60_000}
+
+
+def gen_documents(n: int, seed: int = 11) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    rows = []
+    n_tok = 40
+    for i in range(n):
+        if i > 0 and rng.random() < 0.10:
+            src = int(rng.integers(0, i))
+            base = [f"d{src}t{k}" for k in range(n_tok)]
+            for k in rng.choice(n_tok, size=2, replace=False):
+                base[int(k)] = f"d{i}r{int(k)}"
+        else:
+            base = [f"d{i}t{k}" for k in range(n_tok)]
+        text = " ".join(base)
+        rows.append((i, text, "en", f"src{i % 20}", len(text)))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def gen_events(n: int, seed: int = 12) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    users = max(2, n // 66)
+    t0 = np.datetime64("2024-01-01T00:00:00")
+    ts = t0 + (rng.random(n) * 30 * 86400).astype("timedelta64[s]")
+    ts.sort()
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.integers(0, users, n).astype(np.int64),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "signup", "error"], n
+            ),
+            "value": np.round(rng.exponential(50.0, n), 2),
+            "props": [f'{{"k": {int(v)}}}' for v in rng.integers(0, 100, n)],
+        }
+    )
+
+
+def gen_embeddings(n: int, seed: int = 13) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    v = rng.normal(0, 1, (n, 64))
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in v],
+            "label": rng.integers(0, 10, n).astype(np.int32),
+        }
+    )
+
+
+def gen_lineitem(n: int, seed: int = 14) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, n // 4, n).astype(np.int64),
+            "l_partkey": rng.integers(0, n // 30, n).astype(np.int64),
+        }
+    )
+
+
+GENS = {
+    "documents": gen_documents,
+    "events": gen_events,
+    "embeddings": gen_embeddings,
+    "lineitem": gen_lineitem,
+}
+
+
+def ensure_corpus(spark, workdir: str, tag: str, mult: int) -> str:
+    d = os.path.join(workdir, f"scale_{tag}")
+    os.makedirs(d, exist_ok=True)
+    for name, gen in GENS.items():
+        path = os.path.join(d, f"{name}.parquet")
+        if not os.path.exists(path):
+            pdf = gen(BASE[name] * mult)
+            if name == "embeddings":
+                sdf = spark.createDataFrame(
+                    pdf, "vec_id long, embedding array<float>, label int"
+                )
+            else:
+                sdf = spark.createDataFrame(pdf)
+            # single file: the driver tables are one parquet per table too
+            sdf.coalesce(max(1, mult // 4)).write.mode("overwrite").parquet(path)
+    return d
+
+
+def main() -> None:
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfgen"
+    cap = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = get_spark("sf1-curves")
+
+    from pdf_etl_pipeline_spark.catalog.dedup_q import dd3_minhash_lsh
+    from pdf_etl_pipeline_spark.catalog.extended_q import (
+        g2_triangle_count,
+        rs5_rolling_anomaly,
+    )
+    from pdf_etl_pipeline_spark.catalog.ingest_q import st7_neardup_ingest
+    from pdf_etl_pipeline_spark.catalog.similarity_q import ss8_ivf_adc_topk
+    from pdf_etl_pipeline_spark.catalog.tokenize_q import tk2_bpe_encode
+
+    QUERIES = {
+        "st7_neardup_ingest": st7_neardup_ingest,
+        "g2_triangle_count": g2_triangle_count,
+        "ss8_ivf_adc_topk": ss8_ivf_adc_topk,
+        "dd3_minhash_lsh": dd3_minhash_lsh,
+        "rs5_rolling_anomaly": rs5_rolling_anomaly,
+        "tk2_bpe_encode": tk2_bpe_encode,
+    }
+
+    dirs = {}
+    for tag, mult in SCALES.items():
+        if mult <= cap:
+            dirs[tag] = ensure_corpus(spark, workdir, tag, mult)
+            print(f"corpus {tag} ready at {dirs[tag]}", file=sys.stderr)
+
+    out = {"scales": {t: {} for t in dirs}, "rows": {}}
+    for tag, d in dirs.items():
+        for qname, fn in QUERIES.items():
+            t0 = time.time()
+            n = fn(spark, d).count()
+            sec = round(time.time() - t0, 2)
+            out["scales"][tag][qname] = sec
+            out["rows"].setdefault(qname, {})[tag] = n
+            print(f"{tag} {qname}: {sec}s ({n} rows)", file=sys.stderr)
+
+    # per-decade exponents between adjacent measured scales
+    tags = [t for t in ("1x", "10x", "100x") if t in dirs]
+    exps = {}
+    for qname in QUERIES:
+        e = {}
+        for lo, hi in zip(tags, tags[1:]):
+            r = out["scales"][hi][qname] / max(out["scales"][lo][qname], 1e-9)
+            e[f"{lo}->{hi}"] = round(math.log10(r), 3)
+        exps[qname] = e
+    out["exponents_per_decade"] = exps
+    out["load_avg_before"] = os.getloadavg()[0]
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
