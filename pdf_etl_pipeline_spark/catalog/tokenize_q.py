@@ -146,3 +146,23 @@ def tk4_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("bpe_tokens").alias("n_tokens")
     )
     return pack_counts(counts, PACK_BUDGET).orderBy("doc_id")
+
+
+# --- TK5: batched BPE training (the realistic-merge-count scale path) ----------
+@register(
+    "tk5_bpe_batched_train",
+    oracle=bpe.bpe_batched_train_sql("documents", bpe.N_MERGES, 8, 4),
+    doc=f"TK5 BATCHED BPE training ({bpe.N_MERGES} merges, conflict-free "
+    "rounds of 8): each round is one bounded top-K collect + ONE windowed "
+    "apply pass, so N merges cost ~N/round_size Spark jobs instead of N — "
+    "the lever that makes 32k-merge vocabularies feasible (measured cost "
+    "model in SCALE.md). The oracle unrolls every round, expressing the "
+    "driver-side conflict-free greedy selection as a RECURSIVE CTE over the "
+    "ranked pair counts, so even the batched scale path is hash-checked",
+)
+def tk5_bpe_batched_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    merges, _ = bpe.train_bpe_batched(
+        load_table(spark, sf_dir, "documents"), bpe.N_MERGES, round_size=8, margin=4
+    )
+    return bpe.merge_table(spark, merges)

@@ -386,6 +386,96 @@ def bpe_chain_sql(table: str, n_merges: int = N_MERGES) -> str:
     return ",\n".join(parts)
 
 
+def _batched_round_ctes(i: int, n_merges: int, round_size: int, margin: int) -> str:
+    """One unrolled BATCHED-training round: pair counts -> ranked top
+    list (bounded by margin*want) -> the conflict-free greedy selection
+    as a RECURSIVE CTE (the exact sequential scan of
+    :func:`select_conflict_free`, state = taken list + blocked-symbol
+    list) -> one islands/parity apply pass for the whole batch.
+
+    ``want`` derives from the cumulative merges taken by earlier rounds
+    (``cum{i}``), so the unroll is corpus-independent: a round past
+    completion (want <= 0) or past pair exhaustion selects an empty
+    batch, and the LEFT JOIN passes rel{i-1} through unchanged — the
+    same early-break parity as the strict chain."""
+    cum = (
+        "SELECT 0 AS c"
+        if i == 1
+        else f"SELECT c + (SELECT COUNT(*) FROM batch{i - 1}) AS c FROM cum{i - 1}"
+    )
+    return f"""cum{i} AS ({cum}),
+want{i} AS (SELECT least({round_size}, {n_merges} - c) AS w FROM cum{i}),
+p{i} AS MATERIALIZED (
+  SELECT word, wcnt, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM rel{i - 1}),
+ranked{i} AS MATERIALIZED (
+  SELECT sym AS a, nxt AS b, SUM(wcnt) AS cnt,
+         row_number() OVER (ORDER BY SUM(wcnt) DESC, sym, nxt) AS rnk
+  FROM p{i} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+  QUALIFY rnk <= (SELECT greatest({margin} * w, w) FROM want{i})),
+seliter{i}(rnk, taken, blocked) AS (
+  SELECT 0, CAST([] AS STRUCT(a VARCHAR, b VARCHAR, cnt BIGINT)[]), CAST([] AS VARCHAR[])
+  UNION ALL
+  SELECT t.rnk,
+    CASE WHEN len(s.taken) < (SELECT w FROM want{i})
+              AND NOT list_contains(s.blocked, t.a)
+              AND NOT list_contains(s.blocked, t.b)
+         THEN list_append(s.taken, {{'a': t.a, 'b': t.b, 'cnt': t.cnt}})
+         ELSE s.taken END,
+    CASE WHEN len(s.taken) < (SELECT w FROM want{i})
+              AND NOT list_contains(s.blocked, t.a)
+              AND NOT list_contains(s.blocked, t.b)
+         THEN list_concat(s.blocked, [t.a, t.b, t.a || t.b])
+         ELSE s.blocked END
+  FROM seliter{i} s JOIN ranked{i} t ON t.rnk = s.rnk + 1),
+batch{i} AS MATERIALIZED (
+  SELECT u.a AS a, u.b AS b, u.cnt AS cnt, ord
+  FROM (SELECT unnest(taken) AS u, generate_subscripts(taken, 1) AS ord
+        FROM (SELECT taken FROM seliter{i} ORDER BY rnk DESC LIMIT 1))),
+m{i} AS (SELECT p.word, p.wcnt, p.pos, p.sym, b.a AS ba, b.b AS bb,
+                (b.a IS NOT NULL) AS m
+         FROM p{i} p LEFT JOIN batch{i} b ON p.sym = b.a AND p.nxt = b.b),
+g{i} AS (SELECT *, pos - row_number() OVER (PARTITION BY word, m ORDER BY pos) AS grp
+         FROM m{i}),
+s{i} AS (SELECT *, m AND ((row_number() OVER (PARTITION BY word, m, grp ORDER BY pos) - 1) % 2 = 0) AS sel
+         FROM g{i}),
+k{i} AS (SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos), false) AS prev_sel
+         FROM s{i}),
+rel{i} AS MATERIALIZED (
+  SELECT word, wcnt,
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN sel THEN ba || bb ELSE sym END AS sym
+  FROM k{i} WHERE NOT prev_sel)"""
+
+
+def bpe_batched_train_sql(
+    table: str,
+    n_merges: int = N_MERGES,
+    round_size: int = 8,
+    margin: int = 4,
+) -> str:
+    """Oracle for tk5: the batched trainer's merge table. Unrolls
+    ``n_merges`` rounds (an upper bound — every non-exhausted round takes
+    at least the top pair, and completed/exhausted rounds pass through),
+    so the unroll is exact for ANY corpus, including mid-chain
+    exhaustion. Ranks accumulate across rounds in selection order,
+    matching ``train_bpe_batched``'s merge list."""
+    rounds = [
+        _batched_round_ctes(i, n_merges, round_size, margin)
+        for i in range(1, n_merges + 1)
+    ]
+    bests = "\nUNION ALL\n".join(
+        f"SELECT CAST((SELECT c FROM cum{i}) + ord AS BIGINT) AS rank, a, b, a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM batch{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        f"WITH RECURSIVE {_base_ctes(table)},\n"
+        + ",\n".join(rounds)
+        + f"\nSELECT * FROM (\n{bests}\n) ORDER BY rank"
+    )
+
+
 def bpe_train_sql(table: str, n_merges: int = N_MERGES) -> str:
     """Oracle for tk1: the learned merge table (rank, a, b, merged, cnt)."""
     bests = "\nUNION ALL\n".join(
