@@ -68,8 +68,11 @@ def timed_join(spark, fact, dim, salted: bool):
     else:
         out = fact.join(dim, "k")
     agg = out.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
-    rows = agg.agg(F.count(F.lit(1)), F.sum("n"), F.sum("sv")).first()
-    return time.time() - t0, (int(rows[0]), int(rows[1]), int(rows[2])), agg
+    # collect() executes THIS plan (so its AdaptiveSparkPlan finalizes and
+    # can be audited for the skew split); the checksum folds driver-side
+    rows = agg.collect()
+    check = (len(rows), sum(r["n"] for r in rows), sum(r["sv"] for r in rows))
+    return time.time() - t0, check, agg
 
 
 def main() -> None:
@@ -89,17 +92,32 @@ def main() -> None:
     sec, check0, _ = timed_join(spark, fact, dim, salted=False)
     results["baseline_sec"] = round(sec, 2)
 
-    # 2. AQE skew split, thresholds sized to the planted data
+    # 2. AQE skew split, thresholds sized to the planted data. NOTE the
+    # trap this measures: this query aggregates ON the join key right
+    # above the join, so the SMJ's hash output partitioning feeds the
+    # aggregate exchange-free — splitting the skewed partition would
+    # break that property and force a new shuffle, so OptimizeSkewedJoin
+    # DECLINES unless forceOptimizeSkewedJoin accepts the extra shuffle.
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
     sec, check1, agg = timed_join(spark, fact, dim, salted=False)
     results["aqe_sec"] = round(sec, 2)
-    # audit: the EXECUTED adaptive plan must show the skew split — a run
-    # where AQE silently declined would otherwise masquerade as a result
     plan = agg._jdf.queryExecution().executedPlan().toString()
-    results["aqe_skew_split_in_plan"] = ("skew=true" in plan) or ("isSkew=true" in plan)
+    assert "isFinalPlan=true" in plan
+    results["aqe_skew_split_in_plan"] = "skew" in plan.lower()
+
+    # 2b. forced: accept the extra shuffle to split the straggler — the
+    # audit asserts the EXECUTED plan really carries the skew split
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    sec, check1b, aggf = timed_join(spark, fact, dim, salted=False)
+    results["aqe_forced_sec"] = round(sec, 2)
+    planf = aggf._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in planf
+    results["aqe_forced_skew_split_in_plan"] = "skew" in planf.lower()
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+    assert check1 == check1b
 
     # 3. manual salting, AQE skew-join off
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
