@@ -9,6 +9,12 @@ from pdf_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Catalog queries call tune(spark), which re-sizes shuffle partitions from
+# this env var (cores otherwise — right for perf runs, 8x too wide for
+# sf0.001 tests). Pinning it here keeps the whole suite at 4 even after
+# a test drives a registered query.
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+
 
 @pytest.fixture(scope="session")
 def spark():
