@@ -13,7 +13,6 @@ rows-counted.
 
 from __future__ import annotations
 
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -103,7 +102,8 @@ def st7_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         from pdf_etl_pipeline_spark.llmdata.ingest import drop_index
+        from pdf_etl_pipeline_spark.operators import fsutil
 
         drop_index(spark, tmp)
-        shutil.rmtree(tmp, ignore_errors=True)
+        fsutil.delete(tmp, recursive=True, spark=spark)
     return out

@@ -160,6 +160,9 @@ def apply_merges_batch(rel: DataFrame, batch: list) -> DataFrame:
     - a merge's produced symbol can't feed another pair in the same
       batch (the `produced` check), so no sequential-order effects.
     """
+    if not batch:
+        # public API: an empty batch is a no-op, not a None-typed CASE
+        return rel
     w = Window.partitionBy("word").orderBy("pos")
     p = _with_pairs(rel)
     m_expr = F.lit(False)

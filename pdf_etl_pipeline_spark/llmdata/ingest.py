@@ -45,6 +45,8 @@ anti-join) — from exact keys to near-duplicate content.
 from __future__ import annotations
 
 import os
+import re
+import urllib.parse
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -366,7 +368,11 @@ def compact_index(
     """
     from pdf_etl_pipeline_spark.operators import fsutil
 
-    _ensure_registered(spark, index_dir)
+    if not _ensure_registered(spark, index_dir):
+        # never-ingested (or already-dropped) index: nothing to compact —
+        # keep the old glob-era no-op contract instead of raising on
+        # spark.table() below
+        return []
     bt, tt = bands_table(index_dir), toks_table(index_dir)
     compacted: list[str] = []
 
@@ -383,12 +389,19 @@ def compact_index(
         base = pdir.rstrip("/").rsplit("/", 1)[-1]
         if not base.startswith("band="):
             continue
+        # Hive %-escapes special chars in partition-directory values and
+        # spells NULL as __HIVE_DEFAULT_PARTITION__; band is an integer by
+        # construction, so unescape and refuse anything that isn't one
+        # rather than writing a garbage/NULL band column on the rewrite.
+        band_val = urllib.parse.unquote(base.split("=", 1)[1])
+        if not re.fullmatch(r"-?\d+", band_val):
+            continue
         files = [uri for uri, _ in fsutil.list_data_files(pdir, spark)]
         if len(files) > max_files_per_band:
             n_out = max(1, -(-fsutil.dir_bytes(pdir, spark) // target_bytes))
             df = (
                 spark.read.parquet(*files)
-                .withColumn("band", F.lit(base.split("=", 1)[1]).cast(band_type))
+                .withColumn("band", F.lit(band_val).cast(band_type))
                 .repartition(n_out)
             )
             _rewrite(files, df, bt, os.path.join(index_dir, BANDS_SUBDIR), "band")

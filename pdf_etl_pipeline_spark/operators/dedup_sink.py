@@ -21,10 +21,10 @@ point bucket the table by the dedup key so the join co-locates.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.operators import fsutil
 
 DEFAULT_KEYS = ("invoice_number", "supplier_name")
 
@@ -44,7 +44,9 @@ def dedup_against_existing(
     """
     spark = spark or df.sparkSession
     key_cols = [k for k in keys if k in df.columns]
-    if os.path.isdir(table_path):
+    # fsutil.exists, not os.path.isdir: on s3a:// a POSIX probe is always
+    # False, which would silently turn dedup-append into blind append.
+    if fsutil.exists(table_path, spark):
         existing = spark.read.parquet(table_path).select(*key_cols).distinct()
         df = df.join(existing, key_cols, "left_anti")
     return df.dropDuplicates(key_cols)
@@ -74,7 +76,7 @@ def invoice_exists(
 ) -> bool:
     """S8 point probe (reference db_connection.py:72-88): 3-key existence
     check as a pruned scan + limit(1)."""
-    if not os.path.isdir(table_path):
+    if not fsutil.exists(table_path, spark):
         return False
     t = spark.read.parquet(table_path)
     return (

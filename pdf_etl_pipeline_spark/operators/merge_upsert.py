@@ -72,10 +72,12 @@ def merge_upsert(
     row-group replace); the partitioned/bucketed layout note in the module
     docstring is the 100 TB path.
     """
-    import os
+    from pdf_etl_pipeline_spark.operators import fsutil
 
     spark = incoming.sparkSession
-    if os.path.isdir(table_path):
+    # fsutil.exists, not os.path.isdir: on s3a:// a POSIX probe is always
+    # False, which would silently turn merge into a blind overwrite.
+    if fsutil.exists(table_path, spark):
         existing = spark.read.parquet(table_path)
         out = merged_relation(existing, incoming, keys)
     else:

@@ -783,17 +783,48 @@ def test_ingest_index_quote_bearing_path(spark, sf_dir, tmp_path):
 
 
 def test_maintenance_paths_have_no_posix_layout_surgery():
-    """Object-store-safety pin: no rename / rmtree / os.walk / glob in any
-    maintenance path — compaction and partition drops must run against
-    HDFS/object-store locations, where POSIX directory surgery either
-    doesn't exist or isn't atomic. (fsutil routes everything through
-    org.apache.hadoop.fs.FileSystem.)"""
-    import inspect
+    """Object-store-safety pin: no rename / rmtree / os.walk / glob /
+    os.path.isdir in ANY module that can touch a table path — on
+    HDFS/object-store locations POSIX directory surgery either doesn't
+    exist, isn't atomic, or (for probes like ``os.path.isdir``) silently
+    answers False and mis-branches the caller. fsutil routes everything
+    through org.apache.hadoop.fs.FileSystem; this sweep makes the class
+    structurally unable to reappear. AST-based, so mentions in docstrings
+    and comments (including fsutil's own) don't false-positive."""
+    import ast
+    import pathlib
 
-    from pdf_etl_pipeline_spark.llmdata import ingest
-    from pdf_etl_pipeline_spark.operators import compaction, forget
+    import pdf_etl_pipeline_spark
 
-    for mod in (ingest, compaction, forget):
-        src = inspect.getsource(mod)
-        for banned in ("os.rename", "shutil.rmtree", "os.walk", "glob.glob", "os.path.isdir"):
-            assert banned not in src, f"{mod.__name__} uses {banned}"
+    pkg = pathlib.Path(pdf_etl_pipeline_spark.__file__).parent
+    banned = {
+        ("os", "rename"),
+        ("os", "renames"),
+        ("os", "walk"),
+        ("os", "rmdir"),
+        ("os", "removedirs"),
+        ("shutil", "rmtree"),
+        ("shutil", "move"),
+        ("glob", "glob"),
+        ("glob", "iglob"),
+        ("path", "isdir"),  # os.path.isdir — matched on the last two parts
+        ("path", "exists"),  # os.path.exists on table paths → fsutil.exists
+    }
+    offenders = []
+    for sub in ("operators", "catalog", "llmdata", "streaming", "plans"):
+        for f in sorted((pkg / sub).glob("*.py")):
+            tree = ast.parse(f.read_text())
+            for node in ast.walk(tree):
+                if not isinstance(node, ast.Attribute):
+                    continue
+                parts = []
+                cur = node
+                while isinstance(cur, ast.Attribute):
+                    parts.append(cur.attr)
+                    cur = cur.value
+                if isinstance(cur, ast.Name):
+                    parts.append(cur.id)
+                parts.reverse()
+                if len(parts) >= 2 and tuple(parts[-2:]) in banned:
+                    offenders.append(f"{f.name}:{node.lineno} uses {'.'.join(parts)}")
+    assert not offenders, "POSIX layout surgery reintroduced:\n" + "\n".join(offenders)
