@@ -59,6 +59,35 @@ EXTENDED_QUERIES = [
 
 RUNS = 2  # min-of-N absorbs machine-load noise (r4: 71 s loaded vs 33 s idle)
 
+# A loaded machine produces garbage readings that min-of-N can't fully absorb
+# (r8/r9: committed ss6 readings 5.5x inflated at load 4.4 vs 1.57 s idle).
+# The guard makes the refusal structural: bench.py itself will not emit JSON
+# under load, so a corrupted artifact can't be committed by forgetting to
+# check. Wait up to LOAD_WAIT_SEC for the machine to drain, then abort.
+LOAD_MAX = 1.5
+LOAD_WAIT_SEC = 600
+LOAD_POLL_SEC = 15
+
+
+def _require_idle() -> None:
+    if os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1":
+        print("WARNING: load guard bypassed (SPARK_GRAFT_BENCH_FORCE=1)", file=sys.stderr)
+        return
+    deadline = time.time() + LOAD_WAIT_SEC
+    while True:
+        load1 = os.getloadavg()[0]
+        if load1 < LOAD_MAX:
+            return
+        if time.time() >= deadline:
+            print(
+                f"ABORT: 1-min load {load1:.2f} >= {LOAD_MAX} after waiting "
+                f"{LOAD_WAIT_SEC}s — refusing to emit a noise-corrupted bench JSON",
+                file=sys.stderr,
+            )
+            sys.exit(3)
+        print(f"load {load1:.2f} >= {LOAD_MAX}; waiting for idle...", file=sys.stderr)
+        time.sleep(LOAD_POLL_SEC)
+
 
 def _reset_session_memos() -> None:
     """Clear the catalog's session-level memo caches (shared LSH pair index,
@@ -73,6 +102,7 @@ def _reset_session_memos() -> None:
 
 
 def main() -> None:
+    _require_idle()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0

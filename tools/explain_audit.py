@@ -90,6 +90,44 @@ def _forget_rewrite_df(spark, sf_dir):
     return _distinct_partition_strings_df(remaining, "day")
 
 
+_TK5_BATCH = [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")]
+
+
+def _tk5_batched_apply_df(spark, sf_dir: str):
+    """One apply_merges_batch pass over the symbol relation with a K=4
+    conflict-free batch — the per-round plan train_bpe_batched repeats.
+    (The registered query returns the driver-built merge table, whose plan
+    is a LocalTableScan; the scale contract lives in THIS relation.)"""
+    from pdf_etl_pipeline_spark.llmdata import bpe
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.apply_merges_batch(bpe.symbols_rel(bpe.word_vocab(docs)), _TK5_BATCH)
+
+
+def _tk5_one_shuffle_k_branches(plan: str) -> list[str]:
+    """The windows must all reuse the hashpartitioning(word) exchange —
+    K merges per pass cost one shuffle, not K and not one per window —
+    and the CASE must carry one WHEN branch per batch entry."""
+    import re
+
+    problems = []
+    exchanges = re.findall(r"Exchange \w+", plan)
+    if len(exchanges) != 1 or "hashpartitioning(word" not in plan:
+        problems.append(
+            f"expected exactly 1 Exchange (hashpartitioning on word), saw {exchanges}"
+        )
+    if len(re.findall(r"\bWindow ", plan)) < 4:
+        problems.append("missing: the 4-window merge-apply chain")
+    whens = max((s.count(" WHEN ") for s in plan.split("CASE WHEN")[1:]), default=0)
+    if whens + 1 < len(_TK5_BATCH):
+        problems.append(
+            f"K-branch CASE missing: widest CASE has {whens + 1} branches, "
+            f"batch has {len(_TK5_BATCH)}"
+        )
+    return problems
+
+
 CHECKS = {
     "a8_pricing_summary": {
         "must": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate", "HashAggregate"],
@@ -611,6 +649,17 @@ CHECKS = {
         # and the whole tokenizer (train + apply) stays JVM-native
         "must": ["BroadcastHashJoin", "Generate", "HashAggregate"],
         "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    },
+    "tk5_bpe_batched_train": {
+        # the batched apply is a K-branch CASE over the SAME 4-window chain
+        # as the single-merge apply (lead pairing -> islands row_number ->
+        # parity row_number -> overlap lag) plus the final re-position window;
+        # all of them partition by word, so the whole pass costs ONE shuffle
+        # regardless of K — that invariant IS the N/round_size scale claim
+        "build": _tk5_batched_apply_df,
+        "must": ["Window", "CASE WHEN"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        "check": _tk5_one_shuffle_k_branches,
     },
     "tk4_bpe_packing": {
         # pk1's two-level cumsum discipline must survive the BPE-count
