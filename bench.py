@@ -69,15 +69,20 @@ LOAD_WAIT_SEC = 600
 LOAD_POLL_SEC = 15
 
 
-def _require_idle() -> None:
+def _require_idle() -> list[float]:
+    """Block until the 1-min load drops under LOAD_MAX; return the loadavg
+    triple observed at pass time. That snapshot — not one taken after the
+    benchmark's own JVM has been warming up — is what load_avg.before
+    records, so the committed JSON answers 'was the MACHINE idle when the
+    run started', the question round-over-round comparability depends on."""
     if os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1":
         print("WARNING: load guard bypassed (SPARK_GRAFT_BENCH_FORCE=1)", file=sys.stderr)
-        return
+        return list(os.getloadavg())
     deadline = time.time() + LOAD_WAIT_SEC
     while True:
         load1 = os.getloadavg()[0]
         if load1 < LOAD_MAX:
-            return
+            return list(os.getloadavg())
         if time.time() >= deadline:
             print(
                 f"ABORT: 1-min load {load1:.2f} >= {LOAD_MAX} after waiting "
@@ -102,7 +107,7 @@ def _reset_session_memos() -> None:
 
 
 def main() -> None:
-    _require_idle()
+    load_before = _require_idle()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -133,7 +138,6 @@ def main() -> None:
             times[name] = min(raw)
         return times
 
-    load_before = os.getloadavg()
     times = run_set(BENCH_QUERIES)
     extended = run_set(EXTENDED_QUERIES)
     load_after = os.getloadavg()
