@@ -367,3 +367,49 @@ def test_forget_keys_partition_cap_guard(spark, tmp_path):
     assert len(out) == 6
     assert spark.read.parquet(path).filter("user_id = 1").count() == 0
     assert spark.read.parquet(path).count() == 1
+
+
+def test_fsutil_dispatches_on_path_scheme_not_default_fs(spark, tmp_path):
+    """fsutil must resolve the FileSystem from the PATH's scheme
+    (Path.getFileSystem), never the default FS. Pin it with a second live
+    scheme: a `viewfs://` mount table (ViewFileSystem ships in the Hadoop
+    client jars) whose `/data` link points at a local directory. Every
+    fsutil entry point is driven through viewfs:// URIs — if any helper
+    fell back to the default `file:` FS (FileSystem.get(conf)) or to
+    os.path, the viewfs paths would not resolve at all. The returned URIs
+    must stay in the dispatched scheme, and deletes must land through the
+    mount."""
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    hconf = spark._jsc.hadoopConfiguration()
+    key = "fs.viewfs.mounttable.fsutiltest.link./data"
+    assert not hconf.get(key)  # the mount exists only inside this test
+    d = tmp_path / "mockfs" / "t=1"
+    d.mkdir(parents=True)
+    (d / "a.parquet").write_bytes(b"x" * 10)
+    (d / "b.parquet").write_bytes(b"y" * 30)
+    (d / "_SUCCESS").write_bytes(b"")
+    hconf.set(key, f"file://{tmp_path}/mockfs")
+    try:
+        root = "viewfs://fsutiltest/data"
+
+        assert fsutil.exists(root, spark)
+        assert not fsutil.exists(f"{root}/absent", spark)
+        files = fsutil.list_data_files(root, spark)
+        # URIs come back in the dispatched scheme, hidden entries skipped
+        assert [(u.rsplit("/", 1)[-1], n) for u, n in files] == [
+            ("a.parquet", 10),
+            ("b.parquet", 30),
+        ]
+        assert all(u.startswith("viewfs://fsutiltest/") for u, _ in files)
+        assert fsutil.list_subdirs(root, spark) == [f"{root}/t=1"]
+        assert fsutil.dir_bytes(root, spark) == 40
+        assert fsutil.data_file_count(root, spark) == 2
+
+        assert fsutil.delete(files[0][0], spark=spark)
+        assert (d / "b.parquet").exists() and not (d / "a.parquet").exists()
+        assert fsutil.delete(f"{root}/t=1", recursive=True, spark=spark)
+        assert not d.exists()
+        assert not fsutil.delete(f"{root}/t=1", recursive=True, spark=spark)
+    finally:
+        hconf.unset(key)
