@@ -472,6 +472,52 @@ def test_triangle_count_known_graphs(spark):
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
 
 
+def test_triangle_doulion_matches_python_brute_force(spark):
+    """g2a: the DOULION sample is a DETERMINISTIC hash draw, so the whole
+    estimate is reproducible in pure Python — recompute the surviving edge
+    set with the same md5-derived hash, brute-force its triangles, and the
+    Spark counts must match exactly. p_den=p_num pins the degenerate
+    keep-everything case against the exact counter."""
+    import hashlib
+    from itertools import combinations
+
+    from pdf_etl_pipeline_spark.operators.triangles import (
+        triangle_count,
+        triangle_count_sampled,
+    )
+
+    # K10 ∪ a 30-node rim cycle attached at node 0 — dense core + sparse tail
+    k10 = [(a, b) for a in range(10) for b in range(10) if a < b]
+    rim = [(i, i + 1) for i in range(10, 39)] + [(0, 10), (0, 39)]
+    edges = k10 + rim
+    df = spark.createDataFrame(edges, "u long, v long")
+
+    # degenerate p=1: identical to the exact counter
+    r1 = triangle_count_sampled(df, 1, 1).collect()[0]
+    exact = triangle_count(df).collect()[0]
+    assert (r1.n_edges_sampled, r1.n_triangles_sampled) == (
+        exact.n_edges,
+        exact.n_triangles,
+    )
+    assert r1.est_triangles == float(exact.n_triangles)
+
+    # p=3/10: replicate the hash draw and count triangles brute-force
+    def h32(u, v):
+        return int(hashlib.md5(f"{u},{v}".encode()).hexdigest()[:8], 16)
+
+    kept = {(u, v) for u, v in edges if h32(u, v) % 10 < 3}
+    nodes = sorted({n for e in kept for n in e})
+    tri = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if {(a, b), (a, c), (b, c)} <= kept
+    )
+    r = triangle_count_sampled(df, 3, 10).collect()[0]
+    assert r.n_edges_sampled == len(kept)
+    assert r.n_triangles_sampled == tri
+    assert r.est_triangles == round(tri * (10 / 3) ** 3, 6)
+
+
 def test_linreg_recovers_exact_line(spark):
     """ml1: a perfect y = 2x + 3 fits exactly (r2 = 1); a zero-x-variance
     group yields nulls; a noisy group keeps r2 strictly below 1."""

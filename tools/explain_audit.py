@@ -90,6 +90,23 @@ def _forget_rewrite_df(spark, sf_dir):
     return _distinct_partition_strings_df(remaining, "day")
 
 
+def _g2a_sample_before_join(plan: str) -> list[str]:
+    """The DOULION hash draw must be evaluated at EDGE CONSTRUCTION —
+    Catalyst pushes it into the lineitem self-join, so every md5 occurrence
+    references the raw least/greatest(l_partkey) expressions. If a refactor
+    sampled after orientation or after the wedge join, the hash argument
+    would be oriented src/dst (or wedge a/b/c) columns instead, and the
+    (p|E|)^1.5 wedge bound would silently become |E|^1.5."""
+    bad = [
+        l.strip()[:120]
+        for l in plan.splitlines()
+        if "md5(" in l and "least(l_partkey" not in l
+    ]
+    if "md5(" not in plan:
+        return ["missing: the md5 sampling predicate"]
+    return [f"md5 draw not over raw edge columns: {l}" for l in bad]
+
+
 _TK5_BATCH = [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")]
 
 
@@ -336,6 +353,15 @@ CHECKS = {
         # Python; degree aggregation is a keyed HashAggregate
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
+    "g2a_triangle_doulion": {
+        # same audited join shapes as exact g2, with the deterministic
+        # md5-hash sampling filter applied BEFORE the degree/orient joins
+        # (the (p|E|)^1.5 wedge bound depends on sampling first) — the md5
+        # must appear in a Filter, and nothing may turn nested-loop/Python
+        "must": ["HashAggregate", "md5"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": _g2a_sample_before_join,
     },
     "ir1_bm25_topk": {
         # the query table and 1-row corpus stats broadcast to the postings

@@ -146,6 +146,7 @@ def main() -> None:
     from pdf_etl_pipeline_spark.catalog.dedup_q import dd3_minhash_lsh
     from pdf_etl_pipeline_spark.catalog.extended_q import (
         g2_triangle_count,
+        g2a_triangle_doulion,
         rs5_rolling_anomaly,
     )
     from pdf_etl_pipeline_spark.catalog.ingest_q import st7_neardup_ingest
@@ -155,11 +156,16 @@ def main() -> None:
     QUERIES = {
         "st7_neardup_ingest": st7_neardup_ingest,
         "g2_triangle_count": g2_triangle_count,
+        "g2a_triangle_doulion": g2a_triangle_doulion,
         "ss8_ivf_adc_topk": ss8_ivf_adc_topk,
         "dd3_minhash_lsh": dd3_minhash_lsh,
         "rs5_rolling_anomaly": rs5_rolling_anomaly,
         "tk2_bpe_encode": tk2_bpe_encode,
     }
+    # optional substring filter (argv[3]): measure a subset without paying
+    # for the whole battery
+    if len(sys.argv) > 3:
+        QUERIES = {k: v for k, v in QUERIES.items() if sys.argv[3] in k}
 
     dirs = {}
     for tag, mult in SCALES.items():
