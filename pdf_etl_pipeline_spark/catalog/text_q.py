@@ -204,6 +204,53 @@ def tx10_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_logprob(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+# --- TX12: CCNet perplexity buckets ---------------------------------------------
+@register(
+    "tx12_ppl_buckets",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+  FROM base
+),
+bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgf GROUP BY 1, 2),
+hc AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT tok) AS vs FROM (SELECT unnest(t) AS tok FROM base)),
+lp AS (
+  SELECT w1, w2, round(ln((c12 + {TX.BIGRAM_K}) / (c1 + {TX.BIGRAM_K} * vs)), 6) AS logp
+  FROM bc JOIN hc USING (w1), v
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         -round({dec_sum_sql('logp')} / COUNT(*), 6) AS log_ppl
+  FROM bgf JOIN lp USING (w1, w2) GROUP BY 1
+),
+thr AS (
+  SELECT round(quantile_cont(log_ppl, {TX.PPL_CUTS[0]!r}), 6) AS t1,
+         round(quantile_cont(log_ppl, {TX.PPL_CUTS[1]!r}), 6) AS t2
+  FROM scored
+)
+SELECT doc_id, n_bigrams, log_ppl,
+       CASE WHEN log_ppl <= t1 THEN 'head'
+            WHEN log_ppl <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored, thr
+ORDER BY doc_id""",
+    doc="TX12 CCNet-style perplexity bucketing (Wenzek et al. 2020): tertile-split "
+    "the corpus by bigram-LM log-perplexity into head/middle/tail — the curation "
+    "decision the LM scores drive. Thresholds are one 1-row exact-percentile "
+    "aggregate over the per-doc score relation broadcast back for labeling (no "
+    "corpus-wide sort/window); at 100 TB swap in pc2's histogram-sketch quantile, "
+    "same plan. Log-space ranking avoids a cross-engine libm exp",
+)
+def tx12_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return TX.ppl_buckets(load_table(spark, sf_dir, "documents"))
+
+
 # --- TX8: TF-IDF keyword extraction -------------------------------------------
 @register(
     "tx8_tfidf_topk",

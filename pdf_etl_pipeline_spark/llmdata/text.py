@@ -309,6 +309,51 @@ def bigram_logprob(docs: DataFrame, k_smooth: float = BIGRAM_K) -> DataFrame:
     )
 
 
+PPL_CUTS = (1.0 / 3, 2.0 / 3)  # CCNet tertiles: head / middle / tail
+
+
+def ppl_buckets(docs: DataFrame, cuts: tuple = PPL_CUTS) -> DataFrame:
+    """CCNet-style perplexity bucketing — the curation decision the LM
+    scores exist to drive (Wenzek et al. 2020 split Common Crawl into
+    head/middle/tail by LM perplexity tertile and trained on the head):
+    rank every document by its bigram-LM log-perplexity (``-avg_logprob``
+    from :func:`bigram_logprob` — monotone in perplexity, and staying in
+    log space avoids a cross-engine libm ``exp``), cut the corpus at the
+    1/3 and 2/3 quantiles, label head (most fluent) / middle / tail.
+
+    Shape for scale: scoring is tx10's audited plan; the two thresholds
+    are ONE 1-row exact-percentile aggregate over the |docs|-row score
+    relation (not the token relation), broadcast back for the labeling —
+    no global sort or window over the corpus. At 100 TB swap the exact
+    percentile for pc2's histogram-sketch quantile or approx_percentile:
+    same plan, bounded state; exact is registered because it is the
+    hash-checkable form. Docs with <2 tokens have no bigram score and are
+    excluded (CCNet drops them before bucketing too).
+    """
+    scored = (
+        bigram_logprob(docs)
+        .filter(F.col("n_bigrams") > 0)
+        .select("doc_id", "n_bigrams", (-F.col("avg_logprob")).alias("log_ppl"))
+    )
+    thr = scored.agg(
+        F.round(F.expr(f"percentile(log_ppl, {cuts[0]!r})"), 6).alias("t1"),
+        F.round(F.expr(f"percentile(log_ppl, {cuts[1]!r})"), 6).alias("t2"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "log_ppl",
+            F.when(F.col("log_ppl") <= F.col("t1"), F.lit("head"))
+            .when(F.col("log_ppl") <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprints: md5 of normalized text + a 1-perm MinHash of
     8-gram character shingles (rolling-hash analog, content-defined)."""

@@ -177,3 +177,11 @@ def test_bpe_batched_multi_pair_round_matches_sequential_apply(spark):
     got = sorted(map(tuple, batched.select("word", "pos", "sym").collect()))
     want = sorted(map(tuple, seq.select("word", "pos", "sym").collect()))
     assert got == want
+
+
+def test_bpe_batched_empty_batch_is_noop(spark):
+    """apply_merges_batch([]) is a public-API no-op, not a None-typed CASE."""
+    docs = _docs(spark, ["ab ab", "cd"])
+    rel = bpe.symbols_rel(bpe.word_vocab(docs))
+    out = bpe.apply_merges_batch(rel, [])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, rel.collect()))

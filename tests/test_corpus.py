@@ -533,3 +533,49 @@ def test_zipf_fit_recovers_planted_exponent(spark, sf_dir):
     # counts 1024,512,341,256,204,170 are floor'd so the fit is near -1,
     # not exact; r2 must be ~1 on the near-perfect line
     assert abs(out.slope - (-1.0)) < 0.01 and out.r2 > 0.9999
+
+
+def test_ppl_buckets_ccnet_tertiles(spark):
+    """tx12: repetitive (predictable-bigram) docs land in head, unique-
+    vocabulary docs in tail; tertile sizes are balanced; buckets are
+    consistent with the log_ppl ordering; <2-token docs are excluded."""
+    from pdf_etl_pipeline_spark.llmdata.text import ppl_buckets
+
+    rows = [
+        # three maximally predictable docs: one repeated bigram
+        (0, "aa bb aa bb aa bb aa bb"),
+        (1, "aa bb aa bb aa bb"),
+        (2, "aa bb aa bb aa bb aa bb aa bb"),
+        # three medium docs: common words, varied order
+        (3, "aa bb cc dd aa cc"),
+        (4, "bb aa dd cc bb dd"),
+        (5, "cc dd bb aa dd aa"),
+        # three unique-vocabulary docs: every bigram seen once
+        (6, "ee ff gg hh ii"),
+        (7, "jj kk ll mm nn"),
+        (8, "oo pp qq rr ss"),
+        # excluded: fewer than 2 tokens -> no bigram score
+        (9, "zz"),
+        (10, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ppl_buckets(docs).collect()
+    assert [r.doc_id for r in out] == list(range(9))  # 9 and 10 excluded
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    # the three repeated-bigram docs are unambiguously the most fluent
+    assert {r.doc_id for r in by_bucket["head"]} == {0, 1, 2}
+    # the single highest-log-ppl doc must be in tail (ties at the 2/3
+    # threshold may pull tied docs into middle — quantile semantics)
+    worst = max(out, key=lambda r: r.log_ppl)
+    assert worst.bucket == "tail"
+    # bucket boundaries respect the score order
+    assert max(r.log_ppl for r in by_bucket["head"]) <= min(
+        r.log_ppl for r in by_bucket["middle"]
+    )
+    assert max(r.log_ppl for r in by_bucket["middle"]) <= min(
+        r.log_ppl for r in by_bucket["tail"]
+    )
+    # deterministic: a second run reproduces identical rows
+    assert [tuple(r) for r in ppl_buckets(docs).collect()] == [tuple(r) for r in out]

@@ -828,3 +828,13 @@ def test_maintenance_paths_have_no_posix_layout_surgery():
                 if len(parts) >= 2 and tuple(parts[-2:]) in banned:
                     offenders.append(f"{f.name}:{node.lineno} uses {'.'.join(parts)}")
     assert not offenders, "POSIX layout surgery reintroduced:\n" + "\n".join(offenders)
+
+
+def test_compact_index_on_missing_index_is_noop(spark, tmp_path):
+    """compact_index on a never-ingested (or dropped) index returns []
+    instead of raising through spark.table on an unregistered name —
+    the glob-era silent-no-op contract, preserved through the catalog
+    registration path."""
+    from pdf_etl_pipeline_spark.llmdata.ingest import compact_index
+
+    assert compact_index(spark, str(tmp_path / "never_ingested")) == []

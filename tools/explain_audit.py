@@ -661,6 +661,15 @@ CHECKS = {
         "must": ["Generate", "BroadcastNestedLoopJoin"],
         "must_not": ["BatchEvalPython", "CartesianProduct", "Window"],
     },
+    "tx12_ppl_buckets": {
+        # tx10's audited scoring plan + ONE 1-row threshold aggregate
+        # broadcast back for labeling: the only SinglePartition exchange
+        # may be the threshold percentile (|docs|-row input), the label
+        # join must be a broadcast nested-loop of that 1 row, and nothing
+        # may turn into a corpus-wide Window or Python eval
+        "must": ["Generate", "BroadcastNestedLoopJoin", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "Window"],
+    },
     "ss11_text_ivf_topk": {
         # text -> hashed vectors -> IVF: featurization is a keyed (doc, dim)
         # aggregate (map-side combined), the 16-row centroid relation
