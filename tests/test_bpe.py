@@ -4,6 +4,7 @@ semantics, frozen-tokenizer encode equivalence."""
 from pyspark.sql import functions as F
 
 from pdf_etl_pipeline_spark.llmdata import bpe
+import pytest
 
 
 def _docs(spark, texts):
@@ -12,6 +13,7 @@ def _docs(spark, texts):
     )
 
 
+@pytest.mark.slow
 def test_bpe_hand_computed_merges(spark):
     """The classic BPE vocabulary {low:5, lower:2, newest:6, widest:3}
     (Sennrich et al. 2016 §3, no end-of-word marker): merge order and the

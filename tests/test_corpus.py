@@ -149,6 +149,7 @@ def test_repetition_stats_flags_repetitive_doc(spark):
     assert out[2].dup_trigram_frac == 0.0
 
 
+@pytest.mark.slow
 def test_ivf_multiprobe_recall_not_below_single_probe(spark, sf_dir):
     """nprobe=2 candidates are a superset of nprobe=1 per query, so
     recall@5 vs the exact baseline can only improve."""
@@ -488,6 +489,7 @@ def test_nb_confusion_matrix_properties(spark, sf_dir):
         assert all(r.n > 0 for r in rs)
 
 
+@pytest.mark.slow
 def test_curation_funnel_consistent_with_cc4(spark, sf_dir):
     """cc7: stage counts are monotone non-increasing, raw matches the
     corpus, and the last stage equals cc4's survivor set exactly (the

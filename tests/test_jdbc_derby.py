@@ -21,6 +21,9 @@ import uuid
 
 import pytest
 
+# live-Derby lifecycle: correct but slow (JVM driver bring-up per session)
+pytestmark = pytest.mark.slow
+
 from pdf_etl_pipeline_spark.operators.dedup_sink import (
     insert_dataframe,
     invoice_exists_jdbc,

@@ -126,6 +126,7 @@ def test_plain_propagation_converges_past_fixed_rounds(spark):
     assert conv == {i: 0 for i in range(n)}  # exact convergence observed
 
 
+@pytest.mark.slow
 def test_session_memo_key_survives_session_recreation(tmp_path):
     """The catalog memos key on applicationId, not id(spark): create a
     session, warm the shared LSH pair memo, stop it, create a NEW session
@@ -218,6 +219,7 @@ def test_knn_join_salting_identical_and_bounded(spark):
         assert max(groups.values()) <= cap + cap // 2  # hash-balance slack
 
 
+@pytest.mark.slow
 def test_star_clusters_match_plain_on_corpus(spark, sf_dir):
     """Both variants must land on the same fixed point (exact components)
     on the real corpus."""
@@ -252,6 +254,7 @@ def test_lsh_topk_subset_of_exact(spark, sf_dir):
     assert exact_rank1  # sanity
 
 
+@pytest.mark.slow
 def test_embedding_lsh_pairs_vs_brute(spark, sf_dir):
     """Banded sign-LSH near-dup pairs (the dd5 scale path) vs the brute
     all-pairs verifier (test-only baseline): no false positives — every LSH
@@ -293,6 +296,7 @@ def test_twin_offset_cannot_collide(spark):
         assert mx < _TWIN_OFFSET
 
 
+@pytest.mark.slow
 def test_ivf_learned_centroids_beat_fixed_recall(spark, sf_dir):
     """Learned (k-means) IVF cells must give better nprobe=1 recall@5 than
     the fixed id-subset baseline, measured against exact top-5 on queries
@@ -311,6 +315,7 @@ def test_ivf_learned_centroids_beat_fixed_recall(spark, sf_dir):
     assert recall_learned >= 0.2  # floor: well above the 1/16 random-cell baseline
 
 
+@pytest.mark.slow
 def test_kmeans_centroids_deterministic(spark, sf_dir):
     """Two independent runs produce identical centroids (hash-seeded init +
     decimal-exact means — no partition-order dependence)."""
@@ -566,6 +571,7 @@ def test_corpus_curation_invariants(spark, sf_dir):
     assert all(r.quality_score >= 0.5 for r in out)
 
 
+@pytest.mark.slow
 def test_cluster_curation_subset_of_pair_curation(spark, sf_dir):
     """Pair-loser removal drops every doc_b (which is always a non-keeper in
     its component, since the component label <= doc_a < doc_b), so the
@@ -613,6 +619,7 @@ def test_simhash_array_and_agg_forms_agree(spark, near_dup_docs):
     assert arr == agg
 
 
+@pytest.mark.slow
 def test_full_curation_subset_of_cluster_curation(spark, sf_dir):
     """cc4 only ADDS exclusions (repetition, benchmark, contamination) on
     top of cc2, so its survivors are a strict subset on this corpus."""
@@ -629,6 +636,7 @@ def test_full_curation_subset_of_cluster_curation(spark, sf_dir):
     assert len(c4) > 0
 
 
+@pytest.mark.slow
 def test_pq_adc_recall_beats_random(spark, sf_dir):
     """ss6 sanity: PQ-ADC top-5 with 8 codes/vector must (a) be
     deterministic across runs and (b) recall a meaningful fraction of the
@@ -650,6 +658,7 @@ def test_pq_adc_recall_beats_random(spark, sf_dir):
     assert recall >= max(0.1, 10 * random_recall)
 
 
+@pytest.mark.slow
 def test_pq_rerank_full_shortlist_equals_exact(spark, sf_dir):
     """ss7 invariant: with a corpus-deep shortlist the ADC stage filters
     nothing, so the exact-cosine rerank must reproduce the brute top-k
@@ -779,6 +788,7 @@ def test_materialized_queries_leave_no_cached_blocks(spark, sf_dir):
     assert grown < 1_000_000, f"cached bytes grew by {grown}"
 
 
+@pytest.mark.slow
 def test_semdedup_recovers_planted_twins(spark, sf_dir):
     """dd9: on the twin-augmented corpus the cluster-scoped pass recovers
     nearly every planted (v, v+eps) pair — misses are cell-boundary
@@ -799,6 +809,7 @@ def test_semdedup_recovers_planted_twins(spark, sf_dir):
     assert sorted(map(tuple, capped)) == sorted(map(tuple, pairs))
 
 
+@pytest.mark.slow
 def test_semdedup_cell_cap_bounds_skewed_cells(spark):
     """dd9 cell_cap: a skew-planted corpus (every vector near one
     direction -> k-means dumps them into one mega-cell) re-quadratizes the
@@ -846,6 +857,7 @@ def test_semdedup_cell_cap_bounds_skewed_cells(spark):
 
 
 # --- SS11: text -> hashed embeddings -> ANN ------------------------------------
+@pytest.mark.slow
 def test_feature_hash_vectors_deterministic_and_indexable(spark, sf_dir):
     """SS11: random-sign feature hashing produces deterministic, indexable
     vectors from raw text — the IVF index learned over the hashed space

@@ -1,5 +1,7 @@
 """Operator tests: gap sessionization (W2) incl. the OCR word-grouping form."""
 
+import pytest
+
 from pdf_etl_pipeline_spark.operators.sessionize import group_ocr_words, sessionize_events
 from pdf_etl_pipeline_spark.session import load_events
 
@@ -930,6 +932,7 @@ def test_silhouette_formula_on_planted_cells(spark, sf_dir):
     assert out[1].n_vecs == 1 and out[1].mean_sil == 1.0
 
 
+@pytest.mark.slow
 def test_ann_recall_monotone_in_nprobe(spark, sf_dir):
     """ss10: recall@5 lies in [0,1], every method/query cell is present,
     and IVF recall is monotone in nprobe — probing a superset of cells can

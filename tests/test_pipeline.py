@@ -4,6 +4,7 @@ from pdf_etl_pipeline_spark.operators.dedup_sink import insert_dataframe, invoic
 from pdf_etl_pipeline_spark.parsers import fixtures as FX
 from pdf_etl_pipeline_spark.plans.pipeline import run_extraction_pipeline, run_on_lines
 from pdf_etl_pipeline_spark.sources.pdf import extract_text_lines, extract_word_boxes
+import pytest
 
 
 def _write_stub_corpus(tmp_path):
@@ -36,6 +37,7 @@ def test_extract_word_boxes_stub(spark, tmp_path):
     assert words[2].y0 == 20  # second stub row
 
 
+@pytest.mark.slow
 def test_dedup_sink_idempotent(spark, tmp_path):
     sink = str(tmp_path / "invoices")
     docs = FX.corpus_df(spark, FX.INVOICE_DOCS)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from pdf_etl_pipeline_spark.functions import scalars as S
 from pdf_etl_pipeline_spark.operators.sessionize import sessionize_events
+import pytest
 
 MONEY = st.one_of(
     st.from_regex(r"\$?[0-9]{1,3}(,[0-9]{3})*\.[0-9]{2}", fullmatch=True),
@@ -239,6 +240,7 @@ def test_invoice_parser_roundtrip(spark, items, rate):
 
 @settings(max_examples=3, deadline=None)
 @given(salt=st.integers(min_value=0, max_value=10**9))
+@pytest.mark.slow
 def test_minhash_lsh_recall_tracks_banding_curve(spark, salt):
     """Pin the banding math itself (llmdata/dedup.py band constants), not
     just fixed fixtures: plant pairs at controlled Jaccard tiers in disjoint

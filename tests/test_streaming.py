@@ -260,6 +260,7 @@ def test_stateful_user_totals_accumulates(spark, event_drop_dir):
 
 
 # --- ST7: incremental near-dup ingest ----------------------------------------
+@pytest.mark.slow
 def test_ingest_single_batch_equals_cluster_keepers(spark, sf_dir, tmp_path):
     """One ingest batch against an empty index is exactly offline cluster
     dedup: admitted docs == the near-dup component minima (dd6b keepers)."""
@@ -275,6 +276,7 @@ def test_ingest_single_batch_equals_cluster_keepers(spark, sf_dir, tmp_path):
     assert kept == offline
 
 
+@pytest.mark.slow
 def test_ingest_multi_batch_invariants(spark, sf_dir, tmp_path):
     """Three id-ordered ingest batches: (a) the admitted set contains every
     offline component minimum (online can only over-admit, never drop a
@@ -309,6 +311,7 @@ def test_ingest_multi_batch_invariants(spark, sf_dir, tmp_path):
     assert n_pairs == 0  # admitted corpus is near-dup-free
 
 
+@pytest.mark.slow
 def test_ingest_index_scan_partition_pruned(spark, sf_dir, tmp_path):
     """The on-disk bands index is partitioned by band, and the admission
     join's index scan carries a static PartitionFilters entry — a subset
@@ -357,6 +360,7 @@ def test_ingest_index_scan_partition_pruned(spark, sf_dir, tmp_path):
     assert pf and any("IN(0,2)" in ln.replace(" ", "") for ln in pf)
 
 
+@pytest.mark.slow
 def test_ingest_streaming_foreachbatch(spark, sf_dir, tmp_path):
     """Drive the real foreachBatch stream over parquet document drops: the
     admitted index satisfies the same invariants as the batch ingest."""
@@ -396,6 +400,7 @@ def test_ingest_streaming_foreachbatch(spark, sf_dir, tmp_path):
     assert minhash_lsh_pairs(surviving, 0.9, materialize=True).count() == 0
 
 
+@pytest.mark.slow
 def test_ingest_streaming_equals_batch_twin_on_staged_drops(spark, sf_dir, tmp_path):
     """st7 end-to-end equivalence: the SAME staged document drops, driven
     once through the real file-source stream (readStream.parquet +
@@ -644,6 +649,7 @@ def test_streaming_rolling_anomalies_equal_batch_exact(spark, sf_dir, tmp_path):
     assert len(want) > 0 and got == want
 
 
+@pytest.mark.slow
 def test_ingest_index_catalog_registration_and_recovery(spark, sf_dir, tmp_path):
     """ST7 index-as-catalog-table: existence is a metastore probe, reads
     go through spark.table() with partition pruning intact, and a catalog
@@ -694,6 +700,7 @@ def test_ingest_index_catalog_registration_and_recovery(spark, sf_dir, tmp_path)
     drop_index(spark, ix)
 
 
+@pytest.mark.slow
 def test_ingest_compaction_invariance_and_file_bounds(spark, sf_dir, tmp_path):
     """Steady-state maintenance: the SAME staged batches driven with and
     without in-loop compaction admit the BIT-IDENTICAL doc set, while
@@ -755,6 +762,7 @@ def test_ingest_compaction_invariance_and_file_bounds(spark, sf_dir, tmp_path):
     drop_index(spark, ix_compact)
 
 
+@pytest.mark.slow
 def test_ingest_index_quote_bearing_path(spark, sf_dir, tmp_path):
     """Catalog recovery escapes the LOCATION literal: an index directory
     containing a single quote registers and recovers cleanly."""
