@@ -407,3 +407,25 @@ from pdf_etl_pipeline_spark.llmdata.dedup import dup_span_stats, dup_span_stats_
 def dd8_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return dup_span_stats(load_table(spark, sf_dir, "documents"), materialize=True)
+
+
+# --- DD10: duplicated-token coverage --------------------------------------------
+from pdf_etl_pipeline_spark.llmdata.dedup import (  # noqa: E402
+    dup_token_coverage,
+    dup_token_coverage_sql,
+)
+
+
+@register(
+    "dd10_dup_token_coverage",
+    oracle=dup_token_coverage_sql("documents"),
+    doc="DD10 duplicated-TOKEN coverage (the fraction Lee et al. 2022 report and "
+    "the span-trim signal): dd8's window hashes with positions, duplicated "
+    "starts' fixed-width intervals merged per doc by a gaps-and-islands window "
+    "(start gap < n merges) — overlapping windows no longer multi-count tokens. "
+    "The merge window runs over the duplicated-starts relation only, partitioned "
+    "by doc_id; pure integer arithmetic, bit-identical DuckDB twin",
+)
+def dd10_dup_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return dup_token_coverage(load_table(spark, sf_dir, "documents"), materialize=True)

@@ -727,6 +727,138 @@ def dup_span_stats(
     return result
 
 
+def dup_token_coverage(
+    docs: DataFrame, n: int = DUP_SPAN_N, materialize: bool = True
+) -> DataFrame:
+    """Per-document fraction of TOKENS inside a cross-doc-duplicated
+    ``n``-token window — the number Lee et al. 2022 actually report
+    ('X% of tokens are part of a duplicated 50-gram') and the trim
+    signal: dd8 counts duplicated WINDOWS, but overlapping windows
+    multi-count the same tokens, so window fraction and token coverage
+    diverge exactly when runs of duplication are long. Coverage needs
+    the merged length of the intervals [p, p+n-1] over duplicated
+    window starts p.
+
+    Shape for scale: the span hashing and the duplicated-hash relation
+    are dd8's (one corpus-linear posexplode, one map-side-combined
+    aggregation, one semi-join). The NEW work — interval merging — runs
+    only on the duplicated STARTS, a per-doc windowed gaps-and-islands
+    (fixed width n means intervals merge iff the start gap < n, so an
+    island's covered length is last_start − first_start + n). The
+    window partitions by doc_id over the duplicated-starts relation,
+    which is at most spans-sized and usually far smaller — never a
+    corpus-wide unpartitioned window. Pure integer arithmetic, so the
+    DuckDB twin is bit-identical.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens_col("text", distinct=False)
+    tok_hash = F.transform(toks, lambda t: portable_hash32(t) % P31)
+    base = docs.select("doc_id", tok_hash.alias("th"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("th") - (n - 1), F.lit(0)))
+    roll = lambda i: F.aggregate(
+        F.slice("th", i, n),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_B + t) % P31,
+    )
+    hashes = F.when(F.size("th") >= n, F.transform(starts, roll)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    # spans WITH positions; persisted: feeds dup_h and the flagged starts
+    spans = base.select(
+        "doc_id", F.posexplode(hashes).alias("pos", "h")
+    ).persist()
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_starts = spans.join(dup_h, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_starts.select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(w) >= n, 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    covered = (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("pos") - F.min("pos") + n).alias("ilen"))
+        .groupBy("doc_id")
+        .agg(F.sum("ilen").alias("n_dup_tokens"))
+    )
+    totals = docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    result = (
+        totals.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0))
+                / F.nullif(F.col("n_tokens"), F.lit(0)),
+                6,
+            ).alias("dup_token_frac"),
+        )
+        .orderBy("doc_id")
+    )
+    if materialize:
+        result = result.localCheckpoint()
+        spans.unpersist()
+    return result
+
+
+def dup_token_coverage_sql(table: str, n: int = DUP_SPAN_N) -> str:
+    """DuckDB oracle for :func:`dup_token_coverage` — identical rolling
+    hashes, duplicated-hash set, and fixed-width interval merge."""
+    toks = tokens_sql("text", distinct=False)
+    th = portable_hash32_sql("t") + f" % {P31}"
+    return f"""
+WITH tokhash AS (
+  SELECT doc_id, list_transform({toks}, t -> {th}) AS th FROM {table}
+),
+spans AS (
+  SELECT doc_id, i AS pos,
+         list_reduce(th[i:i+{n - 1}], (a, b) -> (a * {ROLL_B} + b) % {P31}) AS h
+  FROM tokhash, unnest(range(1, greatest(len(th) - {n - 1}, 0) + 1)) AS u(i)
+),
+dup_h AS (
+  SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dup_starts AS (
+  SELECT doc_id, pos FROM spans WHERE h IN (SELECT h FROM dup_h)
+),
+gaps AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= {n}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup_starts
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM gaps
+),
+covered AS (
+  SELECT doc_id, SUM(ilen) AS n_dup_tokens FROM (
+    SELECT doc_id, island, MAX(pos) - MIN(pos) + {n} AS ilen
+    FROM islands GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+       CAST(len({toks}) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       round(COALESCE(c.n_dup_tokens, 0) / nullif(len({toks}), 0), 6) AS dup_token_frac
+FROM {table} d
+LEFT JOIN covered c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id"""
+
+
 def dup_span_stats_sql(table: str, n: int = DUP_SPAN_N) -> str:
     """DuckDB oracle for :func:`dup_span_stats` — same per-token md5 and
     the same Horner fold (list_reduce's first-element seed equals the

@@ -883,3 +883,43 @@ def test_feature_hash_vectors_deterministic_and_indexable(spark, sf_dir):
     r_syn = recall(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     assert r_text == 0.52  # deterministic at sf0.001 (pinned)
     assert r_syn == 0.32
+
+
+def test_dup_token_coverage_merges_overlapping_windows(spark):
+    """dd10: a shared 12-token run in two docs duplicates 3 overlapping
+    10-token windows, but the merged TOKEN coverage is exactly 12 — the
+    quantity dd8's window fraction over-counts. Separated runs merge
+    per-island; clean docs report zero."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import dup_token_coverage
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-token duplicated run
+    rows = [
+        # doc 1: shared run + 8 unique tokens -> 20 tokens, 12 covered
+        (1, shared + " " + " ".join(f"a{i}" for i in range(8))),
+        # doc 2: 5 unique + shared run + 5 unique -> 22 tokens, 12 covered
+        (2, " ".join(f"b{i}" for i in range(5)) + " " + shared + " "
+            + " ".join(f"c{i}" for i in range(5))),
+        # doc 3: completely unique, longer than a window -> zero coverage
+        (3, " ".join(f"z{i}" for i in range(15))),
+        # doc 4: shorter than one window -> no spans, zero coverage
+        (4, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_token_coverage(docs, n=10).collect()}
+    assert (out[1].n_tokens, out[1].n_dup_tokens) == (20, 12)
+    assert (out[2].n_tokens, out[2].n_dup_tokens) == (22, 12)
+    assert out[1].dup_token_frac == round(12 / 20, 6)
+    assert out[3].n_dup_tokens == 0 and out[4].n_dup_tokens == 0
+
+    # two SEPARATED duplicated runs in one doc merge as two islands
+    run2 = " ".join(f"t{i}" for i in range(10))
+    rows2 = [
+        (1, shared + " " + " ".join(f"g{i}" for i in range(10)) + " " + run2),
+        (2, shared),
+        (3, run2),
+    ]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = {r.doc_id: r for r in dup_token_coverage(docs2, n=10).collect()}
+    # doc 1: 12 (island 1) + 10 (island 2) = 22 of 32 tokens
+    assert (out2[1].n_tokens, out2[1].n_dup_tokens) == (32, 22)
+    assert (out2[2].n_dup_tokens, out2[3].n_dup_tokens) == (12, 10)

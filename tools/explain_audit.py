@@ -90,6 +90,19 @@ def _forget_rewrite_df(spark, sf_dir):
     return _distinct_partition_strings_df(remaining, "day")
 
 
+def _dd10_windows_doc_partitioned(plan: str) -> list[str]:
+    """Every Window in the coverage plan must partition by doc_id — the
+    interval merge runs per document over the duplicated-starts relation,
+    never as a corpus-wide unpartitioned sort."""
+    bad = [
+        l.strip()[:120]
+        for l in plan.splitlines()
+        if l.lstrip().startswith(("Window ", "+- Window ")) or " Window [" in l
+        if "Window [" in l and ", [doc_id" not in l.split("Window [", 1)[1]
+    ]
+    return [f"Window not partitioned by doc_id: {l}" for l in bad]
+
+
 def _g2a_sample_before_join(plan: str) -> list[str]:
     """The DOULION hash draw must be evaluated at EDGE CONSTRUCTION —
     Catalyst pushes it into the lineitem self-join, so every md5 occurrence
@@ -660,6 +673,24 @@ CHECKS = {
         # array), |V| joins as a 1-row broadcast; no window over the corpus
         "must": ["Generate", "BroadcastNestedLoopJoin"],
         "must_not": ["BatchEvalPython", "CartesianProduct", "Window"],
+    },
+    "dd10_dup_token_coverage": {
+        # the registered query localCheckpoints (session-memo discipline),
+        # which would hide the plan — audit the lazy form: corpus-linear
+        # posexplode (Generate), map-side-combined dup-hash aggregate,
+        # semi-join flagging, and the interval merge as doc_id-partitioned
+        # windows ONLY (the custom check); no Python, no cartesian
+        "build": lambda spark, sf_dir: __import__(
+            "pdf_etl_pipeline_spark.llmdata.dedup", fromlist=["dup_token_coverage"]
+        ).dup_token_coverage(
+            __import__(
+                "pdf_etl_pipeline_spark.session", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "documents"),
+            materialize=False,
+        ),
+        "must": ["Generate", "HashAggregate", "Window"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        "check": _dd10_windows_doc_partitioned,
     },
     "tx12_ppl_buckets": {
         # tx10's audited scoring plan + ONE 1-row threshold aggregate
