@@ -54,6 +54,9 @@ EXTENDED_QUERIES = [
     "a10_star_join_revenue",
     "dp3_robust_outliers",
     "rs5_rolling_anomaly",
+    "g2a_triangle_doulion",
+    "tx12_ppl_buckets",
+    "dd10_dup_token_coverage",
 ]
 
 
