@@ -429,3 +429,22 @@ from pdf_etl_pipeline_spark.llmdata.dedup import (  # noqa: E402
 def dd10_dup_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return dup_token_coverage(load_table(spark, sf_dir, "documents"), materialize=True)
+
+
+# --- DD11: duplicated-span TRIM (the actionable transform) ----------------------
+from pdf_etl_pipeline_spark.llmdata.dedup import trim_dup_spans, trim_dup_spans_sql  # noqa: E402
+
+
+@register(
+    "dd11_span_trim",
+    oracle=trim_dup_spans_sql("documents"),
+    doc="DD11 span-dedup TRIM (the transform dd8/dd10's measurements argue for): "
+    "drop every token inside a cross-doc-duplicated 10-token window and re-emit "
+    "the trimmed document — covered positions exploded from the merged intervals "
+    "(bounded by coverage, not corpus), kept tokens a doc+position anti-join, "
+    "text re-assembled in-plan by array_sort over (pos, tok) structs (no sort "
+    "shuffle, no Python); the oracle hash-checks the trimmed text's md5",
+)
+def dd11_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return trim_dup_spans(load_table(spark, sf_dir, "documents"), materialize=True)

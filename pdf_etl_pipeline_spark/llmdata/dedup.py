@@ -812,6 +812,158 @@ def dup_token_coverage(
     return result
 
 
+def trim_dup_spans(
+    docs: DataFrame, n: int = DUP_SPAN_N, materialize: bool = True
+) -> DataFrame:
+    """The ACTIONABLE form of span dedup (Lee et al. 2022 §4: remove one
+    occurrence is optional, remove the span everywhere is what they
+    train on): drop every token that lies inside a cross-doc-duplicated
+    ``n``-token window and re-emit the trimmed document. dd8 measures
+    duplicated windows, dd10 measures covered tokens; this produces the
+    training corpus those numbers argue for.
+
+    Relational shape: dd10's pipeline up to the merged intervals, then
+    covered token POSITIONS are exploded from each interval (output is
+    bounded by the coverage, not the corpus), kept tokens are a
+    doc+position anti-join, and the trimmed text is re-assembled
+    in-plan by an array_sort over (pos, tok) structs — no window, no
+    Python, order restored per doc without a sort shuffle. The result
+    reports the trimmed text's md5 rather than shipping the full string
+    through the oracle comparison (hash-checkable, size-bounded).
+    """
+    toks = tokens_col("text", distinct=False)
+    tok_hash = F.transform(toks, lambda t: portable_hash32(t) % P31)
+    base = docs.select("doc_id", toks.alias("tk"), tok_hash.alias("th"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("th") - (n - 1), F.lit(0)))
+    roll = lambda i: F.aggregate(
+        F.slice("th", i, n),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_B + t) % P31,
+    )
+    hashes = F.when(F.size("th") >= n, F.transform(starts, roll)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    spans = base.select("doc_id", F.posexplode(hashes).alias("pos", "h")).persist()
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        spans.join(dup_h, "h", "left_semi")
+        .select("doc_id", "pos")
+        .select(
+            "doc_id",
+            "pos",
+            F.sum(
+                F.when(F.col("pos") - F.lag("pos").over(w) >= n, 1).otherwise(0)
+            )
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("island"),
+        )
+    )
+    covered = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + (n - 1)).alias("e"))
+        .select("doc_id", F.explode(F.sequence("s", "e")).alias("pos"))
+    )
+    tokens = base.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    trimmed = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("trimmed_md5"),
+    )
+    result = (
+        docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+        .join(trimmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("trimmed_md5", F.md5(F.lit(""))).alias("trimmed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+    if materialize:
+        result = result.localCheckpoint()
+        spans.unpersist()
+    return result
+
+
+def trim_dup_spans_sql(table: str, n: int = DUP_SPAN_N) -> str:
+    """DuckDB oracle for :func:`trim_dup_spans` — identical hashes,
+    interval merge, covered-position anti-join, and ordered re-assembly
+    (string_agg ORDER BY pos); md5 of the same token sequence."""
+    toks = tokens_sql("text", distinct=False)
+    th = portable_hash32_sql("t") + f" % {P31}"
+    return f"""
+WITH tokhash AS (
+  SELECT doc_id, {toks} AS tk, list_transform({toks}, t -> {th}) AS th FROM {table}
+),
+spans AS (
+  SELECT doc_id, i AS pos,
+         list_reduce(th[i:i+{n - 1}], (a, b) -> (a * {ROLL_B} + b) % {P31}) AS h
+  FROM tokhash, unnest(range(1, greatest(len(th) - {n - 1}, 0) + 1)) AS u(i)
+),
+dup_h AS (
+  SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dup_starts AS (
+  SELECT doc_id, pos FROM spans WHERE h IN (SELECT h FROM dup_h)
+),
+gaps AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= {n}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup_starts
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM gaps
+),
+covered AS (
+  SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM (
+    SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {n - 1} AS e
+    FROM islands GROUP BY 1, 2
+  )
+),
+tokens AS (
+  SELECT doc_id, i AS pos, tk[i] AS tok
+  FROM tokhash, unnest(range(1, len(tk) + 1)) AS u(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokens t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+trimmed AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS trimmed_md5
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+       CAST(len({toks}) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(tr.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(tr.trimmed_md5, md5('')) AS trimmed_md5
+FROM {table} d
+LEFT JOIN trimmed tr ON d.doc_id = tr.doc_id
+ORDER BY d.doc_id"""
+
+
 def dup_token_coverage_sql(table: str, n: int = DUP_SPAN_N) -> str:
     """DuckDB oracle for :func:`dup_token_coverage` — identical rolling
     hashes, duplicated-hash set, and fixed-width interval merge."""

@@ -923,3 +923,35 @@ def test_dup_token_coverage_merges_overlapping_windows(spark):
     # doc 1: 12 (island 1) + 10 (island 2) = 22 of 32 tokens
     assert (out2[1].n_tokens, out2[1].n_dup_tokens) == (32, 22)
     assert (out2[2].n_dup_tokens, out2[3].n_dup_tokens) == (12, 10)
+
+
+def test_trim_dup_spans_removes_exactly_the_covered_runs(spark):
+    """dd11: the trimmed text is exactly the original minus the duplicated
+    run — verified against Python-computed md5s of the expected remainders;
+    clean docs round-trip untouched, fully-duplicated docs empty out."""
+    import hashlib
+
+    from pdf_etl_pipeline_spark.llmdata.dedup import trim_dup_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    uniq1 = " ".join(f"a{i}" for i in range(8))
+    pre2 = " ".join(f"b{i}" for i in range(5))
+    post2 = " ".join(f"c{i}" for i in range(5))
+    clean = " ".join(f"z{i}" for i in range(15))
+    rows = [
+        (1, shared + " " + uniq1),
+        (2, pre2 + " " + shared + " " + post2),
+        (3, clean),
+        (4, shared),  # nothing but the duplicated run -> trims to empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in trim_dup_spans(docs, n=10).collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert (out[1].n_kept, out[1].trimmed_md5) == (8, h(uniq1))
+    assert (out[2].n_kept, out[2].trimmed_md5) == (10, h(pre2 + " " + post2))
+    assert (out[3].n_kept, out[3].trimmed_md5) == (15, h(clean))
+    assert (out[4].n_kept, out[4].trimmed_md5) == (0, h(""))
+    assert out[4].n_tokens == 12

@@ -692,6 +692,23 @@ CHECKS = {
         "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
         "check": _dd10_windows_doc_partitioned,
     },
+    "dd11_span_trim": {
+        # dd10's pipeline + covered-position explode + anti-join + in-array
+        # re-assembly: windows stay doc_id-partitioned, the re-assembly is
+        # a collect_list aggregate whose result expression sorts in-array
+        # (ObjectHashAggregate — no extra sort shuffle), no Python
+        "build": lambda spark, sf_dir: __import__(
+            "pdf_etl_pipeline_spark.llmdata.dedup", fromlist=["trim_dup_spans"]
+        ).trim_dup_spans(
+            __import__(
+                "pdf_etl_pipeline_spark.session", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "documents"),
+            materialize=False,
+        ),
+        "must": ["Generate", "HashAggregate", "Window", "collect_list"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        "check": _dd10_windows_doc_partitioned,
+    },
     "tx12_ppl_buckets": {
         # tx10's audited scoring plan + ONE 1-row threshold aggregate
         # broadcast back for labeling: the only SinglePartition exchange
