@@ -143,7 +143,12 @@ def main() -> None:
     cap = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     spark = get_spark("sf1-curves")
 
-    from pdf_etl_pipeline_spark.catalog.dedup_q import dd3_minhash_lsh
+    from pdf_etl_pipeline_spark.catalog.dedup_q import (
+        dd3_minhash_lsh,
+        dd10_dup_token_coverage,
+        dd11_span_trim,
+    )
+    from pdf_etl_pipeline_spark.catalog.text_q import tx12_ppl_buckets
     from pdf_etl_pipeline_spark.catalog.extended_q import (
         g2_triangle_count,
         g2a_triangle_doulion,
@@ -161,11 +166,15 @@ def main() -> None:
         "dd3_minhash_lsh": dd3_minhash_lsh,
         "rs5_rolling_anomaly": rs5_rolling_anomaly,
         "tk2_bpe_encode": tk2_bpe_encode,
+        "dd10_dup_token_coverage": dd10_dup_token_coverage,
+        "dd11_span_trim": dd11_span_trim,
+        "tx12_ppl_buckets": tx12_ppl_buckets,
     }
-    # optional substring filter (argv[3]): measure a subset without paying
-    # for the whole battery
+    # optional comma-separated substring filter (argv[3]): measure a
+    # subset without paying for the whole battery
     if len(sys.argv) > 3:
-        QUERIES = {k: v for k, v in QUERIES.items() if sys.argv[3] in k}
+        pats = sys.argv[3].split(",")
+        QUERIES = {k: v for k, v in QUERIES.items() if any(p in k for p in pats)}
 
     dirs = {}
     for tag, mult in SCALES.items():
