@@ -955,3 +955,26 @@ def test_trim_dup_spans_removes_exactly_the_covered_runs(spark):
     assert (out[3].n_kept, out[3].trimmed_md5) == (15, h(clean))
     assert (out[4].n_kept, out[4].trimmed_md5) == (0, h(""))
     assert out[4].n_tokens == 12
+
+
+def test_span_family_coverage_trim_consistency(spark, sf_dir):
+    """Cross-operator invariant on the real documents table: dd10's merged
+    coverage and dd11's kept count must partition every document exactly —
+    n_kept + n_dup_tokens == n_tokens, per doc, no exceptions. (The two
+    operators share the hash pipeline but compute coverage independently:
+    interval lengths vs anti-joined positions.)"""
+    from pdf_etl_pipeline_spark.llmdata.dedup import (
+        dup_token_coverage,
+        trim_dup_spans,
+    )
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cov = {r.doc_id: r for r in dup_token_coverage(docs).collect()}
+    trim = {r.doc_id: r for r in trim_dup_spans(docs).collect()}
+    assert set(cov) == set(trim)
+    assert any(r.n_dup_tokens > 0 for r in cov.values())  # corpus has dups
+    for doc_id, c in cov.items():
+        t = trim[doc_id]
+        assert c.n_tokens == t.n_tokens
+        assert t.n_kept + c.n_dup_tokens == c.n_tokens, doc_id
