@@ -107,3 +107,128 @@ def st7_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         drop_index(spark, tmp)
         fsutil.delete(tmp, recursive=True, spark=spark)
     return out
+
+
+# --- ST10: incremental duplicated-span monitor ----------------------------------
+from pdf_etl_pipeline_spark.llmdata.dedup import (  # noqa: E402
+    DUP_SPAN_N,
+    P31,
+    ROLL_B,
+    tokens_sql,
+)
+from pdf_etl_pipeline_spark.functions.scalars import portable_hash32_sql  # noqa: E402
+
+
+def _span_scope_ctes(tag: str, pred: str, n: int = DUP_SPAN_N) -> str:
+    """One batch scope's span pipeline: rolling window hashes with
+    positions + per-hash distinct-doc counts (dd10's fragments scoped by
+    a doc_id predicate)."""
+    toks = tokens_sql("text", distinct=False)
+    th = portable_hash32_sql("t") + f" % {P31}"
+    return f"""th{tag} AS (
+  SELECT doc_id, list_transform({toks}, t -> {th}) AS th FROM documents WHERE {pred}
+),
+sp{tag} AS MATERIALIZED (
+  SELECT doc_id, i AS pos,
+         list_reduce(th[i:i+{n - 1}], (a, b) -> (a * {ROLL_B} + b) % {P31}) AS h
+  FROM th{tag}, unnest(range(1, greatest(len(th) - {n - 1}, 0) + 1)) AS u(i)
+),
+c{tag} AS MATERIALIZED (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sp{tag} GROUP BY 1
+)"""
+
+
+def _span_cov_ctes(tag: str, dup_src: str, n: int = DUP_SPAN_N) -> str:
+    """Merged-interval coverage for one scope given its duplicated-hash
+    relation ``dup_src``."""
+    return f"""ds{tag} AS (
+  SELECT doc_id, pos FROM sp{tag} WHERE h IN (SELECT h FROM {dup_src})
+),
+g{tag} AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= {n}
+              THEN 1 ELSE 0 END AS brk
+  FROM ds{tag}
+),
+i{tag} AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM g{tag}
+),
+cov{tag} AS (
+  SELECT doc_id, SUM(ilen) AS n_dup_tokens FROM (
+    SELECT doc_id, island, MAX(pos) - MIN(pos) + {n} AS ilen
+    FROM i{tag} GROUP BY 1, 2
+  ) GROUP BY 1
+)"""
+
+
+_ST10_SPLIT = "(SELECT (MAX(doc_id) + 1) // 2 FROM documents)"
+_ST10_TOKS = tokens_sql("text", distinct=False)
+
+_ST10_ORACLE = f"""
+WITH {_span_scope_ctes(1, f"doc_id < {_ST10_SPLIT}")},
+{_span_scope_ctes(2, f"doc_id >= {_ST10_SPLIT}")},
+dup1 AS (SELECT h FROM c1 WHERE nd >= 2),
+dup2 AS (
+  SELECT c2.h FROM c2 LEFT JOIN c1 ON c2.h = c1.h
+  WHERE c2.nd + COALESCE(c1.nd, 0) >= 2
+),
+{_span_cov_ctes(1, "dup1")},
+{_span_cov_ctes(2, "dup2")},
+rep AS (
+  SELECT d.doc_id, CAST(len({_ST10_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+         CAST(0 AS BIGINT) AS batch_id
+  FROM documents d LEFT JOIN cov1 c ON d.doc_id = c.doc_id
+  WHERE d.doc_id < {_ST10_SPLIT}
+  UNION ALL
+  SELECT d.doc_id, CAST(len({_ST10_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+         CAST(1 AS BIGINT) AS batch_id
+  FROM documents d LEFT JOIN cov2 c ON d.doc_id = c.doc_id
+  WHERE d.doc_id >= {_ST10_SPLIT}
+)
+SELECT doc_id, n_tokens, n_dup_tokens,
+       round(n_dup_tokens / nullif(n_tokens, 0), 6) AS dup_token_frac,
+       batch_id
+FROM rep ORDER BY doc_id"""
+
+
+@register(
+    "st10_span_monitor",
+    oracle=_ST10_ORACLE,
+    doc="ST10 incremental duplicated-span monitor (streaming-scale dd10): two "
+    "ingest batches against an append-only (hash, distinct-doc-count) index — "
+    "disjoint batch doc sets make the corpus-wide count the SUM of per-batch "
+    "counts, so the index stores one aggregated row per (batch, hash), bounded "
+    "by distinct hashes, never corpus tokens. Admission-time semantics: batch-1 "
+    "reports are final (a batch-2 duplicate shows in batch 2's report only). "
+    "Oracle unrolls both batches with the dd10 fragments",
+)
+def st10_span_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import (
+        drop_span_index,
+        monitor_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    tmp = tempfile.mkdtemp(prefix="st10_index_")
+    try:
+        r1 = monitor_batch(docs.filter(F.col("doc_id") < split), tmp)
+        r2 = monitor_batch(docs.filter(F.col("doc_id") >= split), tmp)
+        out = (
+            r1.withColumn("batch_id", F.lit(0).cast("long"))
+            .unionAll(r2.withColumn("batch_id", F.lit(1).cast("long")))
+            .orderBy("doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        from pdf_etl_pipeline_spark.operators import fsutil
+
+        drop_span_index(spark, tmp)
+        fsutil.delete(tmp, recursive=True, spark=spark)
+    return out

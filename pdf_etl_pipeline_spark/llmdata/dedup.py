@@ -727,6 +727,51 @@ def dup_span_stats(
     return result
 
 
+def span_hashes_df(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """(doc_id, pos, h): every ``n``-token window's rolling hash with its
+    0-based start position — the shared front end of the span-dedup
+    family (dd8/dd10/dd11/st10). One md5 per token, Horner fold per
+    window, corpus-linear."""
+    toks = tokens_col("text", distinct=False)
+    tok_hash = F.transform(toks, lambda t: portable_hash32(t) % P31)
+    base = docs.select("doc_id", tok_hash.alias("th"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("th") - (n - 1), F.lit(0)))
+    roll = lambda i: F.aggregate(
+        F.slice("th", i, n),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_B + t) % P31,
+    )
+    hashes = F.when(F.size("th") >= n, F.transform(starts, roll)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return base.select("doc_id", F.posexplode(hashes).alias("pos", "h"))
+
+
+def coverage_from_dup_starts(dup_starts: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """(doc_id, n_dup_tokens): merged length of the fixed-width intervals
+    [pos, pos+n-1] over duplicated window starts — gaps-and-islands per
+    doc (start gap < n merges), windows doc_id-partitioned over the
+    duplicated-starts relation only."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_starts.select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(w) >= n, 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("pos") - F.min("pos") + n).alias("ilen"))
+        .groupBy("doc_id")
+        .agg(F.sum("ilen").alias("n_dup_tokens"))
+    )
+
+
 def dup_token_coverage(
     docs: DataFrame, n: int = DUP_SPAN_N, materialize: bool = True
 ) -> DataFrame:
@@ -750,24 +795,8 @@ def dup_token_coverage(
     corpus-wide unpartitioned window. Pure integer arithmetic, so the
     DuckDB twin is bit-identical.
     """
-    from pyspark.sql.window import Window
-
-    toks = tokens_col("text", distinct=False)
-    tok_hash = F.transform(toks, lambda t: portable_hash32(t) % P31)
-    base = docs.select("doc_id", tok_hash.alias("th"))
-    starts = F.sequence(F.lit(1), F.greatest(F.size("th") - (n - 1), F.lit(0)))
-    roll = lambda i: F.aggregate(
-        F.slice("th", i, n),
-        F.lit(0).cast("long"),
-        lambda acc, t: (acc * ROLL_B + t) % P31,
-    )
-    hashes = F.when(F.size("th") >= n, F.transform(starts, roll)).otherwise(
-        F.array().cast("array<bigint>")
-    )
     # spans WITH positions; persisted: feeds dup_h and the flagged starts
-    spans = base.select(
-        "doc_id", F.posexplode(hashes).alias("pos", "h")
-    ).persist()
+    spans = span_hashes_df(docs, n).persist()
     dup_h = (
         spans.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -775,23 +804,11 @@ def dup_token_coverage(
         .select("h")
     )
     dup_starts = spans.join(dup_h, "h", "left_semi").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = dup_starts.select(
+    covered = coverage_from_dup_starts(dup_starts, n)
+    totals = docs.select(
         "doc_id",
-        "pos",
-        F.sum(
-            F.when(F.col("pos") - F.lag("pos").over(w) >= n, 1).otherwise(0)
-        )
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("island"),
+        F.size(tokens_col("text", distinct=False)).cast("long").alias("n_tokens"),
     )
-    covered = (
-        islands.groupBy("doc_id", "island")
-        .agg((F.max("pos") - F.min("pos") + n).alias("ilen"))
-        .groupBy("doc_id")
-        .agg(F.sum("ilen").alias("n_dup_tokens"))
-    )
-    totals = docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
     result = (
         totals.join(covered, "doc_id", "left")
         .select(

@@ -846,3 +846,42 @@ def test_compact_index_on_missing_index_is_noop(spark, tmp_path):
     from pdf_etl_pipeline_spark.llmdata.ingest import compact_index
 
     assert compact_index(spark, str(tmp_path / "never_ingested")) == []
+
+
+def test_span_monitor_admission_semantics_and_batch_merge(spark, tmp_path):
+    """st10: (a) batch reports are final — a batch-1 doc whose run is only
+    duplicated by a batch-2 arrival stays at 0 in batch 1's report while
+    batch 2's doc reports the coverage; (b) per-hash counts MERGE across
+    non-adjacent batches (a run seen once in batch 1 and once in batch 3
+    flags in batch 3); (c) ingesting everything as one batch reproduces
+    dd10's batch coverage exactly."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import dup_token_coverage
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import monitor_batch
+
+    run_x = " ".join(f"x{i}" for i in range(12))
+    run_y = " ".join(f"y{i}" for i in range(10))
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    uniq = lambda p, k: " ".join(f"{p}{i}" for i in range(k))
+
+    ix = str(tmp_path / "spanix")
+    b1 = mk([(1, run_x + " " + uniq("a", 5)), (2, run_y + " " + uniq("b", 5))])
+    b2 = mk([(3, uniq("c", 3) + " " + run_x)])
+    b3 = mk([(4, run_y + " " + uniq("d", 8))])
+
+    r1 = {r.doc_id: r for r in monitor_batch(b1, ix).collect()}
+    assert r1[1].n_dup_tokens == 0 and r1[2].n_dup_tokens == 0  # final: nothing dup yet
+
+    r2 = {r.doc_id: r for r in monitor_batch(b2, ix).collect()}
+    assert r2[3].n_dup_tokens == 12  # run_x matched against the batch-1 index
+
+    r3 = {r.doc_id: r for r in monitor_batch(b3, ix).collect()}
+    assert r3[4].n_dup_tokens == 10  # run_y: once in batch 1 + once here -> dup
+
+    # one-batch ingest == dd10's batch coverage, row for row
+    all_docs = mk(
+        [(i, t) for df in (b1, b2, b3) for i, t in df.collect()]
+    )
+    ix2 = str(tmp_path / "spanix2")
+    mon = sorted(map(tuple, monitor_batch(all_docs, ix2).collect()))
+    batch = sorted(map(tuple, dup_token_coverage(all_docs).collect()))
+    assert mon == batch
