@@ -115,6 +115,31 @@ def monitor_batch(
     return report
 
 
+REPORTS_SUBDIR = "span_reports"
+
+
+def span_monitor_stream(
+    docs_stream: DataFrame, index_dir: str, n: int = DUP_SPAN_N
+):
+    """Streaming wrapper: each micro-batch goes through
+    :func:`monitor_batch` (foreachBatch, availableNow) — same body as
+    batch, same index on disk — and the admission-time report is
+    appended under ``span_reports`` so downstream curation reads one
+    growing relation of final verdicts."""
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        report = monitor_batch(batch_df, index_dir, n)
+        report.write.mode("append").parquet(
+            os.path.join(index_dir, REPORTS_SUBDIR)
+        )
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(_batch)
+        .trigger(availableNow=True)
+    )
+
+
 def drop_span_index(spark, index_dir: str) -> None:
     from pdf_etl_pipeline_spark.operators import fsutil
 

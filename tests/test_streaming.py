@@ -885,3 +885,52 @@ def test_span_monitor_admission_semantics_and_batch_merge(spark, tmp_path):
     mon = sorted(map(tuple, monitor_batch(all_docs, ix2).collect()))
     batch = sorted(map(tuple, dup_token_coverage(all_docs).collect()))
     assert mon == batch
+
+
+@pytest.mark.slow
+def test_span_monitor_streaming_foreachbatch(spark, sf_dir, tmp_path):
+    """Drive the real foreachBatch span monitor over parquet document
+    drops. Micro-batch arrival order is nondeterministic, so the exact
+    per-batch reports aren't comparable to a fixed split — the
+    order-independent invariants are: every doc gets exactly one FINAL
+    report; the union of reports covers the corpus; coverage can only be
+    less than or equal to the all-at-once dd10 coverage (later arrivals
+    see more index, never less than zero; earlier arrivals miss future
+    duplicates); and a doc whose dd10 coverage is zero reports zero in
+    any arrival order."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.llmdata.dedup import dup_token_coverage
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import (
+        REPORTS_SUBDIR,
+        span_monitor_stream,
+    )
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    drop_dir = str(tmp_path / "span_drops")
+    docs.coalesce(3).write.mode("overwrite").parquet(drop_dir)
+    ix = str(tmp_path / "span_ix")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .load(drop_dir)
+    )
+    q = span_monitor_stream(stream, ix).start()
+    q.awaitTermination(300)
+
+    reports = spark.read.parquet(os.path.join(ix, REPORTS_SUBDIR))
+    got = {r.doc_id: r for r in reports.collect()}
+    batch = {r.doc_id: r for r in dup_token_coverage(docs).collect()}
+    assert set(got) == set(batch)  # one final report per doc
+    assert reports.count() == len(batch)  # no doc reported twice
+    for doc_id, b in batch.items():
+        g = got[doc_id]
+        assert g.n_tokens == b.n_tokens
+        assert 0 <= g.n_dup_tokens <= b.n_dup_tokens  # admission sees a prefix
+        if b.n_dup_tokens == 0:
+            assert g.n_dup_tokens == 0
+    # the stream found real duplication somewhere (corpus has dups)
+    assert any(r.n_dup_tokens > 0 for r in got.values())
