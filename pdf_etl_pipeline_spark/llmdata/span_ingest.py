@@ -140,6 +140,49 @@ def span_monitor_stream(
     )
 
 
+MAX_INDEX_FILES = 16
+
+
+def compact_span_index(
+    spark, index_dir: str, max_files: int = MAX_INDEX_FILES
+) -> bool:
+    """Compact the append-only span index: one file family lands per
+    batch, so a long-running monitor fragments exactly like st7's index
+    — but here compaction also SHRINKS THE RELATION, because per-batch
+    ``(h, nd)`` rows merge by SUM into one row per hash.
+
+    Same object-store-safe discipline as ``ingest.compact_index``
+    (append-then-prune through the Hadoop FS, no renames): read the
+    explicit old-file list, append the aggregated replacement through
+    the normal committer, delete the old files individually. A crash
+    between the two steps leaves the per-batch rows alongside the
+    aggregated ones — and because the consumer SUMs ``nd`` per hash,
+    that degraded state DOUBLE-COUNTS: re-run compaction (which
+    converges) before the next monitor_batch, or replay from a clean
+    index. That recovery contract is one step stricter than st7's
+    (whose duplicates were admission-neutral) and is the price of an
+    index that stores counts instead of rows; a table-format
+    transactional commit subsumes it at cluster scale.
+
+    Returns True when a rewrite happened."""
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    path = _index_path(index_dir)
+    files = [uri for uri, _ in fsutil.list_data_files(path, spark)]
+    if len(files) <= max_files:
+        return False
+    merged = (
+        spark.read.parquet(*files)
+        .groupBy("h")
+        .agg(F.sum("nd").alias("nd"))
+        .coalesce(1)
+    )
+    merged.write.mode("append").parquet(path)
+    for uri in files:
+        fsutil.delete(uri, spark=spark)
+    return True
+
+
 def drop_span_index(spark, index_dir: str) -> None:
     from pdf_etl_pipeline_spark.operators import fsutil
 

@@ -934,3 +934,39 @@ def test_span_monitor_streaming_foreachbatch(spark, sf_dir, tmp_path):
             assert g.n_dup_tokens == 0
     # the stream found real duplication somewhere (corpus has dups)
     assert any(r.n_dup_tokens > 0 for r in got.values())
+
+
+@pytest.mark.slow
+def test_span_index_compaction_preserves_reports(spark, tmp_path):
+    """st10 compaction: after many small batches fragment the index,
+    compacting merges (h, nd) rows by SUM and prunes old files — the next
+    batch's report must be identical to the uncompacted twin's, and the
+    file count must drop."""
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import (
+        _index_path,
+        compact_span_index,
+        monitor_batch,
+    )
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    run = " ".join(f"r{i}" for i in range(11))
+    mk = lambda i, extra: spark.createDataFrame(
+        [(i, run + " " + " ".join(f"u{i}x{k}" for k in range(extra)))],
+        "doc_id long, text string",
+    )
+    ix_a, ix_b = str(tmp_path / "a"), str(tmp_path / "b")
+    for i in range(6):  # six 1-doc batches -> six file families
+        for ix in (ix_a, ix_b):
+            monitor_batch(mk(i, 3 + i), ix)
+
+    before = fsutil.data_file_count(_index_path(ix_a), spark)
+    assert compact_span_index(spark, ix_a, max_files=3)
+    after = fsutil.data_file_count(_index_path(ix_a), spark)
+    assert after < before
+    assert not compact_span_index(spark, ix_a, max_files=3)  # converged
+
+    probe = mk(99, 2)
+    got_a = sorted(map(tuple, monitor_batch(probe, ix_a).collect()))
+    got_b = sorted(map(tuple, monitor_batch(probe, ix_b).collect()))
+    assert got_a == got_b  # compaction is invisible to admission
+    assert got_a[0][2] == 11  # the planted run is fully covered
