@@ -57,6 +57,9 @@ EXTENDED_QUERIES = [
     "g2a_triangle_doulion",
     "tx12_ppl_buckets",
     "dd10_dup_token_coverage",
+    "dd11_span_trim",
+    "st10_span_monitor",
+    "dq3_k_anonymity",
 ]
 
 

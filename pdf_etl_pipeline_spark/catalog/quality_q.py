@@ -281,3 +281,50 @@ def dq2_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").cast("long").alias("n_violations"),
         F.round(F.col("n_violations").cast("double") / F.col("n"), 6).alias("violation_rate"),
     ).orderBy("rule")
+
+
+# --- DQ3: k-anonymity audit ------------------------------------------------------
+K_ANON = 5
+_DQ3_QUASI = "event_type, CAST(ts AS DATE) AS qd, EXTRACT(hour FROM ts) AS qh"
+
+
+@register(
+    "dq3_k_anonymity",
+    oracle=f"""
+WITH g AS (
+  SELECT {_DQ3_QUASI}, COUNT(*) AS sz
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(sz) AS BIGINT) AS n_rows,
+       CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+       CAST(SUM(CASE WHEN sz < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+       CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT) AS n_risky_rows,
+       round(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) / SUM(sz), 6)
+         AS risky_row_frac
+FROM g""",
+    doc=f"DQ3 k-anonymity audit (privacy gate before a table is shared or joined "
+    f"into training data): group sizes over the quasi-identifier set "
+    f"(event_type, date, hour) in ONE keyed aggregation + a 1-row rollup — "
+    f"k = min group size, rows in groups smaller than K={K_ANON} are "
+    f"re-identification-risky (the pii-scrub complement: pii removes direct "
+    f"identifiers, this measures indirect ones). One shuffle on the quasi key; "
+    f"at 100 TB the group relation is bounded by the quasi-domain, not rows",
+)
+def dq3_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_events(spark, sf_dir)
+    g = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("qd"),
+        F.hour("ts").alias("qh"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    risky = F.when(F.col("sz") < K_ANON, F.col("sz")).otherwise(F.lit(0))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.min("sz").cast("long").alias("k_anonymity"),
+        F.sum(F.when(F.col("sz") < K_ANON, 1).otherwise(0)).cast("long").alias("n_risky_groups"),
+        F.sum(risky).cast("long").alias("n_risky_rows"),
+        F.round(F.sum(risky) / F.sum("sz"), 6).alias("risky_row_frac"),
+    )

@@ -1072,3 +1072,29 @@ def test_cohens_kappa_hand_computed(spark, sf_dir):
     finally:
         X.load_table = orig
     assert deg.kappa is None and deg.po == 1.0
+
+
+def test_dq3_k_anonymity_hand_computed(spark, tmp_path):
+    """dq3 on a hand-built event log: quasi-groups (type, date, hour) with
+    sizes 5/2/1 -> k=1, two risky groups holding 3 of 8 rows."""
+    import datetime as dt
+
+    from pdf_etl_pipeline_spark.catalog.quality_q import dq3_k_anonymity
+
+    def t(d, h):
+        return dt.datetime(2024, 1, d, h, 30)
+
+    rows = (
+        [(i, t(1, 9), 1, "view", 1.0, "{}") for i in range(5)]       # size 5: safe
+        + [(9, t(1, 10), 1, "view", 1.0, "{}"), (10, t(1, 10), 2, "view", 1.0, "{}")]  # size 2
+        + [(11, t(2, 9), 1, "click", 1.0, "{}")]                      # size 1
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+    r = dq3_k_anonymity(spark, str(tmp_path)).collect()[0]
+    assert (r.n_groups, r.n_rows, r.k_anonymity) == (3, 8, 1)
+    assert (r.n_risky_groups, r.n_risky_rows) == (2, 3)
+    assert r.risky_row_frac == round(3 / 8, 6)
