@@ -103,6 +103,26 @@ def _dd10_windows_doc_partitioned(plan: str) -> list[str]:
     return [f"Window not partitioned by doc_id: {l}" for l in bad]
 
 
+def _dq3_two_exchanges_pruned_scan(plan: str) -> list[str]:
+    """dq3's whole cost is one quasi-key shuffle plus a SinglePartition
+    rollup over the (bounded) group relation, reading ONLY the two quasi
+    source columns. Pin all three properties so a refactor can't silently
+    widen the scan or add a third shuffle."""
+    import re
+
+    problems = []
+    exchanges = re.findall(r"Exchange \w+", plan)
+    if len(exchanges) != 2:
+        problems.append(f"expected exactly 2 Exchanges, saw {exchanges}")
+    if "Exchange SinglePartition" not in plan:
+        problems.append("missing: the 1-row rollup's SinglePartition exchange")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",")) if m else []
+    if cols != ["event_type", "ts"]:
+        problems.append(f"scan not pruned to the quasi columns: {cols}")
+    return problems
+
+
 def _g2a_sample_before_join(plan: str) -> list[str]:
     """The DOULION hash draw must be evaluated at EDGE CONSTRUCTION —
     Catalyst pushes it into the lineitem self-join, so every md5 occurrence
@@ -375,6 +395,11 @@ CHECKS = {
         "must": ["HashAggregate", "md5"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
         "check": _g2a_sample_before_join,
+    },
+    "dq3_k_anonymity": {
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+        "check": _dq3_two_exchanges_pruned_scan,
     },
     "ir1_bm25_topk": {
         # the query table and 1-row corpus stats broadcast to the postings
