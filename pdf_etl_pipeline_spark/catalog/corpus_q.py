@@ -252,3 +252,20 @@ ORDER BY cands.doc_id, cands.bench_id""",
 def dc2_near_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return CP.near_decontaminate(load_table(spark, sf_dir, "documents"), materialize=True)
+
+
+# --- SP5: T5 span corruption -----------------------------------------------------
+@register(
+    "sp5_span_corruption",
+    oracle=CP.span_corruption_sql("documents"),
+    doc="SP5 deterministic T5-style span corruption (the text-to-text pretraining "
+    "pair generated in-plan): salted-hash 15% token mask, adjacent masked "
+    "positions merged into sentinel-numbered spans, corrupted input and "
+    "sentinel-delimited target re-assembled per doc and md5 hash-checked — "
+    "bit-identical pairs on any partitioning/engine, epoch variation by salt "
+    "string instead of per-worker RNG state. One posexplode + doc-partitioned "
+    "island window over masked positions only",
+)
+def sp5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return CP.span_corruption(load_table(spark, sf_dir, "documents"))

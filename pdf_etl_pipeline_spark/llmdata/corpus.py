@@ -463,3 +463,191 @@ def near_decontaminate(
         result = result.localCheckpoint()
         hashed.unpersist()
     return result
+
+
+# --- T5-style deterministic span corruption (sp5) ---------------------------------
+MASK_RATE_PCT = 15  # target corruption rate (T5 uses 15%)
+MASK_SALT = "mask_"
+
+
+def span_corruption(docs: DataFrame) -> DataFrame:
+    """Deterministic T5-style span corruption (Raffel et al. 2020 §3.1.4):
+    the encoder/decoder pretraining pair generated IN-PLAN. Each token
+    position is masked by a salted hash draw at MASK_RATE_PCT; runs of
+    adjacent masked positions merge into spans; span k is replaced by the
+    sentinel ``<extra_id_k>`` in the corrupted input, and the target is
+    the sentinel-delimited sequence of removed spans — exactly the
+    text-to-text objective's example shape.
+
+    Determinism is the point: the draw is portable_hash32(salt‖doc_id‖
+    ':'‖pos), so the same corpus yields bit-identical training pairs on
+    any cluster, any partitioning, any engine — the DuckDB oracle
+    reproduces both md5s. (Real pipelines vary the mask per epoch by
+    changing the salt — one string, not one RNG state per worker.)
+
+    Shape for scale: one posexplode (corpus-linear), the island merge
+    over MASKED positions only (doc_id-partitioned window), and two
+    collect_list re-assemblies bounded by document length. No shuffle
+    beyond the doc_id aggregations, no Python, no RNG.
+    """
+    toks = tokens_col("text", distinct=False)
+    # 1-based positions — the oracle's unnest(range(1, …)) convention,
+    # and the hash input must match exactly
+    tokens = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    draw = portable_hash32(
+        F.concat(F.lit(MASK_SALT), F.col("doc_id"), F.lit(":"), F.col("pos"))
+    )
+    tokens = tokens.withColumn("masked", draw % 100 < MASK_RATE_PCT)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        tokens.filter("masked")
+        .select(
+            "doc_id",
+            "pos",
+            "tok",
+            F.sum(F.when(F.col("pos") - F.lag("pos").over(w) > 1, 1).otherwise(0))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("k"),
+        )
+    )
+    per_span = spans.groupBy("doc_id", "k").agg(
+        F.min("pos").alias("span_pos"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("span_text"),
+    )
+    corrupted_rows = tokens.filter(~F.col("masked")).select(
+        "doc_id", "pos", "tok"
+    ).unionByName(
+        per_span.select(
+            "doc_id",
+            F.col("span_pos").alias("pos"),
+            F.concat(F.lit("<extra_id_"), F.col("k"), F.lit(">")).alias("tok"),
+        )
+    )
+    corrupted = corrupted_rows.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("corrupted_md5")
+    )
+    targets = per_span.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "k",
+                                F.concat(
+                                    F.lit("<extra_id_"),
+                                    F.col("k"),
+                                    F.lit("> "),
+                                    F.col("span_text"),
+                                ).alias("piece"),
+                            )
+                        )
+                    ),
+                    lambda s: s["piece"],
+                ),
+            )
+        ).alias("targets_md5"),
+    )
+    n_masked = tokens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0)).cast("long").alias("n_masked"),
+    )
+    return (
+        # anchor on docs: a token-less document still gets its row
+        # (n_tokens 0, empty-string md5s), like every per-doc report here
+        docs.select("doc_id")
+        .join(n_masked, "doc_id", "left")
+        .join(corrupted, "doc_id", "left")
+        .join(targets, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("corrupted_md5", F.md5(F.lit(""))).alias("corrupted_md5"),
+            F.coalesce("targets_md5", F.md5(F.lit(""))).alias("targets_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def span_corruption_sql(table: str) -> str:
+    """DuckDB oracle for :func:`span_corruption` — identical hash draw,
+    island merge, sentinel numbering and md5 re-assemblies."""
+    toks = tokens_sql("text", distinct=False)
+    draw = portable_hash32_sql(
+        f"'{MASK_SALT}' || CAST(base.doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+    )
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, i AS pos, tk[i] AS tok,
+         {draw} % 100 < {MASK_RATE_PCT} AS masked
+  FROM (SELECT doc_id, {toks} AS tk FROM {table}) base,
+       unnest(range(1, len(tk) + 1)) AS u(i)
+),
+mk AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+              THEN 1 ELSE 0 END AS brk
+  FROM tokens WHERE masked
+),
+sp AS (
+  SELECT doc_id, pos, tok,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS k
+  FROM mk
+),
+per_span AS (
+  SELECT doc_id, k, MIN(pos) AS span_pos,
+         string_agg(tok, ' ' ORDER BY pos) AS span_text
+  FROM sp GROUP BY 1, 2
+),
+corrupted_rows AS (
+  SELECT doc_id, pos, tok FROM tokens WHERE NOT masked
+  UNION ALL
+  SELECT doc_id, span_pos AS pos, '<extra_id_' || k || '>' AS tok FROM per_span
+),
+corrupted AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS corrupted_md5
+  FROM corrupted_rows GROUP BY 1
+),
+targets AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         md5(string_agg('<extra_id_' || k || '> ' || span_text, ' ' ORDER BY k))
+           AS targets_md5
+  FROM per_span GROUP BY 1
+),
+nm AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked
+  FROM tokens GROUP BY 1
+)
+SELECT d.doc_id AS doc_id,
+       CAST(COALESCE(n.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n.n_masked, 0) AS BIGINT) AS n_masked,
+       CAST(COALESCE(t.n_spans, 0) AS BIGINT) AS n_spans,
+       COALESCE(c.corrupted_md5, md5('')) AS corrupted_md5,
+       COALESCE(t.targets_md5, md5('')) AS targets_md5
+FROM {table} d
+LEFT JOIN nm n ON d.doc_id = n.doc_id
+LEFT JOIN corrupted c ON d.doc_id = c.doc_id
+LEFT JOIN targets t ON d.doc_id = t.doc_id
+ORDER BY d.doc_id"""

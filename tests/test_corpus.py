@@ -581,3 +581,74 @@ def test_ppl_buckets_ccnet_tertiles(spark):
     )
     # deterministic: a second run reproduces identical rows
     assert [tuple(r) for r in ppl_buckets(docs).collect()] == [tuple(r) for r in out]
+
+
+def test_span_corruption_matches_python_reference(spark):
+    """sp5: the mask draw is a deterministic salted hash, so the whole
+    encoder/decoder pair is reproducible in pure Python — recompute the
+    mask, spans, sentinel numbering, corrupted input and target for each
+    doc and compare both md5s. Also pins: no-mask docs round-trip with an
+    empty target, and re-running yields identical rows."""
+    import hashlib
+
+    from pdf_etl_pipeline_spark.llmdata.corpus import (
+        MASK_RATE_PCT,
+        MASK_SALT,
+        span_corruption,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+        (3, "one two"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_corruption(docs).collect()}
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    for doc_id, text in rows:
+        toks = [t for t in "".join(
+            c if c.isalnum() else " " for c in text.lower()
+        ).split() if t]
+        masked = [
+            h32(f"{MASK_SALT}{doc_id}:{p}") % 100 < MASK_RATE_PCT
+            for p in range(1, len(toks) + 1)
+        ]
+        spans, cur = [], None
+        for i, m in enumerate(masked):
+            if m:
+                if cur is not None and i == cur[-1] + 1:
+                    cur.append(i)
+                else:
+                    cur = [i]
+                    spans.append(cur)
+        corrupted, k = [], 0
+        for i, t in enumerate(toks):
+            if masked[i]:
+                if i == spans[k][0]:
+                    corrupted.append(f"<extra_id_{k}>")
+                if i == spans[k][-1]:
+                    k += 1
+            else:
+                corrupted.append(t)
+        target = " ".join(
+            f"<extra_id_{j}> " + " ".join(toks[i] for i in sp)
+            for j, sp in enumerate(spans)
+        )
+        r = out[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_masked == sum(masked)
+        assert r.n_spans == len(spans)
+        assert r.corrupted_md5 == md5(" ".join(corrupted)), doc_id
+        assert r.targets_md5 == md5(target), doc_id
+
+    # some doc in the fixture actually got masked (rate 15% over 40+ tokens)
+    assert any(r.n_masked > 0 for r in out.values())
+    again = {r.doc_id: r for r in span_corruption(docs).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in again.items()}

@@ -396,6 +396,15 @@ CHECKS = {
         "must_not": ["BatchEvalPython", "CartesianProduct"],
         "check": _g2a_sample_before_join,
     },
+    "sp5_span_corruption": {
+        # one corpus-linear posexplode, the island window over MASKED
+        # positions only (doc_id-partitioned — the dd10 check applies),
+        # collect_list re-assemblies; the mask is a hash projection, so
+        # no RNG node, no Python, no cartesian
+        "must": ["Generate", "HashAggregate", "Window", "collect_list"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "Rand"],
+        "check": _dd10_windows_doc_partitioned,
+    },
     "dq3_k_anonymity": {
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
