@@ -481,3 +481,71 @@ def cc7_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack(6, {stack_args}) AS (stage, stage_name, n_docs, n_tokens, doc_retention)"
         )
     ).orderBy("stage")
+
+
+# --- CC8: temperature-mixed source weights ---------------------------------------
+from pdf_etl_pipeline_spark.functions.scalars import dec_sum, dec_sum_sql  # noqa: E402
+
+CC8_BUDGET = 2000  # total training-token budget to allocate across sources
+
+
+def _cc8_oracle() -> str:
+    toks = DD.tokens_sql("text", distinct=False)
+    return f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len({toks})) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT {dec_sum_sql('sqrt(n_tokens)')} AS z FROM per_src),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         round(sqrt(n_tokens) / z, 6) AS weight
+  FROM per_src, tot
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens, weight,
+       CAST(floor({CC8_BUDGET} * weight) AS BIGINT) AS quota_tokens,
+       round(floor({CC8_BUDGET} * weight) / n_tokens, 6) AS epochs
+FROM w ORDER BY source"""
+
+
+@register(
+    "cc8_temperature_mix",
+    oracle=_cc8_oracle(),
+    doc=f"CC8 temperature-mixed source weights (the Pile/multilingual-sampling "
+    f"staple, tau=2): per-source sampling weight proportional to sqrt(token "
+    f"count), normalized, then a {CC8_BUDGET}-token budget split into per-source "
+    f"quotas with effective-epoch readout (quota/corpus — how much each small "
+    f"source gets oversampled). sqrt, not pow: IEEE-exact in both engines, so "
+    f"the weights hash-check without libm drift; the normalizer is ONE 1-row "
+    f"decimal-exact aggregate broadcast back — one shuffle on source, nothing "
+    f"corpus-wide",
+)
+def cc8_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col
+
+    per_src = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(tokens_col("text", distinct=False))).cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(dec_sum(F.sqrt("n_tokens")).alias("z"))
+    w = F.round(F.sqrt("n_tokens") / F.col("z"), 6)
+    quota = F.floor(F.lit(CC8_BUDGET) * F.round(F.sqrt("n_tokens") / F.col("z"), 6))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            w.alias("weight"),
+            quota.cast("long").alias("quota_tokens"),
+            F.round(quota / F.col("n_tokens"), 6).alias("epochs"),
+        )
+        .orderBy("source")
+    )

@@ -652,3 +652,27 @@ def test_span_corruption_matches_python_reference(spark):
     assert any(r.n_masked > 0 for r in out.values())
     again = {r.doc_id: r for r in span_corruption(docs).collect()}
     assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_cc8_temperature_mix_hand_computed(spark, tmp_path):
+    """cc8: sources with 100/400/2500 tokens -> sqrt weights 10/20/50
+    (z=80) -> weights .125/.25/.625, 2000-token quotas 250/500/1250,
+    epochs 2.5/1.25/0.5 — small sources oversampled, big ones cut."""
+    from pdf_etl_pipeline_spark.catalog.curation_q import cc8_temperature_mix
+
+    def doc(i, src, k):
+        return (i, " ".join(f"w{j}" for j in range(k)), "en", src, 0)
+
+    rows = (
+        [doc(1, "tiny", 100)]
+        + [doc(2, "mid", 200), doc(3, "mid", 200)]
+        + [doc(i, "big", 500) for i in range(4, 9)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in cc8_temperature_mix(spark, str(tmp_path)).collect()}
+    assert out["tiny"].n_tokens == 100 and out["big"].n_tokens == 2500
+    assert (out["tiny"].weight, out["mid"].weight, out["big"].weight) == (0.125, 0.25, 0.625)
+    assert (out["tiny"].quota_tokens, out["mid"].quota_tokens, out["big"].quota_tokens) == (250, 500, 1250)
+    assert (out["tiny"].epochs, out["mid"].epochs, out["big"].epochs) == (2.5, 1.25, 0.5)

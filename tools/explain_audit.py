@@ -396,6 +396,12 @@ CHECKS = {
         "must_not": ["BatchEvalPython", "CartesianProduct"],
         "check": _g2a_sample_before_join,
     },
+    "cc8_temperature_mix": {
+        # one shuffle on source, a 1-row decimal-exact normalizer joined
+        # back as a broadcast nested-loop of one row, pruned 2-column scan
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin", "Window"],
+    },
     "sp5_span_corruption": {
         # one corpus-linear posexplode, the island window over MASKED
         # positions only (doc_id-partitioned — the dd10 check applies),
