@@ -166,3 +166,26 @@ def tk5_bpe_batched_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), bpe.N_MERGES, round_size=8, margin=4
     )
     return bpe.merge_table(spark, merges)
+
+
+# --- TK6: frequency-capped BPE (bounded-vocabulary scale path) ------------------
+TK6_CAP = 16
+
+
+@register(
+    "tk6_bpe_capped_encode",
+    oracle=bpe.bpe_capped_encode_sql("documents", bpe.N_MERGES, TK6_CAP),
+    doc=f"TK6 frequency-capped BPE ({bpe.N_MERGES} merges over the top-{TK6_CAP} "
+    "pretokens, closed-vocab encode with character fallback): the bounded path "
+    "for tk2's measured adversarial regime (SCALE.md e=0.83 when vocabulary "
+    "grows with the corpus) — training iterates a relation that never exceeds "
+    "the cap regardless of corpus size (TakeOrdered top-K, deterministic "
+    "tie-break), encode is ONE left join against a <=cap-row broadcast, OOV "
+    "pretokens take the char-count fallback production tokenizers use for the "
+    "long tail; oov_tokens exposes the cap's coverage",
+)
+def tk6_bpe_capped_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return bpe.bpe_doc_counts_capped(
+        load_table(spark, sf_dir, "documents"), bpe.N_MERGES, TK6_CAP
+    )

@@ -262,13 +262,11 @@ def train_bpe_batched(
 
 
 # --- train / encode -----------------------------------------------------------
-def train_bpe(docs: DataFrame, n_merges: int = N_MERGES):
-    """Learn ``n_merges`` BPE merges from the corpus. Returns
-    ``(merges, rel)``: the ordered merge list [(a, b, cnt), …] and the
-    final encoded-vocabulary symbol relation (word, wcnt, pos, sym) —
-    which IS the corpus vocabulary encoded under those merges, reused by
-    the counting queries so train+apply is one composition."""
-    rel = symbols_rel(word_vocab(docs)).localCheckpoint()
+def train_bpe_on_vocab(vocab: DataFrame, n_merges: int = N_MERGES):
+    """Strict Sennrich training over an explicit (word, wcnt) vocabulary
+    relation — the loop body shared by full and frequency-capped
+    training. Returns ``(merges, rel)``."""
+    rel = symbols_rel(vocab).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         best = best_pair(rel)
@@ -280,6 +278,72 @@ def train_bpe(docs: DataFrame, n_merges: int = N_MERGES):
         # N's plan stays constant-size (the label_components discipline)
         rel = apply_merge(rel, a, b).localCheckpoint()
     return merges, rel
+
+
+def train_bpe(docs: DataFrame, n_merges: int = N_MERGES):
+    """Learn ``n_merges`` BPE merges from the corpus. Returns
+    ``(merges, rel)``: the ordered merge list [(a, b, cnt), …] and the
+    final encoded-vocabulary symbol relation (word, wcnt, pos, sym) —
+    which IS the corpus vocabulary encoded under those merges, reused by
+    the counting queries so train+apply is one composition."""
+    return train_bpe_on_vocab(word_vocab(docs), n_merges)
+
+
+def capped_vocab(docs: DataFrame, cap: int) -> DataFrame:
+    """Top-``cap`` pretokens by (count DESC, word): the bounded training
+    vocabulary. orderBy+limit compiles to TakeOrderedAndProject — a
+    parallel partial top-K per partition + one bounded merge, never a
+    full vocabulary sort."""
+    return word_vocab(docs).orderBy(F.desc("wcnt"), "word").limit(cap)
+
+
+def bpe_doc_counts_capped(
+    docs: DataFrame, n_merges: int = N_MERGES, cap: int = 16
+) -> DataFrame:
+    """tk6: per-doc BPE token counts under a FREQUENCY-CAPPED tokenizer —
+    the bounded path for the regime tk2's measured exponent flags
+    (SCALE.md: e=0.83 when the vocabulary relation grows with the
+    corpus, because every training iteration scans it).
+
+    Design: train on the top-``cap`` pretokens only (training cost is
+    bounded by the cap, NOT the corpus — the capped relation never
+    exceeds cap rows regardless of scale), then encode with a CLOSED
+    vocabulary: pretokens outside the trained vocab fall back to
+    character-level counts (``length(word)``) — the byte/char-fallback
+    shape production tokenizers use for the long tail. Encode cost is
+    ONE left join of the exploded corpus against a ≤cap-row broadcast.
+
+    Output adds ``oov_tokens`` (pretokens that took the fallback) so the
+    cap's coverage is observable next to the counts it produces.
+    """
+    merges, rel = train_bpe_on_vocab(capped_vocab(docs, cap), n_merges)
+    enc = subword_counts(rel)
+    dt = docs.select(
+        "doc_id", F.explode(tokens_col("text", distinct=False)).alias("word")
+    )
+    per = (
+        dt.join(F.broadcast(enc), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum(F.coalesce("n_sub", F.length("word"))).alias("bpe_tokens"),
+            F.sum(F.when(F.col("n_sub").isNull(), 1).otherwise(0)).alias("oov_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ws_tokens", F.lit(0)).cast("long").alias("ws_tokens"),
+            F.coalesce("bpe_tokens", F.lit(0)).cast("long").alias("bpe_tokens"),
+            F.coalesce("oov_tokens", F.lit(0)).cast("long").alias("oov_tokens"),
+            F.round(
+                F.col("bpe_tokens") / F.nullif(F.col("ws_tokens").cast("double"), F.lit(0.0)), 6
+            ).alias("subword_ratio"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def encode_vocab(vocab: DataFrame, merges: list) -> DataFrame:
@@ -502,6 +566,47 @@ doc_counts AS (
          coalesce(ws_tokens, 0) AS ws_tokens,
          coalesce(bpe_tokens, 0) AS bpe_tokens
   FROM {table} d LEFT JOIN per USING (doc_id))"""
+
+
+def _base_ctes_capped(table: str, cap: int) -> str:
+    """Capped variant of :func:`_base_ctes`: rel0 builds from the
+    top-``cap`` vocabulary only (count DESC, word — the exact
+    TakeOrdered tie-break the Spark side uses)."""
+    toks = tokens_sql("text", distinct=False)
+    return f"""toks AS MATERIALIZED (SELECT doc_id, unnest({toks}) AS word FROM {table}),
+vocab AS (SELECT word, COUNT(*) AS wcnt FROM toks GROUP BY 1),
+vocab_capped AS (SELECT word, wcnt FROM vocab ORDER BY wcnt DESC, word LIMIT {cap}),
+rel0 AS MATERIALIZED (
+  SELECT word, wcnt,
+         unnest(range(1, length(word) + 1)) AS pos,
+         unnest(list_transform(range(1, length(word) + 1),
+                               i -> substring(word, CAST(i AS INT), 1))) AS sym
+  FROM vocab_capped)"""
+
+
+def bpe_capped_encode_sql(table: str, n_merges: int = N_MERGES, cap: int = 16) -> str:
+    """Oracle for tk6: the same unrolled merge chain over the CAPPED
+    vocabulary, then the closed-vocab encode — exploded pretokens LEFT
+    JOIN the trained encoding, character-count fallback for the tail."""
+    parts = [_base_ctes_capped(table, cap)] + [
+        _stage_ctes(i) for i in range(1, n_merges + 1)
+    ]
+    chain = ",\n".join(parts)
+    n = n_merges
+    return f"""WITH {chain},
+enc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub FROM rel{n} GROUP BY 1),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+               CAST(SUM(coalesce(n_sub, length(word))) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(CASE WHEN n_sub IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens
+        FROM toks LEFT JOIN enc USING (word) GROUP BY 1)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(ws_tokens, 0) AS BIGINT) AS ws_tokens,
+       CAST(coalesce(bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+       CAST(coalesce(oov_tokens, 0) AS BIGINT) AS oov_tokens,
+       round(coalesce(bpe_tokens, 0) / nullif(CAST(coalesce(ws_tokens, 0) AS DOUBLE), 0), 6)
+         AS subword_ratio
+FROM {table} d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id"""
 
 
 def bpe_encode_sql(table: str, n_merges: int = N_MERGES) -> str:

@@ -187,3 +187,32 @@ def test_bpe_batched_empty_batch_is_noop(spark):
     rel = bpe.symbols_rel(bpe.word_vocab(docs))
     out = bpe.apply_merges_batch(rel, [])
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, rel.collect()))
+
+
+def test_bpe_capped_encode_fallback_and_full_cap_equivalence(spark):
+    """tk6: (a) with the cap covering the whole vocabulary, counts equal
+    the uncapped tk2 encode (oov=0 everywhere); (b) with a tight cap,
+    in-vocab pretokens get trained-merge counts and OOV pretokens fall
+    back to character counts, hand-verified."""
+    docs = _docs(
+        spark,
+        [
+            "aa aa aa aa bb bb bb zzz",   # 'aa' x4, 'bb' x3, 'zzz' x1
+            "aa bb qqqq",
+        ],
+    )
+    full = {r.doc_id: r for r in bpe.bpe_doc_counts(docs, 4).collect()}
+    capped_wide = {
+        r.doc_id: r for r in bpe.bpe_doc_counts_capped(docs, 4, cap=100).collect()
+    }
+    for d in full:
+        assert capped_wide[d].bpe_tokens == full[d].bpe_tokens
+        assert capped_wide[d].oov_tokens == 0
+
+    # cap=2 keeps {'aa','bb'} (counts 5 and 4); 'zzz'/'qqqq' go OOV.
+    # 4 merges fully fuse both 2-char words -> n_sub=1 each.
+    out = {r.doc_id: r for r in bpe.bpe_doc_counts_capped(docs, 4, cap=2).collect()}
+    # doc 1: 7 in-vocab pretokens at 1 subword + 'zzz' at 3 chars
+    assert (out[1].ws_tokens, out[1].bpe_tokens, out[1].oov_tokens) == (8, 10, 1)
+    # doc 2: 'aa'+'bb' at 1 each + 'qqqq' at 4 chars
+    assert (out[2].ws_tokens, out[2].bpe_tokens, out[2].oov_tokens) == (3, 6, 1)

@@ -773,6 +773,15 @@ CHECKS = {
         "must": ["BroadcastHashJoin", "Generate", "HashAggregate"],
         "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
     },
+    "tk6_bpe_capped_encode": {
+        # the encode is ONE broadcast left join of the exploded corpus
+        # against the <=cap-row trained encoding (char-fallback coalesce
+        # in the aggregate) — no corpus-side shuffle for the join, no
+        # Python, no cartesian; the training collects ran driver-side on
+        # the capped relation before this plan exists
+        "must": ["BroadcastHashJoin", "Generate", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+    },
     "tk5_bpe_batched_train": {
         # the batched apply is a K-branch CASE over the SAME 4-window chain
         # as the single-merge apply (lead pairing -> islands row_number ->

@@ -156,7 +156,10 @@ def main() -> None:
     )
     from pdf_etl_pipeline_spark.catalog.ingest_q import st7_neardup_ingest
     from pdf_etl_pipeline_spark.catalog.similarity_q import ss8_ivf_adc_topk
-    from pdf_etl_pipeline_spark.catalog.tokenize_q import tk2_bpe_encode
+    from pdf_etl_pipeline_spark.catalog.tokenize_q import (
+        tk2_bpe_encode,
+        tk6_bpe_capped_encode,
+    )
 
     QUERIES = {
         "st7_neardup_ingest": st7_neardup_ingest,
@@ -166,6 +169,7 @@ def main() -> None:
         "dd3_minhash_lsh": dd3_minhash_lsh,
         "rs5_rolling_anomaly": rs5_rolling_anomaly,
         "tk2_bpe_encode": tk2_bpe_encode,
+        "tk6_bpe_capped_encode": tk6_bpe_capped_encode,
         "dd10_dup_token_coverage": dd10_dup_token_coverage,
         "dd11_span_trim": dd11_span_trim,
         "tx12_ppl_buckets": tx12_ppl_buckets,
