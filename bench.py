@@ -60,6 +60,9 @@ EXTENDED_QUERIES = [
     "dd11_span_trim",
     "st10_span_monitor",
     "dq3_k_anonymity",
+    "sp5_span_corruption",
+    "cc8_temperature_mix",
+    "tk6_bpe_capped_encode",
 ]
 
 
