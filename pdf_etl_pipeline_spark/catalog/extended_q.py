@@ -1355,3 +1355,111 @@ def ml6_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.when(pe < 1, F.round((po - pe) / (1 - pe), 6)).alias("kappa"),
     )
+
+
+# --- RS6: seasonal decomposition + residual anomalies ----------------------------
+RS6_MIN_CELL = 5  # observations a seasonal cell needs before it can score
+RS6_Z = 3.0
+
+
+def _rs6_oracle() -> str:
+    return f"""
+WITH ev AS (
+  -- date_diff truncates to hour boundaries like Spark's unix_timestamp
+  -- (CAST(epoch(ts) AS BIGINT) would ROUND fractional seconds and shove
+  -- boundary events into the next cell)
+  SELECT event_id, event_type, ts, value,
+         date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) % 168 AS how
+  FROM events
+),
+profile AS (
+  SELECT event_type, how, COUNT(*) AS cell_n,
+         round(CAST(SUM(CAST(value AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6)
+           AS seasonal_mean
+  FROM ev GROUP BY 1, 2
+),
+resid AS (
+  SELECT e.event_id, e.event_type, e.ts, e.value, p.cell_n,
+         p.seasonal_mean,
+         round(e.value - p.seasonal_mean, 6) AS residual
+  FROM ev e JOIN profile p ON e.event_type = p.event_type AND e.how = p.how
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(residual AS DECIMAL(12,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(residual AS DECIMAL(12,6)) * CAST(residual AS DECIMAL(12,6))) AS DOUBLE) AS s2
+  FROM resid GROUP BY 1
+),
+scored AS (
+  SELECT r.event_id, r.event_type, r.ts, r.value, r.seasonal_mean, r.residual,
+         CASE WHEN r.cell_n >= {RS6_MIN_CELL} AND s.n >= 2
+                   AND sqrt(greatest((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1), 0.0)) > 0
+              THEN round((r.residual - s.s1 / s.n)
+                         / sqrt(greatest((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1), 0.0)), 6)
+         END AS z
+  FROM resid r JOIN stats s ON r.event_type = s.event_type
+)
+SELECT event_id, event_type, ts, value, seasonal_mean, residual, z
+FROM scored WHERE abs(z) > {RS6_Z}
+ORDER BY event_id"""
+
+
+@register(
+    "rs6_seasonal_anomaly",
+    oracle=_rs6_oracle(),
+    doc=f"RS6 seasonal decomposition + residual anomalies (the monitoring "
+    "complement to rs5's rolling z: rs5 catches level shifts against recent "
+    "history, rs6 catches departures from the series' PERIODIC shape): "
+    "hour-of-week profile as pure epoch integer arithmetic (no calendar "
+    "semantics to disagree across engines), decimal-exact cell means, residual "
+    "z per event_type from decimal-exact moment sums (the rs4/rs5 determinism "
+    f"discipline), cells under {RS6_MIN_CELL} observations abstain. Scale: one "
+    "keyed profile aggregation (bounded at types x 168 cells, broadcast back), "
+    "one 1-row-per-type stats aggregate — the corpus is scanned once and "
+    "joined against bounded relations only",
+)
+def rs6_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        (F.floor(F.unix_timestamp("ts") / 3600) % 168).alias("how"),
+    )
+    dec = F.col("value").cast("decimal(12,6)")
+    profile = ev.groupBy("event_type", "how").agg(
+        F.count(F.lit(1)).alias("cell_n"),
+        F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 6).alias("seasonal_mean"),
+    )
+    resid = ev.join(F.broadcast(profile), ["event_type", "how"]).select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        "cell_n",
+        "seasonal_mean",
+        F.round(F.col("value") - F.col("seasonal_mean"), 6).alias("residual"),
+    )
+    rdec = F.col("residual").cast("decimal(12,6)")
+    stats = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rdec).cast("double").alias("s1"),
+        F.sum(rdec * rdec).cast("double").alias("s2"),
+    )
+    sd = F.sqrt(
+        F.greatest((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1), F.lit(0.0))
+    )
+    scored = resid.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        "seasonal_mean",
+        "residual",
+        F.when(
+            (F.col("cell_n") >= RS6_MIN_CELL) & (F.col("n") >= 2) & (sd > 0),
+            F.round((F.col("residual") - F.col("s1") / F.col("n")) / sd, 6),
+        ).alias("z"),
+    )
+    return scored.filter(F.abs("z") > RS6_Z).orderBy("event_id")

@@ -1098,3 +1098,40 @@ def test_dq3_k_anonymity_hand_computed(spark, tmp_path):
     assert (r.n_groups, r.n_rows, r.k_anonymity) == (3, 8, 1)
     assert (r.n_risky_groups, r.n_risky_rows) == (2, 3)
     assert r.risky_row_frac == round(3 / 8, 6)
+
+
+def test_rs6_seasonal_anomaly_semantics(spark, tmp_path):
+    """rs6: a spike against an otherwise-flat hour-of-week cell is the one
+    flagged anomaly; flat cells produce zero residuals; a cell with fewer
+    than RS6_MIN_CELL observations abstains no matter how extreme."""
+    import datetime as dt
+
+    from pdf_etl_pipeline_spark.catalog.extended_q import RS6_MIN_CELL, rs6_seasonal_anomaly
+
+    base = dt.datetime(2024, 1, 1, 9, 30)  # one fixed hour-of-week cell
+    week = dt.timedelta(days=7)
+    rows = []
+    # type 'a': 8 weeks of value 10 + one 90 spike in the same cell
+    for i in range(8):
+        rows.append((i, base + i * week, 1, "a", 10.0, "{}"))
+    rows.append((8, base + 8 * week, 1, "a", 90.0, "{}"))
+    # same type, different cell, flat -> contributes ~zero residuals
+    for i in range(9):
+        rows.append((20 + i, base + dt.timedelta(hours=5) + i * week, 1, "a", 30.0, "{}"))
+    # type 'b': only 4 observations in its cell (under MIN_CELL) with a
+    # wild outlier -> must abstain entirely
+    assert RS6_MIN_CELL > 4
+    for i, v in enumerate([1.0, 1.0, 1.0, 500.0]):
+        rows.append((40 + i, base + i * week, 2, "b", v, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = rs6_seasonal_anomaly(spark, str(tmp_path)).collect()
+    assert [r.event_id for r in out] == [8]  # the spike, nothing else
+    r = out[0]
+    assert r.event_type == "a" and r.value == 90.0
+    # cell mean (80+90)/9, residual 90 - mean
+    assert r.seasonal_mean == round((8 * 10.0 + 90.0) / 9, 6)
+    assert r.residual == round(90.0 - r.seasonal_mean, 6)
+    assert r.z > 3

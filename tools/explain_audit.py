@@ -411,6 +411,13 @@ CHECKS = {
         "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "Rand"],
         "check": _dd10_windows_doc_partitioned,
     },
+    "rs6_seasonal_anomaly": {
+        # one corpus scan; the profile (types x 168 cells) and per-type
+        # stats join back as broadcasts — no sort-merge join, no window
+        # over the corpus, no Python
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin", "Window"],
+    },
     "dq3_k_anonymity": {
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
