@@ -63,10 +63,13 @@ EXTENDED_QUERIES = [
     "sp5_span_corruption",
     "cc8_temperature_mix",
     "tk6_bpe_capped_encode",
+    "rs6_seasonal_anomaly",
 ]
 
 
-RUNS = 2  # min-of-N absorbs machine-load noise (r4: 71 s loaded vs 33 s idle)
+RUNS = 3  # min-of-N absorbs machine-load noise (r4: 71 s loaded vs 33 s idle;
+# r10: dd3 read 7.7 s min-of-2 on an idle box vs its usual 3.9 — a third
+# run is cheap insurance and min-of-N makes raising N comparability-safe)
 
 # A loaded machine produces garbage readings that min-of-N can't fully absorb
 # (r8/r9: committed ss6 readings 5.5x inflated at load 4.4 vs 1.57 s idle).
