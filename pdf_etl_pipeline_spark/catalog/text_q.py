@@ -330,6 +330,30 @@ def ml3_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ML7: classifier calibration by confidence margin ---------------------------
+from pdf_etl_pipeline_spark.llmdata.classify import (  # noqa: E402
+    nb_margin_calibration,
+    nb_margin_calibration_sql,
+)
+
+
+@register(
+    "ml7_nb_calibration",
+    oracle=nb_margin_calibration_sql("documents"),
+    doc="ML7 reliability table for the in-plan NB (the calibration step of "
+    "train/apply/evaluate): confidence = top-2 LOG-SCORE margin (pure "
+    "arithmetic on the rounded scores — a softmax posterior would drag a "
+    "cross-engine libm exp into the gate), fixed-width bins (no global "
+    "quantile sort), per-bin accuracy + decimal-exact mean margin — tells a "
+    "curation pipeline which auto-labels to trust and which band to route to "
+    "review. Top-2 is one doc-partitioned window over ml2's audited score "
+    "relation; the report is <=10 rows",
+)
+def ml7_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return nb_margin_calibration(load_table(spark, sf_dir, "documents"))
+
+
 # --- TX11: Zipf-law fit of the token-frequency distribution ---------------------
 from pdf_etl_pipeline_spark.operators.linreg import linreg, linreg_sql  # noqa: E402
 

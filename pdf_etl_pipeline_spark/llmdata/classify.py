@@ -34,9 +34,10 @@ from pdf_etl_pipeline_spark.functions.scalars import dec_sum, dec_sum_sql
 from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col, tokens_sql
 
 
-def naive_bayes_classify(docs: DataFrame, label_col: str = "lang") -> DataFrame:
-    """(doc_id, lang_true, lang_pred, log_score): self-train multinomial
-    NB on the labeled corpus and classify every document with it."""
+def nb_doc_scores(docs: DataFrame, label_col: str = "lang") -> DataFrame:
+    """(doc_id, lang, log_score): every document scored under EVERY class
+    by the self-trained multinomial NB — the relation classification
+    (argmax) and calibration (top-2 margin) both read."""
     toks = docs.select(
         "doc_id",
         F.col(label_col).alias("lang_true"),
@@ -83,7 +84,7 @@ def naive_bayes_classify(docs: DataFrame, label_col: str = "lang") -> DataFrame:
             F.coalesce(F.col("logp"), F.col("floor")).alias("term"),
         )
     )
-    doc_scores = (
+    return (
         scored_toks.groupBy("doc_id", "lang")
         .agg(F.round(dec_sum("term"), 6).alias("sum_terms"))
         .join(F.broadcast(priors), "lang")
@@ -93,6 +94,12 @@ def naive_bayes_classify(docs: DataFrame, label_col: str = "lang") -> DataFrame:
             F.round(F.col("sum_terms") + F.col("log_prior"), 6).alias("log_score"),
         )
     )
+
+
+def naive_bayes_classify(docs: DataFrame, label_col: str = "lang") -> DataFrame:
+    """(doc_id, lang_true, lang_pred, log_score): self-train multinomial
+    NB on the labeled corpus and classify every document with it."""
+    doc_scores = nb_doc_scores(docs, label_col)
     w = Window.partitionBy("doc_id").orderBy(F.desc("log_score"), F.asc("lang"))
     best = doc_scores.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
     return (
@@ -102,11 +109,66 @@ def naive_bayes_classify(docs: DataFrame, label_col: str = "lang") -> DataFrame:
     )
 
 
-def naive_bayes_sql(table: str, label_col: str = "lang") -> str:
-    """DuckDB oracle for :func:`naive_bayes_classify`."""
+CALIB_BIN_W = 10.0  # log-score units per confidence bin
+CALIB_BINS = 10
+
+
+def nb_margin_calibration(docs: DataFrame, label_col: str = "lang") -> DataFrame:
+    """Reliability table for the in-plan NB: confidence = the top-2
+    LOG-SCORE MARGIN (argmax score − runner-up score — pure arithmetic
+    on the already-rounded scores; a softmax posterior would drag a
+    cross-engine libm exp into the gate), binned at fixed width so no
+    global quantile sort is needed, accuracy per bin beside it. A
+    well-behaved classifier shows accuracy rising monotonically with the
+    margin — the readout that tells a curation pipeline which
+    auto-labels to trust and which band to route to review.
+
+    Scale: nb_doc_scores is ml2's audited plan; top-2 is one
+    doc_id-partitioned window over the |docs|×|classes| score relation;
+    the report is |bins| rows."""
+    doc_scores = nb_doc_scores(docs, label_col)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("log_score"), F.asc("lang"))
+    ranked = doc_scores.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+    top = (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias("lang_pred"),
+            F.max(F.when(F.col("rk") == 1, F.col("log_score"))).alias("s1"),
+            F.max(F.when(F.col("rk") == 2, F.col("log_score"))).alias("s2"),
+        )
+        # single-class degenerate corpora have no runner-up: margin 0
+        .select(
+            "doc_id",
+            "lang_pred",
+            F.round(F.col("s1") - F.coalesce("s2", F.col("s1")), 6).alias("margin"),
+        )
+    )
+    joined = docs.select("doc_id", F.col(label_col).alias("lang_true")).join(top, "doc_id")
+    binned = joined.select(
+        F.least(
+            F.floor(F.col("margin") / CALIB_BIN_W), F.lit(CALIB_BINS - 1)
+        ).cast("long").alias("bin"),
+        "margin",
+        (F.col("lang_pred") == F.col("lang_true")).alias("correct"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.when(F.col("correct"), 1).otherwise(0)) / F.count(F.lit(1)), 6
+            ).alias("accuracy"),
+            F.round(dec_sum("margin") / F.count(F.lit(1)), 6).alias("mean_margin"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _nb_scores_ctes(table: str, label_col: str = "lang") -> str:
+    """Shared WITH-body through ``doc_scores`` — the SQL twin of
+    :func:`nb_doc_scores`, read by both the ml2/ml3 and ml7 oracles."""
     toks = tokens_sql("text", distinct=False)
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, {label_col} AS lang_true, unnest({toks}) AS tok FROM {table}
 ),
 class_tok AS (SELECT lang_true, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
@@ -139,7 +201,13 @@ doc_scores AS (
          round(round({dec_sum_sql('term')}, 6) + ANY_VALUE(p.log_prior), 6) AS log_score
   FROM scored_toks s JOIN priors p ON s.lang = p.lang
   GROUP BY 1, 2
-),
+)"""
+
+
+def naive_bayes_sql(table: str, label_col: str = "lang") -> str:
+    """DuckDB oracle for :func:`naive_bayes_classify`."""
+    return f"""
+WITH {_nb_scores_ctes(table, label_col)},
 best AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id
                                ORDER BY log_score DESC, lang) AS rk
@@ -150,3 +218,33 @@ SELECT d.doc_id AS doc_id, d.{label_col} AS lang_true,
 FROM {table} d
 LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
 ORDER BY d.doc_id"""
+
+
+def nb_margin_calibration_sql(table: str, label_col: str = "lang") -> str:
+    """DuckDB oracle for :func:`nb_margin_calibration` — identical top-2
+    margin, fixed-width bins, per-bin accuracy and decimal-exact mean."""
+    return f"""
+WITH {_nb_scores_ctes(table, label_col)},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY log_score DESC, lang) AS rk
+  FROM doc_scores
+),
+top AS (
+  SELECT doc_id,
+         MAX(CASE WHEN rk = 1 THEN lang END) AS lang_pred,
+         round(MAX(CASE WHEN rk = 1 THEN log_score END)
+               - COALESCE(MAX(CASE WHEN rk = 2 THEN log_score END),
+                          MAX(CASE WHEN rk = 1 THEN log_score END)), 6) AS margin
+  FROM ranked WHERE rk <= 2 GROUP BY 1
+),
+binned AS (
+  SELECT least(CAST(floor(margin / {CALIB_BIN_W!r}) AS BIGINT), {CALIB_BINS - 1}) AS bin,
+         margin,
+         (t.lang_pred = d.{label_col}) AS correct
+  FROM top t JOIN {table} d USING (doc_id)
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(SUM(CASE WHEN correct THEN 1 ELSE 0 END) / COUNT(*), 6) AS accuracy,
+       round({dec_sum_sql('margin')} / COUNT(*), 6) AS mean_margin
+FROM binned GROUP BY 1 ORDER BY bin"""

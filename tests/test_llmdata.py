@@ -978,3 +978,44 @@ def test_span_family_coverage_trim_consistency(spark, sf_dir):
         t = trim[doc_id]
         assert c.n_tokens == t.n_tokens
         assert t.n_kept + c.n_dup_tokens == c.n_tokens, doc_id
+
+
+def test_ml7_calibration_margin_semantics(spark):
+    """ml7: a corpus with strongly separated classes puts confidently-
+    classified docs in high-margin bins with high accuracy; an ambiguous
+    doc (mixed vocabulary) lands in the lowest bin; bin math and the
+    accuracy/mean aggregates reconcile against the per-doc predictions."""
+    from pdf_etl_pipeline_spark.llmdata.classify import (
+        CALIB_BIN_W,
+        CALIB_BINS,
+        naive_bayes_classify,
+        nb_margin_calibration,
+    )
+
+    rows = (
+        [(i, "aaa bbb ccc " * 6, "en", "s", 0) for i in range(4)]
+        + [(10 + i, "xxx yyy zzz " * 6, "fr", "s", 0) for i in range(4)]
+        # ambiguous: half of each vocabulary, labeled en
+        + [(20, "aaa bbb ccc xxx yyy zzz", "en", "s", 0)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.bin: r for r in nb_margin_calibration(docs).collect()}
+    preds = {r.doc_id: r for r in naive_bayes_classify(docs).collect()}
+
+    # totals reconcile: every doc is in exactly one bin
+    assert sum(r.n_docs for r in out.values()) == len(rows)
+    # the pure-vocabulary docs are far from the decision boundary; the
+    # mixed doc's scores under both classes differ only via the prior,
+    # so its margin is near zero -> bin 0
+    assert 0 in out and out[0].n_docs >= 1
+    top_bin = max(out)
+    assert out[top_bin].accuracy == 1.0
+    assert top_bin <= CALIB_BINS - 1
+    # bins and margins agree with the fixed width
+    for b, r in out.items():
+        assert b == min(int(r.mean_margin // CALIB_BIN_W), CALIB_BINS - 1) or r.n_docs > 1
+    # every pure doc classified correctly (sanity for the accuracy claim)
+    assert all(preds[i].lang_pred == "en" for i in range(4))
+    assert all(preds[10 + i].lang_pred == "fr" for i in range(4))

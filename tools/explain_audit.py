@@ -411,6 +411,15 @@ CHECKS = {
         "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "Rand"],
         "check": _dd10_windows_doc_partitioned,
     },
+    "ml7_nb_calibration": {
+        # ml2's score relation + ONE doc-partitioned top-2 window + a
+        # <=10-row fixed-bin aggregate — no global quantile sort, no
+        # Python, no cartesian (the NB class cross join is a broadcast
+        # of the class list, not a CartesianProduct node)
+        "must": ["HashAggregate", "Window", "BroadcastNestedLoopJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": _dd10_windows_doc_partitioned,
+    },
     "rs6_seasonal_anomaly": {
         # one corpus scan; the profile (types x 168 cells) and per-type
         # stats join back as broadcasts — no sort-merge join, no window
