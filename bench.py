@@ -1,7 +1,15 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines: first the full detail record (per-run raw times, extended
+per-query numbers), then a compact headline-only line LAST:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+"extended_total": ..., "sf": ...}.
+
+The driver keeps only a bounded tail of stdout (~2000 chars) and parses
+the last JSON line in it — r10's single ever-growing line outgrew that
+window ("parsed": null), so the machine-readable headline now goes last
+and stays small by construction; the detail record above it is for
+humans and the judge reading the committed artifact.
 
 Execution is forced with the noop sink (full pipeline runs, no driver-side
 collect cost). Query set spans the engine's surface: scan-agg (A8), joins
@@ -155,10 +163,15 @@ def main() -> None:
     load_after = os.getloadavg()
 
     total = round(sum(times.values()), 3)
+    load_avg = {
+        "before": [round(x, 2) for x in load_before],
+        "after": [round(x, 2) for x in load_after],
+    }
+    # detail record first (humans / the committed artifact)...
     print(
         json.dumps(
             {
-                "metric": "headline_query_wall_clock",
+                "metric": "headline_query_wall_clock_detail",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
@@ -167,10 +180,24 @@ def main() -> None:
                 "sf": sf,
                 "runs": RUNS,
                 "runs_detail": runs_detail,
-                "load_avg": {
-                    "before": [round(x, 2) for x in load_before],
-                    "after": [round(x, 2) for x in load_after],
-                },
+                "load_avg": load_avg,
+            }
+        )
+    )
+    # ...compact headline LAST (the driver's bounded tail capture parses
+    # the final JSON line; keep this one small by construction — no
+    # runs_detail, no per-extended-query map)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "extended_total": round(sum(extended.values()), 3),
+                "sf": sf,
+                "runs": RUNS,
+                "load_avg": load_avg,
             }
         )
     )

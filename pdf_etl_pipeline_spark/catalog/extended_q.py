@@ -1365,11 +1365,14 @@ RS6_Z = 3.0
 def _rs6_oracle() -> str:
     return f"""
 WITH ev AS (
-  -- date_diff truncates to hour boundaries like Spark's unix_timestamp
-  -- (CAST(epoch(ts) AS BIGINT) would ROUND fractional seconds and shove
+  -- floor of the fractional-seconds epoch, then a POSITIVE modulo: both
+  -- engines floor toward -inf (date_diff would truncate toward zero for
+  -- pre-1970 timestamps, and % is sign-preserving in both engines, so
+  -- the naive date_diff % 168 silently disagrees on historical data;
+  -- CAST(epoch(ts) AS BIGINT) would ROUND fractional seconds and shove
   -- boundary events into the next cell)
   SELECT event_id, event_type, ts, value,
-         date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) % 168 AS how
+         ((CAST(floor(epoch(ts) / 3600) AS BIGINT) % 168) + 168) % 168 AS how
   FROM events
 ),
 profile AS (
@@ -1425,7 +1428,13 @@ def rs6_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "ts",
         "value",
-        (F.floor(F.unix_timestamp("ts") / 3600) % 168).alias("how"),
+        # floor of the fractional-seconds epoch + pmod so pre-1970
+        # timestamps land in the same hour-of-week cell as the oracle
+        # (unix_timestamp would truncate away sub-second parts; % would
+        # go negative before the epoch)
+        F.pmod(F.floor(F.col("ts").cast("double") / 3600).cast("long"), F.lit(168)).alias(
+            "how"
+        ),
     )
     dec = F.col("value").cast("decimal(12,6)")
     profile = ev.groupBy("event_type", "how").agg(

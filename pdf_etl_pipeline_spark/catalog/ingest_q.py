@@ -218,8 +218,8 @@ def st10_span_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
     tmp = tempfile.mkdtemp(prefix="st10_index_")
     try:
-        r1 = monitor_batch(docs.filter(F.col("doc_id") < split), tmp)
-        r2 = monitor_batch(docs.filter(F.col("doc_id") >= split), tmp)
+        r1 = monitor_batch(docs.filter(F.col("doc_id") < split), tmp, batch_id=0)
+        r2 = monitor_batch(docs.filter(F.col("doc_id") >= split), tmp, batch_id=1)
         out = (
             r1.withColumn("batch_id", F.lit(0).cast("long"))
             .unionAll(r2.withColumn("batch_id", F.lit(1).cast("long")))

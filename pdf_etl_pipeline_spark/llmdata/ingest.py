@@ -316,10 +316,19 @@ def ingest_batch(
     return kept
 
 
-def near_dup_ingest_stream(docs_stream: DataFrame, index_dir: str, threshold: float = 0.9):
+def near_dup_ingest_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    threshold: float = 0.9,
+    checkpoint_location: str | None = None,
+):
     """Streaming wrapper: each micro-batch of documents goes through
     ``ingest_batch`` (foreachBatch, availableNow) — same body as batch,
-    same index on disk."""
+    same index on disk. ``checkpointLocation`` defaults to
+    ``<index_dir>/_checkpoint`` so a restarted stream resumes offsets
+    instead of replaying the corpus (replayed appends are
+    admission-neutral here — candidates dropDuplicates, matches
+    distinct — but they cost index I/O forever)."""
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         ingest_batch(batch_df, index_dir, threshold)
@@ -327,6 +336,10 @@ def near_dup_ingest_stream(docs_stream: DataFrame, index_dir: str, threshold: fl
     return (
         docs_stream.writeStream.outputMode("append")
         .foreachBatch(_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_location or os.path.join(index_dir, "_checkpoint"),
+        )
         .trigger(availableNow=True)
     )
 

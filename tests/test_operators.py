@@ -1135,3 +1135,49 @@ def test_rs6_seasonal_anomaly_semantics(spark, tmp_path):
     assert r.seasonal_mean == round((8 * 10.0 + 90.0) / 9, 6)
     assert r.residual == round(90.0 - r.seasonal_mean, 6)
     assert r.z > 3
+
+
+def test_rs6_hour_of_week_cell_cross_engine_pre_1970(spark):
+    """The hour-of-week cell must agree between Spark and the DuckDB
+    oracle for PRE-1970 timestamps too: both engines floor the
+    fractional-seconds epoch toward -inf and take a positive modulo.
+    (date_diff('hour', ...) truncates toward zero before the epoch, and
+    bare % is sign-preserving in both engines — either slip silently
+    splits historical events across different cells.)"""
+    import duckdb
+    from pyspark.sql import functions as F2
+
+    # epoch-second offsets straddling hour/week boundaries on both sides,
+    # including fractional seconds just before a boundary
+    offsets = [
+        -605000.0, -604800.0, -604799.5, -3601.0, -3600.0, -1800.0, -0.5,
+        0.0, 0.5, 1800.0, 3599.5, 3600.0, 604800.0, 1700000000.25,
+    ]
+    spark_rows = (
+        spark.createDataFrame([(o,) for o in offsets], "off double")
+        .select(
+            "off",
+            F2.pmod(
+                F2.floor(
+                    (F2.timestamp_seconds("off")).cast("double") / 3600
+                ).cast("long"),
+                F2.lit(168),
+            ).alias("how"),
+        )
+        .collect()
+    )
+    duck = dict(
+        duckdb.connect()
+        .execute(
+            """
+            SELECT o,
+                   ((CAST(floor(epoch(to_timestamp(o)) / 3600) AS BIGINT)
+                     % 168) + 168) % 168 AS how
+            FROM (SELECT unnest(?) AS o)""",
+            [offsets],
+        )
+        .fetchall()
+    )
+    for r in spark_rows:
+        assert 0 <= r.how < 168
+        assert r.how == duck[r.off], (r.off, r.how, duck[r.off])

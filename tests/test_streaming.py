@@ -939,9 +939,10 @@ def test_span_monitor_streaming_foreachbatch(spark, sf_dir, tmp_path):
 @pytest.mark.slow
 def test_span_index_compaction_preserves_reports(spark, tmp_path):
     """st10 compaction: after many small batches fragment the index,
-    compacting merges (h, nd) rows by SUM and prunes old files — the next
-    batch's report must be identical to the uncompacted twin's, and the
-    file count must drop."""
+    compaction rewrites ONLY the over-threshold bucket partitions
+    (per-bucket file counts drop to the size-targeted output count; rows
+    keep their batch_id provenance) — the next batch's report must be
+    identical to the uncompacted twin's."""
     from pdf_etl_pipeline_spark.llmdata.span_ingest import (
         _index_path,
         compact_span_index,
@@ -960,9 +961,18 @@ def test_span_index_compaction_preserves_reports(spark, tmp_path):
             monitor_batch(mk(i, 3 + i), ix)
 
     before = fsutil.data_file_count(_index_path(ix_a), spark)
-    assert compact_span_index(spark, ix_a, max_files=3)
+    done = compact_span_index(spark, ix_a, max_files=3)
+    assert done and all(b.startswith("bucket=") for b in done)
     after = fsutil.data_file_count(_index_path(ix_a), spark)
     assert after < before
+    # per-bucket contract: every bucket is now at or under threshold
+    # (compacted ones collapsed to the size-targeted count — 1 here)
+    for pdir in fsutil.list_subdirs(_index_path(ix_a), spark):
+        n = fsutil.data_file_count(pdir, spark)
+        if pdir.rstrip("/").rsplit("/", 1)[-1] in done:
+            assert n == 1
+        else:
+            assert n <= 3
     assert not compact_span_index(spark, ix_a, max_files=3)  # converged
 
     probe = mk(99, 2)
@@ -970,3 +980,45 @@ def test_span_index_compaction_preserves_reports(spark, tmp_path):
     got_b = sorted(map(tuple, monitor_batch(probe, ix_b).collect()))
     assert got_a == got_b  # compaction is invisible to admission
     assert got_a[0][2] == 11  # the planted run is fully covered
+
+
+def test_span_monitor_replay_and_crash_duplicates_are_neutral(spark, tmp_path):
+    """The recovery contract the bucketed index design carries: (a)
+    replaying a batch under its batch_id reproduces the identical report
+    — even though the crashed first attempt already appended its index
+    rows, because the probe excludes the batch's own rows and the read
+    dedups (batch_id, h); (b) duplicate (batch_id, h) rows (a compaction
+    crash between append and prune) never double-count a later probe."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import (
+        _index_path,
+        monitor_batch,
+        read_index_counts,
+    )
+
+    run = " ".join(f"q{i}" for i in range(12))
+    mk = lambda i, pad: spark.createDataFrame(
+        [(i, run + " " + " ".join(f"z{i}n{k}" for k in range(pad)))],
+        "doc_id long, text string",
+    )
+    ix = str(tmp_path / "ix")
+    monitor_batch(mk(1, 4), ix, batch_id=100)
+
+    # (a) batch 200 runs ("crashes after its index append"), replays:
+    # identical report, and the double-append did not inflate totals
+    first = sorted(map(tuple, monitor_batch(mk(2, 5), ix, batch_id=200).collect()))
+    replay = sorted(map(tuple, monitor_batch(mk(2, 5), ix, batch_id=200).collect()))
+    assert first == replay
+    assert first[0][2] == 12  # the run duplicates batch 100's occurrence
+    counts = {r.h: r.nd_idx for r in read_index_counts(spark, ix).collect()}
+    assert all(v <= 2 for v in counts.values())  # 2 docs max saw any hash
+
+    # (b) simulate a compaction crash: re-append one batch's rows verbatim
+    path = _index_path(ix)
+    dup_rows = spark.read.parquet(path).filter(F2.col("batch_id") == 100)
+    dup_rows.write.mode("append").partitionBy("bucket").parquet(path)
+    after = {r.h: r.nd_idx for r in read_index_counts(spark, ix).collect()}
+    assert after == counts  # duplicates are admission-neutral
+    probe = sorted(map(tuple, monitor_batch(mk(3, 6), ix, batch_id=300).collect()))
+    assert probe[0][2] == 12  # coverage unchanged by the duplicates
