@@ -106,32 +106,30 @@ def read_index_counts(spark, index_dir: str, exclude_batch_id: int | None = None
     )
 
 
-def monitor_batch(
+def batch_report_df(
     docs: DataFrame,
     index_dir: str,
     n: int = DUP_SPAN_N,
     batch_id: int | None = None,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
-    """Process one ingest batch: report every incoming doc's duplicated-
-    token coverage against (index ∪ this batch), then append the batch's
-    per-hash distinct-doc counts to the index tagged ``batch_id``.
-    Returns (doc_id, n_tokens, n_dup_tokens, dup_token_frac) for the
-    batch, localCheckpoint'ed (the report must survive the index append
-    and be immune to recomputation against a mutated index). Unordered —
-    sort at read time."""
+    """The LAZY admission report for one batch against (index ∪ batch):
+    (doc_id, n_tokens, n_dup_tokens, dup_token_frac), unordered. This is
+    the plan the foreachBatch body runs — factored out so the physical-
+    plan audit can assert its scale contract (one equi-join probe against
+    the pre-aggregated index, doc_id-partitioned coverage windows only,
+    no global sort) without triggering the side-effecting append."""
     from pdf_etl_pipeline_spark.operators import fsutil
 
     spark = docs.sparkSession
-    if batch_id is None:
-        batch_id = _derived_batch_id(docs)
-    spans = span_hashes_df(docs, n).persist()
+    if spans is None:
+        spans = span_hashes_df(docs, n)
     batch_counts = spans.groupBy("h").agg(
         F.count_distinct("doc_id").alias("nd")
     )
-    path = _index_path(index_dir)
     idx = (
         read_index_counts(spark, index_dir, exclude_batch_id=batch_id)
-        if fsutil.exists(path, spark)
+        if fsutil.exists(_index_path(index_dir), spark)
         else None
     )
     total = (
@@ -148,29 +146,48 @@ def monitor_batch(
         "doc_id",
         F.size(tokens_col("text", distinct=False)).cast("long").alias("n_tokens"),
     )
-    report = (
-        totals.join(covered, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
-            F.round(
-                F.coalesce("n_dup_tokens", F.lit(0))
-                / F.nullif(F.col("n_tokens"), F.lit(0)),
-                6,
-            ).alias("dup_token_frac"),
-        )
-        .localCheckpoint()
+    return totals.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+        F.round(
+            F.coalesce("n_dup_tokens", F.lit(0))
+            / F.nullif(F.col("n_tokens"), F.lit(0)),
+            6,
+        ).alias("dup_token_frac"),
     )
+
+
+def monitor_batch(
+    docs: DataFrame,
+    index_dir: str,
+    n: int = DUP_SPAN_N,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Process one ingest batch: report every incoming doc's duplicated-
+    token coverage against (index ∪ this batch), then append the batch's
+    per-hash distinct-doc counts to the index tagged ``batch_id``.
+    Returns (doc_id, n_tokens, n_dup_tokens, dup_token_frac) for the
+    batch, localCheckpoint'ed (the report must survive the index append
+    and be immune to recomputation against a mutated index). Unordered —
+    sort at read time."""
+    if batch_id is None:
+        batch_id = _derived_batch_id(docs)
+    spans = span_hashes_df(docs, n).persist()
+    report = batch_report_df(
+        docs, index_dir, n, batch_id=batch_id, spans=spans
+    ).localCheckpoint()
     # append AFTER the report is materialized — the report must reflect
     # the pre-batch index state plus this batch only. One file per
     # non-empty bucket per batch (the repartition clusters bucket values).
     (
-        batch_counts.select("h", "nd", F.lit(batch_id).cast("long").alias("batch_id"), _bucket_col())
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .select("h", "nd", F.lit(batch_id).cast("long").alias("batch_id"), _bucket_col())
         .repartition(SPAN_BUCKETS, "bucket")
         .write.mode("append")
         .partitionBy("bucket")
-        .parquet(path)
+        .parquet(_index_path(index_dir))
     )
     spans.unpersist()
     return report

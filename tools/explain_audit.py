@@ -90,6 +90,87 @@ def _forget_rewrite_df(spark, sf_dir):
     return _distinct_partition_strings_df(remaining, "day")
 
 
+_SPAN_AUDIT_TMP: dict = {}
+
+
+def _staged_span_index(spark, sf_dir):
+    """A real half-corpus span index on disk (memoized) so the st10
+    foreachBatch body's probe plan can be audited against live index
+    files, exactly what a later micro-batch sees."""
+    if "dir" not in _SPAN_AUDIT_TMP:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from pdf_etl_pipeline_spark.llmdata.span_ingest import monitor_batch
+        from pdf_etl_pipeline_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+        ix = tempfile.mkdtemp(prefix="st10_audit_")
+        monitor_batch(docs.filter(F.col("doc_id") < split), ix, batch_id=0)
+        _SPAN_AUDIT_TMP["dir"], _SPAN_AUDIT_TMP["split"] = ix, split
+    return _SPAN_AUDIT_TMP["dir"], _SPAN_AUDIT_TMP["split"]
+
+
+def _st10_monitor_body_df(spark, sf_dir):
+    """The LAZY report plan monitor_batch runs per micro-batch (the
+    side-effecting append factored away) probing the staged index."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import batch_report_df
+    from pdf_etl_pipeline_spark.session import load_table
+
+    ix, split = _staged_span_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return batch_report_df(docs.filter(F.col("doc_id") >= split), ix, batch_id=1)
+
+
+_ST7_AUDIT_TMP: dict = {}
+
+
+def _st7_probe_df(spark, sf_dir):
+    """st7's cross-batch admission probe (the foreachBatch body's index
+    read) against a real half-corpus index — the plan whose contracts are
+    band PartitionFilters, equi-joins only, and no window anywhere."""
+    if "df" not in _ST7_AUDIT_TMP:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from pdf_etl_pipeline_spark.llmdata import ingest as IG
+        from pdf_etl_pipeline_spark.llmdata.dedup import (
+            bands_from_signatures,
+            hashed_tokens,
+            signatures_from_hashed,
+        )
+        from pdf_etl_pipeline_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+        ix = tempfile.mkdtemp(prefix="st7_audit_")
+        IG.ingest_batch(docs.filter(F.col("doc_id") < split), ix)
+        batch = docs.filter(F.col("doc_id") >= split)
+        hashed = hashed_tokens(batch)
+        bands = bands_from_signatures(signatures_from_hashed(hashed))
+        toks = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("toks"))
+        _ST7_AUDIT_TMP["df"] = IG.admission_matches(
+            spark, bands, toks, batch.select("doc_id"), ix
+        )
+    return _ST7_AUDIT_TMP["df"]
+
+
+def _no_global_sort(plan: str) -> list[str]:
+    """Window operators sort WITHIN partitions (`Sort [...], false`); a
+    `Sort [...], true` node is a corpus-global range sort and has no
+    business in a per-batch foreachBatch body."""
+    return [
+        f"global sort in the batch body: {l.strip()[:100]}"
+        for l in plan.splitlines()
+        if "Sort [" in l and "], true," in l
+    ]
+
+
 def _dd10_windows_doc_partitioned(plan: str) -> list[str]:
     """Every Window in the coverage plan must partition by doc_id — the
     interval merge runs per document over the duplicated-starts relation,
@@ -764,6 +845,58 @@ CHECKS = {
         "must": ["Generate", "HashAggregate", "Window", "collect_list"],
         "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
         "check": _dd10_windows_doc_partitioned,
+    },
+    "st10_monitor_batch_body": {
+        # the foreachBatch body's per-batch plan: corpus-linear posexplode
+        # (Generate), the index probe is hash equi-joins on h against the
+        # (batch_id, h)-deduplicated pre-aggregated index (the idempotence
+        # read — pinned by the keyed HashAggregate), coverage windows are
+        # doc_id-partitioned only, no global sort (the report is unordered
+        # by contract), no nested-loop/cartesian, no Python
+        "build": _st10_monitor_body_df,
+        "must": ["Generate", "HashAggregate", "Window"],
+        "must_not": [
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ],
+        "check": lambda plan: (
+            _dd10_windows_doc_partitioned(plan)
+            + _no_global_sort(plan)
+            + (
+                []
+                if any(
+                    "HashAggregate(keys=[" in l and "batch_id#" in l
+                    for l in plan.splitlines()
+                )
+                else ["missing: the (batch_id, h) dedup aggregate on the index read"]
+            )
+        ),
+    },
+    "st7_ingest_batch_probe": {
+        # the foreachBatch body's admission probe: the index bands scan
+        # must carry a band PartitionFilter (unprobed partitions never
+        # read), candidates/verify are hash equi-joins with the index
+        # verify sets semi-joined down BEFORE the verify join, and there
+        # is no window, no nested-loop join, no Python anywhere
+        "build": _st7_probe_df,
+        "must": ["HashAggregate"],
+        "must_not": [
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "Window",
+        ],
+        "check": lambda plan: _no_global_sort(plan)
+        + (
+            []
+            if any(
+                "PartitionFilters:" in l and "band#" in l for l in plan.splitlines()
+            )
+            else ["index bands scan lacks a band PartitionFilter"]
+        ),
     },
     "tx12_ppl_buckets": {
         # tx10's audited scoring plan + ONE 1-row threshold aggregate
