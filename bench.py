@@ -114,16 +114,31 @@ def _require_idle() -> list[float]:
         time.sleep(LOAD_POLL_SEC)
 
 
-def _reset_session_memos() -> None:
+def _reset_session_memos(spark=None) -> None:
     """Clear the catalog's session-level memo caches (shared LSH pair index,
     dd5 pair index, k-means centroids) so every timed run rebuilds from the
-    parquet scan — min-of-N must measure the query, not a memo hit."""
+    parquet scan — min-of-N must measure the query, not a memo hit.
+
+    Also reap cross-query session state BETWEEN timed windows: discarded
+    localCheckpoint/persist blocks from earlier queries are only released
+    when their RDDs are garbage-collected on both sides of the py4j
+    bridge, so without an explicit gc the block manager's storage pool
+    fills monotonically over a 35-query bench and squeezes whichever
+    shuffle-heavy query runs late (r10's g2 8.6→18.6→28.6 s reading —
+    not reproducible in isolation, but this makes run-to-run conditions
+    uniform by construction instead of by luck)."""
+    import gc
+
     from pdf_etl_pipeline_spark.catalog import dedup_q, similarity_q
 
     dedup_q._PAIRS_CACHE.clear()
     dedup_q._DD5_CACHE.clear()
     similarity_q._CENTROID_CACHE.clear()
     similarity_q._PQ_CACHE.clear()
+    if spark is not None:
+        spark.catalog.clearCache()
+        gc.collect()  # drop py4j refs so the JVM side becomes collectable
+        spark._jvm.System.gc()
 
 
 def main() -> None:
@@ -150,7 +165,7 @@ def main() -> None:
             fn = registry[name].fn
             raw: list[float] = []
             for _ in range(RUNS):
-                _reset_session_memos()
+                _reset_session_memos(spark)
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 raw.append(round(time.time() - t0, 3))
