@@ -72,6 +72,7 @@ EXTENDED_QUERIES = [
     "cc8_temperature_mix",
     "tk6_bpe_capped_encode",
     "rs6_seasonal_anomaly",
+    "cc9_trimmed_curation",
 ]
 
 

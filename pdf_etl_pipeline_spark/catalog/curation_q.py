@@ -483,6 +483,144 @@ def cc7_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stage")
 
 
+# --- CC9: span-trimmed curation funnel --------------------------------------------
+# The span family composed INTO the recipe: cc4/cc7 gate documents but never
+# transform them, and dd11 produces trimmed text nothing consumed. cc9 closes
+# the loop — cluster dedup keeps canonical docs, dd11's span trim then REWRITES
+# their text (every cross-doc-duplicated 10-gram removed), and the lang/quality
+# gates + token accounting run over the TRIMMED text, which is what actually
+# ships to training. The funnel gains a "span_trim" stage whose doc count
+# matches cluster_dedup (trim drops tokens, not docs) and whose token column
+# shows the trim's bite directly.
+_CC9_STAGES = ["raw", "cluster_dedup", "span_trim", "lang", "quality"]
+
+
+def _cc9_oracle() -> str:
+    stage_rows = []
+    for i, name in enumerate(_CC9_STAGES):
+        stage_rows.append(
+            f"SELECT {i} AS stage, '{name}' AS stage_name, s{i}d AS n_docs, s{i}t AS n_tokens,\n"
+            f"       round(CAST(s{i}d AS DOUBLE) / s0d, 6) AS doc_retention,\n"
+            f"       round(CAST(s{i}t AS DOUBLE) / s0t, 6) AS token_retention FROM wide"
+        )
+    unpivot = "\nUNION ALL\n".join(stage_rows)
+    # token accounting: stages 0-1 count raw tokens; from the span_trim
+    # stage on, the kept-token counts of the trimmed text
+    tok_expr = ["n_raw", "n_raw", "n_trim", "n_trim", "n_trim"]
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN s{i} THEN 1 ELSE 0 END) AS BIGINT) AS s{i}d, "
+        f"CAST(SUM(CASE WHEN s{i} THEN {tok_expr[i]} ELSE 0 END) AS BIGINT) AS s{i}t"
+        for i in range(5)
+    )
+    return f"""
+WITH {_DD3_CTES},
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cands WHERE {_DD3_JACCARD} >= 0.9
+),
+e AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+{_label_rounds(DD.CLUSTER_ITERS)},
+keepers AS (
+  SELECT doc_id FROM l{DD.CLUSTER_ITERS} WHERE doc_id = cluster_id
+),
+{DD.trimmed_docs_ctes('documents')},
+feats AS (
+  SELECT doc_id, n_tokens AS n_raw, n_kept AS n_trim,
+         round({_QUALITY}, 6) AS q_trim,
+         {TX.lang_id_sql('text')} AS lang_trim
+  FROM ttdocs
+),
+flags AS (
+  SELECT f.doc_id, f.n_raw, f.n_trim,
+         (k.doc_id IS NOT NULL) AS f_dedup,
+         (f.lang_trim = 'en') AS f_lang,
+         (f.q_trim >= 0.5) AS f_quality
+  FROM feats f LEFT JOIN keepers k ON k.doc_id = f.doc_id
+),
+cum AS (
+  SELECT n_raw, n_trim,
+         TRUE AS s0,
+         f_dedup AS s1,
+         f_dedup AS s2,
+         f_dedup AND f_lang AS s3,
+         f_dedup AND f_lang AND f_quality AS s4
+  FROM flags
+),
+wide AS (SELECT {sums} FROM cum)
+{unpivot}
+ORDER BY stage"""
+
+
+@register(
+    "cc9_trimmed_curation",
+    oracle=_cc9_oracle(),
+    doc="CC9 span-trimmed curation funnel: cluster dedup keeps canonical docs, "
+    "dd11's span trim rewrites their text (cross-doc-duplicated 10-grams "
+    "removed, trimmed text re-assembled in-plan), then the lang/quality gates "
+    "and token accounting run over the TRIMMED text — the corpus that actually "
+    "ships. Funnel report gains a span_trim stage: doc count flat vs "
+    "cluster_dedup, token column shows tokens removed by the trim. Scale: the "
+    "dd11 fragments are the audited doc_id-partitioned span plan, scoring is "
+    "codegen over the trimmed relation, stage sums are ONE conditional "
+    "aggregate — no per-stage rescans",
+)
+def cc9_trimmed_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+    from pdf_etl_pipeline_spark.llmdata.dedup import near_dup_clusters, trimmed_docs
+    from pdf_etl_pipeline_spark.llmdata.text import lang_id, quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = (
+        near_dup_clusters(docs, threshold=0.9, pairs=shared_pairs(spark, sf_dir, 0.9))
+        .filter(F.col("is_keeper"))
+        .select("doc_id", F.lit(1).alias("_k"))
+    )
+    trimmed = trimmed_docs(docs)
+    feats = trimmed.select(
+        "doc_id",
+        F.col("n_tokens").alias("n_raw"),
+        F.col("n_kept").alias("n_trim"),
+        quality_score_col(F.col("trimmed_text")).alias("q_trim"),
+        lang_id(F.col("trimmed_text")).alias("lang_trim"),
+    )
+    flags = feats.join(keepers, "doc_id", "left").select(
+        "n_raw",
+        "n_trim",
+        F.col("_k").isNotNull().alias("f_dedup"),
+        (F.col("lang_trim") == "en").alias("f_lang"),
+        (F.col("q_trim") >= 0.5).alias("f_quality"),
+    )
+    stages = [
+        (F.lit(True), "n_raw"),
+        (F.col("f_dedup"), "n_raw"),
+        (F.col("f_dedup"), "n_trim"),
+        (F.col("f_dedup") & F.col("f_lang"), "n_trim"),
+        (F.col("f_dedup") & F.col("f_lang") & F.col("f_quality"), "n_trim"),
+    ]
+    aggs = []
+    for i, (s, tok) in enumerate(stages):
+        aggs.append(F.sum(F.when(s, 1).otherwise(0)).cast("long").alias(f"s{i}d"))
+        aggs.append(
+            F.sum(F.when(s, F.col(tok)).otherwise(0)).cast("long").alias(f"s{i}t")
+        )
+    wide = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}L, '{name}', s{i}d, s{i}t, round(CAST(s{i}d AS DOUBLE) / s0d, 6), "
+        f"round(CAST(s{i}t AS DOUBLE) / s0t, 6)"
+        for i, name in enumerate(_CC9_STAGES)
+    )
+    return wide.select(
+        F.expr(
+            f"stack(5, {stack_args}) AS "
+            "(stage, stage_name, n_docs, n_tokens, doc_retention, token_retention)"
+        )
+    ).orderBy("stage")
+
+
 # --- CC8: temperature-mixed source weights ---------------------------------------
 from pdf_etl_pipeline_spark.functions.scalars import dec_sum, dec_sum_sql  # noqa: E402
 

@@ -981,6 +981,133 @@ LEFT JOIN trimmed tr ON d.doc_id = tr.doc_id
 ORDER BY d.doc_id"""
 
 
+def trimmed_docs(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """(doc_id, n_tokens, n_kept, trimmed_text): the span-trimmed corpus
+    as ACTUAL TEXT — the consumable form of dd11 (which reports the md5
+    so the oracle comparison stays size-bounded). This is what a curation
+    recipe feeds downstream: every token inside a cross-doc-duplicated
+    ``n``-token window removed, the remainder re-assembled in document
+    order. Tokens are whitespace-joined, and because the tokenizer emits
+    lowercase alphanumeric runs, re-tokenizing ``trimmed_text`` yields
+    exactly the kept tokens — trim-then-score composes without drift.
+
+    Same relational shape as :func:`trim_dup_spans` (corpus-linear
+    explodes, doc_id-partitioned interval windows, anti-join, in-array
+    re-assembly — no corpus-global window, no Python); fully lazy so a
+    composing plan (cc9) keeps one optimizer scope."""
+    from pyspark.sql.window import Window
+
+    toks = tokens_col("text", distinct=False)
+    spans = span_hashes_df(docs, n)
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        spans.join(dup_h, "h", "left_semi")
+        .select("doc_id", "pos")
+        .select(
+            "doc_id",
+            "pos",
+            F.sum(
+                F.when(F.col("pos") - F.lag("pos").over(w) >= n, 1).otherwise(0)
+            )
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("island"),
+        )
+    )
+    covered = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + (n - 1)).alias("e"))
+        .select("doc_id", F.explode(F.sequence("s", "e")).alias("pos"))
+    )
+    tokens = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    assembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("trimmed_text"),
+    )
+    return (
+        docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+        .join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+        )
+    )
+
+
+def trimmed_docs_ctes(table: str, n: int = DUP_SPAN_N, prefix: str = "tt") -> str:
+    """DuckDB CTE chain (names ``{prefix}*``) ending in ``{prefix}docs``
+    = (doc_id, n_tokens, n_kept, text) with ``text`` the span-trimmed
+    re-assembly — the composable twin of :func:`trimmed_docs`, used by
+    the cc9 oracle to score quality/lang over trimmed text with the same
+    macros the raw-text recipes use."""
+    toks = tokens_sql("text", distinct=False)
+    th = portable_hash32_sql("t") + f" % {P31}"
+    p = prefix
+    return f"""{p}hash AS (
+  SELECT doc_id, {toks} AS tk, list_transform({toks}, t -> {th}) AS th FROM {table}
+),
+{p}spans AS (
+  SELECT doc_id, i AS pos,
+         list_reduce(th[i:i+{n - 1}], (a, b) -> (a * {ROLL_B} + b) % {P31}) AS h
+  FROM {p}hash, unnest(range(1, greatest(len(th) - {n - 1}, 0) + 1)) AS u(i)
+),
+{p}dup AS (
+  SELECT h FROM {p}spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+{p}gaps AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= {n}
+              THEN 1 ELSE 0 END AS brk
+  FROM (SELECT doc_id, pos FROM {p}spans WHERE h IN (SELECT h FROM {p}dup))
+),
+{p}isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM {p}gaps
+),
+{p}cov AS (
+  SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM (
+    SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {n - 1} AS e
+    FROM {p}isl GROUP BY 1, 2
+  )
+),
+{p}tok AS (
+  SELECT doc_id, i AS pos, tk[i] AS tok
+  FROM {p}hash, unnest(range(1, len(tk) + 1)) AS u(i)
+),
+{p}kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM {p}tok t LEFT JOIN {p}cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+{p}docs AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+         COALESCE(a.trimmed, '') AS text
+  FROM {table} d LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n_kept,
+           string_agg(tok, ' ' ORDER BY pos) AS trimmed
+    FROM {p}kept GROUP BY 1
+  ) a ON d.doc_id = a.doc_id
+)"""
+
+
 def dup_token_coverage_sql(table: str, n: int = DUP_SPAN_N) -> str:
     """DuckDB oracle for :func:`dup_token_coverage` — identical rolling
     hashes, duplicated-hash set, and fixed-width interval merge."""

@@ -512,6 +512,52 @@ def test_curation_funnel_consistent_with_cc4(spark, sf_dir):
     assert rows[-1].doc_retention == round(rows[-1].n_docs / rows[0].n_docs, 6)
 
 
+@pytest.mark.slow
+def test_cc9_trimmed_funnel_consistency(spark, sf_dir):
+    """cc9: the span_trim stage keeps cluster_dedup's doc count while its
+    token column drops by EXACTLY the keepers' trimmed-away tokens; stage
+    counts stay monotone; and the trimmed text re-tokenizes to exactly
+    the kept tokens (trim-then-score composes without drift)."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.catalog.curation_q import cc9_trimmed_curation
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+    from pdf_etl_pipeline_spark.llmdata.dedup import (
+        near_dup_clusters,
+        tokens_col,
+        trimmed_docs,
+    )
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(cc9_trimmed_curation(spark, sf_dir).collect(), key=lambda r: r.stage)
+    assert [r.stage_name for r in rows] == [
+        "raw", "cluster_dedup", "span_trim", "lang", "quality",
+    ]
+    assert rows[0].n_docs == docs.count()
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs <= a.n_docs and b.n_tokens <= a.n_tokens
+    # the trim stage drops tokens, never documents
+    assert rows[2].n_docs == rows[1].n_docs
+    # its bite equals the keepers' (n_tokens - n_kept) sum, and is real
+    keepers = (
+        near_dup_clusters(docs, threshold=0.9, pairs=shared_pairs(spark, sf_dir, 0.9))
+        .filter(F.col("is_keeper"))
+        .select("doc_id")
+    )
+    trimmed = trimmed_docs(docs).join(keepers, "doc_id", "left_semi")
+    removed = trimmed.agg(F.sum(F.col("n_tokens") - F.col("n_kept"))).first()[0] or 0
+    assert rows[1].n_tokens - rows[2].n_tokens == removed
+    assert removed > 0  # the corpus plants duplicated spans
+    # compose-without-drift: re-tokenizing trimmed_text yields the kept tokens
+    assert (
+        trimmed_docs(docs)
+        .filter(F.size(tokens_col("trimmed_text", distinct=False)) != F.col("n_kept"))
+        .count()
+        == 0
+    )
+
+
 def test_zipf_fit_recovers_planted_exponent(spark, sf_dir):
     """tx11: a corpus whose token counts follow cnt = C * rank^-s exactly
     must recover slope = -s (OLS on a perfectly linear log-log relation),

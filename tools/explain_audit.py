@@ -477,6 +477,16 @@ CHECKS = {
         "must_not": ["BatchEvalPython", "CartesianProduct"],
         "check": _g2a_sample_before_join,
     },
+    "cc9_trimmed_curation": {
+        # dd11's audited span plan feeding the recipe: corpus-linear
+        # explodes (Generate), doc_id-partitioned interval windows ONLY,
+        # in-array re-assembly via collect_list, trimmed-text scoring as
+        # codegen projections, ONE conditional stage aggregate — no
+        # Python, no cartesian, no corpus-global window
+        "must": ["Generate", "HashAggregate", "Window", "collect_list"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        "check": _dd10_windows_doc_partitioned,
+    },
     "cc8_temperature_mix": {
         # one shuffle on source, a 1-row decimal-exact normalizer joined
         # back as a broadcast nested-loop of one row, pruned 2-column scan
