@@ -31,6 +31,8 @@ shipped plan.
 Usage:
     python tools/sf1_curves.py [workdir]         # default /tmp/sfgen
     python tools/sf1_curves.py /tmp/sfgen 10     # cap scale at 10x
+    python tools/sf1_curves.py /tmp/sfgen 100 dd10,dd11   # subset filter
+    python tools/sf1_curves.py /tmp/sfgen 100 dd11 0.9    # high-dup stress
 """
 
 from __future__ import annotations
@@ -52,12 +54,12 @@ SCALES = {"1x": 1, "10x": 10, "100x": 100}
 BASE = {"documents": 500, "events": 10_000, "embeddings": 500, "lineitem": 60_000}
 
 
-def gen_documents(n: int, seed: int = 11) -> pd.DataFrame:
+def gen_documents(n: int, seed: int = 11, dup_rate: float = 0.10) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     rows = []
     n_tok = 40
     for i in range(n):
-        if i > 0 and rng.random() < 0.10:
+        if i > 0 and rng.random() < dup_rate:
             src = int(rng.integers(0, i))
             base = [f"d{src}t{k}" for k in range(n_tok)]
             for k in rng.choice(n_tok, size=2, replace=False):
@@ -120,13 +122,17 @@ GENS = {
 }
 
 
-def ensure_corpus(spark, workdir: str, tag: str, mult: int) -> str:
-    d = os.path.join(workdir, f"scale_{tag}")
+def ensure_corpus(spark, workdir: str, tag: str, mult: int, dup_rate: float = 0.10) -> str:
+    sub = f"scale_{tag}" if dup_rate == 0.10 else f"scale_hd{int(dup_rate * 100)}_{tag}"
+    d = os.path.join(workdir, sub)
     os.makedirs(d, exist_ok=True)
     for name, gen in GENS.items():
         path = os.path.join(d, f"{name}.parquet")
         if not os.path.exists(path):
-            pdf = gen(BASE[name] * mult)
+            if name == "documents":
+                pdf = gen(BASE[name] * mult, dup_rate=dup_rate)
+            else:
+                pdf = gen(BASE[name] * mult)
             if name == "embeddings":
                 sdf = spark.createDataFrame(
                     pdf, "vec_id long, embedding array<float>, label int"
@@ -154,7 +160,10 @@ def main() -> None:
         g2a_triangle_doulion,
         rs5_rolling_anomaly,
     )
-    from pdf_etl_pipeline_spark.catalog.ingest_q import st7_neardup_ingest
+    from pdf_etl_pipeline_spark.catalog.ingest_q import (
+        st7_neardup_ingest,
+        st10_span_monitor,
+    )
     from pdf_etl_pipeline_spark.catalog.similarity_q import ss8_ivf_adc_topk
     from pdf_etl_pipeline_spark.catalog.tokenize_q import (
         tk2_bpe_encode,
@@ -172,6 +181,7 @@ def main() -> None:
         "tk6_bpe_capped_encode": tk6_bpe_capped_encode,
         "dd10_dup_token_coverage": dd10_dup_token_coverage,
         "dd11_span_trim": dd11_span_trim,
+        "st10_span_monitor": st10_span_monitor,
         "tx12_ppl_buckets": tx12_ppl_buckets,
     }
     # optional comma-separated substring filter (argv[3]): measure a
@@ -180,10 +190,14 @@ def main() -> None:
         pats = sys.argv[3].split(",")
         QUERIES = {k: v for k, v in QUERIES.items() if any(p in k for p in pats)}
 
+    # optional duplication-rate override (argv[4], default 0.10): the
+    # high-dup stress regime for the span family (coverage ≈ corpus)
+    dup_rate = float(sys.argv[4]) if len(sys.argv) > 4 else 0.10
+
     dirs = {}
     for tag, mult in SCALES.items():
         if mult <= cap:
-            dirs[tag] = ensure_corpus(spark, workdir, tag, mult)
+            dirs[tag] = ensure_corpus(spark, workdir, tag, mult, dup_rate=dup_rate)
             print(f"corpus {tag} ready at {dirs[tag]}", file=sys.stderr)
 
     out = {"scales": {t: {} for t in dirs}, "rows": {}}
