@@ -73,6 +73,10 @@ EXTENDED_QUERIES = [
     "tk6_bpe_capped_encode",
     "rs6_seasonal_anomaly",
     "cc9_trimmed_curation",
+    "cc10_trimmed_shard_manifest",
+    "dd12_span_provenance",
+    "tx13_ngram_novelty",
+    "dq4_distribution_drift",
 ]
 
 

@@ -621,6 +621,89 @@ def cc9_trimmed_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stage")
 
 
+# --- CC10: trimmed-corpus shard manifest -------------------------------------------
+# cc3 packs the RAW curated corpus; cc10 is the delivery path for the cc9
+# recipe — the span-TRIMMED survivors (dedup -> trim -> lang/quality on
+# trimmed text) greedily packed into token-budget shards with TRIMMED token
+# accounting. This is the manifest a training run actually loads after span
+# dedup: trim first, then budget by what remains.
+
+
+def _cc10_oracle() -> str:
+    return f"""
+WITH {_DD3_CTES},
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cands WHERE {_DD3_JACCARD} >= 0.9
+),
+e AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+{_label_rounds(DD.CLUSTER_ITERS)},
+keepers AS (
+  SELECT doc_id FROM l{DD.CLUSTER_ITERS} WHERE doc_id = cluster_id
+),
+{DD.trimmed_docs_ctes('documents')},
+survivors AS (
+  SELECT t.doc_id, t.n_kept AS n_tokens
+  FROM ttdocs t
+  JOIN keepers k ON k.doc_id = t.doc_id
+  WHERE {TX.lang_id_sql('text')} = 'en' AND round({_QUALITY}, 6) >= 0.5
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(CAST(CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                        - n_tokens AS BIGINT) AS DOUBLE) / {CP.PACK_BUDGET}) AS BIGINT) AS shard_id
+  FROM survivors
+)
+SELECT shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id
+FROM packed GROUP BY 1 ORDER BY 1"""
+
+
+@register(
+    "cc10_trimmed_shard_manifest",
+    oracle=_cc10_oracle(),
+    doc="CC10 trimmed-corpus shard manifest (the cc9 recipe's delivery path): "
+    "cluster-dedup keepers span-trimmed, lang/quality gates on the TRIMMED "
+    "text, survivors greedily packed into 2048-token shards budgeted by their "
+    "TRIMMED token counts — what a training run loads after span dedup. "
+    "Scale: the audited cc9 fragments feed pk1's two-level packing cumsum "
+    "(per-bucket windows + a bounded offsets relation, never a corpus-wide "
+    "single-partition sort)",
+)
+def cc10_trimmed_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+    from pdf_etl_pipeline_spark.llmdata.dedup import near_dup_clusters, trimmed_docs
+    from pdf_etl_pipeline_spark.llmdata.text import lang_id, quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = (
+        near_dup_clusters(docs, threshold=0.9, pairs=shared_pairs(spark, sf_dir, 0.9))
+        .filter(F.col("is_keeper"))
+        .select("doc_id")
+    )
+    trimmed = trimmed_docs(docs).join(keepers, "doc_id", "left_semi")
+    survivors = trimmed.filter(
+        (lang_id(F.col("trimmed_text")) == "en")
+        & (quality_score_col(F.col("trimmed_text")) >= 0.5)
+    ).select("doc_id", F.col("n_kept").alias("n_tokens"))
+    packed = CP.pack_counts(survivors)
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 # --- CC8: temperature-mixed source weights ---------------------------------------
 from pdf_etl_pipeline_spark.functions.scalars import dec_sum, dec_sum_sql  # noqa: E402
 

@@ -448,3 +448,110 @@ from pdf_etl_pipeline_spark.llmdata.dedup import trim_dup_spans, trim_dup_spans_
 def dd11_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return trim_dup_spans(load_table(spark, sf_dir, "documents"), materialize=True)
+
+
+# --- DD12: duplicated-span provenance (which boilerplate dominates) -------------
+DD12_TOP_K = 20
+
+
+def _dd12_oracle() -> str:
+    from pdf_etl_pipeline_spark.functions.scalars import portable_hash32_sql
+    from pdf_etl_pipeline_spark.llmdata.dedup import DUP_SPAN_N, P31, ROLL_B, tokens_sql
+
+    n = DUP_SPAN_N
+    toks = tokens_sql("text", distinct=False)
+    th = portable_hash32_sql("t") + f" % {P31}"
+    return f"""
+WITH tokhash AS (
+  SELECT doc_id, {toks} AS tk, list_transform({toks}, t -> {th}) AS th FROM documents
+),
+spans AS MATERIALIZED (
+  -- pos is 0-based (the Spark side's posexplode convention; dd12 exposes it)
+  SELECT doc_id, i - 1 AS pos,
+         list_reduce(th[i:i+{n - 1}], (a, b) -> (a * {ROLL_B} + b) % {P31}) AS h
+  FROM tokhash, unnest(range(1, greatest(len(th) - {n - 1}, 0) + 1)) AS u(i)
+),
+stats AS MATERIALIZED (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS n_occurrences,
+         MIN(doc_id) AS ex_doc
+  FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+),
+ex AS (
+  SELECT s.h, MIN(s.pos) AS ex_pos
+  FROM spans s JOIN stats t ON s.h = t.h AND s.doc_id = t.ex_doc
+  GROUP BY 1
+),
+top AS (
+  SELECT t.h, t.nd, t.n_occurrences, t.ex_doc AS example_doc_id,
+         e.ex_pos AS example_pos
+  FROM stats t JOIN ex e ON t.h = e.h
+  ORDER BY nd DESC, n_occurrences DESC, t.h LIMIT {DD12_TOP_K}
+)
+SELECT CAST(p.h AS BIGINT) AS h, CAST(p.nd AS BIGINT) AS nd,
+       CAST(p.n_occurrences AS BIGINT) AS n_occurrences,
+       p.example_doc_id, CAST(p.example_pos AS BIGINT) AS example_pos,
+       array_to_string(d.tk[p.example_pos + 1 : p.example_pos + {n}], ' ') AS span_text
+FROM top p JOIN tokhash d ON d.doc_id = p.example_doc_id
+ORDER BY nd DESC, n_occurrences DESC, h"""
+
+
+@register(
+    "dd12_span_provenance",
+    oracle=_dd12_oracle(),
+    doc=f"DD12 duplicated-span provenance: the top-{DD12_TOP_K} cross-doc-"
+    "duplicated 10-grams by distinct-doc count with occurrence totals and the "
+    "reconstructed span TEXT of a deterministic example (lexicographic-min "
+    "(doc_id, pos)) — the observability report behind dd10/dd11: WHICH "
+    "boilerplate dominates the corpus, not just how much. Scale: dd8's keyed "
+    "hash aggregation, one example-site join back on (h, min-doc), bounded "
+    "TakeOrdered top-k; the span text comes from an in-array slice of the "
+    "example doc only — no text ever shuffles for the ranking",
+)
+def dd12_span_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.llmdata.dedup import (
+        DUP_SPAN_N,
+        span_hashes_df,
+        tokens_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = span_hashes_df(docs, DUP_SPAN_N)
+    stats = (
+        spans.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("doc_id", "pos")).alias("ex"),
+        )
+        .filter(F.col("nd") >= 2)
+    )
+    top = (
+        stats.select(
+            "h",
+            "nd",
+            "n_occurrences",
+            F.col("ex.doc_id").alias("example_doc_id"),
+            F.col("ex.pos").alias("example_pos"),
+        )
+        .orderBy(F.desc("nd"), F.desc("n_occurrences"), "h")
+        .limit(DD12_TOP_K)
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("example_doc_id"),
+        tokens_col("text", distinct=False).alias("tk"),
+    )
+    return (
+        toks.join(F.broadcast(top), "example_doc_id")
+        .select(
+            "h",
+            "nd",
+            "n_occurrences",
+            "example_doc_id",
+            "example_pos",
+            F.array_join(
+                F.expr(f"slice(tk, example_pos + 1, {DUP_SPAN_N})"), " "
+            ).alias("span_text"),
+        )
+        .orderBy(F.desc("nd"), F.desc("n_occurrences"), "h")
+    )

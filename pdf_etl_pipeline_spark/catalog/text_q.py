@@ -398,3 +398,95 @@ def tx11_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt", F.row_number().over(Window.orderBy(F.desc("cnt"), "tok")).alias("rank")
     ).withColumn("g", F.lit("corpus"))
     return linreg(ranked, "g", F.log("rank"), F.log("cnt"))
+
+
+# --- TX13: n-gram novelty profile ------------------------------------------------
+# First-occurrence novelty with doc_id as ingest order: the fraction of a
+# document's distinct trigrams whose corpus-wide FIRST occurrence is that
+# document. Syndicated/boilerplate-heavy docs score near 0, fresh content
+# near 1 — the per-doc novelty signal curation recipes use alongside dd10's
+# duplication coverage (novelty looks back over the whole corpus prefix,
+# not just at exact 10-gram repeats).
+_TX13_GRAMS = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - 2, 0) + 1), "
+    f"i -> ({_TOKS})[i] || ' ' || ({_TOKS})[i + 1] || ' ' || ({_TOKS})[i + 2]))"
+)
+
+
+@register(
+    "tx13_ngram_novelty",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, unnest({_TX13_GRAMS}) AS gram FROM documents
+),
+firsts AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
+),
+per_doc AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM grams g JOIN firsts f ON g.gram = f.gram
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+       round(COALESCE(p.n_novel, 0) / nullif(COALESCE(p.n_grams, 0), 0), 6) AS novelty_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id""",
+    doc="TX13 n-gram novelty profile (first-occurrence fraction, doc_id as "
+    "ingest order): per doc, the share of its distinct trigrams whose corpus "
+    "MIN(doc_id) is the doc itself — near-0 for syndication/boilerplate, "
+    "near-1 for fresh text; the curation-side novelty complement to dd10's "
+    "exact-span coverage. Scale: one corpus-linear explode, ONE keyed "
+    "aggregation on the gram (map-side combined) whose hash exchange the "
+    "first-doc join reuses, one doc_id rollup — no window, no pairwise "
+    "comparison, nothing corpus-global",
+)
+def tx13_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tk = TX.tokens_col("text", distinct=False)
+    # guard: sequence(1, 0) DESCENDS in Spark, so a <3-token doc would
+    # probe element_at(tk, 0) and throw under ANSI — emit [] instead
+    tri = F.when(
+        F.size(tk) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(tk, i),
+                    F.element_at(tk, i + 1),
+                    F.element_at(tk, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", F.explode(tri).alias("gram"))
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0))
+                / F.nullif(F.coalesce("n_grams", F.lit(0)), F.lit(0)),
+                6,
+            ).alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )

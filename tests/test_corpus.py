@@ -558,6 +558,50 @@ def test_cc9_trimmed_funnel_consistency(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
+def test_cc10_manifest_consistent_with_cc9_funnel(spark, sf_dir):
+    """cc10: the trimmed-shard manifest accounts for EXACTLY the cc9
+    quality-stage survivors — doc and token totals match the funnel's
+    last stage, shard ids are contiguous from 0, and shard doc-id ranges
+    are disjoint and ordered (greedy doc_id-order packing)."""
+    from pdf_etl_pipeline_spark.catalog.curation_q import (
+        cc9_trimmed_curation,
+        cc10_trimmed_shard_manifest,
+    )
+
+    funnel = {r.stage_name: r for r in cc9_trimmed_curation(spark, sf_dir).collect()}
+    shards = sorted(
+        cc10_trimmed_shard_manifest(spark, sf_dir).collect(), key=lambda r: r.shard_id
+    )
+    assert [r.shard_id for r in shards] == list(range(len(shards)))
+    assert sum(r.n_docs for r in shards) == funnel["quality"].n_docs
+    assert sum(r.total_tokens for r in shards) == funnel["quality"].n_tokens
+    for a, b in zip(shards, shards[1:]):
+        assert a.first_doc_id <= a.last_doc_id < b.first_doc_id
+
+
+def test_tx13_novelty_first_occurrence_semantics(spark, tmp_path):
+    """tx13: a verbatim repeat scores 0, the original scores 1, a
+    half-overlapping doc scores exactly its new-gram share, and a doc
+    under 3 tokens abstains (null fraction)."""
+    from pdf_etl_pipeline_spark.catalog.text_q import tx13_ngram_novelty
+
+    rows = [
+        (0, "a b c d e"),        # grams: abc, bcd, cde -> all first here
+        (1, "a b c d e"),        # verbatim repeat -> 0 novel
+        (2, "c d e x y z"),      # cde seen; dex, exy, xyz new -> 3/4
+        (3, "hi"),               # < 3 tokens -> no grams
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r.doc_id: r for r in tx13_ngram_novelty(spark, str(tmp_path)).collect()}
+    assert (out[0].n_grams, out[0].n_novel, out[0].novelty_frac) == (3, 3, 1.0)
+    assert (out[1].n_grams, out[1].n_novel, out[1].novelty_frac) == (3, 0, 0.0)
+    assert (out[2].n_grams, out[2].n_novel, out[2].novelty_frac) == (4, 3, 0.75)
+    assert (out[3].n_grams, out[3].n_novel, out[3].novelty_frac) == (0, 0, None)
+
+
 def test_zipf_fit_recovers_planted_exponent(spark, sf_dir):
     """tx11: a corpus whose token counts follow cnt = C * rank^-s exactly
     must recover slope = -s (OLS on a perfectly linear log-log relation),

@@ -957,6 +957,31 @@ def test_trim_dup_spans_removes_exactly_the_covered_runs(spark):
     assert out[4].n_tokens == 12
 
 
+def test_dd12_span_provenance_examples_and_ranking(spark, tmp_path):
+    """dd12: a 12-token run shared by two docs yields exactly its 3
+    duplicated 10-token windows, each with nd=2/occ=2, the example at the
+    lexicographic-min (doc_id, pos) site, and the reconstructed span text
+    equal to the actual window tokens."""
+    from pdf_etl_pipeline_spark.catalog.dedup_q import dd12_span_provenance
+
+    s = [f"s{i}" for i in range(12)]
+    rows = [
+        (1, " ".join(s) + " " + " ".join(f"a{i}" for i in range(8))),
+        (2, " ".join(f"b{i}" for i in range(5)) + " " + " ".join(s) + " "
+            + " ".join(f"c{i}" for i in range(5))),
+        (3, " ".join(f"z{i}" for i in range(15))),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = dd12_span_provenance(spark, str(tmp_path)).collect()
+    assert len(out) == 3  # the 3 overlapping duplicated windows
+    assert len({r.h for r in out}) == 3
+    got = {(r.nd, r.n_occurrences, r.example_doc_id, r.example_pos, r.span_text) for r in out}
+    want = {(2, 2, 1, k, " ".join(s[k : k + 10])) for k in range(3)}
+    assert got == want
+
+
 def test_span_family_coverage_trim_consistency(spark, sf_dir):
     """Cross-operator invariant on the real documents table: dd10's merged
     coverage and dd11's kept count must partition every document exactly —

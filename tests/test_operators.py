@@ -1137,6 +1137,50 @@ def test_rs6_seasonal_anomaly_semantics(spark, tmp_path):
     assert r.z > 3
 
 
+def test_dq4_psi_drift_hand_computed(spark, tmp_path):
+    """dq4: a total distribution shift (all mass moves from the bottom
+    bucket to the top one) scores psi = (2/3)·ln 6 exactly under the
+    10-bucket Laplace smoothing; identical halves score 0 and no drift."""
+    import datetime as dt
+    import math
+
+    from pdf_etl_pipeline_spark.catalog.quality_q import dq4_distribution_drift
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda rows, d: spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+
+    # total shift: 5 ref rows at value 0, 5 cur rows at value 100
+    d1 = tmp_path / "shift"; d1.mkdir()
+    rows = [(i, base + dt.timedelta(seconds=i), 1, "y", 0.0, "{}") for i in range(5)]
+    rows += [
+        (10 + i, base + dt.timedelta(seconds=1000 + i), 1, "y", 100.0, "{}")
+        for i in range(5)
+    ]
+    mk(rows, d1)
+    r = dq4_distribution_drift(spark, str(d1)).collect()[0]
+    assert (r.event_type, r.n_ref, r.n_cur) == ("y", 5, 5)
+    # buckets {0, 9}: psi = 2 * (6/15 - 1/15) * ln(6) = (2/3) ln 6
+    assert r.psi == round(2 * math.log(6) / 3, 6)
+    assert r.drift
+
+    # identical halves: every bucket has one row on each side -> psi 0
+    d2 = tmp_path / "same"; d2.mkdir()
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, "x", float(i + 1), "{}")
+        for i in range(10)
+    ]
+    rows += [
+        (100 + i, base + dt.timedelta(seconds=1000 + i), 1, "x", float(i + 1), "{}")
+        for i in range(10)
+    ]
+    mk(rows, d2)
+    r = dq4_distribution_drift(spark, str(d2)).collect()[0]
+    assert (r.n_ref, r.n_cur, r.psi, r.drift) == (10, 10, 0.0, False)
+
+
 def test_rs6_hour_of_week_cell_cross_engine_pre_1970(spark):
     """The hour-of-week cell must agree between Spark and the DuckDB
     oracle for PRE-1970 timestamps too: both engines floor the

@@ -477,6 +477,64 @@ CHECKS = {
         "must_not": ["BatchEvalPython", "CartesianProduct"],
         "check": _g2a_sample_before_join,
     },
+    "dd12_span_provenance": {
+        # dd8's keyed hash aggregation ranks via a bounded TakeOrdered
+        # top-k (never a global sort of the hash relation); the example
+        # span text comes from broadcasting the 20-row top relation into
+        # the token scan — the corpus never shuffles for the report
+        # (SortAggregate — the min(struct) example-picker is sort-based,
+        # the dd9 argmax pattern)
+        "must": ["Generate", "Aggregate", "TakeOrderedAndProject", "BroadcastHashJoin"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "Window"],
+    },
+    "tx13_ngram_novelty": {
+        # one corpus-linear explode; the gram aggregation and the
+        # first-doc join share the gram hash exchange; the doc rollup is
+        # keyed — no window, no nested-loop, no Python
+        "must": ["Generate", "HashAggregate"],
+        "must_not": [
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "Window",
+        ],
+    },
+    "dq4_distribution_drift": {
+        # the 1-row min/max/midpoint broadcasts back (legitimate 1-row
+        # BNLJ, the tx7 shape); bucket counts are ONE keyed aggregation;
+        # the per-type totals join is a broadcast of a bounded relation;
+        # scan pruned to the three referenced columns
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin", "BroadcastHashJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin", "Window"],
+        "check": lambda plan: [
+            f"events scan reads beyond (event_type, ts, value): {cols}"
+            for cols in (
+                sorted(c.split(":")[0] for c in m.split(">")[0].split(","))
+                for m in plan.split("ReadSchema: struct<")[1:]
+            )
+            if not set(cols) <= {"event_type", "ts", "value"}
+        ],
+    },
+    "cc10_trimmed_shard_manifest": {
+        # cc9's trim fragments + pk1's two-level packing: every window is
+        # either doc_id-partitioned (the trim interval merge) or
+        # bkt-partitioned (the per-bucket cumsum), and the only
+        # SinglePartition exchange is the bounded per-bucket offsets
+        # relation (the pk1 structural check)
+        "must": ["Generate", "HashAggregate", "Window", "collect_list"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        "check": lambda plan: (
+            _pk1_tiny_window_input(plan)
+            + [
+                f"Window partitioned by neither doc_id nor bkt: {l.strip()[:100]}"
+                for l in plan.splitlines()
+                if "Window [" in l
+                and ", [doc_id" not in l.split("Window [", 1)[1]
+                and ", [bkt" not in l.split("Window [", 1)[1]
+            ]
+        ),
+    },
     "cc9_trimmed_curation": {
         # dd11's audited span plan feeding the recipe: corpus-linear
         # explodes (Generate), doc_id-partitioned interval windows ONLY,
