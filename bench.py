@@ -77,6 +77,9 @@ EXTENDED_QUERIES = [
     "dd12_span_provenance",
     "tx13_ngram_novelty",
     "dq4_distribution_drift",
+    "dd13_cluster_size_histogram",
+    "rs7_cusum_changepoint",
+    "dp4_ks_drift",
 ]
 
 

@@ -450,6 +450,54 @@ def dd11_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trim_dup_spans(load_table(spark, sf_dir, "documents"), materialize=True)
 
 
+# --- DD13: near-dup cluster-size histogram ---------------------------------------
+_DD13_ORACLE = f"""
+WITH {_DD3_CTES},
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cands WHERE {_DD3_JACCARD} >= 0.9
+),
+e AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+{_label_rounds(DD.CLUSTER_ITERS)},
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS sz FROM l{DD.CLUSTER_ITERS} GROUP BY 1
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1 ORDER BY 1"""
+
+
+@register(
+    "dd13_cluster_size_histogram",
+    oracle=_DD13_ORACLE,
+    doc="DD13 near-dup cluster-size distribution: the observability view over "
+    "dd6's transitive closure — how big the duplicate families actually are "
+    "(size-1 singletons vs long syndication chains), the number a curation "
+    "run reads before deciding keep-one-per-cluster is safe. Two keyed "
+    "aggregations over the converged label relation; the heavy lifting is "
+    "the already-audited shared LSH pair index",
+)
+def dd13_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.llmdata.dedup import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = near_dup_clusters(docs, threshold=0.9, pairs=shared_pairs(spark, sf_dir, 0.9))
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 # --- DD12: duplicated-span provenance (which boilerplate dominates) -------------
 DD12_TOP_K = 20
 

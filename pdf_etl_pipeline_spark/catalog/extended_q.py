@@ -1472,3 +1472,124 @@ def rs6_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z"),
     )
     return scored.filter(F.abs("z") > RS6_Z).orderBy("event_id")
+
+
+# --- RS7: retrospective CUSUM changepoint --------------------------------------
+# The third leg of the monitoring family: rs5 catches level shifts against
+# recent history, rs6 catches departures from the periodic shape, rs7 asks
+# "did this series' MEAN shift somewhere, and where?" — the retrospective
+# CUSUM test: C_t = cumulative sum of (value - series mean) in time order;
+# a mean shift makes |C_t| peak at the change point, and the peak height
+# standardized by sd*sqrt(n) is the test statistic (Page's cumulative-sum
+# chart, retrospective form). Running sums are DECIMAL-exact (the w7
+# discipline) so the peak and its location are bit-identical cross-engine.
+RS7_MIN_N = 2
+
+
+def _rs7_oracle() -> str:
+    return f"""
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+         round(CAST(SUM(CAST(value AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6) AS mu,
+         CAST(SUM(CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(12,6)) * CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY 1
+),
+resid AS (
+  SELECT e.event_id, e.event_type, e.ts,
+         CAST(round(e.value - m.mu, 6) AS DECIMAL(27,6)) AS r
+  FROM events e JOIN m ON e.event_type = m.event_type
+),
+cum AS (
+  SELECT event_id, event_type,
+         abs(SUM(r) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)) AS abs_c
+  FROM resid
+),
+mx AS (
+  SELECT event_type, MAX(abs_c) AS mxc FROM cum GROUP BY 1
+),
+cp AS (
+  SELECT c.event_type, MIN(c.event_id) AS changepoint_event_id
+  FROM cum c JOIN mx ON c.event_type = mx.event_type AND c.abs_c = mx.mxc
+  GROUP BY 1
+)
+SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+       round(CAST(mx.mxc AS DOUBLE), 6) AS max_abs_cusum,
+       CASE WHEN m.n >= {RS7_MIN_N}
+                 AND sqrt(greatest((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1), 0.0)) > 0
+            THEN round(CAST(mx.mxc AS DOUBLE)
+                       / (sqrt(greatest((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1), 0.0))
+                          * sqrt(m.n)), 6)
+       END AS cusum_stat,
+       cp.changepoint_event_id
+FROM m JOIN mx ON m.event_type = mx.event_type
+JOIN cp ON m.event_type = cp.event_type
+ORDER BY m.event_type"""
+
+
+@register(
+    "rs7_cusum_changepoint",
+    oracle=_rs7_oracle(),
+    doc="RS7 retrospective CUSUM changepoint (Page's chart, retrospective "
+    "form): per event_type, the peak |cumulative residual| locates the mean "
+    "shift and its sd*sqrt(n)-standardized height is the test statistic — "
+    "rs5 watches recent levels, rs6 the periodic shape, rs7 answers WHERE the "
+    "mean moved. Decimal-exact running sums (w7 discipline) make peak and "
+    "location bit-identical cross-engine; the only window is keyed by "
+    "event_type, the stats are one decimal-moment aggregate broadcast back — "
+    "nothing corpus-global",
+)
+def rs7_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "ts", "value")
+    dec = F.col("value").cast("decimal(12,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 6).alias("mu"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    resid = ev.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        "ts",
+        "n",
+        "s1",
+        "s2",
+        F.round(F.col("value") - F.col("mu"), 6).cast("decimal(27,6)").alias("r"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = resid.select(
+        "event_id", "event_type", "n", "s1", "s2", F.abs(F.sum("r").over(w)).alias("abs_c")
+    )
+    mx = cum.groupBy("event_type").agg(F.max("abs_c").alias("mxc"))
+    cp = (
+        cum.join(F.broadcast(mx), "event_type")
+        .filter(F.col("abs_c") == F.col("mxc"))
+        .groupBy("event_type")
+        .agg(F.min("event_id").alias("changepoint_event_id"))
+    )
+    stats = m.join(F.broadcast(mx), "event_type").join(F.broadcast(cp), "event_type")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1),
+            F.lit(0.0),
+        )
+    )
+    return stats.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("mxc").cast("double"), 6).alias("max_abs_cusum"),
+        F.when(
+            (F.col("n") >= RS7_MIN_N) & (sd > 0),
+            F.round(F.col("mxc").cast("double") / (sd * F.sqrt(F.col("n"))), 6),
+        ).alias("cusum_stat"),
+        "changepoint_event_id",
+    ).orderBy("event_type")

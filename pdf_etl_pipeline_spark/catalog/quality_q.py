@@ -439,3 +439,124 @@ def dq4_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("psi", 6).alias("psi"),
         (F.col("psi") >= DQ4_DRIFT).alias("drift"),
     ).orderBy("event_type")
+
+
+# --- DP4: two-sample Kolmogorov–Smirnov drift test ----------------------------------
+# The nonparametric complement to dq4's binned PSI: D = max |ECDF_ref -
+# ECDF_cur| over the pooled distinct values, per event_type, halves split at
+# the epoch midpoint like dq4. No binning — KS sees shape changes PSI's 10
+# buckets smear out. ECDFs are exact integer-count ratios at distinct values
+# (ties grouped first), so D is bit-identical cross-engine; the reject line
+# is the large-sample 5% critical value 1.358*sqrt((nr+nc)/(nr*nc)).
+DP4_ALPHA_COEF = 1.358  # Smirnov critical coefficient at alpha = 0.05
+
+
+_DP4_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT CAST(floor((MIN(es) + MAX(es)) / 2.0) AS BIGINT) AS mid FROM ev
+),
+cells AS (
+  SELECT event_type, value,
+         SUM(CASE WHEN es < mid THEN 1 ELSE 0 END) AS cref,
+         SUM(CASE WHEN es < mid THEN 0 ELSE 1 END) AS ccur
+  FROM ev, stats GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(cref) AS n_ref, SUM(ccur) AS n_cur
+  FROM cells GROUP BY 1
+),
+ecdf AS (
+  SELECT event_type,
+         SUM(cref) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS rref,
+         SUM(ccur) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS rcur
+  FROM cells
+),
+d AS (
+  SELECT e.event_type,
+         MAX(abs(CAST(e.rref AS DOUBLE) / t.n_ref
+                 - CAST(e.rcur AS DOUBLE) / t.n_cur)) AS ks
+  FROM ecdf e JOIN tot t ON e.event_type = t.event_type
+  WHERE t.n_ref > 0 AND t.n_cur > 0
+  GROUP BY 1
+)
+SELECT d.event_type, CAST(t.n_ref AS BIGINT) AS n_ref,
+       CAST(t.n_cur AS BIGINT) AS n_cur,
+       round(d.ks, 6) AS ks_d,
+       (d.ks > {DP4_ALPHA_COEF} * sqrt((t.n_ref + t.n_cur)
+                                       / (CAST(t.n_ref AS DOUBLE) * t.n_cur))) AS reject
+FROM d JOIN tot t ON d.event_type = t.event_type
+ORDER BY d.event_type"""
+
+
+@register(
+    "dp4_ks_drift",
+    oracle=_DP4_ORACLE,
+    doc="DP4 two-sample Kolmogorov-Smirnov drift test per event_type (first "
+    "vs second epoch half): D = max |ECDF difference| over pooled distinct "
+    "values — the unbinned complement to dq4's PSI (KS sees shape changes the "
+    "10-bucket grid smears); rejects at the large-sample 5% Smirnov line. "
+    "ECDFs are exact integer-count ratios at tie-grouped values, so D is "
+    "bit-identical cross-engine. Scale: one (type, value) keyed aggregation, "
+    "a type-keyed cumulative window over the DISTINCT-value relation (bounded "
+    "by value cardinality, not rows), bounded joins — nothing corpus-global",
+)
+def dp4_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tune(spark)
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", F.unix_timestamp("ts").alias("es"))
+    )
+    stats = ev.agg(F.floor((F.min("es") + F.max("es")) / 2.0).cast("long").alias("mid"))
+    cells = (
+        ev.crossJoin(F.broadcast(stats))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("es") < F.col("mid"), 1).otherwise(0)).alias("cref"),
+            F.sum(F.when(F.col("es") < F.col("mid"), 0).otherwise(1)).alias("ccur"),
+        )
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("cref").alias("n_ref"), F.sum("ccur").alias("n_cur")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = cells.select(
+        "event_type",
+        F.sum("cref").over(w).alias("rref"),
+        F.sum("ccur").over(w).alias("rcur"),
+    )
+    d = (
+        ecdf.join(F.broadcast(tot), "event_type")
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("rref").cast("double") / F.col("n_ref")
+                    - F.col("rcur").cast("double") / F.col("n_cur")
+                )
+            ).alias("ks")
+        )
+    )
+    crit = DP4_ALPHA_COEF * F.sqrt(
+        (F.col("n_ref") + F.col("n_cur")) / (F.col("n_ref").cast("double") * F.col("n_cur"))
+    )
+    return d.select(
+        "event_type",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round("ks", 6).alias("ks_d"),
+        (F.col("ks") > crit).alias("reject"),
+    ).orderBy("event_type")

@@ -957,6 +957,22 @@ def test_trim_dup_spans_removes_exactly_the_covered_runs(spark):
     assert out[4].n_tokens == 12
 
 
+def test_dd13_cluster_size_histogram_counts_families(spark, tmp_path):
+    """dd13: two identical docs plus one unique doc histogram as one
+    size-2 family and one singleton; doc counts partition the corpus."""
+    from pdf_etl_pipeline_spark.catalog.dedup_q import dd13_cluster_size_histogram
+
+    dup = " ".join(f"s{i}" for i in range(12))
+    rows = [(1, dup), (2, dup), (3, " ".join(f"z{i}" for i in range(12)))]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = sorted(
+        map(tuple, dd13_cluster_size_histogram(spark, str(tmp_path)).collect())
+    )
+    assert out == [(1, 1, 1), (2, 1, 2)]
+
+
 def test_dd12_span_provenance_examples_and_ranking(spark, tmp_path):
     """dd12: a 12-token run shared by two docs yields exactly its 3
     duplicated 10-token windows, each with nd=2/occ=2, the example at the

@@ -1181,6 +1181,76 @@ def test_dq4_psi_drift_hand_computed(spark, tmp_path):
     assert (r.n_ref, r.n_cur, r.psi, r.drift) == (10, 10, 0.0, False)
 
 
+def test_rs7_cusum_locates_planted_mean_shift(spark, tmp_path):
+    """rs7: a clean 0→10 mean shift peaks |CUSUM| at the last pre-shift
+    event with the exactly computable height n1·|mean1 − grand mean|; a
+    constant series scores 0 with a null statistic (sd = 0 abstains)."""
+    import datetime as dt
+    import math
+
+    from pdf_etl_pipeline_spark.catalog.extended_q import rs7_cusum_changepoint
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "a", 0.0 if i < 10 else 10.0, "{}")
+        for i in range(20)
+    ]
+    rows += [
+        (100 + i, base + dt.timedelta(minutes=i), 1, "b", 7.0, "{}") for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in rs7_cusum_changepoint(spark, str(tmp_path)).collect()}
+
+    a = out["a"]
+    # grand mean 5; C_t walks to -50 at event 9 (the last 0.0), back to 0
+    assert (a.n, a.max_abs_cusum, a.changepoint_event_id) == (20, 50.0, 9)
+    sd = math.sqrt((10 * 100.0 - 100.0**2 / 20) / 19)
+    assert a.cusum_stat == round(50.0 / (sd * math.sqrt(20)), 6)
+
+    b = out["b"]  # constant series: zero residuals everywhere, sd = 0
+    assert (b.max_abs_cusum, b.cusum_stat, b.changepoint_event_id) == (0.0, None, 100)
+
+
+def test_dp4_ks_total_shift_and_identical_halves(spark, tmp_path):
+    """dp4: disjoint supports give D = 1.0 (reject); identical halves give
+    D = 0.0 (no reject) — the exact endpoints of the statistic."""
+    import datetime as dt
+
+    from pdf_etl_pipeline_spark.catalog.quality_q import dp4_ks_drift
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda rows, d: spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+
+    d1 = tmp_path / "shift"; d1.mkdir()
+    rows = [(i, base + dt.timedelta(seconds=i), 1, "y", 0.0, "{}") for i in range(5)]
+    rows += [
+        (10 + i, base + dt.timedelta(seconds=1000 + i), 1, "y", 100.0, "{}")
+        for i in range(5)
+    ]
+    mk(rows, d1)
+    r = dp4_ks_drift(spark, str(d1)).collect()[0]
+    assert (r.n_ref, r.n_cur, r.ks_d, r.reject) == (5, 5, 1.0, True)
+
+    d2 = tmp_path / "same"; d2.mkdir()
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, "x", float(i % 5), "{}")
+        for i in range(10)
+    ]
+    rows += [
+        (100 + i, base + dt.timedelta(seconds=1000 + i), 1, "x", float(i % 5), "{}")
+        for i in range(10)
+    ]
+    mk(rows, d2)
+    r = dp4_ks_drift(spark, str(d2)).collect()[0]
+    assert (r.n_ref, r.n_cur, r.ks_d, r.reject) == (10, 10, 0.0, False)
+
+
 def test_rs6_hour_of_week_cell_cross_engine_pre_1970(spark):
     """The hour-of-week cell must agree between Spark and the DuckDB
     oracle for PRE-1970 timestamps too: both engines floor the

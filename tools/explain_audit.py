@@ -477,6 +477,50 @@ CHECKS = {
         "must_not": ["BatchEvalPython", "CartesianProduct"],
         "check": _g2a_sample_before_join,
     },
+    "rs7_cusum_changepoint": {
+        # the only window is the event_type-keyed decimal running sum;
+        # stats/peak/changepoint relations join back as broadcasts of
+        # bounded (per-type) rows — no global sort, no Python
+        "must": ["Window", "HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+        "check": lambda plan: [
+            f"window not partitioned by event_type: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(event_type#" not in ln
+        ],
+    },
+    "dp4_ks_drift": {
+        # 1-row midpoint broadcasts back (tx7's legitimate 1-row BNLJ);
+        # tie-grouping is ONE keyed aggregation; the ECDF window runs over
+        # the DISTINCT-value relation keyed by event_type; totals join as
+        # a bounded broadcast; scan pruned to the three referenced columns
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin", "BroadcastHashJoin", "Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+        "check": lambda plan: (
+            [
+                f"window not partitioned by event_type: {ln.strip()[:80]}"
+                for ln in plan.splitlines()
+                if "windowspecdefinition(" in ln
+                and "windowspecdefinition(event_type#" not in ln
+            ]
+            + [
+                f"events scan reads beyond (event_type, ts, value): {cols}"
+                for cols in (
+                    sorted(c.split(":")[0] for c in m.split(">")[0].split(","))
+                    for m in plan.split("ReadSchema: struct<")[1:]
+                )
+                if not set(cols) <= {"event_type", "ts", "value"}
+            ]
+        ),
+    },
+    "dd13_cluster_size_histogram": {
+        # two keyed aggregations over the converged label relation (the
+        # heavy lifting — the LSH pair index — is dd3's audited plan,
+        # memoized via localCheckpoint); no Python, no cartesian
+        "must": ["HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
     "dd12_span_provenance": {
         # dd8's keyed hash aggregation ranks via a bounded TakeOrdered
         # top-k (never a global sort of the hash relation); the example
