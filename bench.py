@@ -157,9 +157,12 @@ def main() -> None:
     registry = load_registry()
     spark = get_spark("bench")
 
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # queries, not session bring-up
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # warm the JVM + parquet footers + page cache for every benched table
+    # so per-query numbers measure the queries, not session bring-up or
+    # first file touch (r11: dd3's first run read 2.7x its min before
+    # documents.parquet was warmed)
+    for t in ("lineitem", "documents", "events", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
     # Per-run raw times + load average make a loaded-machine reading (the
     # r4 71 s / r6 27.7 s incidents) identifiable from the JSON alone:
@@ -171,6 +174,13 @@ def main() -> None:
         times: dict[str, float] = {}
         for name in names:
             fn = registry[name].fn
+            # one UNTIMED warm pass per query: codegen/broadcast build and
+            # first-touch effects land here, not in run 1 (r11: four
+            # queries' first timed runs read >2x their min purely from
+            # per-shape JIT — benign but it muddies the variance signal
+            # the runs_detail exists to carry)
+            _reset_session_memos(spark)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             raw: list[float] = []
             for _ in range(RUNS):
                 _reset_session_memos(spark)
