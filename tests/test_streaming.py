@@ -982,6 +982,62 @@ def test_span_index_compaction_preserves_reports(spark, tmp_path):
     assert got_a[0][2] == 11  # the planted run is fully covered
 
 
+@pytest.mark.slow
+def test_span_monitor_stream_restart_resumes_offsets(spark, tmp_path):
+    """The plumbed default checkpointLocation makes a RESTARTED monitor
+    stream resume its offsets and epoch numbering: the second run
+    processes only the newly-dropped files (no re-reports for run-1 docs,
+    disjoint batch_ids), and every doc ends with exactly one final
+    report."""
+    import os as _os
+
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import (
+        REPORTS_SUBDIR,
+        span_monitor_stream,
+    )
+
+    run = " ".join(f"w{i}" for i in range(11))
+    mk = lambda i: spark.createDataFrame(
+        [(i, run + " " + " ".join(f"p{i}q{k}" for k in range(4)))],
+        "doc_id long, text string",
+    )
+    drop_dir = str(tmp_path / "drops")
+    ix = str(tmp_path / "ix")
+    schema = "doc_id long, text string"
+
+    def run_stream():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(drop_dir)
+        )
+        q = span_monitor_stream(stream, ix).start()
+        q.awaitTermination(300)
+
+    mk(1).write.mode("append").parquet(drop_dir)
+    mk(2).write.mode("append").parquet(drop_dir)
+    run_stream()
+    rep1 = spark.read.parquet(_os.path.join(ix, REPORTS_SUBDIR)).collect()
+    assert {r.doc_id for r in rep1} == {1, 2}
+
+    mk(3).write.mode("append").parquet(drop_dir)
+    mk(4).write.mode("append").parquet(drop_dir)
+    run_stream()  # restart against the same index dir -> same checkpoint
+    rep2 = spark.read.parquet(_os.path.join(ix, REPORTS_SUBDIR)).collect()
+    assert {r.doc_id for r in rep2} == {1, 2, 3, 4}
+    assert len(rep2) == 4  # run-1 docs NOT re-reported
+    # epoch numbering continued: the two runs' batch ids are disjoint
+    ids1 = {r.batch_id for r in rep1}
+    ids2 = {r.batch_id for r in rep2} - ids1
+    assert ids1 and ids2 and not (ids1 & ids2)
+    # the shared run was seen in batch 1, so every later doc reports it
+    by_doc = {r.doc_id: r for r in rep2}
+    assert by_doc[1].n_dup_tokens == 0  # final: nothing duplicated yet
+    for d in (2, 3, 4):
+        assert by_doc[d].n_dup_tokens == 11
+
+
 def test_span_monitor_replay_and_crash_duplicates_are_neutral(spark, tmp_path):
     """The recovery contract the bucketed index design carries: (a)
     replaying a batch under its batch_id reproduces the identical report
