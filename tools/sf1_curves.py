@@ -149,12 +149,22 @@ def main() -> None:
     cap = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     spark = get_spark("sf1-curves")
 
+    from pdf_etl_pipeline_spark.catalog.curation_q import (
+        cc9_trimmed_curation,
+        cc10_trimmed_shard_manifest,
+    )
     from pdf_etl_pipeline_spark.catalog.dedup_q import (
         dd3_minhash_lsh,
         dd10_dup_token_coverage,
         dd11_span_trim,
+        dd12_span_provenance,
+        dd13_cluster_size_histogram,
     )
-    from pdf_etl_pipeline_spark.catalog.text_q import tx12_ppl_buckets
+    from pdf_etl_pipeline_spark.catalog.quality_q import (
+        dp4_ks_drift,
+        dq4_distribution_drift,
+    )
+    from pdf_etl_pipeline_spark.catalog.text_q import tx12_ppl_buckets, tx13_ngram_novelty
     from pdf_etl_pipeline_spark.catalog.extended_q import (
         g2_triangle_count,
         g2a_triangle_doulion,
@@ -183,6 +193,16 @@ def main() -> None:
         "dd11_span_trim": dd11_span_trim,
         "st10_span_monitor": st10_span_monitor,
         "tx12_ppl_buckets": tx12_ppl_buckets,
+        "tx13_ngram_novelty": tx13_ngram_novelty,
+        "dd12_span_provenance": dd12_span_provenance,
+        "dd13_cluster_size_histogram": dd13_cluster_size_histogram,
+        "dq4_distribution_drift": dq4_distribution_drift,
+        "dp4_ks_drift": dp4_ks_drift,
+        "rs7_cusum_changepoint": __import__(
+            "pdf_etl_pipeline_spark.catalog.extended_q", fromlist=["rs7_cusum_changepoint"]
+        ).rs7_cusum_changepoint,
+        "cc9_trimmed_curation": cc9_trimmed_curation,
+        "cc10_trimmed_shard_manifest": cc10_trimmed_shard_manifest,
     }
     # optional comma-separated substring filter (argv[3]): measure a
     # subset without paying for the whole battery
@@ -200,9 +220,21 @@ def main() -> None:
             dirs[tag] = ensure_corpus(spark, workdir, tag, mult, dup_rate=dup_rate)
             print(f"corpus {tag} ready at {dirs[tag]}", file=sys.stderr)
 
+    def _reset_memos():
+        # session-level memo caches (shared LSH pairs etc.) would let a
+        # later query ride an earlier one's build — every timed point
+        # must pay its own full plan (the bench.py discipline)
+        from pdf_etl_pipeline_spark.catalog import dedup_q, similarity_q
+
+        dedup_q._PAIRS_CACHE.clear()
+        dedup_q._DD5_CACHE.clear()
+        similarity_q._CENTROID_CACHE.clear()
+        similarity_q._PQ_CACHE.clear()
+
     out = {"scales": {t: {} for t in dirs}, "rows": {}}
     for tag, d in dirs.items():
         for qname, fn in QUERIES.items():
+            _reset_memos()
             t0 = time.time()
             n = fn(spark, d).count()
             sec = round(time.time() - t0, 2)
