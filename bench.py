@@ -80,6 +80,7 @@ EXTENDED_QUERIES = [
     "dd13_cluster_size_histogram",
     "rs7_cusum_changepoint",
     "dp4_ks_drift",
+    "ev4_twap",
 ]
 
 

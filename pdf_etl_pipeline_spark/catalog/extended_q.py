@@ -1593,3 +1593,85 @@ def rs7_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cusum_stat"),
         "changepoint_event_id",
     ).orderBy("event_type")
+
+
+# --- EV4: time-weighted average (TWAP) -------------------------------------------
+# The time-series staple plain AVG gets wrong whenever observations are
+# irregular: each value is weighted by how long it was the CURRENT value
+# (seconds until the next observation of the same series), per
+# (event_type, epoch day). The last observation of a day has no forward
+# holding interval and drops out of the weighted mean — the standard
+# next-observation convention. Weights are integer seconds and the
+# value*dt products are decimal-exact, so the sums are partition-order
+# independent (the dec_sum discipline) and the oracle hash-matches.
+def _ev4_oracle() -> str:
+    return """
+WITH ev AS (
+  SELECT event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE value IS NOT NULL
+),
+seq AS (
+  SELECT event_type, value, es, es // 86400 AS day_num,
+         lead(es) OVER (PARTITION BY event_type, es // 86400 ORDER BY es, value) AS nxt
+  FROM ev
+),
+agg AS (
+  SELECT event_type, day_num,
+         COUNT(*) AS n_obs,
+         CAST(SUM(CASE WHEN nxt IS NOT NULL
+                       THEN CAST(value AS DECIMAL(12,6)) * (nxt - es) END)
+              AS DOUBLE) AS wsum,
+         SUM(CASE WHEN nxt IS NOT NULL THEN nxt - es END) AS tsum,
+         CAST(SUM(CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS vsum
+  FROM seq GROUP BY 1, 2
+)
+SELECT event_type, CAST(day_num AS BIGINT) AS day_num,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CASE WHEN tsum > 0 THEN round(wsum / tsum, 6) END AS twap,
+       round(vsum / n_obs, 6) AS plain_avg
+FROM agg ORDER BY event_type, day_num"""
+
+
+@register(
+    "ev4_twap",
+    oracle=_ev4_oracle(),
+    doc="EV4 time-weighted average per (event_type, epoch day): each value "
+    "weighted by its holding interval (seconds until the next observation of "
+    "the series; the day's last observation drops — the next-observation "
+    "convention), beside the plain average it corrects. Integer-second "
+    "weights x decimal-exact value products keep the sums partition-order "
+    "independent. Scale: ONE keyed window (type, day) for the lead, one "
+    "keyed aggregation — no global sort, no join, nothing corpus-wide",
+)
+def ev4_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            F.unix_timestamp("ts").alias("es"),
+        )
+        # floor, not truncate-toward-zero: matches DuckDB's // for
+        # pre-1970 timestamps too (the rs6 lesson)
+        .withColumn("day_num", F.floor(F.col("es") / 86400).cast("long"))
+    )
+    w = Window.partitionBy("event_type", "day_num").orderBy("es", "value")
+    seq = ev.withColumn("nxt", F.lead("es").over(w))
+    dec = F.col("value").cast("decimal(12,6)")
+    dt = F.col("nxt") - F.col("es")
+    agg = seq.groupBy("event_type", "day_num").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.when(F.col("nxt").isNotNull(), dec * dt)).cast("double").alias("wsum"),
+        F.sum(F.when(F.col("nxt").isNotNull(), dt)).alias("tsum"),
+        F.sum(dec).cast("double").alias("vsum"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("day_num").cast("long").alias("day_num"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.when(F.col("tsum") > 0, F.round(F.col("wsum") / F.col("tsum"), 6)).alias("twap"),
+        F.round(F.col("vsum") / F.col("n_obs"), 6).alias("plain_avg"),
+    ).orderBy("event_type", "day_num")

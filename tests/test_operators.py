@@ -1137,6 +1137,37 @@ def test_rs6_seasonal_anomaly_semantics(spark, tmp_path):
     assert r.z > 3
 
 
+def test_ev4_twap_weights_by_holding_interval(spark, tmp_path):
+    """ev4: value 10 held for 90 s then value 20 held for 10 s TWAPs to
+    11.0 while the plain average says 15 — the exact case time weighting
+    exists for; the day's last observation carries no forward interval
+    (a single-observation day abstains with a null twap)."""
+    import datetime as dt
+
+    from pdf_etl_pipeline_spark.catalog.extended_q import ev4_twap
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # type a: 10 @ t=0 (held 90 s), 20 @ t=90 (held 10 s), 99 @ t=100 (last, dropped)
+        (1, base, 1, "a", 10.0, "{}"),
+        (2, base + dt.timedelta(seconds=90), 1, "a", 20.0, "{}"),
+        (3, base + dt.timedelta(seconds=100), 1, "a", 99.0, "{}"),
+        # type b: one observation -> no interval -> twap null
+        (4, base, 1, "b", 5.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in ev4_twap(spark, str(tmp_path)).collect()}
+    a = out["a"]
+    assert a.n_obs == 3
+    assert a.twap == round((10.0 * 90 + 20.0 * 10) / 100, 6)  # 11.0
+    assert a.plain_avg == round((10.0 + 20.0 + 99.0) / 3, 6)
+    b = out["b"]
+    assert (b.n_obs, b.twap, b.plain_avg) == (1, None, 5.0)
+
+
 def test_dq4_psi_drift_hand_computed(spark, tmp_path):
     """dq4: a total distribution shift (all mass moves from the bottom
     bucket to the top one) scores psi = (2/3)·ln 6 exactly under the

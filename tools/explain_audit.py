@@ -477,6 +477,18 @@ CHECKS = {
         "must_not": ["BatchEvalPython", "CartesianProduct"],
         "check": _g2a_sample_before_join,
     },
+    "ev4_twap": {
+        # one (type, day)-keyed lead window over the pruned scan, one
+        # keyed aggregation — no join, no global sort, no Python
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "Join"],
+        "check": lambda plan: [
+            f"window not partitioned by event_type: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(event_type#" not in ln
+        ],
+    },
     "rs7_cusum_changepoint": {
         # the only window is the event_type-keyed decimal running sum;
         # stats/peak/changepoint relations join back as broadcasts of
