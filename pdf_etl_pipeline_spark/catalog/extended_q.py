@@ -1612,8 +1612,12 @@ WITH ev AS (
   FROM events WHERE value IS NOT NULL
 ),
 seq AS (
-  SELECT event_type, value, es, es // 86400 AS day_num,
-         lead(es) OVER (PARTITION BY event_type, es // 86400 ORDER BY es, value) AS nxt
+  -- floor division, NOT DuckDB's truncate-toward-zero `//`: a pre-1970
+  -- epoch like -86401 must land in day -2 on both engines (rs6 lesson)
+  SELECT event_type, value, es,
+         CAST(floor(es / 86400.0) AS BIGINT) AS day_num,
+         lead(es) OVER (PARTITION BY event_type, CAST(floor(es / 86400.0) AS BIGINT)
+                        ORDER BY es, value) AS nxt
   FROM ev
 ),
 agg AS (
@@ -1654,8 +1658,9 @@ def ev4_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             F.unix_timestamp("ts").alias("es"),
         )
-        # floor, not truncate-toward-zero: matches DuckDB's // for
-        # pre-1970 timestamps too (the rs6 lesson)
+        # floor, not truncate-toward-zero; the oracle must use explicit
+        # floor(es / 86400.0) too — DuckDB's `//` truncates toward zero,
+        # which diverges from floor for pre-1970 epochs (the rs6 lesson)
         .withColumn("day_num", F.floor(F.col("es") / 86400).cast("long"))
     )
     w = Window.partitionBy("event_type", "day_num").orderBy("es", "value")

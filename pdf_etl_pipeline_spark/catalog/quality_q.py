@@ -369,11 +369,17 @@ tot AS (
   FROM cells GROUP BY 1
 ),
 psi AS (
+  -- each term rounded to 12 decimals then summed as exact decimals (the
+  -- rs7/dec_sum discipline): double addition is non-associative and the
+  -- engines' aggregation orders differ, so a plain double SUM can flip
+  -- the 6th rounded decimal between engines (or between runs)
   SELECT c.event_type, t.n_ref, t.n_cur,
-         SUM(((c.ccur + 1.0) / (t.n_cur + {DQ4_BUCKETS})
+         CAST(SUM(CAST(round(
+             ((c.ccur + 1.0) / (t.n_cur + {DQ4_BUCKETS})
               - (c.cref + 1.0) / (t.n_ref + {DQ4_BUCKETS}))
              * ln(((c.ccur + 1.0) / (t.n_cur + {DQ4_BUCKETS}))
-                  / ((c.cref + 1.0) / (t.n_ref + {DQ4_BUCKETS})))) AS psi
+                  / ((c.cref + 1.0) / (t.n_ref + {DQ4_BUCKETS}))), 12)
+           AS DECIMAL(27,12))) AS DOUBLE) AS psi
   FROM cells c JOIN tot t ON c.event_type = t.event_type
   GROUP BY 1, 2, 3
 )
@@ -427,10 +433,13 @@ def dq4_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = (F.col("cref") + 1.0) / (F.col("n_ref") + b)
     pc = (F.col("ccur") + 1.0) / (F.col("n_cur") + b)
+    # per-term round(12) + decimal-exact sum: partition-order independent
+    # and bit-identical to the oracle's identical formula (rs7 discipline)
+    term = F.round((pc - pr) * F.log(pc / pr), 12).cast("decimal(27,12)")
     psi = (
         cells.join(F.broadcast(tot), "event_type")
         .groupBy("event_type", "n_ref", "n_cur")
-        .agg(F.sum((pc - pr) * F.log(pc / pr)).alias("psi"))
+        .agg(F.sum(term).cast("double").alias("psi"))
     )
     return psi.select(
         "event_type",

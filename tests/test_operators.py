@@ -1282,6 +1282,60 @@ def test_dp4_ks_total_shift_and_identical_halves(spark, tmp_path):
     assert (r.n_ref, r.n_cur, r.ks_d, r.reject) == (10, 10, 0.0, False)
 
 
+def test_ev4_twap_cross_engine_pre_1970(spark, tmp_path):
+    """ev4's (event_type, epoch-day) cell must agree between Spark and the
+    DuckDB oracle for PRE-1970 timestamps: both engines must FLOOR the
+    epoch/86400 division. DuckDB's `//` truncates toward zero, so epoch
+    -86401 would land in day -1 there but day -2 under floor — shifting
+    the lead() partition and producing divergent twap/n_obs (the rs6
+    lesson, applied to the day grid)."""
+    import datetime as dt
+
+    import duckdb
+
+    from pdf_etl_pipeline_spark.catalog import load_registry
+
+    epochs_values = [
+        (-86401, 4.0),  # 1969-12-30T23:59:59 -> day -2 under floor, -1 under trunc
+        (-86400, 6.0),  # exact day -1 boundary (floor == trunc here)
+        (-86395, 8.0),
+        (-10, 1.0),
+        (-5, 3.0),
+        (0, 10.0),
+        (7, 20.0),
+        (86399, 30.0),
+    ]
+    base = dt.datetime(1970, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=es), 1, "t", v, "{}")
+        for i, (es, v) in enumerate(epochs_values)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    spec = load_registry()["ev4_twap"]
+    got = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    want = con.execute(spec.oracle).fetchdf()
+
+    # day -2 must exist on BOTH engines; truncate-toward-zero on either
+    # side would merge its lone observation into day -1
+    assert list(got["day_num"]) == [-2, -1, 0]
+    assert list(want["day_num"]) == [-2, -1, 0]
+    assert list(got["n_obs"]) == [1, 4, 3] == list(want["n_obs"])
+    # the single-obs day has no forward interval: twap NULL, plain_avg = value
+    assert got["twap"].isna().iloc[0] and want["twap"].isna().iloc[0]
+    assert got["plain_avg"].iloc[0] == 4.0 == want["plain_avg"].iloc[0]
+    # value parity on every remaining cell
+    for c in ("twap", "plain_avg"):
+        assert list(got[c].fillna(-1).round(6)) == list(want[c].fillna(-1).round(6)), c
+
+
 def test_rs6_hour_of_week_cell_cross_engine_pre_1970(spark):
     """The hour-of-week cell must agree between Spark and the DuckDB
     oracle for PRE-1970 timestamps too: both engines floor the
