@@ -981,43 +981,28 @@ LEFT JOIN trimmed tr ON d.doc_id = tr.doc_id
 ORDER BY d.doc_id"""
 
 
-def trimmed_docs(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
-    """(doc_id, n_tokens, n_kept, trimmed_text): the span-trimmed corpus
-    as ACTUAL TEXT — the consumable form of dd11 (which reports the md5
-    so the oracle comparison stays size-bounded). This is what a curation
-    recipe feeds downstream: every token inside a cross-doc-duplicated
-    ``n``-token window removed, the remainder re-assembled in document
-    order. Tokens are whitespace-joined, and because the tokenizer emits
-    lowercase alphanumeric runs, re-tokenizing ``trimmed_text`` yields
-    exactly the kept tokens — trim-then-score composes without drift.
-
-    Same relational shape as :func:`trim_dup_spans` (corpus-linear
-    explodes, doc_id-partitioned interval windows, anti-join, in-array
-    re-assembly — no corpus-global window, no Python); fully lazy so a
-    composing plan (cc9) keeps one optimizer scope."""
+def trimmed_from_dup_starts(
+    docs: DataFrame, dup_starts: DataFrame, n: int = DUP_SPAN_N
+) -> DataFrame:
+    """(doc_id, n_tokens, n_kept, trimmed_text) from a (doc_id, pos)
+    relation of duplicated window starts — the assembly tail shared by
+    :func:`trimmed_docs` (corpus-wide dup set) and the streaming batch
+    trim (dup set vs index ∪ batch, ``span_ingest.batch_trimmed_df``):
+    interval-merge the starts, explode covered positions (bounded by the
+    coverage), anti-join kept tokens, re-assemble in-array (no sort
+    shuffle, no Python)."""
     from pyspark.sql.window import Window
 
     toks = tokens_col("text", distinct=False)
-    spans = span_hashes_df(docs, n)
-    dup_h = (
-        spans.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = (
-        spans.join(dup_h, "h", "left_semi")
-        .select("doc_id", "pos")
-        .select(
-            "doc_id",
-            "pos",
-            F.sum(
-                F.when(F.col("pos") - F.lag("pos").over(w) >= n, 1).otherwise(0)
-            )
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .alias("island"),
+    islands = dup_starts.select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(w) >= n, 1).otherwise(0)
         )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
     )
     covered = (
         islands.groupBy("doc_id", "island")
@@ -1046,6 +1031,31 @@ def trimmed_docs(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
             F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
         )
     )
+
+
+def trimmed_docs(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """(doc_id, n_tokens, n_kept, trimmed_text): the span-trimmed corpus
+    as ACTUAL TEXT — the consumable form of dd11 (which reports the md5
+    so the oracle comparison stays size-bounded). This is what a curation
+    recipe feeds downstream: every token inside a cross-doc-duplicated
+    ``n``-token window removed, the remainder re-assembled in document
+    order. Tokens are whitespace-joined, and because the tokenizer emits
+    lowercase alphanumeric runs, re-tokenizing ``trimmed_text`` yields
+    exactly the kept tokens — trim-then-score composes without drift.
+
+    Same relational shape as :func:`trim_dup_spans` (corpus-linear
+    explodes, doc_id-partitioned interval windows, anti-join, in-array
+    re-assembly — no corpus-global window, no Python); fully lazy so a
+    composing plan (cc9) keeps one optimizer scope."""
+    spans = span_hashes_df(docs, n)
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_starts = spans.join(dup_h, "h", "left_semi").select("doc_id", "pos")
+    return trimmed_from_dup_starts(docs, dup_starts, n)
 
 
 def trimmed_docs_ctes(table: str, n: int = DUP_SPAN_N, prefix: str = "tt") -> str:

@@ -7,49 +7,78 @@ ADMISSION TIME: "how much of this incoming document duplicates anything
 already ingested (or arriving beside it)?" — the gating signal a
 training-data pipeline acts on before the document enters the corpus.
 
-Index design: an append-only parquet relation of ``(h, nd, batch_id)``
-partitioned by ``bucket`` (a fixed hash-range of ``h``) — each batch
-appends ONE aggregated row per distinct window hash it saw, where ``nd``
-is that batch's DISTINCT-document count for the hash and ``batch_id``
-tags the row's provenance. Documents are ingested exactly once, so doc
-sets across batches are disjoint and the corpus-wide distinct-doc count
-for a hash is the plain SUM of its per-batch ``nd`` rows — the merge is
-associative, append-only, and needs no doc-id storage (the index is
-bounded by per-batch distinct hashes, not corpus tokens). A window of an
-incoming doc is DUPLICATED iff ``nd(index) + nd(batch) >= 2`` for its
-hash.
+Index design: a parquet relation of ``(h, nd, batch_id, generation)``
+partitioned by ``bucket`` (a manifest-recorded hash-range of ``h``) —
+each batch appends ONE ``generation = 0`` row per distinct window hash
+it saw, where ``nd`` is that batch's DISTINCT-document count for the
+hash and ``batch_id`` tags the row's provenance. Documents are ingested
+exactly once, so doc sets across batches are disjoint and the
+corpus-wide distinct-doc count for a hash is the plain SUM of its
+per-batch ``nd`` rows — the merge is associative, append-only, and
+needs no doc-id storage. A window of an incoming doc is DUPLICATED iff
+``nd(index) + nd(batch) >= 2`` for its hash.
+
+Count-merging compaction (generations): per-batch provenance rows would
+otherwise accrue one row per (batch, hash) for the life of the monitor
+— a hot boilerplate 10-gram grows with BATCHES, not with distinct
+hashes. :func:`compact_span_index` therefore SUM-merges a bucket's live
+rows into a single row per hash tagged ``generation = g+1`` (synthetic
+``batch_id = -(g+1)`` — negative ids are reserved for merged rows), and
+COMMITS the merge by appending that bucket's covered batch-id list to a
+tiny meta relation. Readers admit, per bucket, exactly: the latest
+META-COMMITTED generation's merged rows, plus ``generation = 0`` batch
+rows whose ``batch_id`` is NOT in that generation's covered set. Index
+rows are then bounded by distinct hashes plus the un-merged batch tail.
 
 Admission semantics (same contract as st7): a batch's report is FINAL.
 A batch-1 window that only becomes duplicated when batch 2 arrives does
 not retro-update batch 1's report — batch 2's own report sees it.
 
-Idempotence / crash contract (matches st7's: duplicate rows are
-admission-NEUTRAL, never double-counted):
+Idempotence / crash contract (st7's: duplicates and torn maintenance
+are admission-NEUTRAL, never double- or under-counted):
 
-- every index read first ``dropDuplicates`` on ``(batch_id, h)`` — a
-  row appended twice (micro-batch replay after a crash, a compaction
-  rewrite that crashed between append and prune) collapses back to one;
+- every index read first ``dropDuplicates`` on ``(batch_id, h)`` over
+  the live rows — a row appended twice (micro-batch replay after a
+  crash, a compaction rewrite that crashed between append and prune)
+  collapses back to one;
 - the admission probe EXCLUDES rows carrying the incoming batch's own
-  ``batch_id`` — a replayed batch whose crashed first attempt already
-  appended its counts still reports against the exact pre-batch index
-  state, so the recomputed report is bit-identical;
+  ``batch_id``; if a compaction already MERGED that batch's rows (its
+  id is in a covered set), the batch's own recomputed counts are
+  suppressed for those buckets instead — span hashing is deterministic,
+  so the merged row holds exactly the counts the replay would re-add,
+  and the replayed report stays bit-identical;
+- compaction commits via the meta append: merged data rows written
+  before a crash but never meta-committed are ORPHANS no reader admits,
+  and a rerun picks a strictly larger generation number (max over data
+  AND meta, +1) so orphan rows can never alias a later commit;
 - ``batch_id`` must be deterministic under replay: the streaming
   wrapper uses the checkpointed ``epoch_id`` (checkpointLocation is
   plumbed by default), direct callers either pass one or get a
   content-derived id (order-independent hash of the batch's doc_ids).
-  One index must be fed through ONE of those disciplines, not both —
-  the two id spaces are not collision-protected against each other.
+  One index is fed through ONE of those disciplines — the manifest
+  records which, and every open validates it (the two id spaces are not
+  collision-protected against each other).
+
+The manifest (``span_counts/_manifest.json``, write-once at creation)
+records ``span_buckets`` (write parallelism — size it for the cluster at
+index birth; changing it on a live index would silently split a hash's
+rows across bucket values), the window length ``n``, and the batch-id
+discipline. :func:`monitor_batch`, :func:`read_index_counts` and
+:func:`compact_span_index` fail loudly on any mismatch.
 
 Scale shape per batch: the incoming spans explode corpus-linearly; the
 index probe is ONE equi-join on the hash (the index side is pre-
-aggregated, one row per (batch, hash)); coverage is dd10's audited
-doc_id-partitioned interval merge over duplicated starts only. Nothing
-iterative, nothing Python-side, no window over the corpus, no global
-sort (reports are unordered; sort at read time if you need order).
+aggregated, one row per (batch, hash) or per merged hash); the meta
+relation is bounded by total batch count and only ever broadcast;
+coverage is dd10's audited doc_id-partitioned interval merge over
+duplicated starts only. Nothing iterative, nothing Python-side, no
+window over the corpus, no global sort (reports are unordered; sort at
+read time if you need order).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 
@@ -64,11 +93,12 @@ from pdf_etl_pipeline_spark.llmdata.dedup import (
 )
 
 SPANS_SUBDIR = "span_counts"
+META_SUBDIR = "span_counts_meta"
+MANIFEST_NAME = "_manifest.json"
 
-# Fixed hash-range partitioning of the index by bucket = pmod(h, SPAN_BUCKETS):
-# compaction scopes to one bucket at a time (cost bounded by that bucket's
-# fragmentation, never the index size). Fixed at index creation — changing it
-# on a live index would split a hash's rows across bucket values.
+# Default bucket count for NEW indexes (recorded in the manifest at
+# creation; pass span_buckets to monitor_batch/span_monitor_stream to
+# size write parallelism for the cluster — at 100 TB you want hundreds).
 SPAN_BUCKETS = 8
 
 
@@ -76,8 +106,17 @@ def _index_path(index_dir: str) -> str:
     return os.path.join(index_dir, SPANS_SUBDIR)
 
 
-def _bucket_col():
-    return F.pmod(F.col("h"), F.lit(SPAN_BUCKETS)).alias("bucket")
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, META_SUBDIR)
+
+
+def _manifest_path(index_dir: str) -> str:
+    # underscore-prefixed: hidden from parquet file listing by convention
+    return os.path.join(_index_path(index_dir), MANIFEST_NAME)
+
+
+def _bucket_col(n_buckets: int):
+    return F.pmod(F.col("h"), F.lit(n_buckets)).alias("bucket")
 
 
 def _derived_batch_id(docs: DataFrame) -> int:
@@ -91,19 +130,213 @@ def _derived_batch_id(docs: DataFrame) -> int:
     return int(row.b or 0)
 
 
-def read_index_counts(spark, index_dir: str, exclude_batch_id: int | None = None) -> DataFrame:
-    """(h, nd_idx): per-hash distinct-doc totals over the live index.
-    Replay/compaction duplicates collapse via the (batch_id, h) dedup;
-    ``exclude_batch_id`` drops a batch's own rows so its replayed probe
-    sees the exact pre-batch state."""
-    idx = spark.read.parquet(_index_path(index_dir))
-    if exclude_batch_id is not None:
-        idx = idx.filter(F.col("batch_id") != F.lit(exclude_batch_id))
+# --- manifest ---------------------------------------------------------------
+
+
+def read_manifest(spark, index_dir: str) -> dict | None:
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    p = _manifest_path(index_dir)
+    if not fsutil.exists(p, spark):
+        return None
+    return json.loads(fsutil.read_text(p, spark))
+
+
+def _require_manifest(spark, index_dir: str) -> dict:
+    m = read_manifest(spark, index_dir)
+    if m is None:
+        raise ValueError(
+            f"span index at {index_dir!r} has data but no manifest "
+            f"({MANIFEST_NAME}): unmanaged or pre-manifest layout — "
+            "rebuild it through monitor_batch, which records bucket "
+            "count, window length and batch-id discipline at creation"
+        )
+    return m
+
+
+def _load_or_create_manifest(
+    spark,
+    index_dir: str,
+    n: int,
+    id_discipline: str,
+    span_buckets: int | None,
+) -> dict:
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    m = read_manifest(spark, index_dir)
+    if m is None:
+        if fsutil.list_data_files(_index_path(index_dir), spark):
+            _require_manifest(spark, index_dir)  # raises: data without manifest
+        m = {
+            "version": 1,
+            "span_buckets": int(span_buckets if span_buckets is not None else SPAN_BUCKETS),
+            "n": int(n),
+            "id_discipline": id_discipline,
+        }
+        fsutil.write_text(_manifest_path(index_dir), json.dumps(m), spark)
+        return m
+    _validate_manifest(m, index_dir, n=n, id_discipline=id_discipline, span_buckets=span_buckets)
+    return m
+
+
+def _validate_manifest(
+    m: dict,
+    index_dir: str,
+    n: int | None = None,
+    id_discipline: str | None = None,
+    span_buckets: int | None = None,
+) -> None:
+    if n is not None and int(m["n"]) != int(n):
+        raise ValueError(
+            f"span index {index_dir!r} was built with n={m['n']}, "
+            f"called with n={n} — window lengths cannot be mixed in one index"
+        )
+    if id_discipline is not None and m["id_discipline"] != id_discipline:
+        raise ValueError(
+            f"span index {index_dir!r} uses {m['id_discipline']!r} batch ids, "
+            f"this call supplies {id_discipline!r} ones — the two id spaces "
+            "are not collision-protected; feed one index through one discipline"
+        )
+    if span_buckets is not None and int(m["span_buckets"]) != int(span_buckets):
+        raise ValueError(
+            f"span index {index_dir!r} was created with "
+            f"span_buckets={m['span_buckets']}; got span_buckets={span_buckets} — "
+            "the bucket count is fixed at index creation (changing it would "
+            "silently split a hash's rows across bucket values)"
+        )
+
+
+# --- commit-aware index read -------------------------------------------------
+
+
+def _latest_meta(spark, index_dir: str) -> DataFrame | None:
+    """(bucket, g_live, batch_id) — the covered batch ids of each bucket's
+    latest COMMITTED merge generation. None when no merge ever committed.
+    Bounded by total batch count; only ever broadcast."""
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    mp = _meta_path(index_dir)
+    if not fsutil.exists(mp, spark):
+        return None
+    meta = spark.read.parquet(mp)
+    gmax = meta.groupBy("bucket").agg(F.max("generation").alias("g_live"))
     return (
-        idx.dropDuplicates(["batch_id", "h"])
+        meta.join(gmax, "bucket")
+        .filter(F.col("generation") == F.col("g_live"))
+        .select("bucket", "g_live", F.col("covered_batch_id").alias("batch_id"))
+        .dropDuplicates(["bucket", "batch_id"])
+    )
+
+
+def _live_index_rows(spark, index_dir: str) -> DataFrame:
+    """The committed view of the index: per bucket, the latest
+    meta-committed generation's merged rows plus generation-0 batch rows
+    not covered by it. Orphan generations (merged data whose meta append
+    never committed) are invisible, so a torn compaction reads exactly
+    like the state before it started."""
+    idx = spark.read.parquet(_index_path(index_dir))
+    meta = _latest_meta(spark, index_dir)
+    if meta is None:
+        return idx.filter(F.col("generation") == F.lit(0))
+    raw = idx.filter(F.col("generation") == F.lit(0)).join(
+        F.broadcast(meta.select("bucket", "batch_id")), ["bucket", "batch_id"], "left_anti"
+    )
+    merged = (
+        idx.filter(F.col("generation") > F.lit(0))
+        .join(F.broadcast(meta.select("bucket", "g_live").distinct()), "bucket")
+        .filter(F.col("generation") == F.col("g_live"))
+        .drop("g_live")
+    )
+    return raw.unionByName(merged)
+
+
+def read_index_counts(spark, index_dir: str, exclude_batch_id: int | None = None) -> DataFrame:
+    """(h, nd_idx): per-hash distinct-doc totals over the committed index.
+    Replay/compaction duplicates collapse via the (batch_id, h) dedup;
+    ``exclude_batch_id`` drops a batch's own UN-MERGED rows so its
+    replayed probe sees the pre-batch state (a batch already merged into
+    a generation is handled by the probe suppressing its own recomputed
+    counts instead — see batch_report_df)."""
+    _require_manifest(spark, index_dir)
+    live = _live_index_rows(spark, index_dir)
+    if exclude_batch_id is not None:
+        live = live.filter(F.col("batch_id") != F.lit(exclude_batch_id))
+    return (
+        live.dropDuplicates(["batch_id", "h"])
         .groupBy("h")
         .agg(F.sum("nd").alias("nd_idx"))
     )
+
+
+def _covered_buckets_for(spark, index_dir: str, batch_id: int | None) -> list[int]:
+    """Buckets whose latest committed merge generation already absorbed
+    ``batch_id``'s rows. Driver-side read of the meta relation — bounded
+    by bucket count, empty in the common (never-replayed) case."""
+    if batch_id is None:
+        return []
+    meta = _latest_meta(spark, index_dir)
+    if meta is None:
+        return []
+    return [
+        r.bucket
+        for r in meta.filter(F.col("batch_id") == F.lit(batch_id))
+        .select("bucket")
+        .distinct()
+        .collect()
+    ]
+
+
+# --- admission ----------------------------------------------------------------
+
+
+def batch_dup_starts(
+    docs: DataFrame,
+    index_dir: str,
+    n: int = DUP_SPAN_N,
+    batch_id: int | None = None,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, pos): the incoming batch's window starts whose hash is
+    DUPLICATED against (index ∪ batch) — the shared probe fragment of the
+    coverage report (:func:`batch_report_df`) and the streaming span trim
+    (:func:`batch_trimmed_df`). One equi-join against the pre-aggregated
+    committed index.
+
+    Replay correctness when the batch was already MERGED by a compaction:
+    for buckets where ``batch_id`` is covered, the merged index rows
+    already contain this batch's deterministic counts, so the batch's own
+    recomputed counts are suppressed there (own = 0) — the total equals
+    nd_idx, bit-identical to the original pre-merge probe."""
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    spark = docs.sparkSession
+    if spans is None:
+        spans = span_hashes_df(docs, n)
+    batch_counts = spans.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    idx = None
+    # data-file check, not dir existence: the manifest is written before
+    # the first batch's rows, so a fresh index dir exists but holds no data
+    if fsutil.list_data_files(_index_path(index_dir), spark):
+        manifest = _require_manifest(spark, index_dir)
+        _validate_manifest(manifest, index_dir, n=n)
+        idx = read_index_counts(spark, index_dir, exclude_batch_id=batch_id)
+    if idx is not None:
+        covered_bkts = _covered_buckets_for(spark, index_dir, batch_id)
+        own = F.col("nd")
+        if covered_bkts:
+            n_buckets = int(manifest["span_buckets"])
+            own = F.when(
+                F.pmod(F.col("h"), F.lit(n_buckets)).isin(covered_bkts), F.lit(0)
+            ).otherwise(F.col("nd"))
+        total = batch_counts.join(idx, "h", "left").select(
+            "h", (own + F.coalesce("nd_idx", F.lit(0))).alias("nd_total")
+        )
+    else:
+        total = batch_counts.select("h", F.col("nd").alias("nd_total"))
+    dup_h = total.filter(F.col("nd_total") >= 2).select("h")
+    return spans.join(dup_h, "h", "left_semi").select("doc_id", "pos")
 
 
 def batch_report_df(
@@ -119,28 +352,7 @@ def batch_report_df(
     plan audit can assert its scale contract (one equi-join probe against
     the pre-aggregated index, doc_id-partitioned coverage windows only,
     no global sort) without triggering the side-effecting append."""
-    from pdf_etl_pipeline_spark.operators import fsutil
-
-    spark = docs.sparkSession
-    if spans is None:
-        spans = span_hashes_df(docs, n)
-    batch_counts = spans.groupBy("h").agg(
-        F.count_distinct("doc_id").alias("nd")
-    )
-    idx = (
-        read_index_counts(spark, index_dir, exclude_batch_id=batch_id)
-        if fsutil.exists(_index_path(index_dir), spark)
-        else None
-    )
-    total = (
-        batch_counts.join(idx, "h", "left").select(
-            "h", (F.col("nd") + F.coalesce("nd_idx", F.lit(0))).alias("nd_total")
-        )
-        if idx is not None
-        else batch_counts.select("h", F.col("nd").alias("nd_total"))
-    )
-    dup_h = total.filter(F.col("nd_total") >= 2).select("h")
-    dup_starts = spans.join(dup_h, "h", "left_semi").select("doc_id", "pos")
+    dup_starts = batch_dup_starts(docs, index_dir, n, batch_id=batch_id, spans=spans)
     covered = coverage_from_dup_starts(dup_starts, n)
     totals = docs.select(
         "doc_id",
@@ -158,11 +370,32 @@ def batch_report_df(
     )
 
 
+def batch_trimmed_df(
+    docs: DataFrame,
+    index_dir: str,
+    n: int = DUP_SPAN_N,
+    batch_id: int | None = None,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """The LAZY streaming span TRIM for one batch: (doc_id, n_tokens,
+    n_kept, trimmed_text) with every token inside a window duplicated
+    against (index ∪ batch) removed — dd11's trim at admission time, the
+    transform the st11 streaming-curation verdict scores its lang/quality
+    gates on. Same probe as :func:`batch_report_df` (n_tokens − n_kept
+    equals that report's n_dup_tokens by construction), same audited
+    assembly as the offline ``trimmed_docs``."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import trimmed_from_dup_starts
+
+    dup_starts = batch_dup_starts(docs, index_dir, n, batch_id=batch_id, spans=spans)
+    return trimmed_from_dup_starts(docs, dup_starts, n)
+
+
 def monitor_batch(
     docs: DataFrame,
     index_dir: str,
     n: int = DUP_SPAN_N,
     batch_id: int | None = None,
+    span_buckets: int | None = None,
 ) -> DataFrame:
     """Process one ingest batch: report every incoming doc's duplicated-
     token coverage against (index ∪ this batch), then append the batch's
@@ -170,27 +403,95 @@ def monitor_batch(
     Returns (doc_id, n_tokens, n_dup_tokens, dup_token_frac) for the
     batch, localCheckpoint'ed (the report must survive the index append
     and be immune to recomputation against a mutated index). Unordered —
-    sort at read time."""
+    sort at read time.
+
+    ``batch_id=None`` derives a content hash id ("derived" discipline);
+    an explicit non-negative id is the checkpointed-epoch discipline.
+    The first batch creates the manifest (recording ``span_buckets``, a
+    write-parallelism knob fixed at creation); every later batch
+    validates against it and fails loudly on mismatch."""
+    discipline = "derived" if batch_id is None else "epoch"
+    if batch_id is not None and batch_id < 0:
+        raise ValueError(
+            f"batch_id must be non-negative (got {batch_id}): negative ids "
+            "are reserved for compaction-merged generation rows"
+        )
+    spark = docs.sparkSession
+    manifest = _load_or_create_manifest(spark, index_dir, n, discipline, span_buckets)
+    n_buckets = int(manifest["span_buckets"])
     if batch_id is None:
         batch_id = _derived_batch_id(docs)
     spans = span_hashes_df(docs, n).persist()
-    report = batch_report_df(
-        docs, index_dir, n, batch_id=batch_id, spans=spans
-    ).localCheckpoint()
-    # append AFTER the report is materialized — the report must reflect
-    # the pre-batch index state plus this batch only. One file per
-    # non-empty bucket per batch (the repartition clusters bucket values).
+    try:
+        report = batch_report_df(
+            docs, index_dir, n, batch_id=batch_id, spans=spans
+        ).localCheckpoint()
+        _append_batch_counts(spans, index_dir, batch_id, n_buckets)
+    finally:
+        # unpersist even when the report or append raises — a long-running
+        # foreachBatch monitor must not accrue storage-pool pressure from
+        # failed batches
+        spans.unpersist()
+    return report
+
+
+def _append_batch_counts(
+    spans: DataFrame, index_dir: str, batch_id: int, n_buckets: int
+) -> None:
+    """Append one batch's per-hash distinct-doc counts as generation-0
+    rows. Runs AFTER the batch's report/trim is materialized — those must
+    reflect the pre-batch index state plus this batch only. One file per
+    non-empty bucket per batch (the repartition clusters bucket values)."""
     (
         spans.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
-        .select("h", "nd", F.lit(batch_id).cast("long").alias("batch_id"), _bucket_col())
-        .repartition(SPAN_BUCKETS, "bucket")
+        .select(
+            "h",
+            "nd",
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.lit(0).cast("long").alias("generation"),
+            _bucket_col(n_buckets),
+        )
+        .repartition(n_buckets, "bucket")
         .write.mode("append")
         .partitionBy("bucket")
         .parquet(_index_path(index_dir))
     )
-    spans.unpersist()
-    return report
+
+
+def trim_batch(
+    docs: DataFrame,
+    index_dir: str,
+    n: int = DUP_SPAN_N,
+    batch_id: int | None = None,
+    span_buckets: int | None = None,
+) -> DataFrame:
+    """:func:`monitor_batch`'s TRIM twin: materialize the batch's span
+    trim against (index ∪ batch), then append the batch's counts to the
+    index. Returns (doc_id, n_tokens, n_kept, trimmed_text),
+    localCheckpoint'ed. Same manifest/discipline/idempotence contract as
+    monitor_batch — the two share one index interchangeably (both append
+    the identical generation-0 counts)."""
+    discipline = "derived" if batch_id is None else "epoch"
+    if batch_id is not None and batch_id < 0:
+        raise ValueError(
+            f"batch_id must be non-negative (got {batch_id}): negative ids "
+            "are reserved for compaction-merged generation rows"
+        )
+    spark = docs.sparkSession
+    manifest = _load_or_create_manifest(spark, index_dir, n, discipline, span_buckets)
+    n_buckets = int(manifest["span_buckets"])
+    if batch_id is None:
+        batch_id = _derived_batch_id(docs)
+    spans = span_hashes_df(docs, n).persist()
+    try:
+        trimmed = batch_trimmed_df(
+            docs, index_dir, n, batch_id=batch_id, spans=spans
+        ).localCheckpoint()
+        _append_batch_counts(spans, index_dir, batch_id, n_buckets)
+    finally:
+        spans.unpersist()
+    return trimmed
 
 
 REPORTS_SUBDIR = "span_reports"
@@ -201,6 +502,7 @@ def span_monitor_stream(
     index_dir: str,
     n: int = DUP_SPAN_N,
     checkpoint_location: str | None = None,
+    span_buckets: int | None = None,
 ):
     """Streaming wrapper: each micro-batch goes through
     :func:`monitor_batch` (foreachBatch, availableNow) with the
@@ -216,7 +518,9 @@ def span_monitor_stream(
     """
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
-        report = monitor_batch(batch_df, index_dir, n, batch_id=int(epoch_id))
+        report = monitor_batch(
+            batch_df, index_dir, n, batch_id=int(epoch_id), span_buckets=span_buckets
+        )
         report.withColumn("batch_id", F.lit(int(epoch_id)).cast("long")).write.mode(
             "append"
         ).parquet(os.path.join(index_dir, REPORTS_SUBDIR))
@@ -235,8 +539,9 @@ def span_monitor_stream(
 def read_span_reports(spark, index_dir: str) -> DataFrame:
     """The final admission verdicts, one row per document: a recovery
     replay re-appends a batch's reports verbatim (same batch_id, same
-    values — the probe excluded the batch's own index rows), so the
-    (batch_id, doc_id) dedup is exact, not lossy."""
+    values — the probe suppressed the batch's already-indexed or
+    already-merged counts), so the (batch_id, doc_id) dedup is exact,
+    not lossy."""
     return spark.read.parquet(os.path.join(index_dir, REPORTS_SUBDIR)).dropDuplicates(
         ["batch_id", "doc_id"]
     )
@@ -253,46 +558,114 @@ def compact_span_index(
 ) -> list[str]:
     """Steady-state index maintenance: every batch appends one file per
     non-empty bucket, so a long-running monitor fragments exactly like
-    st7's band partitions — and the fix is the same shape
-    (``ingest.compact_index``): rewrite ONLY the over-threshold buckets,
-    cost bounded by fragmentation, never by index size.
+    st7's band partitions — rewrite ONLY the over-threshold buckets, cost
+    bounded by fragmentation, never by index size.
 
-    Per over-threshold bucket: read the EXPLICIT old-file list, collapse
-    any (batch_id, h) duplicates a previous crash or replay left behind,
-    append the rows back as ``ceil(bucket_bytes / target_bytes)`` files
-    through the normal committer, then delete the old files individually
-    (append-then-prune through the Hadoop FS, no renames — object-store
-    safe). This is PHYSICAL maintenance: rows keep their ``batch_id``
-    provenance, so a crash between append and prune leaves duplicate
-    (batch_id, h) rows that every reader already collapses —
-    admission-NEUTRAL, the st7 contract. (Merging counts across batch ids
-    would shrink the relation but forfeits that neutrality; that verb
-    belongs to a table format's transactional commit at cluster scale.)
+    This is LOGICAL count-merging compaction: a bucket's live rows are
+    SUM-merged to one row per hash, written as ``generation = g+1`` with
+    the reserved ``batch_id = -(g+1)``, and the merge is COMMITTED by
+    appending the covered batch-id set (previous covered set ∪ the raw
+    batch ids merged now) to the per-bucket meta relation. Readers key on
+    the meta commit, so per bucket the sequence is crash-neutral at every
+    cut: (1) append merged data rows — a crash here leaves an orphan
+    generation no reader admits, and the rerun picks a strictly larger
+    generation (max over data AND meta, +1) so orphans never alias a
+    commit; (2) append the meta rows — the commit point; (3) prune the
+    old data files from the explicit pre-merge list; (4) prune the old
+    meta files — both prunes idempotent (readers take the max committed
+    generation and ignore covered/older rows). No renames anywhere —
+    append-then-prune through the Hadoop FS, object-store safe.
+
+    Index rows after a full merge are bounded by DISTINCT HASHES (plus
+    the un-merged batch tail), not batches × hashes — the growth term the
+    per-batch provenance layout carried is gone. Driver-side cost per
+    compacted bucket: the file listing, one tiny max-generation aggregate,
+    and the covered-id collect (bounded by total batch count).
 
     Returns the list of compacted bucket partition names.
     """
     from pdf_etl_pipeline_spark.operators import fsutil
 
+    _require_manifest(spark, index_dir)
     path = _index_path(index_dir)
+    meta_root = _meta_path(index_dir)
+    latest = _latest_meta(spark, index_dir)
     compacted: list[str] = []
     for pdir in fsutil.list_subdirs(path, spark):
         base = pdir.rstrip("/").rsplit("/", 1)[-1]
         if not base.startswith("bucket="):
             continue
+        bucket = int(base.split("=", 1)[1])
         files = fsutil.list_data_files(pdir, spark)
         if len(files) <= max_files:
             continue
         uris = [u for u, _ in files]
+        rows = spark.read.parquet(*uris)
+        # committed view of THIS bucket (meta already filtered to latest gen)
+        if latest is not None:
+            pairs = (
+                latest.filter(F.col("bucket") == F.lit(bucket))
+                .select("batch_id", "g_live")
+                .collect()
+            )
+            covered_ids = [r.batch_id for r in pairs]
+            g_live = max((r.g_live for r in pairs), default=None)
+        else:
+            covered_ids, g_live = [], None
+        live = rows.filter(
+            (
+                (F.col("generation") == 0)
+                & (~F.col("batch_id").isin(covered_ids) if covered_ids else F.lit(True))
+            )
+            | ((F.col("generation") == F.lit(g_live)) if g_live is not None else F.lit(False))
+        ).dropDuplicates(["batch_id", "h"])
+        # strictly-larger generation than anything visible (orphans included)
+        g_data = rows.agg(F.max("generation")).first()[0] or 0
+        g_new = int(max(g_data, g_live or 0)) + 1
+        new_covered = sorted(
+            set(covered_ids)
+            | {
+                r.batch_id
+                for r in live.filter(F.col("generation") == 0)
+                .select("batch_id")
+                .distinct()
+                .collect()
+            }
+        )
+        if not new_covered:
+            # nothing live to merge (pure-orphan bucket): just prune
+            for uri in uris:
+                fsutil.delete(uri, spark=spark)
+            compacted.append(base)
+            continue
         n_out = max(1, math.ceil(sum(length for _, length in files) / target_bytes))
         merged = (
-            spark.read.parquet(*uris)
-            .dropDuplicates(["batch_id", "h"])
+            live.groupBy("h")
+            .agg(F.sum("nd").alias("nd"))
+            .select(
+                "h",
+                "nd",
+                F.lit(-g_new).cast("long").alias("batch_id"),
+                F.lit(g_new).cast("long").alias("generation"),
+            )
             .repartition(n_out)
         )
-        # write straight into the bucket's partition directory (the
-        # partition column lives in the dir name, not the files)
+        # (1) write merged rows straight into the bucket's partition
+        # directory (the partition column lives in the dir name)
         merged.write.mode("append").parquet(pdir)
+        # (2) COMMIT: append the covered set for g_new to this bucket's
+        # meta partition (old meta files listed first so (4) prunes only
+        # pre-commit files)
+        meta_pdir = os.path.join(meta_root, base)
+        old_meta = [u for u, _ in fsutil.list_data_files(meta_pdir, spark)]
+        spark.createDataFrame(
+            [(g_new, int(b)) for b in new_covered],
+            "generation long, covered_batch_id long",
+        ).coalesce(1).write.mode("append").parquet(meta_pdir)
+        # (3) prune the superseded data files, (4) the superseded meta files
         for uri in uris:
+            fsutil.delete(uri, spark=spark)
+        for uri in old_meta:
             fsutil.delete(uri, spark=spark)
         compacted.append(base)
     return compacted
@@ -302,3 +675,4 @@ def drop_span_index(spark, index_dir: str) -> None:
     from pdf_etl_pipeline_spark.operators import fsutil
 
     fsutil.delete(_index_path(index_dir), recursive=True, spark=spark)
+    fsutil.delete(_meta_path(index_dir), recursive=True, spark=spark)

@@ -101,6 +101,36 @@ def delete(path: str, recursive: bool = False, spark: SparkSession | None = None
     return bool(fs.delete(jpath, recursive))
 
 
+def write_text(
+    path: str,
+    text: str,
+    spark: SparkSession | None = None,
+    overwrite: bool = False,
+) -> None:
+    """Write a small text file (a manifest, a marker) through the Hadoop
+    FS — scheme-portable like everything else here. Not atomic across
+    bytes on every store; callers must treat the file as write-once
+    (create at layout birth, never mutate) or guard with their own
+    commit ordering."""
+    spark = _require_spark(spark)
+    fs, jpath = _fs_path(spark, path)
+    out = fs.create(jpath, overwrite)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(path: str, spark: SparkSession | None = None) -> str:
+    spark = _require_spark(spark)
+    fs, jpath = _fs_path(spark, path)
+    stream = fs.open(jpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 def data_file_count(path: str, spark: SparkSession | None = None) -> int:
     """Number of data files under ``path`` (the fragmentation metric the
     compaction thresholds are written against)."""

@@ -940,9 +940,9 @@ def test_span_monitor_streaming_foreachbatch(spark, sf_dir, tmp_path):
 def test_span_index_compaction_preserves_reports(spark, tmp_path):
     """st10 compaction: after many small batches fragment the index,
     compaction rewrites ONLY the over-threshold bucket partitions
-    (per-bucket file counts drop to the size-targeted output count; rows
-    keep their batch_id provenance) — the next batch's report must be
-    identical to the uncompacted twin's."""
+    (per-bucket file counts drop to the size-targeted output count;
+    live counts SUM-merge into a meta-committed generation) — the next
+    batch's report must be identical to the uncompacted twin's."""
     from pdf_etl_pipeline_spark.llmdata.span_ingest import (
         _index_path,
         compact_span_index,
@@ -1078,3 +1078,314 @@ def test_span_monitor_replay_and_crash_duplicates_are_neutral(spark, tmp_path):
     assert after == counts  # duplicates are admission-neutral
     probe = sorted(map(tuple, monitor_batch(mk(3, 6), ix, batch_id=300).collect()))
     assert probe[0][2] == 12  # coverage unchanged by the duplicates
+
+def test_span_index_merge_bounds_rows_by_distinct_hashes(spark, tmp_path):
+    """The r12 growth contract: logical count-merging compaction collapses
+    per-batch provenance, so after a full merge the index holds ONE row
+    per distinct hash (not batches x hashes), with SUM-merged nd — and a
+    later probe still sees exact corpus-wide counts."""
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import (
+        _index_path,
+        compact_span_index,
+        monitor_batch,
+        read_index_counts,
+    )
+
+    run = " ".join(f"m{i}" for i in range(11))  # shared by every batch
+    mk = lambda i: spark.createDataFrame(
+        [(i, run + " " + " ".join(f"v{i}w{k}" for k in range(3)))],
+        "doc_id long, text string",
+    )
+    ix = str(tmp_path / "ix")
+    n_batches = 6
+    for i in range(n_batches):
+        monitor_batch(mk(i), ix, batch_id=i)
+
+    idx = spark.read.parquet(_index_path(ix))
+    distinct_h = idx.select("h").distinct().count()
+    assert idx.count() > distinct_h  # per-batch provenance: the shared run repeats
+
+    assert compact_span_index(spark, ix, max_files=1)  # force every bucket
+    idx2 = spark.read.parquet(_index_path(ix))
+    assert idx2.count() == distinct_h  # rows bounded by DISTINCT hashes
+    assert idx2.filter(idx2.generation == 0).count() == 0  # all merged
+    # merged counts are the exact per-batch sums: the shared run's hashes
+    # were seen by all n_batches distinct docs
+    counts = {r.h: r.nd_idx for r in read_index_counts(spark, ix).collect()}
+    assert max(counts.values()) == n_batches
+    # and the next batch still reports exact duplication against the merge
+    probe = sorted(map(tuple, monitor_batch(mk(99), ix, batch_id=99).collect()))
+    assert probe[0][2] == 11
+
+
+def test_span_replay_after_merge_is_bit_identical(spark, tmp_path):
+    """A batch whose index rows were already MERGED by a compaction must
+    still replay bit-identically: the probe suppresses the batch's own
+    recomputed counts in covered buckets (the merged row already holds
+    them), so the report equals the pre-merge original."""
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import (
+        compact_span_index,
+        monitor_batch,
+        read_index_counts,
+    )
+
+    run = " ".join(f"r{i}" for i in range(12))
+    mk = lambda i, pad: spark.createDataFrame(
+        [(i, run + " " + " ".join(f"s{i}t{k}" for k in range(pad)))],
+        "doc_id long, text string",
+    )
+    ix = str(tmp_path / "ix")
+    monitor_batch(mk(1, 4), ix, batch_id=100)
+    original = sorted(map(tuple, monitor_batch(mk(2, 5), ix, batch_id=200).collect()))
+    assert original[0][2] == 12  # duplicates batch 100's run
+
+    assert compact_span_index(spark, ix, max_files=0)  # merge EVERYTHING incl. 200
+    replay = sorted(map(tuple, monitor_batch(mk(2, 5), ix, batch_id=200).collect()))
+    assert replay == original
+    # ...and the replay's re-append did not inflate the committed totals
+    # beyond one extra uncovered copy collapsing via (batch_id, h) dedup
+    counts = {r.h: r.nd_idx for r in read_index_counts(spark, ix).collect()}
+    assert all(v <= 2 for v in counts.values())
+
+
+def test_span_torn_compaction_states_are_invisible(spark, tmp_path):
+    """The two torn-compaction cuts around the meta commit point: (a) an
+    ORPHAN generation (merged data written, meta never committed) is
+    invisible — probes read exactly the pre-compaction state; (b) a
+    committed merge whose old files were never pruned double-carries
+    every row, and readers still report identically (covered batch rows
+    and stale generations are excluded by the meta filter)."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import (
+        _index_path,
+        compact_span_index,
+        monitor_batch,
+    )
+
+    run = " ".join(f"t{i}" for i in range(12))
+    mk = lambda i, pad: spark.createDataFrame(
+        [(i, run + " " + " ".join(f"u{i}v{k}" for k in range(pad)))],
+        "doc_id long, text string",
+    )
+
+    def build(ix):
+        monitor_batch(mk(1, 3), ix, batch_id=10)
+        monitor_batch(mk(2, 4), ix, batch_id=20)
+
+    probe = lambda ix: sorted(
+        map(tuple, monitor_batch(mk(3, 5), ix, batch_id=30).collect())
+    )
+
+    ix_ref = str(tmp_path / "ref"); build(ix_ref)
+    want = probe(ix_ref)
+    assert want[0][2] == 12
+
+    # (a) orphan generation: hand-write gen-1 rows with WRONG (doubled)
+    # counts and no meta commit — readers must ignore them entirely
+    ix_a = str(tmp_path / "a"); build(ix_a)
+    idx = spark.read.parquet(_index_path(ix_a))
+    orphan = (
+        idx.groupBy("h", "bucket")
+        .agg((F2.sum("nd") * 2).alias("nd"))
+        .select(
+            "h", "nd",
+            F2.lit(-1).cast("long").alias("batch_id"),
+            F2.lit(1).cast("long").alias("generation"),
+            "bucket",
+        )
+    )
+    orphan.write.mode("append").partitionBy("bucket").parquet(_index_path(ix_a))
+    assert probe(ix_a) == want
+
+    # (b) committed merge, prune crashed: save the pre-merge rows, run the
+    # real compaction, then re-append the saved rows verbatim
+    ix_b = str(tmp_path / "b"); build(ix_b)
+    saved = spark.read.parquet(_index_path(ix_b)).localCheckpoint()
+    assert compact_span_index(spark, ix_b, max_files=0)
+    saved.write.mode("append").partitionBy("bucket").parquet(_index_path(ix_b))
+    assert probe(ix_b) == want
+
+
+def test_span_index_manifest_roundtrip_and_loud_mismatches(spark, tmp_path):
+    """The index manifest (r12): creation records span_buckets / n /
+    id-discipline; the bucket layout honours the recorded count; and every
+    mismatched open fails loudly instead of silently mis-bucketing."""
+    import pytest as _pytest
+
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import (
+        _index_path,
+        monitor_batch,
+        read_index_counts,
+        read_manifest,
+    )
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    mk = lambda i: spark.createDataFrame(
+        [(i, " ".join(f"a{i}b{k}" for k in range(15)))], "doc_id long, text string"
+    )
+
+    ix = str(tmp_path / "ix")
+    monitor_batch(mk(1), ix, batch_id=0, span_buckets=4)
+    m = read_manifest(spark, ix)
+    assert (m["span_buckets"], m["n"], m["id_discipline"]) == (4, 10, "epoch")
+    buckets = {
+        d.rstrip("/").rsplit("/", 1)[-1]
+        for d in fsutil.list_subdirs(_index_path(ix), spark)
+    }
+    assert buckets <= {f"bucket={i}" for i in range(4)}
+
+    # same explicit count revalidates fine; a different one fails loudly
+    monitor_batch(mk(2), ix, batch_id=1, span_buckets=4)
+    with _pytest.raises(ValueError, match="span_buckets"):
+        monitor_batch(mk(3), ix, batch_id=2, span_buckets=8)
+    # mixed id discipline fails loudly (derived vs recorded epoch)
+    with _pytest.raises(ValueError, match="discipline|batch ids"):
+        monitor_batch(mk(3), ix)
+    # a different window length fails loudly
+    with _pytest.raises(ValueError, match="n="):
+        monitor_batch(mk(3), ix, n=5, batch_id=2)
+    # negative ids are reserved for merged generations
+    with _pytest.raises(ValueError, match="non-negative"):
+        monitor_batch(mk(3), ix, batch_id=-7)
+    # an index with data but no manifest (unmanaged/legacy) refuses to open
+    ix2 = str(tmp_path / "legacy")
+    monitor_batch(mk(1), ix2, batch_id=0)
+    fsutil.delete(f"{_index_path(ix2)}/_manifest.json", spark=spark)
+    with _pytest.raises(ValueError, match="manifest"):
+        read_index_counts(spark, ix2)
+
+# --- ST11: streaming curation verdict ------------------------------------------
+
+
+_ST11_RUN = "the quick brown fox jumps over the lazy dog again"  # 10 tokens
+
+_ST11_DOCS = {
+    # batch 1
+    1: "the cat and dog of house is in that it sits by warm fire with friends from town near river",
+    2: None,  # doc 1's tokens REVERSED: near-dup (same token set) but no shared 10-gram
+    3: _ST11_RUN + " while birds sing near that old river town",
+    # batch 2
+    4: _ST11_RUN + " it is said that many people walk along quiet paths to see green fields and tall trees today",
+    5: None,  # doc 1's tokens reversed again -> cross-batch near-dup of doc 1
+    6: "le la les et de un une est le la les et de un une est",
+    7: "the 111111 222222 333333",
+}
+
+
+def _st11_fixture(spark):
+    texts = dict(_ST11_DOCS)
+    rev = " ".join(reversed(texts[1].split()))
+    texts[2] = rev
+    texts[5] = rev
+    mk = lambda ids: spark.createDataFrame(
+        [(i, texts[i]) for i in ids], "doc_id long, text string"
+    )
+    return mk([1, 2, 3]), mk([4, 5, 6, 7])
+
+
+def test_st11_curation_verdicts_hand_computed(spark, tmp_path):
+    """The composed st11 decision on planted docs: near-dup drops (same
+    token set, in-batch and cross-batch), span trim against the index
+    (doc 4 loses exactly the 10-token run doc 3 indexed), lang and
+    quality gates on the TRIMMED text — plus the cc9-shaped funnel."""
+    from pdf_etl_pipeline_spark.llmdata.curation_stream import (
+        curation_funnel,
+        curation_verdict_batch,
+    )
+    from pyspark.sql import functions as F2
+
+    b1, b2 = _st11_fixture(spark)
+    state = str(tmp_path / "st11")
+    v1 = curation_verdict_batch(b1, state, batch_id=0)
+    v2 = curation_verdict_batch(b2, state, batch_id=1)
+    got = {r.doc_id: r for r in v1.unionByName(v2).collect()}
+
+    assert {d: got[d].verdict for d in sorted(got)} == {
+        1: "keep",            # canonical of the reorder pair
+        2: "drop_neardup",    # same token set as doc 1, same batch
+        3: "keep",            # its 10-token run is unique at admission time
+        4: "keep",            # admitted; run trimmed; filler survives gates
+        5: "drop_neardup",    # cross-batch near-dup of doc 1
+        6: "drop_lang",       # French markers dominate
+        7: "drop_quality",    # digit-heavy junk under the 0.5 line
+    }
+    # reordering shares the token SET but no 10-gram: no trim anywhere in batch 1
+    for d in (1, 2, 3):
+        assert got[d].n_kept == got[d].n_tokens
+    # doc 4 loses exactly the planted run against doc 3's indexed spans
+    assert got[4].n_tokens - got[4].n_kept == 10
+    assert (got[6].lang_trim, got[6].admitted) == ("fr", True)
+    assert got[7].lang_trim == "en" and got[7].q_trim < 0.5 and got[7].admitted
+
+    funnel = curation_funnel(
+        v1.withColumn("batch_id", F2.lit(0)).unionByName(
+            v2.withColumn("batch_id", F2.lit(1))
+        )
+    ).collect()
+    f = {(r.batch_id, r.stage_name): r for r in funnel}
+    assert (f[(0, "raw")].n_docs, f[(0, "neardup_admit")].n_docs) == (3, 2)
+    assert (f[(1, "raw")].n_docs, f[(1, "neardup_admit")].n_docs) == (4, 3)
+    # span_trim drops tokens, never docs
+    assert f[(1, "span_trim")].n_docs == 3
+    assert f[(1, "neardup_admit")].n_tokens - f[(1, "span_trim")].n_tokens == 10
+    assert (f[(1, "lang")].n_docs, f[(1, "quality")].n_docs) == (2, 1)
+    assert f[(0, "quality")].doc_retention == round(2 / 3, 6)
+
+
+@pytest.mark.slow
+def test_st11_streamed_equals_offline(spark, tmp_path):
+    """Drive the real foreachBatch curation stream over parquet drops,
+    then replay the SAME per-epoch batches through the direct
+    curation_verdict_batch composition on fresh state: the streamed
+    verdict rows must match the offline twin's exactly."""
+    import os as _os
+    import time as _time
+
+    from pdf_etl_pipeline_spark.llmdata.curation_stream import (
+        curation_verdict_batch,
+        read_curation_verdicts,
+        streaming_curation_stream,
+    )
+    from pyspark.sql import functions as F2
+
+    b1, b2 = _st11_fixture(spark)
+    drop_dir = str(tmp_path / "drops")
+    b1.coalesce(1).write.mode("append").parquet(drop_dir)
+    _time.sleep(1.1)  # distinct mod times -> deterministic file order
+    b2.coalesce(1).write.mode("append").parquet(drop_dir)
+
+    state = str(tmp_path / "stream_state")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(drop_dir)
+    )
+    q = streaming_curation_stream(stream, state).start()
+    q.awaitTermination(300)
+
+    streamed = read_curation_verdicts(spark, state)
+    rows = streamed.collect()
+    assert len(rows) == 7
+    by_batch: dict[int, list[int]] = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(r.doc_id)
+
+    offline_state = str(tmp_path / "offline_state")
+    all_docs = b1.unionByName(b2)
+    offline = []
+    for bid in sorted(by_batch):
+        v = curation_verdict_batch(
+            all_docs.filter(F2.col("doc_id").isin(by_batch[bid])),
+            offline_state,
+            batch_id=bid,
+        ).withColumn("batch_id", F2.lit(bid).cast("long"))
+        offline.extend(v.collect())
+
+    key = lambda r: r.doc_id
+    cols = ["doc_id", "batch_id", "n_tokens", "n_kept", "admitted",
+            "lang_trim", "q_trim", "verdict"]
+    got = [[getattr(r, c) for c in cols] for r in sorted(rows, key=key)]
+    want = [[getattr(r, c) for c in cols] for r in sorted(offline, key=key)]
+    assert got == want

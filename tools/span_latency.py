@@ -48,7 +48,7 @@ def max_bucket_files(ix: str) -> int:
 
 def run_series(spark, docs, cuts, compact: bool):
     ix = tempfile.mkdtemp(prefix="st10_latency_")
-    secs, files, reports = [], [], {}
+    secs, files, rows, reports = [], [], [], {}
     try:
         lo = None
         for i, hi in enumerate(cuts):
@@ -63,10 +63,14 @@ def run_series(spark, docs, cuts, compact: bool):
                 compact_span_index(spark, ix)
             secs.append(round(time.time() - t0, 3))
             files.append(max_bucket_files(ix))
+            rows.append(spark.read.parquet(_index_path(ix)).count())
             lo = hi
+        distinct_h = (
+            spark.read.parquet(_index_path(ix)).select("h").distinct().count()
+        )
     finally:
         shutil.rmtree(ix, ignore_errors=True)
-    return secs, files, reports
+    return secs, files, rows, distinct_h, reports
 
 
 def main() -> None:
@@ -85,8 +89,12 @@ def main() -> None:
     finally:
         shutil.rmtree(warm, ignore_errors=True)
 
-    plain_secs, plain_files, rep_plain = run_series(spark, docs, cuts, compact=False)
-    comp_secs, comp_files, rep_comp = run_series(spark, docs, cuts, compact=True)
+    plain_secs, plain_files, plain_rows, plain_h, rep_plain = run_series(
+        spark, docs, cuts, compact=False
+    )
+    comp_secs, comp_files, comp_rows, comp_h, rep_comp = run_series(
+        spark, docs, cuts, compact=True
+    )
     assert rep_plain == rep_comp, "compaction changed admission reports"
 
     def slope(ys):
@@ -109,11 +117,15 @@ def main() -> None:
                 "plain": {
                     "secs": plain_secs,
                     "max_bucket_files": plain_files,
+                    "index_rows": plain_rows,
+                    "distinct_hashes": plain_h,
                     "tail_slope_sec_per_batch": slope(plain_secs),
                 },
                 "compacted": {
                     "secs": comp_secs,
                     "max_bucket_files": comp_files,
+                    "index_rows": comp_rows,
+                    "distinct_hashes": comp_h,
                     "tail_slope_sec_per_batch": slope(comp_secs),
                 },
                 "load_avg_before": os.getloadavg()[0],
