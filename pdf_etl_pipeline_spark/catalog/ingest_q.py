@@ -232,3 +232,213 @@ def st10_span_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         drop_span_index(spark, tmp)
         fsutil.delete(tmp, recursive=True, spark=spark)
     return out
+
+
+# --- ST11: streaming curation verdict (st7 + st10 + cc9 gates composed) -----------
+from pdf_etl_pipeline_spark.catalog.curation_q import _QUALITY  # noqa: E402
+from pdf_etl_pipeline_spark.llmdata import text as TX  # noqa: E402
+
+
+def _span_trim_ctes(tag: str, pred: str, dup_src: str, n: int = DUP_SPAN_N) -> str:
+    """Span-TRIM fragments for one batch scope given its duplicated-hash
+    relation: covered positions exploded from merged intervals, kept
+    tokens anti-joined, trimmed text re-assembled (``ttrim{tag}`` =
+    (doc_id, n_tokens, n_kept, text)) — the scoped twin of
+    ``dedup.trimmed_docs_ctes``, sharing ``sp{tag}`` with the st10
+    fragments. Positions are 1-based on the DuckDB side throughout, so
+    the 0/1 base offset cancels (the dd12 lesson applies only when a
+    position is EXPOSED)."""
+    toks = tokens_sql("text", distinct=False)
+    return f"""tk{tag} AS (
+  SELECT doc_id, {toks} AS tk FROM documents WHERE {pred}
+),
+dst{tag} AS (
+  SELECT doc_id, pos FROM sp{tag} WHERE h IN (SELECT h FROM {dup_src})
+),
+tg{tag} AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= {n}
+              THEN 1 ELSE 0 END AS brk
+  FROM dst{tag}
+),
+ti{tag} AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM tg{tag}
+),
+tc{tag} AS (
+  SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM (
+    SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {n - 1} AS e
+    FROM ti{tag} GROUP BY 1, 2
+  )
+),
+tt{tag} AS (
+  SELECT doc_id, i AS pos, tk[i] AS tok
+  FROM tk{tag}, unnest(range(1, len(tk) + 1)) AS u(i)
+),
+tkp{tag} AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tt{tag} t LEFT JOIN tc{tag} c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+ttrim{tag} AS MATERIALIZED (
+  SELECT k.doc_id,
+         CAST(len(k.tk) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+         COALESCE(a.trimmed, '') AS text
+  FROM tk{tag} k LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n_kept,
+           string_agg(tok, ' ' ORDER BY pos) AS trimmed
+    FROM tkp{tag} GROUP BY 1
+  ) a ON k.doc_id = a.doc_id
+)"""
+
+
+_ST11_PRED1 = f"doc_id < {_SPLIT}"
+_ST11_PRED2 = f"doc_id >= {_SPLIT}"
+
+# the composed two-batch unroll: st7's admission fragments (keep1/keep2 +
+# cross-batch matched), st10's span-count fragments under non-colliding
+# x1/x2 tags, the scoped trim, then cc9's lang/quality gates on trimmed text
+_ST11_VER_CTES = f"""{_half_ctes(1, _ST11_PRED1)},
+{_half_ctes(2, _ST11_PRED2)},
+xb AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+         any_value(a.toks) AS ta, any_value(b.toks) AS tb
+  FROM b2 a JOIN b1 b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id IN (SELECT doc_id FROM keep2)
+    AND b.doc_id IN (SELECT doc_id FROM keep1)
+  GROUP BY 1, 2
+),
+matched AS (SELECT DISTINCT new_id FROM xb WHERE {_DD3_JACCARD} >= 0.9),
+adm1 AS (SELECT doc_id FROM keep1),
+adm2 AS (
+  SELECT doc_id FROM keep2 WHERE doc_id NOT IN (SELECT new_id FROM matched)
+),
+{_span_scope_ctes("x1", _ST11_PRED1)},
+{_span_scope_ctes("x2", _ST11_PRED2)},
+dupx1 AS (SELECT h FROM cx1 WHERE nd >= 2),
+dupx2 AS (
+  SELECT cx2.h FROM cx2 LEFT JOIN cx1 ON cx2.h = cx1.h
+  WHERE cx2.nd + COALESCE(cx1.nd, 0) >= 2
+),
+{_span_trim_ctes("x1", _ST11_PRED1, "dupx1")},
+{_span_trim_ctes("x2", _ST11_PRED2, "dupx2")},
+ver AS MATERIALIZED (
+  SELECT t.doc_id, CAST(0 AS BIGINT) AS batch_id, t.n_tokens, t.n_kept,
+         (a.doc_id IS NOT NULL) AS admitted,
+         {TX.lang_id_sql("text")} AS lang_trim,
+         round({_QUALITY}, 6) AS q_trim
+  FROM ttrimx1 t LEFT JOIN adm1 a ON a.doc_id = t.doc_id
+  UNION ALL
+  SELECT t.doc_id, CAST(1 AS BIGINT) AS batch_id, t.n_tokens, t.n_kept,
+         (a.doc_id IS NOT NULL) AS admitted,
+         {TX.lang_id_sql("text")} AS lang_trim,
+         round({_QUALITY}, 6) AS q_trim
+  FROM ttrimx2 t LEFT JOIN adm2 a ON a.doc_id = t.doc_id
+)"""
+
+_ST11_ORACLE = f"""
+WITH {_ST11_VER_CTES}
+SELECT doc_id, batch_id, n_tokens, n_kept, admitted, lang_trim, q_trim,
+       CASE WHEN NOT admitted THEN 'drop_neardup'
+            WHEN lang_trim <> 'en' THEN 'drop_lang'
+            WHEN q_trim < 0.5 THEN 'drop_quality'
+            ELSE 'keep' END AS verdict
+FROM ver ORDER BY doc_id"""
+
+
+_ST11_STAGES = ["raw", "neardup_admit", "span_trim", "lang", "quality"]
+
+
+def _st11_funnel_oracle() -> str:
+    conds = [
+        ("TRUE", "n_tokens"),
+        ("admitted", "n_tokens"),
+        ("admitted", "n_kept"),
+        ("admitted AND lang_trim = 'en'", "n_kept"),
+        ("admitted AND lang_trim = 'en' AND q_trim >= 0.5", "n_kept"),
+    ]
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS s{i}d, "
+        f"CAST(SUM(CASE WHEN {c} THEN {t} ELSE 0 END) AS BIGINT) AS s{i}t"
+        for i, (c, t) in enumerate(conds)
+    )
+    stage_rows = "\nUNION ALL\n".join(
+        f"SELECT batch_id, {i} AS stage, '{name}' AS stage_name, s{i}d AS n_docs, "
+        f"s{i}t AS n_tokens, round(CAST(s{i}d AS DOUBLE) / s0d, 6) AS doc_retention, "
+        f"round(CAST(s{i}t AS DOUBLE) / s0t, 6) AS token_retention FROM wide"
+        for i, name in enumerate(_ST11_STAGES)
+    )
+    return f"""
+WITH {_ST11_VER_CTES},
+wide AS (SELECT batch_id, {sums} FROM ver GROUP BY 1)
+{stage_rows}
+ORDER BY batch_id, stage"""
+
+
+def _st11_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two real ingest batches through the composed foreachBatch body
+    (fresh on-disk st7 + span indexes), verdicts materialized before the
+    temp state disappears."""
+    from pdf_etl_pipeline_spark.llmdata.curation_stream import (
+        curation_verdict_batch,
+        drop_curation_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    tmp = tempfile.mkdtemp(prefix="st11_state_")
+    try:
+        v1 = curation_verdict_batch(
+            docs.filter(F.col("doc_id") < split), tmp, batch_id=0
+        ).withColumn("batch_id", F.lit(0).cast("long"))
+        v2 = curation_verdict_batch(
+            docs.filter(F.col("doc_id") >= split), tmp, batch_id=1
+        ).withColumn("batch_id", F.lit(1).cast("long"))
+        out = v1.unionByName(v2).localCheckpoint()
+    finally:
+        drop_curation_state(spark, tmp)
+    return out
+
+
+@register(
+    "st11_streaming_curation",
+    oracle=_ST11_ORACLE,
+    doc="ST11 streaming curation verdict — the streaming twin of cc9: per "
+    "micro-batch, st7 near-dup admission (LSH canonicalization + banding probe "
+    "vs the accumulated index), st10 span trim vs (span index ∪ batch), then "
+    "lang/quality gates on the TRIMMED text; one FINAL verdict row per doc "
+    "(keep / drop_neardup / drop_lang / drop_quality) with raw/trimmed token "
+    "accounting. Oracle unrolls two batches from the proven st7 + st10 + dd11 "
+    "+ cc9 fragments. Scale: both probes are keyed equi-joins against "
+    "pre-aggregated/pruned index relations, trim windows doc_id-partitioned, "
+    "gates codegen — nothing corpus-global per batch",
+)
+def st11_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return (
+        _st11_verdicts(spark, sf_dir)
+        .select(
+            "doc_id", "batch_id", "n_tokens", "n_kept", "admitted",
+            "lang_trim", "q_trim", "verdict",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "st11_curation_funnel",
+    oracle=_st11_funnel_oracle(),
+    doc="ST11's per-batch funnel readout (cc9-shaped): raw -> neardup_admit "
+    "-> span_trim -> lang -> quality per ingest batch, doc/token counts (raw "
+    "tokens through admit, TRIMMED tokens after) and retentions vs the "
+    "batch's raw stage. ONE conditional aggregate over the verdict relation "
+    "— no per-stage rescans",
+)
+def st11_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.llmdata.curation_stream import curation_funnel
+
+    return curation_funnel(_st11_verdicts(spark, sf_dir)).orderBy("batch_id", "stage")

@@ -126,6 +126,27 @@ def _st10_monitor_body_df(spark, sf_dir):
     return batch_report_df(docs.filter(F.col("doc_id") >= split), ix, batch_id=1)
 
 
+def _st11_verdict_body_df(spark, sf_dir):
+    """st11's composed foreachBatch verdict plan, probing the staged
+    half-corpus span index: the span-trim probe + doc_id-partitioned
+    interval/assembly windows + codegen lang/quality gates. The st7
+    admission input arrives as an already-materialized relation in the
+    real body (ingest_batch localCheckpoints it — its own probe plan is
+    audited as st7_ingest_batch_probe), staged here the same way."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.llmdata.curation_stream import curation_verdict_df
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import batch_trimmed_df
+    from pdf_etl_pipeline_spark.session import load_table
+
+    ix, split = _staged_span_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    b2 = docs.filter(F.col("doc_id") >= split)
+    admitted = b2.select("doc_id").localCheckpoint()
+    trimmed = batch_trimmed_df(b2, ix, batch_id=1)
+    return curation_verdict_df(b2, admitted, trimmed)
+
+
 _ST7_AUDIT_TMP: dict = {}
 
 
@@ -979,6 +1000,33 @@ CHECKS = {
         # by contract), no nested-loop/cartesian, no Python
         "build": _st10_monitor_body_df,
         "must": ["Generate", "HashAggregate", "Window"],
+        "must_not": [
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ],
+        "check": lambda plan: (
+            _dd10_windows_doc_partitioned(plan)
+            + _no_global_sort(plan)
+            + (
+                []
+                if any(
+                    "HashAggregate(keys=[" in l and "batch_id#" in l
+                    for l in plan.splitlines()
+                )
+                else ["missing: the (batch_id, h) dedup aggregate on the index read"]
+            )
+        ),
+    },
+    "st11_curation_batch_body": {
+        # the composed streaming-curation verdict per micro-batch: span
+        # probe against the (batch_id, h)-deduplicated pre-aggregated
+        # index, trim windows doc_id-partitioned, covered-position
+        # explode (Generate), in-array re-assembly, codegen gates — no
+        # global sort (verdicts unordered), no Python, no cartesian
+        "build": _st11_verdict_body_df,
+        "must": ["Generate", "HashAggregate", "Window", "collect_list"],
         "must_not": [
             "BatchEvalPython",
             "ArrowEvalPython",
