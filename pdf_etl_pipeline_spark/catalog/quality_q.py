@@ -388,6 +388,108 @@ SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cu
 FROM psi ORDER BY event_type"""
 
 
+def psi_drift_df(
+    ref: DataFrame,
+    cur: DataFrame,
+    buckets: int = DQ4_BUCKETS,
+    drift: float = DQ4_DRIFT,
+) -> DataFrame:
+    """PSI drift between TWO relations of (event_type, value) — the
+    general form dq4 specializes: production monitoring compares the
+    current batch against a FROZEN reference snapshot, which arrives as
+    its own relation (a pinned manifest, a past partition), not as an
+    epoch predicate over one table. Shared fixed-width grid over the
+    global min/max of (ref ∪ cur); Laplace smoothing; per-term round(12)
+    + decimal-exact sum (the rs7 discipline) so the result is
+    aggregation-order independent and bit-identical cross-engine.
+
+    When ref and cur are filters of ONE scan, dq4's single-pass
+    membership-flag form reads the table once where this union reads it
+    twice — keep dq4's shape for same-table epoch splits; use this one
+    when the reference genuinely is a separate relation."""
+    ev = ref.select("event_type", "value", F.lit(True).alias("is_ref")).unionByName(
+        cur.select("event_type", "value", F.lit(False).alias("is_ref"))
+    )
+    stats = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    b = buckets
+    bkt = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(((F.col("value") - F.col("vmin")) * float(b)) / (F.col("vmax") - F.col("vmin"))).cast("long"),
+            F.lit(b - 1),
+        )
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(stats))
+        .select("event_type", bkt.alias("bkt"), "is_ref")
+        .groupBy("event_type", "bkt")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("cref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("ccur"),
+        )
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("cref").alias("n_ref"), F.sum("ccur").alias("n_cur")
+    )
+    pr = (F.col("cref") + 1.0) / (F.col("n_ref") + b)
+    pc = (F.col("ccur") + 1.0) / (F.col("n_cur") + b)
+    term = F.round((pc - pr) * F.log(pc / pr), 12).cast("decimal(27,12)")
+    psi = (
+        cells.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(F.sum(term).cast("double").alias("psi"))
+    )
+    return psi.select(
+        "event_type",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round("psi", 6).alias("psi"),
+        (F.col("psi") >= drift).alias("drift"),
+    ).orderBy("event_type")
+
+
+def _psi_drift_tail_sql(buckets: int = DQ4_BUCKETS, drift: float = DQ4_DRIFT) -> str:
+    """Oracle tail from two CTEs named ``ref``/``cur`` of (event_type,
+    value) to the PSI report — the SQL twin of :func:`psi_drift_df`."""
+    return f"""ev AS (
+  SELECT event_type, value, TRUE AS is_ref FROM ref
+  UNION ALL
+  SELECT event_type, value, FALSE AS is_ref FROM cur
+),
+stats AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM ev),
+bucketed AS (
+  SELECT event_type,
+         CASE WHEN vmax = vmin THEN 0
+              ELSE least(CAST(floor(((value - vmin) * {buckets}.0) / (vmax - vmin)) AS BIGINT), {buckets - 1})
+         END AS bkt,
+         is_ref
+  FROM ev, stats
+),
+cells AS (
+  SELECT event_type, bkt,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cref,
+         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS ccur
+  FROM bucketed GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(cref) AS n_ref, SUM(ccur) AS n_cur
+  FROM cells GROUP BY 1
+),
+psi AS (
+  SELECT c.event_type, t.n_ref, t.n_cur,
+         CAST(SUM(CAST(round(
+             ((c.ccur + 1.0) / (t.n_cur + {buckets})
+              - (c.cref + 1.0) / (t.n_ref + {buckets}))
+             * ln(((c.ccur + 1.0) / (t.n_cur + {buckets}))
+                  / ((c.cref + 1.0) / (t.n_ref + {buckets}))), 12)
+           AS DECIMAL(27,12))) AS DOUBLE) AS psi
+  FROM cells c JOIN tot t ON c.event_type = t.event_type
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       round(psi, 6) AS psi, (psi >= {drift}) AS drift
+FROM psi ORDER BY event_type"""
+
+
 @register(
     "dq4_distribution_drift",
     oracle=_DQ4_ORACLE,
@@ -503,6 +605,101 @@ FROM d JOIN tot t ON d.event_type = t.event_type
 ORDER BY d.event_type"""
 
 
+def ks_drift_df(ref: DataFrame, cur: DataFrame, alpha_coef: float = DP4_ALPHA_COEF) -> DataFrame:
+    """Two-sample KS between TWO relations of (event_type, value) — the
+    general form dp4 specializes (see :func:`psi_drift_df` on why the
+    same-table epoch split keeps its own single-scan shape). Exact
+    tie-grouped integer-count ECDFs, so D is bit-identical cross-engine."""
+    from pyspark.sql.window import Window
+
+    ev = ref.select("event_type", "value", F.lit(True).alias("is_ref")).unionByName(
+        cur.select("event_type", "value", F.lit(False).alias("is_ref"))
+    )
+    cells = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("cref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("ccur"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("cref").alias("n_ref"), F.sum("ccur").alias("n_cur")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = cells.select(
+        "event_type",
+        F.sum("cref").over(w).alias("rref"),
+        F.sum("ccur").over(w).alias("rcur"),
+    )
+    d = (
+        ecdf.join(F.broadcast(tot), "event_type")
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("rref").cast("double") / F.col("n_ref")
+                    - F.col("rcur").cast("double") / F.col("n_cur")
+                )
+            ).alias("ks")
+        )
+    )
+    crit = alpha_coef * F.sqrt(
+        (F.col("n_ref") + F.col("n_cur")) / (F.col("n_ref").cast("double") * F.col("n_cur"))
+    )
+    return d.select(
+        "event_type",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round("ks", 6).alias("ks_d"),
+        (F.col("ks") > crit).alias("reject"),
+    ).orderBy("event_type")
+
+
+def _ks_drift_tail_sql(alpha_coef: float = DP4_ALPHA_COEF) -> str:
+    """Oracle tail from two CTEs named ``ref``/``cur`` to the KS report —
+    the SQL twin of :func:`ks_drift_df`."""
+    return f"""ev AS (
+  SELECT event_type, value, TRUE AS is_ref FROM ref
+  UNION ALL
+  SELECT event_type, value, FALSE AS is_ref FROM cur
+),
+cells AS (
+  SELECT event_type, value,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cref,
+         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS ccur
+  FROM ev GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(cref) AS n_ref, SUM(ccur) AS n_cur
+  FROM cells GROUP BY 1
+),
+ecdf AS (
+  SELECT event_type,
+         SUM(cref) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS rref,
+         SUM(ccur) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS rcur
+  FROM cells
+),
+d AS (
+  SELECT e.event_type,
+         MAX(abs(CAST(e.rref AS DOUBLE) / t.n_ref
+                 - CAST(e.rcur AS DOUBLE) / t.n_cur)) AS ks
+  FROM ecdf e JOIN tot t ON e.event_type = t.event_type
+  WHERE t.n_ref > 0 AND t.n_cur > 0
+  GROUP BY 1
+)
+SELECT d.event_type, CAST(t.n_ref AS BIGINT) AS n_ref,
+       CAST(t.n_cur AS BIGINT) AS n_cur,
+       round(d.ks, 6) AS ks_d,
+       (d.ks > {alpha_coef} * sqrt((t.n_ref + t.n_cur)
+                                   / (CAST(t.n_ref AS DOUBLE) * t.n_cur))) AS reject
+FROM d JOIN tot t ON d.event_type = t.event_type
+ORDER BY d.event_type"""
+
+
 @register(
     "dp4_ks_drift",
     oracle=_DP4_ORACLE,
@@ -569,3 +766,77 @@ def dp4_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ks", 6).alias("ks_d"),
         (F.col("ks") > crit).alias("reject"),
     ).orderBy("event_type")
+
+
+# --- DQ5/DP5: drift vs a PINNED reference snapshot ---------------------------------
+# dq4/dp4 compare epoch halves of one relation; the production shape is
+# "current data vs a frozen reference manifest" — the reference is its own
+# relation, pinned once, compared against forever. Stand-in snapshot spec
+# over the shared testdata: reference = the corpus-birth quarter
+# (es < emin + (emax-emin)/4), current = the most recent quarter
+# (es >= emin + 3(emax-emin)/4) — non-adjacent, non-covering, so the grid
+# and counts genuinely differ from dq4/dp4's halves. Both registered
+# queries ride the two-relation fragments (psi_drift_df / ks_drift_df),
+# whose ref==first-half specialization reproduces dq4/dp4 exactly
+# (test-pinned).
+
+_SNAP_CTES = """base AS (
+  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE value IS NOT NULL
+),
+qs AS (
+  SELECT CAST(floor(MIN(es) + (MAX(es) - MIN(es)) / 4.0) AS BIGINT) AS q1,
+         CAST(floor(MIN(es) + (MAX(es) - MIN(es)) * 3.0 / 4.0) AS BIGINT) AS q3
+  FROM base
+),
+ref AS (SELECT event_type, value FROM base, qs WHERE es < q1),
+cur AS (SELECT event_type, value FROM base, qs WHERE es >= q3)"""
+
+
+def _snapshot_halves(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", F.unix_timestamp("ts").alias("es"))
+    )
+    qs = ev.agg(
+        F.floor(F.min("es") + (F.max("es") - F.min("es")) / 4.0).cast("long").alias("q1"),
+        F.floor(F.min("es") + (F.max("es") - F.min("es")) * 3.0 / 4.0)
+        .cast("long")
+        .alias("q3"),
+    )
+    evq = ev.crossJoin(F.broadcast(qs))
+    ref = evq.filter(F.col("es") < F.col("q1")).select("event_type", "value")
+    cur = evq.filter(F.col("es") >= F.col("q3")).select("event_type", "value")
+    return ref, cur
+
+
+@register(
+    "dq5_snapshot_psi_drift",
+    oracle=f"WITH {_SNAP_CTES},\n{_psi_drift_tail_sql()}",
+    doc="DQ5 PSI drift vs a pinned reference snapshot (the production "
+    "monitoring shape dq4's epoch-half split stands in for): corpus-birth "
+    "quarter as the frozen reference, most recent quarter as current, shared "
+    "grid over their union, decimal-exact term sums. Scale: the reference is "
+    "its own (usually tiny, pinned) relation — one keyed bucket aggregation "
+    "over ref ∪ cur, one 2-value min/max broadcast, bounded arithmetic after",
+)
+def dq5_snapshot_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ref, cur = _snapshot_halves(spark, sf_dir)
+    return psi_drift_df(ref, cur)
+
+
+@register(
+    "dp5_snapshot_ks_drift",
+    oracle=f"WITH {_SNAP_CTES},\n{_ks_drift_tail_sql()}",
+    doc="DP5 two-sample KS vs a pinned reference snapshot (dp4's general "
+    "two-relation form): corpus-birth quarter vs most recent quarter, exact "
+    "tie-grouped integer ECDFs over the pooled distinct values. Scale: one "
+    "(type, value) keyed aggregation over ref ∪ cur, a type-keyed window "
+    "over the DISTINCT-value relation, bounded joins",
+)
+def dp5_snapshot_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ref, cur = _snapshot_halves(spark, sf_dir)
+    return ks_drift_df(ref, cur)

@@ -1282,6 +1282,43 @@ def test_dp4_ks_total_shift_and_identical_halves(spark, tmp_path):
     assert (r.n_ref, r.n_cur, r.ks_d, r.reject) == (10, 10, 0.0, False)
 
 
+def test_two_relation_drift_specializes_to_dq4_dp4(spark):
+    """The r12 generalization contract: feeding the two-relation drift
+    fragments (psi_drift_df / ks_drift_df) with reference == the first
+    epoch half and current == the second reproduces dq4 / dp4's output
+    row for row — the epoch-half queries are exact specializations of
+    the snapshot form."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.catalog.quality_q import (
+        dp4_ks_drift,
+        dq4_distribution_drift,
+        ks_drift_df,
+        psi_drift_df,
+    )
+    from pdf_etl_pipeline_spark.session import load_events
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load_events(spark, sf)
+        .filter(F2.col("value").isNotNull())
+        .select("event_type", "value", F2.unix_timestamp("ts").alias("es"))
+    )
+    mid = ev.agg(
+        F2.floor((F2.min("es") + F2.max("es")) / 2.0).cast("long").alias("mid")
+    )
+    evm = ev.crossJoin(F2.broadcast(mid))
+    ref = evm.filter(F2.col("es") < F2.col("mid")).select("event_type", "value")
+    cur = evm.filter(F2.col("es") >= F2.col("mid")).select("event_type", "value")
+
+    assert sorted(map(tuple, psi_drift_df(ref, cur).collect())) == sorted(
+        map(tuple, dq4_distribution_drift(spark, sf).collect())
+    )
+    assert sorted(map(tuple, ks_drift_df(ref, cur).collect())) == sorted(
+        map(tuple, dp4_ks_drift(spark, sf).collect())
+    )
+
+
 def test_ev4_twap_cross_engine_pre_1970(spark, tmp_path):
     """ev4's (event_type, epoch-day) cell must agree between Spark and the
     DuckDB oracle for PRE-1970 timestamps: both engines must FLOOR the

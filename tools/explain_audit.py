@@ -523,6 +523,46 @@ CHECKS = {
             and "windowspecdefinition(event_type#" not in ln
         ],
     },
+    "dq5_snapshot_psi_drift": {
+        # dq4's contracts under the two-relation (snapshot) form: the
+        # quartile bounds and the grid min/max broadcast back as 1-row
+        # BNLJs; bucket counts are ONE keyed aggregation over ref ∪ cur;
+        # totals join as a bounded broadcast; both scans pruned to the
+        # three referenced columns
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin", "BroadcastHashJoin", "Union"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin", "Window"],
+        "check": lambda plan: [
+            f"events scan reads beyond (event_type, ts, value): {cols}"
+            for cols in (
+                sorted(c.split(":")[0] for c in m.split(">")[0].split(","))
+                for m in plan.split("ReadSchema: struct<")[1:]
+            )
+            if not set(cols) <= {"event_type", "ts", "value"}
+        ],
+    },
+    "dp5_snapshot_ks_drift": {
+        # dp4's contracts under the two-relation (snapshot) form: the
+        # ECDF window stays keyed by event_type over the distinct-value
+        # relation; quartile bounds broadcast back; scans pruned
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin", "BroadcastHashJoin", "Window", "Union"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+        "check": lambda plan: (
+            [
+                f"window not partitioned by event_type: {ln.strip()[:80]}"
+                for ln in plan.splitlines()
+                if "windowspecdefinition(" in ln
+                and "windowspecdefinition(event_type#" not in ln
+            ]
+            + [
+                f"events scan reads beyond (event_type, ts, value): {cols}"
+                for cols in (
+                    sorted(c.split(":")[0] for c in m.split(">")[0].split(","))
+                    for m in plan.split("ReadSchema: struct<")[1:]
+                )
+                if not set(cols) <= {"event_type", "ts", "value"}
+            ]
+        ),
+    },
     "dp4_ks_drift": {
         # 1-row midpoint broadcasts back (tx7's legitimate 1-row BNLJ);
         # tie-grouping is ONE keyed aggregation; the ECDF window runs over
