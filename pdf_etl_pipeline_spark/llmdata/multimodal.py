@@ -793,14 +793,14 @@ def perceptual_hash(assets: DataFrame, decode: str = "fake") -> DataFrame:
     return assets.mapInPandas(run, PHASH_SCHEMA)
 
 
-def phash_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """(asset_a, asset_b, hamming) pairs with Hamming(phash) ≤ ``max_hamming``
-    — via the EXACT pigeonhole banding: split the 64-bit hash into
-    ``PHASH_BANDS`` 16-bit bands; any pair within Hamming 3 must agree
-    exactly on at least one band (4 bands, 3 differing bits), so a
-    per-band equi-join finds every qualifying pair with NO false
-    negatives (unlike probabilistic LSH) and the exact popcount verify
-    prunes band-collision false positives.
+def _banded_hash_pairs(hashes: DataFrame, hash_col: str, max_hamming: int) -> DataFrame:
+    """(asset_a, asset_b, hamming) pairs with Hamming(hash) ≤ ``max_hamming``
+    — the EXACT pigeonhole banding shared by the image (phash) and audio
+    (afp) dedup paths: split the 64-bit hash into ``PHASH_BANDS`` 16-bit
+    bands; any pair within Hamming ``PHASH_BANDS − 1`` must agree exactly
+    on at least one band, so a per-band equi-join finds every qualifying
+    pair with NO false negatives (unlike probabilistic LSH) and the exact
+    popcount verify prunes band-collision false positives.
 
     Scale shape: the same as dd3 — banding is an explode + self-equi-join
     on (band_idx, band_value), linear in corpus size for bounded bucket
@@ -814,13 +814,13 @@ def phash_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
     banded = hashes.select(
         "asset_id",
-        "phash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("phash"), 16 * i)
+                        F.shiftrightunsigned(F.col(hash_col), 16 * i)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("band_val"),
                     )
@@ -828,7 +828,7 @@ def phash_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("asset_id", "phash", "b.band_idx", "b.band_val")
+    ).select("asset_id", hash_col, "b.band_idx", "b.band_val")
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -841,8 +841,8 @@ def phash_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("a.asset_id").alias("asset_a"),
             F.col("b.asset_id").alias("asset_b"),
-            F.col("a.phash").alias("ha"),
-            F.col("b.phash").alias("hb"),
+            F.col(f"a.{hash_col}").alias("ha"),
+            F.col(f"b.{hash_col}").alias("hb"),
         )
         .dropDuplicates(["asset_a", "asset_b"])
     )
@@ -852,3 +852,79 @@ def phash_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select("asset_a", "asset_b", "hamming")
         .orderBy("asset_a", "asset_b")
     )
+
+
+def phash_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs with Hamming(phash) ≤ ``max_hamming`` via the
+    exact pigeonhole banding (see :func:`_banded_hash_pairs`)."""
+    return _banded_hash_pairs(hashes, "phash", max_hamming)
+
+
+# --- Spectral-fingerprint audio dedup ------------------------------------------
+AUDIO_FP_SCHEMA = "asset_id long, afp long"
+AUDIO_FP_FRAMES = 8  # time frames
+AUDIO_FP_FBANDS = 9  # spectral bands -> 8 sign bits per frame
+
+
+def audio_fingerprint(assets: DataFrame, decode: str = "fake") -> DataFrame:
+    """64-bit spectral fingerprint per audio asset (Haitsma–Kalker 2002
+    shape, sized to the pigeonhole banding): split the samples into
+    ``AUDIO_FP_FRAMES`` frames, take each frame's magnitude spectrum
+    (rFFT, DC dropped), sum energy into ``AUDIO_FP_FBANDS`` equal bands,
+    and emit one bit per (frame, band-pair) — the sign of the
+    band-energy difference, temporally differenced against the previous
+    frame (the first frame keeps its plain band differences). Sign-of-
+    difference bits survive level changes, re-quantization and mild
+    additive noise, so near-copies land within a few bits — the audio
+    twin of the image aHash. Only the fingerprint extraction is Python
+    (Arrow-batched mapInPandas); matching is native columnar.
+
+    ``decode="real"`` decodes RIFF/WAVE PCM in-repo; other audio codecs
+    (mp3/flac/opus) genuinely need torchcodec and raise."""
+
+    def fp_of(x: np.ndarray) -> np.int64:
+        x = np.asarray(x, dtype=np.float64)
+        if x.size < AUDIO_FP_FRAMES:
+            x = np.pad(x, (0, AUDIO_FP_FRAMES - x.size))
+        energies = []
+        for fr in np.array_split(x, AUDIO_FP_FRAMES):
+            mag = np.abs(np.fft.rfft(fr))
+            spec = mag[1:] if mag.size > 1 else mag  # drop DC
+            bands = np.array_split(spec, AUDIO_FP_FBANDS)
+            energies.append(
+                [float(np.sum(np.square(bd))) if bd.size else 0.0 for bd in bands]
+            )
+        e = np.asarray(energies)  # (frames, fbands)
+        d = e[:, :-1] - e[:, 1:]  # (frames, fbands-1) band diffs
+        dd = np.vstack([d[:1], d[1:] - d[:-1]])  # temporal difference
+        h = 0
+        for bit in (dd > 0).flatten():
+            h = (h << 1) | int(bit)
+        return np.int64(np.uint64(h).astype(np.int64))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            fps = []
+            for content, meta in zip(b["content"], b["meta"]):
+                if decode == "fake":
+                    x = (
+                        np.frombuffer(bytes(content), dtype=np.uint8).astype(np.float32)
+                        - 128.0
+                    ) / 128.0
+                elif str(meta["codec"]).lower() in ("wav", "wave"):
+                    x = _decode_wav(content)
+                else:
+                    raise NotImplementedError(
+                        f"real audio decode for codec {meta['codec']!r} requires torchcodec"
+                    )
+                fps.append(fp_of(x))
+            yield pd.DataFrame({"asset_id": b["asset_id"], "afp": fps})
+
+    return assets.mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def audio_dup_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Audio near-dup pairs with Hamming(afp) ≤ ``max_hamming`` via the
+    exact pigeonhole banding (see :func:`_banded_hash_pairs`) — never
+    all-pairs, no false negatives within the banding's Hamming budget."""
+    return _banded_hash_pairs(fingerprints, "afp", max_hamming)

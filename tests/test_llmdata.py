@@ -1060,3 +1060,63 @@ def test_ml7_calibration_margin_semantics(spark):
     # every pure doc classified correctly (sanity for the accuracy claim)
     assert all(preds[i].lang_pred == "en" for i in range(4))
     assert all(preds[10 + i].lang_pred == "fr" for i in range(4))
+
+def test_audio_fingerprint_dedup_real_wav(spark):
+    """Audio fingerprint dedup (r12): a WAV and its lightly-noised,
+    re-encoded copy pair up within Hamming 3 via the exact pigeonhole
+    banding; a spectrally different signal does not; banding finds
+    exactly the brute-force Hamming pairs (no false negatives)."""
+    import numpy as np
+
+    from pdf_etl_pipeline_spark.llmdata.multimodal import (
+        ASSET_SCHEMA,
+        audio_dup_pairs,
+        audio_fingerprint,
+        encode_wav,
+    )
+
+    n = 4096
+    t = np.arange(n) / 16000.0
+    # BROADBAND, non-stationary base (deterministic): enveloped brown+white
+    # noise loads every spectral band in every frame, so the sign bits ride
+    # O(signal) energy differences — sparse pure-tone spectra would leave
+    # most bands at noise floor where signs are meaningless
+    rng0 = np.random.default_rng(3)
+    brown = np.cumsum(rng0.normal(0, 1, n))
+    brown -= brown.mean()
+    brown /= np.max(np.abs(brown))
+    env = 0.3 + 0.7 * np.sin(np.linspace(0, 3.1, n)) ** 2
+    base = np.clip(0.7 * env * (0.6 * brown + 0.4 * rng0.normal(0, 0.3, n)), -1, 1)
+    # ~-54 dB additive noise (dither-scale), fixed seed: Hamming 2 from base
+    noisy = np.clip(base + np.random.default_rng(0).normal(0, 0.002, n), -1, 1)
+    other = 0.6 * np.sin(2 * np.pi * 700 * t) + 0.4 * np.sin(2 * np.pi * 5200 * t)
+    quiet = np.clip(0.5 * base, -1, 1)  # level change: signs survive scaling
+    rows = [
+        (1, "audio", encode_wav(base, 16000), (0, 0, 16000, 1, "wav")),
+        (2, "audio", encode_wav(noisy, 16000), (0, 0, 16000, 1, "wav")),
+        (3, "audio", encode_wav(other, 16000), (0, 0, 16000, 1, "wav")),
+        (4, "audio", encode_wav(quiet, 16000), (0, 0, 16000, 1, "wav")),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    fps = audio_fingerprint(assets, decode="real")
+    pairs = {(r.asset_a, r.asset_b): r.hamming for r in audio_dup_pairs(fps).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3  # noised re-encode recalled
+    assert (1, 4) in pairs  # pure level change: identical sign structure
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # different spectrum
+    # banding == brute force on this set (pigeonhole exactness)
+    hs = {r.asset_id: r.afp & ((1 << 64) - 1) for r in fps.collect()}
+    brute = {
+        (a, b): bin(hs[a] ^ hs[b]).count("1")
+        for a in hs
+        for b in hs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    assert pairs == brute
+    # non-WAV codecs stay honestly gated
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(9, "audio", b"ID3\x04", (0, 0, 44100, 1, "mp3"))], ASSET_SCHEMA
+    )
+    with _pytest.raises(Exception, match="torchcodec"):
+        audio_fingerprint(bad, decode="real").collect()
