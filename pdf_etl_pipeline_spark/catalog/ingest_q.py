@@ -442,3 +442,56 @@ def st11_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_etl_pipeline_spark.llmdata.curation_stream import curation_funnel
 
     return curation_funnel(_st11_verdicts(spark, sf_dir)).orderBy("batch_id", "stage")
+
+
+# --- CC11: streaming-verdict shard manifest (st11's delivery path) ----------------
+from pdf_etl_pipeline_spark.llmdata import corpus as CP  # noqa: E402
+
+_CC11_ORACLE = f"""
+WITH {_ST11_VER_CTES},
+survivors AS (
+  SELECT doc_id, n_kept AS n_tokens FROM ver
+  WHERE admitted AND lang_trim = 'en' AND q_trim >= 0.5
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(CAST(CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                        - n_tokens AS BIGINT) AS DOUBLE) / {CP.PACK_BUDGET}) AS BIGINT) AS shard_id
+  FROM survivors
+)
+SELECT shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id
+FROM packed GROUP BY 1 ORDER BY 1"""
+
+
+@register(
+    "cc11_verdict_shard_manifest",
+    oracle=_CC11_ORACLE,
+    doc="CC11 streaming-verdict shard manifest — st11's delivery path (the "
+    "streaming twin of cc10): the curation stream's KEEP verdicts, already "
+    "span-trimmed and gate-scored at admission time, greedily packed into "
+    f"{CP.PACK_BUDGET}-token shards budgeted by their TRIMMED token counts — "
+    "what a training run loads from a streaming ingest. Scale: one filter "
+    "over the (corpus-linear, final) verdicts relation into pk1's two-level "
+    "packing cumsum (per-bucket windows + a bounded offsets relation, never "
+    "a corpus-wide single-partition sort)",
+)
+def cc11_verdict_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    survivors = (
+        _st11_verdicts(spark, sf_dir)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id", F.col("n_kept").alias("n_tokens"))
+    )
+    packed = CP.pack_counts(survivors)
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("shard_id")
+    )

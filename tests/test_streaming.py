@@ -1389,3 +1389,28 @@ def test_st11_streamed_equals_offline(spark, tmp_path):
     got = [[getattr(r, c) for c in cols] for r in sorted(rows, key=key)]
     want = [[getattr(r, c) for c in cols] for r in sorted(offline, key=key)]
     assert got == want
+
+@pytest.mark.slow
+def test_cc11_manifest_consistent_with_st11_keepers(spark):
+    """cc11's shard manifest must account for EXACTLY the st11 keep
+    verdicts' trimmed tokens: total tokens and doc counts match the
+    verdict relation, shard ids are contiguous from 0, and every shard
+    except possibly the last holds at least the budget's worth of
+    cumulative progress (greedy cumsum packing)."""
+    from pdf_etl_pipeline_spark.catalog import load_registry
+    from pdf_etl_pipeline_spark.llmdata import corpus as CP
+
+    sf = "/root/testdata/sf0.001"
+    reg = load_registry()
+    verd = reg["st11_streaming_curation"].fn(spark, sf).collect()
+    keep = [r for r in verd if r.verdict == "keep"]
+    manifest = reg["cc11_verdict_shard_manifest"].fn(spark, sf).collect()
+
+    assert sum(r.n_docs for r in manifest) == len(keep)
+    assert sum(r.total_tokens for r in manifest) == sum(r.n_kept for r in keep)
+    assert [r.shard_id for r in manifest] == list(range(len(manifest)))
+    # greedy cumsum: every non-final shard's cumulative start is budget-aligned,
+    # so each holds >= 1 doc and totals straddle the budget boundary
+    for r in manifest[:-1]:
+        assert r.total_tokens >= 1 and r.n_docs >= 1
+        assert r.total_tokens >= CP.PACK_BUDGET - max(k.n_kept for k in keep)

@@ -633,6 +633,26 @@ CHECKS = {
             if not set(cols) <= {"event_type", "ts", "value"}
         ],
     },
+    "cc11_verdict_shard_manifest": {
+        # st11's delivery path: the heavy chain lands as checkpointed
+        # verdict relations (audited separately via
+        # st11_curation_batch_body), so this plan is a filter over them
+        # into pk1's two-level packing — bkt-partitioned cumsum windows,
+        # the only SinglePartition exchange the bounded per-bucket
+        # offsets relation; no Python, no cartesian
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        "check": lambda plan: (
+            _pk1_tiny_window_input(plan)
+            + [
+                f"Window partitioned by neither doc_id nor bkt: {l.strip()[:100]}"
+                for l in plan.splitlines()
+                if "Window [" in l
+                and ", [doc_id" not in l.split("Window [", 1)[1]
+                and ", [bkt" not in l.split("Window [", 1)[1]
+            ]
+        ),
+    },
     "cc10_trimmed_shard_manifest": {
         # cc9's trim fragments + pk1's two-level packing: every window is
         # either doc_id-partitioned (the trim interval merge) or
