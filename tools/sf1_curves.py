@@ -171,8 +171,11 @@ def main() -> None:
         rs5_rolling_anomaly,
     )
     from pdf_etl_pipeline_spark.catalog.ingest_q import (
+        cc11_verdict_shard_manifest,
         st7_neardup_ingest,
         st10_span_monitor,
+        st11_curation_funnel,
+        st11_streaming_curation,
     )
     from pdf_etl_pipeline_spark.catalog.similarity_q import ss8_ivf_adc_topk
     from pdf_etl_pipeline_spark.catalog.tokenize_q import (
@@ -203,6 +206,9 @@ def main() -> None:
         ).rs7_cusum_changepoint,
         "cc9_trimmed_curation": cc9_trimmed_curation,
         "cc10_trimmed_shard_manifest": cc10_trimmed_shard_manifest,
+        "st11_streaming_curation": st11_streaming_curation,
+        "st11_curation_funnel": st11_curation_funnel,
+        "cc11_verdict_shard_manifest": cc11_verdict_shard_manifest,
     }
     # optional comma-separated substring filter (argv[3]): measure a
     # subset without paying for the whole battery
