@@ -175,6 +175,15 @@ def main() -> None:
     # regression. Headline metric (min-of-N total) is unchanged.
     runs_detail: dict[str, list[float]] = {}
 
+    # The two heaviest LSH-chain queries still show a slow FIRST TIMED run
+    # after one warm pass (r11 cc10: [15.6, 27.2, 15.9]; r12 pre-fix:
+    # [23.4, 13.3, 14.3] — adjudicated as warm-up/noise, not a plan flip:
+    # tools/cc10_adjudicate.py measured idle spread 1.185 with identical
+    # final adaptive plans). Their multi-stage chains (LSH index -> cluster
+    # -> trim -> pack) need a second execution before tiered JIT and
+    # shuffle-path warm-up settle, so they get one extra untimed pass.
+    DOUBLE_WARM = {"cc10_trimmed_shard_manifest", "st11_curation_funnel"}
+
     def run_set(names: list[str]) -> dict[str, float]:
         times: dict[str, float] = {}
         for name in names:
@@ -184,8 +193,9 @@ def main() -> None:
             # queries' first timed runs read >2x their min purely from
             # per-shape JIT — benign but it muddies the variance signal
             # the runs_detail exists to carry)
-            _reset_session_memos(spark)
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            for _ in range(2 if name in DOUBLE_WARM else 1):
+                _reset_session_memos(spark)
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             raw: list[float] = []
             for _ in range(RUNS):
                 _reset_session_memos(spark)
