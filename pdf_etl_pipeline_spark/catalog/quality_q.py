@@ -840,3 +840,73 @@ def dp5_snapshot_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     ref, cur = _snapshot_halves(spark, sf_dir)
     return ks_drift_df(ref, cur)
+
+
+# --- ST12: streaming drift monitor (the dq5/dp5 fragments as a stream) -------------
+# Two-batch unroll of streaming/drift_monitor.py: the first epoch half is
+# pinned as the reference snapshot, the second half is the arriving batch,
+# and the monitor's row per event_type carries BOTH drift views (binned PSI
+# + unbinned KS) against the pin — by construction identical to joining
+# dq4's and dp4's outputs, which the oracle does via the shared tails.
+
+_ST12_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE value IS NOT NULL
+),
+-- named 'halves', NOT 'stats': the nested psi tail defines its own
+-- 'stats', and DuckDB re-binds outer CTE references inside the nested
+-- scope — ev -> ref -> stats would resolve to the INNER stats (which
+-- reads ev), a circular reference
+halves AS (
+  SELECT CAST(floor((MIN(es) + MAX(es)) / 2.0) AS BIGINT) AS mid FROM base
+),
+ref AS (SELECT event_type, value FROM base, halves WHERE es < mid),
+cur AS (SELECT event_type, value FROM base, halves WHERE es >= mid),
+p AS (WITH {_psi_drift_tail_sql()}),
+k AS (WITH {_ks_drift_tail_sql()})
+SELECT p.event_type, p.n_ref, p.n_cur, p.psi, p.drift, k.ks_d, k.reject
+FROM p JOIN k ON p.event_type = k.event_type
+ORDER BY p.event_type"""
+
+
+@register(
+    "st12_drift_monitor",
+    oracle=_ST12_ORACLE,
+    doc="ST12 streaming drift monitor: the first batch is PINNED as the "
+    "reference snapshot (written once, replay-immutable), every later batch "
+    "scores against it — per event_type, binned PSI (shared grid, "
+    "decimal-exact term sums) beside the unbinned two-sample KS with its 5% "
+    "Smirnov line; one final drift row per (batch, type), exact "
+    "(batch_id, event_type) dedup on read. Runs the REAL foreachBatch body "
+    "over a two-batch epoch-half unroll. Scale: the audited dq5/dp5 plans "
+    "with the snapshot as the ref relation — one keyed bucket aggregation + "
+    "one keyed distinct-value ECDF window per batch, nothing stream-global",
+)
+def st12_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    tune(spark)
+    from pdf_etl_pipeline_spark.streaming.drift_monitor import monitor_drift_batch
+
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", F.unix_timestamp("ts").alias("es"))
+    )
+    mid = ev.agg(
+        F.floor((F.min("es") + F.max("es")) / 2.0).cast("long").alias("mid")
+    )
+    evm = ev.crossJoin(F.broadcast(mid))
+    b1 = evm.filter(F.col("es") < F.col("mid"))
+    b2 = evm.filter(F.col("es") >= F.col("mid"))
+    tmp = tempfile.mkdtemp(prefix="st12_state_")
+    try:
+        pinned = monitor_drift_batch(b1, tmp, batch_id=0)
+        assert pinned is None  # first batch becomes the reference
+        out = monitor_drift_batch(b2, tmp, batch_id=1)
+    finally:
+        from pdf_etl_pipeline_spark.operators import fsutil
+
+        fsutil.delete(tmp, recursive=True, spark=spark)
+    return out

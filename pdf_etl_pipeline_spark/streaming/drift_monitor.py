@@ -1,0 +1,111 @@
+"""Streaming drift monitor (st12) — dq5/dp5's pinned-snapshot drift as a
+foreachBatch stream.
+
+Production data-quality monitoring is a STREAM shape: the reference
+distribution is frozen once (the snapshot a scorecard was validated
+against), and every arriving batch is scored against it — "does today's
+data still look like the data we signed off on?". This module composes
+the r12 two-relation drift fragments (``quality_q.psi_drift_df`` /
+``ks_drift_df``) with the repo's foreachBatch discipline:
+
+- the FIRST batch becomes the pinned reference snapshot (written once
+  under ``<state_dir>/reference``; later runs and replays see it exists
+  and never overwrite — the pin is the point);
+- every later batch appends one drift row per event_type under
+  ``<state_dir>/drift``, tagged ``batch_id``: PSI over the shared
+  10-bucket grid of (reference ∪ batch) AND the two-sample KS D with its
+  5% Smirnov reject line — the binned and unbinned views side by side,
+  exactly dq4/dp4's statistics with the batch as the current side;
+- micro-batch replay recomputes bit-identical rows against the immutable
+  snapshot, so :func:`read_drift_reports`'s (batch_id, event_type) dedup
+  is exact, not lossy (st7/st10/st11's recovery contract).
+
+Scale shape per batch: the snapshot is its own (typically small, pinned)
+relation; scoring is one keyed bucket aggregation plus one keyed
+distinct-value ECDF window over (snapshot ∪ batch) — the audited
+dq5/dp5 plans. Nothing grows with stream lifetime except the one-row-
+per-(batch, type) drift relation itself.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REFERENCE_SUBDIR = "reference"
+DRIFT_SUBDIR = "drift"
+
+
+def _reference_path(state_dir: str) -> str:
+    return os.path.join(state_dir, REFERENCE_SUBDIR)
+
+
+def drift_batch_df(ref: DataFrame, cur: DataFrame) -> DataFrame:
+    """The LAZY per-batch drift report: PSI (+ flag) and KS D (+ reject)
+    joined per event_type — one row per type seen in either relation's
+    shared-support types. Factored out for the plan audit and the
+    two-batch registered query."""
+    from pdf_etl_pipeline_spark.catalog.quality_q import ks_drift_df, psi_drift_df
+
+    psi = psi_drift_df(ref, cur)
+    ks = ks_drift_df(ref, cur).select("event_type", "ks_d", "reject")
+    return psi.join(ks, "event_type").select(
+        "event_type", "n_ref", "n_cur", "psi", "drift", "ks_d", "reject"
+    ).orderBy("event_type")
+
+
+def monitor_drift_batch(values: DataFrame, state_dir: str, batch_id: int) -> DataFrame | None:
+    """Process one batch of (event_type, value) rows: pin it as the
+    reference if none exists yet (returns None — the reference defines
+    "no drift" and is not scored against itself), else score it against
+    the pinned snapshot and return the materialized drift rows."""
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    spark = values.sparkSession
+    ref_path = _reference_path(state_dir)
+    if not fsutil.list_data_files(ref_path, spark):
+        values.select("event_type", "value").write.mode("append").parquet(ref_path)
+        return None
+    ref = spark.read.parquet(ref_path)
+    return drift_batch_df(ref, values.select("event_type", "value")).localCheckpoint()
+
+
+def drift_monitor_stream(
+    events_stream: DataFrame,
+    state_dir: str,
+    checkpoint_location: str | None = None,
+):
+    """Streaming wrapper (foreachBatch, availableNow): epoch ids tag the
+    drift rows; ``checkpointLocation`` defaults inside ``state_dir`` so a
+    restart resumes offsets (and the pinned reference survives — it is
+    written once, ever)."""
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = monitor_drift_batch(
+            batch_df.filter(F.col("value").isNotNull()), state_dir, int(epoch_id)
+        )
+        if rows is not None:
+            rows.withColumn("batch_id", F.lit(int(epoch_id)).cast("long")).write.mode(
+                "append"
+            ).parquet(os.path.join(state_dir, DRIFT_SUBDIR))
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .foreachBatch(_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_location or os.path.join(state_dir, "_checkpoint"),
+        )
+        .trigger(availableNow=True)
+    )
+
+
+def read_drift_reports(spark, state_dir: str) -> DataFrame:
+    """One drift row per (batch, event_type): replays recompute
+    bit-identical rows against the immutable snapshot, so the dedup is
+    exact."""
+    return spark.read.parquet(os.path.join(state_dir, DRIFT_SUBDIR)).dropDuplicates(
+        ["batch_id", "event_type"]
+    )

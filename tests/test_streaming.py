@@ -1414,3 +1414,85 @@ def test_cc11_manifest_consistent_with_st11_keepers(spark):
     for r in manifest[:-1]:
         assert r.total_tokens >= 1 and r.n_docs >= 1
         assert r.total_tokens >= CP.PACK_BUDGET - max(k.n_kept for k in keep)
+
+def test_st12_drift_monitor_stream_and_pinned_reference(spark, tmp_path):
+    """st12: the FIRST batch is pinned as the immutable reference; every
+    later batch scores against that pin (not against its predecessor);
+    replays/restarts recompute identical rows and never move the pin."""
+    import datetime as dt
+    import os as _os
+
+    from pdf_etl_pipeline_spark.streaming.drift_monitor import (
+        REFERENCE_SUBDIR,
+        drift_monitor_stream,
+        monitor_drift_batch,
+        read_drift_reports,
+    )
+    from pyspark.sql import functions as F2
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda rows: spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    # reference: values 0..9; batch B: same distribution (no drift);
+    # batch C: shifted by +100 (total drift)
+    ref_rows = [(i, base, 1, "m", float(i % 10), "{}") for i in range(40)]
+    b_rows = [(100 + i, base, 1, "m", float(i % 10), "{}") for i in range(40)]
+    c_rows = [(200 + i, base, 1, "m", 100.0 + (i % 10), "{}") for i in range(40)]
+
+    drop_dir = str(tmp_path / "drops")
+    for i, rows in enumerate((ref_rows, b_rows, c_rows)):
+        mk(rows).coalesce(1).write.mode("append").parquet(drop_dir)
+        import time as _t; _t.sleep(1.1)  # distinct mod times -> file order
+
+    state = str(tmp_path / "state")
+    def run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+            .option("maxFilesPerTrigger", 1)
+            .load(drop_dir)
+        )
+        q = drift_monitor_stream(stream, state).start()
+        q.awaitTermination(300)
+
+    run()
+    rep = {r.batch_id: r for r in read_drift_reports(spark, state).collect()}
+    assert set(rep) == {1, 2}  # batch 0 = the pin, never scored
+    assert rep[1].psi < 0.2 and not rep[1].drift and rep[1].ks_d == 0.0
+    assert rep[2].drift and rep[2].reject and rep[2].ks_d == 1.0  # disjoint supports
+    assert (rep[1].n_ref, rep[1].n_cur) == (40, 40)
+
+    # restart with the same checkpoint: no new files -> no new rows, pin intact
+    ref_files = sorted(_os.listdir(_os.path.join(state, REFERENCE_SUBDIR)))
+    run()
+    assert read_drift_reports(spark, state).count() == 2
+    assert sorted(_os.listdir(_os.path.join(state, REFERENCE_SUBDIR))) == ref_files
+
+    # a replayed batch recomputes bit-identical rows against the pin
+    ref = spark.read.parquet(_os.path.join(state, REFERENCE_SUBDIR))
+    again = monitor_drift_batch(
+        mk(c_rows).select("event_type", "value"), state, batch_id=2
+    )
+    assert sorted(map(tuple, again.collect())) == [
+        tuple(rep[2])[:-1]  # minus the batch_id column appended by the stream
+    ]
+
+
+def test_st12_equals_dq4_join_dp4(spark):
+    """By construction st12's two-batch unroll (first half pinned, second
+    half scored) must equal dq4 ⋈ dp4 per event_type — pin it."""
+    from pdf_etl_pipeline_spark.catalog import load_registry
+
+    sf = "/root/testdata/sf0.001"
+    reg = load_registry()
+    st12 = {r.event_type: r for r in reg["st12_drift_monitor"].fn(spark, sf).collect()}
+    dq4 = {r.event_type: r for r in reg["dq4_distribution_drift"].fn(spark, sf).collect()}
+    dp4 = {r.event_type: r for r in reg["dp4_ks_drift"].fn(spark, sf).collect()}
+    assert set(st12) == set(dq4) == set(dp4)
+    for et, r in st12.items():
+        assert (r.n_ref, r.n_cur, r.psi, r.drift) == (
+            dq4[et].n_ref, dq4[et].n_cur, dq4[et].psi, dq4[et].drift
+        )
+        assert (r.ks_d, r.reject) == (dp4[et].ks_d, dp4[et].reject)

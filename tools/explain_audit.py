@@ -147,6 +147,40 @@ def _st11_verdict_body_df(spark, sf_dir):
     return curation_verdict_df(b2, admitted, trimmed)
 
 
+_ST12_AUDIT_TMP: dict = {}
+
+
+def _st12_drift_body_df(spark, sf_dir):
+    """st12's per-batch drift plan against a REAL pinned on-disk snapshot
+    (first epoch half), scoring the second half — the foreachBatch body
+    with the side-effecting pin write factored away."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.session import load_events
+    from pdf_etl_pipeline_spark.streaming.drift_monitor import (
+        drift_batch_df,
+        monitor_drift_batch,
+    )
+
+    if "dir" not in _ST12_AUDIT_TMP:
+        import tempfile
+
+        _ST12_AUDIT_TMP["dir"] = tempfile.mkdtemp(prefix="st12_audit_")
+    state = _ST12_AUDIT_TMP["dir"]
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", F.unix_timestamp("ts").alias("es"))
+    )
+    mid = ev.agg(F.floor((F.min("es") + F.max("es")) / 2.0).cast("long").alias("mid"))
+    evm = ev.crossJoin(F.broadcast(mid))
+    if "pinned" not in _ST12_AUDIT_TMP:
+        assert monitor_drift_batch(evm.filter(F.col("es") < F.col("mid")), state, 0) is None
+        _ST12_AUDIT_TMP["pinned"] = True
+    ref = spark.read.parquet(os.path.join(state, "reference"))
+    return drift_batch_df(ref, evm.filter(F.col("es") >= F.col("mid")))
+
+
 _ST7_AUDIT_TMP: dict = {}
 
 
@@ -516,6 +550,22 @@ CHECKS = {
         # bounded (per-type) rows — no global sort, no Python
         "must": ["Window", "HashAggregate", "BroadcastHashJoin"],
         "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+        "check": lambda plan: [
+            f"window not partitioned by event_type: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(event_type#" not in ln
+        ],
+    },
+    "st12_drift_monitor": {
+        # the foreachBatch drift body (snapshot pinned on disk, batch as
+        # the current side): the audited dq5/dp5 shapes — keyed bucket
+        # aggregation + type-keyed ECDF window over (snapshot ∪ batch),
+        # 1-row grid/total broadcasts, a bounded per-type final join;
+        # no Python, no cartesian product, no corpus-global window
+        "build": _st12_drift_body_df,
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin", "BroadcastHashJoin", "Window", "Union"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
         "check": lambda plan: [
             f"window not partitioned by event_type: {ln.strip()[:80]}"
             for ln in plan.splitlines()
