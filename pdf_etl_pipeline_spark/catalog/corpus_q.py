@@ -269,3 +269,72 @@ def dc2_near_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sp5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return CP.span_corruption(load_table(spark, sf_dir, "documents"))
+
+
+# --- ST13: streaming contamination guard (dc1 at admission time) -------------------
+_ST13_SPLIT = "(SELECT (MAX(doc_id) + 1) // 2 FROM documents)"
+
+_ST13_ORACLE = f"""
+WITH sh AS (SELECT doc_id, unnest({_SH}) AS h FROM documents),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % {CP.BENCH_MOD} = 0),
+corpus AS (SELECT doc_id FROM documents WHERE doc_id % {CP.BENCH_MOD} <> 0),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS ns
+  FROM sh s JOIN bench USING (h)
+  WHERE s.doc_id % {CP.BENCH_MOD} <> 0
+  GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(CASE WHEN c.doc_id < {_ST13_SPLIT} THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
+       CAST(COALESCE(h.ns, 0) AS BIGINT) AS n_shared_shingles,
+       COALESCE(h.ns, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+ORDER BY c.doc_id"""
+
+
+@register(
+    "st13_contamination_guard",
+    oracle=_ST13_ORACLE,
+    doc=f"ST13 streaming contamination guard — dc1 at admission time: the "
+    f"benchmark's distinct {CP.DECON_N}-gram shingle hashes are PINNED once "
+    "(write-once, replay/restart-immutable), every arriving batch is screened "
+    "against the pin before admission — one FINAL verdict row per doc "
+    "(n_shared_shingles, contaminated), batches independent by construction "
+    "(screened against the pin only, never each other). Runs the real "
+    "foreachBatch body over a two-batch unroll. Scale: one corpus-linear "
+    "shingle explode per batch, an equi-join whose build side is the "
+    "broadcast eval-suite-sized pin, one keyed count — nothing stream-global",
+)
+def st13_contamination_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    tune(spark)
+    from pdf_etl_pipeline_spark.streaming.contamination_guard import (
+        guard_contamination_batch,
+        pin_benchmark,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % CP.BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % CP.BENCH_MOD != 0)
+    split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    tmp = tempfile.mkdtemp(prefix="st13_state_")
+    try:
+        assert pin_benchmark(bench, tmp)
+        v1 = guard_contamination_batch(
+            corpus.filter(F.col("doc_id") < split), tmp, batch_id=0
+        ).withColumn("batch_id", F.lit(0).cast("long"))
+        v2 = guard_contamination_batch(
+            corpus.filter(F.col("doc_id") >= split), tmp, batch_id=1
+        ).withColumn("batch_id", F.lit(1).cast("long"))
+        out = (
+            v1.unionByName(v2)
+            .select("doc_id", "batch_id", "n_shared_shingles", "contaminated")
+            .orderBy("doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        from pdf_etl_pipeline_spark.operators import fsutil
+
+        fsutil.delete(tmp, recursive=True, spark=spark)
+    return out

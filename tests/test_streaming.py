@@ -1496,3 +1496,64 @@ def test_st12_equals_dq4_join_dp4(spark):
             dq4[et].n_ref, dq4[et].n_cur, dq4[et].psi, dq4[et].drift
         )
         assert (r.ks_d, r.reject) == (dp4[et].ks_d, dp4[et].reject)
+
+def test_st13_contamination_guard_stream_and_pin(spark, tmp_path):
+    """st13: planted benchmark 5-gram flags exactly the docs sharing it
+    (with the exact distinct-shingle overlap count); the pin is
+    write-once; an unpinned guard refuses to run; restart appends no
+    duplicate verdicts."""
+    import os as _os
+    import time as _time
+
+    from pdf_etl_pipeline_spark.streaming.contamination_guard import (
+        contamination_guard_stream,
+        guard_contamination_batch,
+        pin_benchmark,
+        read_contamination_reports,
+    )
+
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta")],  # 6 tokens -> 2 5-gram shingles
+        "doc_id long, text string",
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    # doc 1 shares the first 5-gram exactly once; doc 2 shares both
+    # shingles; doc 3 is clean
+    b1 = mk([
+        (1, "alpha beta gamma delta epsilon nine ten eleven"),
+        (2, "x alpha beta gamma delta epsilon zeta y"),
+    ])
+    b2 = mk([(3, "one two three four five six seven")])
+
+    state = str(tmp_path / "state")
+    with pytest.raises(ValueError, match="pin_benchmark"):
+        guard_contamination_batch(b1, state, 0)
+
+    assert pin_benchmark(bench, state)
+    assert not pin_benchmark(mk([(9, "other words entirely here now")]), state)  # write-once
+
+    drop_dir = str(tmp_path / "drops")
+    b1.coalesce(1).write.mode("append").parquet(drop_dir)
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(drop_dir)
+
+    def run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(drop_dir)
+        )
+        q = contamination_guard_stream(stream, state).start()
+        q.awaitTermination(300)
+
+    run()
+    got = {r.doc_id: r for r in read_contamination_reports(spark, state).collect()}
+    assert {d: (got[d].n_shared_shingles, got[d].contaminated) for d in sorted(got)} == {
+        1: (1, True),
+        2: (2, True),
+        3: (0, False),
+    }
+    # restart: no new files -> no duplicate verdicts
+    run()
+    assert read_contamination_reports(spark, state).count() == 3

@@ -181,6 +181,37 @@ def _st12_drift_body_df(spark, sf_dir):
     return drift_batch_df(ref, evm.filter(F.col("es") >= F.col("mid")))
 
 
+_ST13_AUDIT_TMP: dict = {}
+
+
+def _st13_guard_body_df(spark, sf_dir):
+    """st13's per-batch guard plan against a REAL pinned benchmark
+    shingle set: corpus-linear shingle explode, equi-join with the
+    broadcast pin, keyed count, per-doc left join — dc1's shape with
+    the benchmark side pinned on disk."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.llmdata.corpus import BENCH_MOD
+    from pdf_etl_pipeline_spark.session import load_table
+    from pdf_etl_pipeline_spark.streaming.contamination_guard import (
+        _bench_path,
+        guard_batch_df,
+        pin_benchmark,
+    )
+
+    if "dir" not in _ST13_AUDIT_TMP:
+        import tempfile
+
+        _ST13_AUDIT_TMP["dir"] = tempfile.mkdtemp(prefix="st13_audit_")
+    state = _ST13_AUDIT_TMP["dir"]
+    docs = load_table(spark, sf_dir, "documents")
+    if "pinned" not in _ST13_AUDIT_TMP:
+        pin_benchmark(docs.filter(F.col("doc_id") % BENCH_MOD == 0), state)
+        _ST13_AUDIT_TMP["pinned"] = True
+    bench = spark.read.parquet(_bench_path(state))
+    return guard_batch_df(docs.filter(F.col("doc_id") % BENCH_MOD != 0), bench)
+
+
 _ST7_AUDIT_TMP: dict = {}
 
 
@@ -555,6 +586,21 @@ CHECKS = {
             for ln in plan.splitlines()
             if "windowspecdefinition(" in ln
             and "windowspecdefinition(event_type#" not in ln
+        ],
+    },
+    "st13_contamination_guard": {
+        # dc1's decontamination shape at admission: Generate (shingle
+        # explode) over the batch, hash equi-joins only (the pin is the
+        # bounded build side), one keyed count, no window, no Python,
+        # no cartesian
+        "build": _st13_guard_body_df,
+        "must": ["Generate", "HashAggregate"],
+        "must_not": [
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "Window",
         ],
     },
     "st12_drift_monitor": {
