@@ -910,3 +910,147 @@ def st12_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         fsutil.delete(tmp, recursive=True, spark=spark)
     return out
+
+
+# --- DQ6: categorical drift (two-sample chi-square homogeneity) ---------------------
+# Completes the drift family: dq4 = binned numeric (PSI), dp4 = unbinned
+# numeric (KS), dq6 = CATEGORICAL — did the event-type MIX shift between the
+# epoch halves? Two-sample chi-square homogeneity over the per-type counts,
+# with expected cells from the pooled proportions. Per-cell terms are pure
+# integer-count arithmetic rounded to 12 decimals and summed as exact
+# decimals (the dq4/rs7 discipline). The 5% reject line is the
+# Wilson–Hilferty approximation of the chi-square critical value — an
+# explicit closed form both engines evaluate identically (NOT the exact
+# quantile; documented as the approximate line, weakest at dof 1 where it
+# reads ~3.75 vs the true 3.84).
+DQ6_Z_05 = 1.6448536269514722  # standard normal 95% quantile
+
+
+def chi2_drift_df(ref: DataFrame, cur: DataFrame) -> DataFrame:
+    """Two-sample chi-square homogeneity between TWO relations of
+    (event_type) rows — the categorical member of the two-relation drift
+    family (psi_drift_df / ks_drift_df)."""
+    ev = ref.select("event_type", F.lit(True).alias("is_ref")).unionByName(
+        cur.select("event_type", F.lit(False).alias("is_ref"))
+    )
+    cells = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("oref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("ocur"),
+    )
+    tot = cells.agg(
+        F.sum("oref").alias("n_ref"),
+        F.sum("ocur").alias("n_cur"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    n = F.col("n_ref") + F.col("n_cur")
+    nt = F.col("oref") + F.col("ocur")
+    er = nt * F.col("n_ref") / n
+    ec = nt * F.col("n_cur") / n
+    term = F.when(
+        (er > 0) & (ec > 0),
+        F.round(
+            (F.col("oref") - er) * (F.col("oref") - er) / er
+            + (F.col("ocur") - ec) * (F.col("ocur") - ec) / ec,
+            12,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(27,12)")
+    wide = (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("n_ref", "n_cur", "k")
+        .agg(F.sum(term).cast("double").alias("chi2"))
+    )
+    dof = (F.col("k") - 1).cast("double")
+    wh = dof * F.pow(
+        F.lit(1.0) - 2.0 / (9.0 * dof) + DQ6_Z_05 * F.sqrt(2.0 / (9.0 * dof)), 3.0
+    )
+    return wide.select(
+        F.col("k").cast("long").alias("n_types"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round("chi2", 6).alias("chi2"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.when(F.col("k") > 1, F.round(wh, 6)).alias("crit_05"),
+        F.when(F.col("k") > 1, F.col("chi2") > wh).alias("reject"),
+    )
+
+
+def _chi2_drift_tail_sql(z: float = DQ6_Z_05) -> str:
+    """Oracle tail from two CTEs named ``ref``/``cur`` of (event_type)
+    rows — the SQL twin of :func:`chi2_drift_df`."""
+    return f"""ev AS (
+  SELECT event_type, TRUE AS is_ref FROM ref
+  UNION ALL
+  SELECT event_type, FALSE AS is_ref FROM cur
+),
+cells AS (
+  SELECT event_type,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS oref,
+         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS ocur
+  FROM ev GROUP BY 1
+),
+tot AS (
+  SELECT SUM(oref) AS n_ref, SUM(ocur) AS n_cur, COUNT(*) AS k FROM cells
+),
+wide AS (
+  SELECT t.n_ref, t.n_cur, t.k,
+         CAST(SUM(CAST(
+           CASE WHEN (c.oref + c.ocur) * t.n_ref / (t.n_ref + t.n_cur) > 0
+                 AND (c.oref + c.ocur) * t.n_cur / (t.n_ref + t.n_cur) > 0
+                THEN round(
+                  (c.oref - (c.oref + c.ocur) * t.n_ref / CAST(t.n_ref + t.n_cur AS DOUBLE))
+                  * (c.oref - (c.oref + c.ocur) * t.n_ref / CAST(t.n_ref + t.n_cur AS DOUBLE))
+                  / ((c.oref + c.ocur) * t.n_ref / CAST(t.n_ref + t.n_cur AS DOUBLE))
+                  + (c.ocur - (c.oref + c.ocur) * t.n_cur / CAST(t.n_ref + t.n_cur AS DOUBLE))
+                  * (c.ocur - (c.oref + c.ocur) * t.n_cur / CAST(t.n_ref + t.n_cur AS DOUBLE))
+                  / ((c.oref + c.ocur) * t.n_cur / CAST(t.n_ref + t.n_cur AS DOUBLE)), 12)
+                ELSE 0.0 END
+           AS DECIMAL(27,12))) AS DOUBLE) AS chi2
+  FROM cells c, tot t
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(k AS BIGINT) AS n_types,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       round(chi2, 6) AS chi2,
+       CAST(k - 1 AS BIGINT) AS dof,
+       CASE WHEN k > 1 THEN round((k - 1) * pow(1.0 - 2.0 / (9.0 * (k - 1))
+                 + {z} * sqrt(2.0 / (9.0 * (k - 1))), 3.0), 6) END AS crit_05,
+       CASE WHEN k > 1 THEN chi2 > (k - 1) * pow(1.0 - 2.0 / (9.0 * (k - 1))
+                 + {z} * sqrt(2.0 / (9.0 * (k - 1))), 3.0) END AS reject
+FROM wide"""
+
+
+_DQ6_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+halves AS (
+  SELECT CAST(floor((MIN(es) + MAX(es)) / 2.0) AS BIGINT) AS mid FROM base
+),
+ref AS (SELECT event_type FROM base, halves WHERE es < mid),
+cur AS (SELECT event_type FROM base, halves WHERE es >= mid),
+{_chi2_drift_tail_sql()}"""
+
+
+@register(
+    "dq6_categorical_drift",
+    oracle=_DQ6_ORACLE,
+    doc="DQ6 categorical drift: two-sample chi-square homogeneity of the "
+    "event-type MIX between the epoch halves (expected cells from pooled "
+    "proportions; per-cell terms rounded to 12 dp and summed as exact "
+    "decimals; reject at the Wilson-Hilferty approximate 5% line, evaluated "
+    "identically on both engines). Completes the drift family: dq4 binned "
+    "numeric, dp4 unbinned numeric, dq6 categorical. Scale: ONE keyed count "
+    "aggregation over the type column, then arithmetic on the bounded "
+    "type-count relation — one corpus exchange, no window, no raw-row join",
+)
+def dq6_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.unix_timestamp("ts").alias("es")
+    )
+    mid = ev.agg(F.floor((F.min("es") + F.max("es")) / 2.0).cast("long").alias("mid"))
+    evm = ev.crossJoin(F.broadcast(mid))
+    ref = evm.filter(F.col("es") < F.col("mid")).select("event_type")
+    cur = evm.filter(F.col("es") >= F.col("mid")).select("event_type")
+    return chi2_drift_df(ref, cur)

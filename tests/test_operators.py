@@ -1417,3 +1417,57 @@ def test_rs6_hour_of_week_cell_cross_engine_pre_1970(spark):
     for r in spark_rows:
         assert 0 <= r.how < 168
         assert r.how == duck[r.off], (r.off, r.how, duck[r.off])
+
+def test_dq6_chi2_drift_hand_computed(spark, tmp_path):
+    """dq6: planted type mixes with a hand-derived chi-square — shifted
+    mix rejects, identical mix reads 0, single-type data abstains
+    (dof 0)."""
+    import datetime as dt
+
+    from pdf_etl_pipeline_spark.catalog.quality_q import (
+        DQ6_Z_05,
+        dq6_categorical_drift,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda rows, d: spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+
+    # ref (first half): a x10, b x10; cur (second half): a x10, b x40
+    d1 = tmp_path / "shift"; d1.mkdir()
+    rows = [(i, base + dt.timedelta(seconds=i), 1, "a", 1.0, "{}") for i in range(10)]
+    rows += [(20 + i, base + dt.timedelta(seconds=10 + i), 1, "b", 1.0, "{}") for i in range(10)]
+    rows += [(100 + i, base + dt.timedelta(seconds=1000 + i), 1, "a", 1.0, "{}") for i in range(10)]
+    rows += [(200 + i, base + dt.timedelta(seconds=2000 + i), 1, "b", 1.0, "{}") for i in range(40)]
+    mk(rows, d1)
+    r = dq6_categorical_drift(spark, str(d1)).collect()[0]
+    # hand: a (10 vs 10, nt=30): (10-60/7)^2/(60/7) + (10-150/7)^2/(150/7)
+    #       b (10 vs 40, nt=50): (10-100/7)^2/(100/7) + (40-250/7)^2/(250/7)
+    term_a = (10 - 60 / 7) ** 2 / (60 / 7) + (10 - 150 / 7) ** 2 / (150 / 7)
+    term_b = (10 - 100 / 7) ** 2 / (100 / 7) + (40 - 250 / 7) ** 2 / (250 / 7)
+    want = round(round(term_a, 12) + round(term_b, 12), 6)
+    assert (r.n_types, r.n_ref, r.n_cur, r.dof) == (2, 20, 50, 1)
+    assert r.chi2 == want  # 8.133333
+    wh = 1 * (1 - 2 / 9 + DQ6_Z_05 * (2 / 9) ** 0.5) ** 3
+    assert r.crit_05 == round(wh, 6) and bool(r.reject)
+
+    # identical halves: chi2 = 0, no reject
+    d2 = tmp_path / "same"; d2.mkdir()
+    rows = [(i, base + dt.timedelta(seconds=i), 1, ("a", "b")[i % 2], 1.0, "{}") for i in range(20)]
+    rows += [
+        (100 + i, base + dt.timedelta(seconds=1000 + i), 1, ("a", "b")[i % 2], 1.0, "{}")
+        for i in range(20)
+    ]
+    mk(rows, d2)
+    r = dq6_categorical_drift(spark, str(d2)).collect()[0]
+    assert (r.chi2, bool(r.reject)) == (0.0, False)
+
+    # single type: dof 0 -> the test abstains rather than dividing by zero
+    d3 = tmp_path / "one"; d3.mkdir()
+    rows = [(i, base + dt.timedelta(seconds=i), 1, "only", 1.0, "{}") for i in range(10)]
+    rows += [(100 + i, base + dt.timedelta(seconds=1000 + i), 1, "only", 1.0, "{}") for i in range(10)]
+    mk(rows, d3)
+    r = dq6_categorical_drift(spark, str(d3)).collect()[0]
+    assert (r.n_types, r.dof, r.crit_05, r.reject) == (1, 0, None, None)

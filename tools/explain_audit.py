@@ -588,6 +588,22 @@ CHECKS = {
             and "windowspecdefinition(event_type#" not in ln
         ],
     },
+    "dq6_categorical_drift": {
+        # one keyed count over the type column (1-row midpoint broadcast
+        # back as the tx7-shape BNLJ), then arithmetic on the bounded
+        # type-count relation — no window, no raw-row join, scan pruned
+        # to (event_type, ts)
+        "must": ["HashAggregate", "BroadcastNestedLoopJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin", "Window"],
+        "check": lambda plan: [
+            f"events scan reads beyond (event_type, ts): {cols}"
+            for cols in (
+                sorted(c.split(":")[0] for c in m.split(">")[0].split(","))
+                for m in plan.split("ReadSchema: struct<")[1:]
+            )
+            if not set(cols) <= {"event_type", "ts"}
+        ],
+    },
     "st13_contamination_guard": {
         # dc1's decontamination shape at admission: Generate (shingle
         # explode) over the batch, hash equi-joins only (the pin is the
