@@ -1437,19 +1437,21 @@ def test_dq6_chi2_drift_hand_computed(spark, tmp_path):
 
     # ref (first half): a x10, b x10; cur (second half): a x10, b x40
     d1 = tmp_path / "shift"; d1.mkdir()
+    # ref (es < mid ~ 819): seconds 0..19; cur: seconds 1500..1639
     rows = [(i, base + dt.timedelta(seconds=i), 1, "a", 1.0, "{}") for i in range(10)]
     rows += [(20 + i, base + dt.timedelta(seconds=10 + i), 1, "b", 1.0, "{}") for i in range(10)]
-    rows += [(100 + i, base + dt.timedelta(seconds=1000 + i), 1, "a", 1.0, "{}") for i in range(10)]
-    rows += [(200 + i, base + dt.timedelta(seconds=2000 + i), 1, "b", 1.0, "{}") for i in range(40)]
+    rows += [(100 + i, base + dt.timedelta(seconds=1500 + i), 1, "a", 1.0, "{}") for i in range(10)]
+    rows += [(200 + i, base + dt.timedelta(seconds=1600 + i), 1, "b", 1.0, "{}") for i in range(40)]
     mk(rows, d1)
     r = dq6_categorical_drift(spark, str(d1)).collect()[0]
-    # hand: a (10 vs 10, nt=30): (10-60/7)^2/(60/7) + (10-150/7)^2/(150/7)
-    #       b (10 vs 40, nt=50): (10-100/7)^2/(100/7) + (40-250/7)^2/(250/7)
-    term_a = (10 - 60 / 7) ** 2 / (60 / 7) + (10 - 150 / 7) ** 2 / (150 / 7)
+    # hand (N_ref=20, N_cur=50, N=70):
+    #   a (10 vs 10, nt=20): e_r=40/7, e_c=100/7 -> term 4.5
+    #   b (10 vs 40, nt=50): e_r=100/7, e_c=250/7 -> term 1.8
+    term_a = (10 - 40 / 7) ** 2 / (40 / 7) + (10 - 100 / 7) ** 2 / (100 / 7)
     term_b = (10 - 100 / 7) ** 2 / (100 / 7) + (40 - 250 / 7) ** 2 / (250 / 7)
     want = round(round(term_a, 12) + round(term_b, 12), 6)
     assert (r.n_types, r.n_ref, r.n_cur, r.dof) == (2, 20, 50, 1)
-    assert r.chi2 == want  # 8.133333
+    assert r.chi2 == want == 6.3
     wh = 1 * (1 - 2 / 9 + DQ6_Z_05 * (2 / 9) ** 0.5) ** 3
     assert r.crit_05 == round(wh, 6) and bool(r.reject)
 
