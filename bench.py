@@ -85,7 +85,7 @@ ROTATED_OUT = [
     "rs7_cusum_changepoint", "dp4_ks_drift", "ev4_twap",
     "dq5_snapshot_psi_drift", "dp5_snapshot_ks_drift",
     "st11_streaming_curation", "cc11_verdict_shard_manifest",
-    "st12_drift_monitor", "st13_contamination_guard", "dq6_categorical_drift",
+    "st12_drift_monitor", "st13_contamination_guard", "dq6_categorical_drift", "dq7_embedding_drift",
 ]
 
 

@@ -1054,3 +1054,130 @@ def dq6_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = evm.filter(F.col("es") < F.col("mid")).select("event_type")
     cur = evm.filter(F.col("es") >= F.col("mid")).select("event_type")
     return chi2_drift_df(ref, cur)
+
+
+# --- DQ7: embedding-centroid drift -------------------------------------------------
+# The drift family's EMBEDDING member: per label, did the centroid of the
+# vector population move between the two halves of the table? The
+# LLM-data shape: embeddings of successive crawl snapshots (or encoder
+# versions) should occupy the same region per cluster — a centroid that
+# rotates (cosine) or translates (L2 shift) flags representation drift
+# long before downstream metrics do. Every aggregation is decimal-exact
+# over 12-dp-rounded terms (the dq4/rs7 discipline): per-dimension sums
+# over the corpus, then the bounded per-label dot/norm sums over the
+# dimension axis — bit-identical cross-engine.
+DQ7_COS_MIN = 0.9  # centroid-direction drift flag
+
+
+def dq7_embedding_drift_oracle() -> str:
+    dec = "DECIMAL(27,12)"
+    return f"""
+WITH halves AS (
+  SELECT (MAX(vec_id) + 1) // 2 AS split FROM embeddings
+),
+ex AS (
+  SELECT label, (vec_id < split) AS is_ref, d,
+         round(CAST(embedding[d] AS DOUBLE), 12) AS v
+  FROM embeddings, halves, unnest(range(1, len(embedding) + 1)) AS u(d)
+),
+counts AS (
+  SELECT label,
+         COUNT(DISTINCT CASE WHEN vec_id < split THEN vec_id END) AS n_ref,
+         COUNT(DISTINCT CASE WHEN vec_id >= split THEN vec_id END) AS n_cur
+  FROM embeddings, halves
+  GROUP BY 1
+),
+cells AS (
+  SELECT label, d,
+         CAST(SUM(CASE WHEN is_ref THEN CAST(v AS {dec}) END) AS DOUBLE) AS sref,
+         CAST(SUM(CASE WHEN NOT is_ref THEN CAST(v AS {dec}) END) AS DOUBLE) AS scur
+  FROM ex GROUP BY 1, 2
+),
+cent AS (
+  SELECT c.label, t.n_ref, t.n_cur,
+         COALESCE(c.sref, 0.0) / t.n_ref AS cr,
+         COALESCE(c.scur, 0.0) / t.n_cur AS cc
+  FROM cells c JOIN counts t ON c.label = t.label
+  WHERE t.n_ref > 0 AND t.n_cur > 0
+),
+per_label AS (
+  SELECT label, n_ref, n_cur,
+         CAST(SUM(CAST(round(cr * cc, 12) AS {dec})) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(round(cr * cr, 12) AS {dec})) AS DOUBLE) AS qa,
+         CAST(SUM(CAST(round(cc * cc, 12) AS {dec})) AS DOUBLE) AS qb,
+         CAST(SUM(CAST(round((cr - cc) * (cr - cc), 12) AS {dec})) AS DOUBLE) AS qd
+  FROM cent GROUP BY 1, 2, 3
+)
+SELECT label, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       CASE WHEN qa > 0 AND qb > 0
+            THEN round(dot / (sqrt(qa) * sqrt(qb)), 6) END AS centroid_cos,
+       round(sqrt(qd), 6) AS centroid_l2_shift,
+       CASE WHEN qa > 0 AND qb > 0
+            THEN dot / (sqrt(qa) * sqrt(qb)) < {DQ7_COS_MIN} END AS drift
+FROM per_label ORDER BY label"""
+
+
+@register(
+    "dq7_embedding_drift",
+    oracle=dq7_embedding_drift_oracle(),
+    doc=f"DQ7 embedding-centroid drift per label between the vec_id halves: "
+    f"cosine of the two centroids (rotation) beside the centroid L2 shift "
+    f"(translation), drift flagged at cos < {DQ7_COS_MIN} — the "
+    "representation-drift check an embedding pipeline runs across crawl "
+    "snapshots or encoder versions. Decimal-exact 12-dp term sums at both "
+    "aggregation levels (per-dim over vectors, per-label over dims). Scale: "
+    "ONE keyed (label, dim) aggregation over the corpus-linear explode, then "
+    "arithmetic on the bounded labels x dims relation — one corpus exchange, "
+    "no window, full vectors never shuffle",
+)
+def dq7_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = emb.agg(((F.max("vec_id") + 1) / 2).cast("long").alias("split"))
+    base = emb.crossJoin(F.broadcast(split)).withColumn(
+        "is_ref", F.col("vec_id") < F.col("split")
+    )
+    counts = base.groupBy("label").agg(
+        F.count_distinct(F.when(F.col("is_ref"), F.col("vec_id"))).alias("n_ref"),
+        F.count_distinct(F.when(~F.col("is_ref"), F.col("vec_id"))).alias("n_cur"),
+    )
+    dec = "decimal(27,12)"
+    ex = base.select(
+        "label",
+        "is_ref",
+        F.posexplode("embedding").alias("d", "v0"),
+    ).withColumn("v", F.round(F.col("v0").cast("double"), 12))
+    cells = ex.groupBy("label", "d").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("v").cast(dec))).cast("double").alias("sref"),
+        F.sum(F.when(~F.col("is_ref"), F.col("v").cast(dec))).cast("double").alias("scur"),
+    )
+    cent = (
+        cells.join(F.broadcast(counts), "label")
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .select(
+            "label",
+            "n_ref",
+            "n_cur",
+            (F.coalesce("sref", F.lit(0.0)) / F.col("n_ref")).alias("cr"),
+            (F.coalesce("scur", F.lit(0.0)) / F.col("n_cur")).alias("cc"),
+        )
+    )
+    rd = lambda c: F.round(c, 12).cast(dec)
+    per_label = cent.groupBy("label", "n_ref", "n_cur").agg(
+        F.sum(rd(F.col("cr") * F.col("cc"))).cast("double").alias("dot"),
+        F.sum(rd(F.col("cr") * F.col("cr"))).cast("double").alias("qa"),
+        F.sum(rd(F.col("cc") * F.col("cc"))).cast("double").alias("qb"),
+        F.sum(rd((F.col("cr") - F.col("cc")) * (F.col("cr") - F.col("cc"))))
+        .cast("double")
+        .alias("qd"),
+    )
+    ok = (F.col("qa") > 0) & (F.col("qb") > 0)
+    cos = F.col("dot") / (F.sqrt("qa") * F.sqrt("qb"))
+    return per_label.select(
+        "label",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.when(ok, F.round(cos, 6)).alias("centroid_cos"),
+        F.round(F.sqrt("qd"), 6).alias("centroid_l2_shift"),
+        F.when(ok, cos < DQ7_COS_MIN).alias("drift"),
+    ).orderBy("label")

@@ -1473,3 +1473,31 @@ def test_dq6_chi2_drift_hand_computed(spark, tmp_path):
     mk(rows, d3)
     r = dq6_categorical_drift(spark, str(d3)).collect()[0]
     assert (r.n_types, r.dof, r.crit_05, r.reject) == (1, 0, None, None)
+
+def test_dq7_embedding_drift_hand_computed(spark, tmp_path):
+    """dq7: planted 2-dim centroids — a label whose centroid rotates 90
+    degrees reads cos 0 / shift sqrt(2) / drift; an unmoved label reads
+    cos 1 / shift 0; a label missing from one half is excluded."""
+    from pdf_etl_pipeline_spark.catalog.quality_q import dq7_embedding_drift
+
+    # split = (max_id + 1) // 2 = 5: ids 0-4 ref, 5-9 cur
+    rows = [
+        (0, [1.0, 0.0], 1), (1, [1.0, 0.0], 1),     # ref centroid A = (1, 0)
+        (2, [0.0, 2.0], 2), (3, [0.0, 2.0], 2),     # ref centroid B = (0, 2)
+        (4, [3.0, 3.0], 3),                          # label 3 only in ref
+        (5, [0.0, 1.0], 1), (6, [0.0, 1.0], 1),     # cur centroid A = (0, 1): rotated
+        (7, [0.0, 2.0], 2), (8, [0.0, 2.0], 2),     # cur centroid B unmoved
+        (9, [9.0, 9.0], 4),                          # label 4 only in cur
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {r.label: r for r in dq7_embedding_drift(spark, str(tmp_path)).collect()}
+
+    assert set(got) == {1, 2}  # one-sided labels excluded
+    a = got[1]
+    assert (a.n_ref, a.n_cur) == (2, 2)
+    assert a.centroid_cos == 0.0 and a.drift
+    assert a.centroid_l2_shift == round(2 ** 0.5, 6)
+    b = got[2]
+    assert (b.centroid_cos, b.centroid_l2_shift, bool(b.drift)) == (1.0, 0.0, False)

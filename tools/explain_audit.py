@@ -588,6 +588,14 @@ CHECKS = {
             and "windowspecdefinition(event_type#" not in ln
         ],
     },
+    "dq7_embedding_drift": {
+        # corpus-linear posexplode (Generate) into ONE keyed (label, dim)
+        # aggregation; per-label counts broadcast back; everything after
+        # runs on the bounded labels x dims relation — no window, no
+        # sort-merge join, full vectors never shuffle, no Python
+        "must": ["Generate", "HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "SortMergeJoin", "Window"],
+    },
     "dq6_categorical_drift": {
         # one keyed count over the type column (1-row midpoint broadcast
         # back as the tx7-shape BNLJ), then arithmetic on the bounded
