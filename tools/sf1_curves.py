@@ -163,7 +163,11 @@ def main() -> None:
     from pdf_etl_pipeline_spark.catalog.quality_q import (
         dp4_ks_drift,
         dq4_distribution_drift,
+        dq6_categorical_drift,
+        dq7_embedding_drift,
+        st12_drift_monitor,
     )
+    from pdf_etl_pipeline_spark.catalog.corpus_q import st13_contamination_guard
     from pdf_etl_pipeline_spark.catalog.text_q import tx12_ppl_buckets, tx13_ngram_novelty
     from pdf_etl_pipeline_spark.catalog.extended_q import (
         g2_triangle_count,
@@ -209,6 +213,10 @@ def main() -> None:
         "st11_streaming_curation": st11_streaming_curation,
         "st11_curation_funnel": st11_curation_funnel,
         "cc11_verdict_shard_manifest": cc11_verdict_shard_manifest,
+        "st12_drift_monitor": st12_drift_monitor,
+        "st13_contamination_guard": st13_contamination_guard,
+        "dq6_categorical_drift": dq6_categorical_drift,
+        "dq7_embedding_drift": dq7_embedding_drift,
     }
     # optional comma-separated substring filter (argv[3]): measure a
     # subset without paying for the whole battery
