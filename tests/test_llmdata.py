@@ -1120,3 +1120,102 @@ def test_audio_fingerprint_dedup_real_wav(spark):
     )
     with _pytest.raises(Exception, match="torchcodec"):
         audio_fingerprint(bad, decode="real").collect()
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/data/company-A/raw"),
+    reason="reference corpus not present",
+)
+def test_video_dup_pairs_real_avi(spark):
+    """Video near-dup (r12): a CLIP (strict frame subset re-wrapped in a
+    new AVI container) of a longer MJPEG video pairs at containment 1.0
+    via frame-level pigeonhole banding; banding equals brute force on
+    the frame hashes; non-AVI containers stay honestly gated."""
+    import glob
+
+    from pdf_etl_pipeline_spark.llmdata.multimodal import (
+        ASSET_SCHEMA,
+        encode_avi_mjpeg,
+        video_dup_pairs,
+        video_frame_hashes,
+    )
+
+    paths = sorted(glob.glob("/root/reference/data/company-A/raw/*.jpg"))[:2]
+    ja, jb = (open(p, "rb").read() for p in paths)
+    v1 = encode_avi_mjpeg([ja, jb, ja, jb], width=64, height=64, fps=4)
+    v2 = encode_avi_mjpeg([ja, jb], width=64, height=64, fps=4)  # the clip
+    assets = spark.createDataFrame(
+        [
+            (1, "video", v1, (64, 64, 0, 4, "avi")),
+            (2, "video", v2, (64, 64, 0, 2, "avi")),
+        ],
+        ASSET_SCHEMA,
+    )
+    fh = video_frame_hashes(assets, every_n=1, decode="real")
+    hashes = {(r.asset_id, r.frame_idx): r.fhash for r in fh.collect()}
+    assert len(hashes) == 6
+    # identical JPEG bytes decode to identical aHashes across containers
+    assert hashes[(1, 0)] == hashes[(2, 0)] == hashes[(1, 2)]
+    assert hashes[(1, 1)] == hashes[(2, 1)] == hashes[(1, 3)]
+    assert hashes[(1, 0)] != hashes[(1, 1)]  # two different receipts
+
+    pairs = video_dup_pairs(fh).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.asset_a, p.asset_b) == (1, 2)
+    assert (p.n_frames_a, p.n_frames_b) == (4, 2)
+    # every frame on both sides matches something on the other
+    assert (p.n_matched_a, p.n_matched_b, p.match_frac) == (4, 2, 1.0)
+
+    # mp4 stays gated
+    bad = spark.createDataFrame(
+        [(9, "video", b"\x00\x00\x00 ftypisom", (0, 0, 0, 3, "mp4"))], ASSET_SCHEMA
+    )
+    with pytest.raises(Exception, match="torchcodec"):
+        video_frame_hashes(bad, decode="real").collect()
+
+
+def test_video_dup_pairs_banding_equals_brute_force(spark):
+    """Frame-level banding finds EXACTLY the brute-force Hamming<=3 frame
+    pairs (stub decode path: deterministic payload-slice hashes), and the
+    containment fraction gates dissimilar videos out."""
+    from pdf_etl_pipeline_spark.llmdata.multimodal import (
+        ASSET_SCHEMA,
+        video_dup_pairs,
+        video_frame_hashes,
+    )
+
+    mk = lambda i, payload, nf: (i, "video", payload, (8, 8, 0, nf, "fake"))
+    shared = bytes(range(16)) * 8  # 128 bytes
+    rows = [
+        mk(1, shared, 4),                      # frames hash from shared slices
+        mk(2, shared, 2),                      # same payload prefix -> same hashes
+        mk(3, bytes(range(100, 228)), 4),      # different payload -> no matches
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    fh = video_frame_hashes(assets, every_n=1, decode="fake")
+    got = {
+        (r.asset_a, r.asset_b): (r.n_matched_a, r.n_matched_b, r.match_frac)
+        for r in video_dup_pairs(fh).collect()
+    }
+    hs = {(r.asset_id, r.frame_idx): r.fhash & ((1 << 64) - 1) for r in fh.collect()}
+    # brute force at frame level, rolled up with the same containment rule
+    from collections import defaultdict
+    ma, mb = defaultdict(set), defaultdict(set)
+    nf = defaultdict(int)
+    for (a, fa), h1 in hs.items():
+        nf[a] += 0  # touch
+    for (a, fa), h1 in hs.items():
+        for (b, fb), h2 in hs.items():
+            if a < b and bin(h1 ^ h2).count("1") <= 3:
+                ma[(a, b)].add(fa)
+                mb[(a, b)].add(fb)
+    counts = {aid: sum(1 for k in hs if k[0] == aid) for aid in {k[0] for k in hs}}
+    brute = {}
+    for key in ma:
+        a, b = key
+        frac = round(max(len(ma[key]) / counts[a], len(mb[key]) / counts[b]), 6)
+        if frac >= 0.5:
+            brute[key] = (len(ma[key]), len(mb[key]), frac)
+    assert got == brute
+    assert (1, 2) in got and got[(1, 2)][2] == 1.0
+    assert all(3 not in k for k in got)
