@@ -1557,3 +1557,114 @@ def test_st13_contamination_guard_stream_and_pin(spark, tmp_path):
     # restart: no new files -> no duplicate verdicts
     run()
     assert read_contamination_reports(spark, state).count() == 3
+
+@pytest.mark.slow
+def test_span_index_model_based_interleaving(spark, tmp_path):
+    """Model-based pin for the generation-merged index: a scripted
+    interleaving of batches, replays (including replays of batches whose
+    counts were already MERGED), and compactions at different thresholds
+    must track a pure-python reference model exactly — every report
+    bit-identical to the model's admission math, every index read equal
+    to the model's per-hash totals."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import DUP_SPAN_N
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import (
+        compact_span_index,
+        monitor_batch,
+        read_index_counts,
+        span_hashes_df,
+    )
+
+    run1 = " ".join(f"a{i}" for i in range(12))
+    run2 = " ".join(f"b{i}" for i in range(11))
+    texts = {
+        1: run1 + " u1 u2 u3",
+        2: run2 + " v1 v2",
+        3: run1 + " " + run2,          # duplicates both runs
+        4: "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11",  # its own unique run
+        5: run2 + " x1 x2 x3 x4",
+    }
+    batches = {  # batch_id -> doc ids
+        10: [1], 20: [2], 30: [3], 40: [4], 50: [5],
+    }
+    mk = lambda ids: spark.createDataFrame(
+        [(d, texts[d]) for d in ids], "doc_id long, text string"
+    )
+
+    # reference model: per-hash per-batch distinct-doc counts, summed
+    model: dict[int, dict[int, int]] = {}  # h -> {batch_id: nd}
+
+    def model_spans(ids):
+        df = span_hashes_df(mk(ids), DUP_SPAN_N)
+        out: dict[int, set] = {}
+        for r in df.collect():
+            out.setdefault(r.h, set()).add(r.doc_id)
+        return {h: len(s) for h, s in out.items()}
+
+    def model_report(ids, batch_id):
+        batch = model_spans(ids)
+        reports = {}
+        spans = span_hashes_df(mk(ids), DUP_SPAN_N).collect()
+        toks = {d: len(texts[d].split()) for d in ids}
+        dup_h = set()
+        for h, nd in batch.items():
+            idx_total = sum(v for b, v in model.get(h, {}).items() if b != batch_id)
+            own_already = model.get(h, {}).get(batch_id, 0)
+            # a replayed batch's own merged/unmerged counts never double:
+            # exclusion (raw) or suppression (merged) — either way the
+            # total equals pre-batch index + this batch once
+            if own_already:
+                total = idx_total + own_already
+            else:
+                total = idx_total + nd
+            if total >= 2:
+                dup_h.add(h)
+        starts = {}
+        for r in spans:
+            if r.h in dup_h:
+                starts.setdefault(r.doc_id, []).append(r.pos)
+        for d in ids:
+            ps = sorted(starts.get(d, []))
+            covered = 0
+            i = 0
+            while i < len(ps):
+                j = i
+                while j + 1 < len(ps) and ps[j + 1] - ps[j] < DUP_SPAN_N:
+                    j += 1
+                covered += ps[j] - ps[i] + DUP_SPAN_N
+                i = j + 1
+            reports[d] = (toks[d], covered)
+        return reports
+
+    def model_ingest(ids, batch_id):
+        for h, nd in model_spans(ids).items():
+            model.setdefault(h, {})[batch_id] = nd  # replay: idempotent
+
+    ix = str(tmp_path / "ix")
+    script = [
+        ("batch", 10), ("batch", 20),
+        ("compact", 0),                    # merge everything so far
+        ("batch", 30),
+        ("replay", 10),                    # batch 10 is MERGED: suppression path
+        ("compact", 1),
+        ("batch", 40),
+        ("replay", 30),                    # raw replay: exclusion path
+        ("compact", 0),
+        ("batch", 50),
+        ("replay", 20),                    # merged long ago
+    ]
+    for op, arg in script:
+        if op == "batch" or op == "replay":
+            ids = batches[arg]
+            got = {
+                r.doc_id: (r.n_tokens, r.n_dup_tokens)
+                for r in monitor_batch(mk(ids), ix, batch_id=arg).collect()
+            }
+            want = model_report(ids, arg)
+            assert got == want, (op, arg, got, want)
+            model_ingest(ids, arg)
+        else:
+            compact_span_index(spark, ix, max_files=arg)
+        # the committed index totals must equal the model's at every step
+        got_counts = {r.h: r.nd_idx for r in read_index_counts(spark, ix).collect()}
+        want_counts = {h: sum(v.values()) for h, v in model.items()}
+        assert got_counts == want_counts, (op, arg)
