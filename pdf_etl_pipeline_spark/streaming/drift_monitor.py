@@ -36,10 +36,20 @@ from pyspark.sql import functions as F
 
 REFERENCE_SUBDIR = "reference"
 DRIFT_SUBDIR = "drift"
+PIN_MARKER = "_pinned_batch_id"
 
 
 def _reference_path(state_dir: str) -> str:
     return os.path.join(state_dir, REFERENCE_SUBDIR)
+
+
+def _pinned_batch_id(spark, state_dir: str) -> int | None:
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    p = os.path.join(_reference_path(state_dir), PIN_MARKER)
+    if not fsutil.exists(p, spark):
+        return None
+    return int(fsutil.read_text(p, spark).strip())
 
 
 def drift_batch_df(ref: DataFrame, cur: DataFrame) -> DataFrame:
@@ -60,12 +70,32 @@ def monitor_drift_batch(values: DataFrame, state_dir: str, batch_id: int) -> Dat
     """Process one batch of (event_type, value) rows: pin it as the
     reference if none exists yet (returns None — the reference defines
     "no drift" and is not scored against itself), else score it against
-    the pinned snapshot and return the materialized drift rows."""
+    the pinned snapshot and return the materialized drift rows.
+
+    The pin records its ``batch_id`` in a marker file (written BEFORE the
+    snapshot rows, so a torn pin re-pins on replay): a micro-batch that
+    crashed after pinning but before its offset committed replays with
+    the pin already present — without the marker it would score the
+    reference AGAINST ITSELF and emit spurious psi=0 rows no first run
+    ever produced. With it, the replayed pinning batch returns None
+    again, bit-identical to the original outcome."""
     from pdf_etl_pipeline_spark.operators import fsutil
 
     spark = values.sparkSession
     ref_path = _reference_path(state_dir)
+    pinned = _pinned_batch_id(spark, state_dir)
+    if pinned is not None and batch_id == pinned:
+        # the replayed pinning batch: same verdict as run 1 (None). A pin
+        # torn between marker and snapshot rows is completed here — the
+        # replayed batch is deterministic, so the rows are the originals
+        if not fsutil.list_data_files(ref_path, spark):
+            values.select("event_type", "value").write.mode("append").parquet(ref_path)
+        return None
     if not fsutil.list_data_files(ref_path, spark):
+        fsutil.write_text(
+            os.path.join(ref_path, PIN_MARKER), str(int(batch_id)), spark,
+            overwrite=True,
+        )
         values.select("event_type", "value").write.mode("append").parquet(ref_path)
         return None
     ref = spark.read.parquet(ref_path)

@@ -1668,3 +1668,41 @@ def test_span_index_model_based_interleaving(spark, tmp_path):
         got_counts = {r.h: r.nd_idx for r in read_index_counts(spark, ix).collect()}
         want_counts = {h: sum(v.values()) for h, v in model.items()}
         assert got_counts == want_counts, (op, arg)
+
+def test_st12_pinning_batch_replay_is_neutral(spark, tmp_path):
+    """The st12 pin crash corner: a batch that pinned the reference and
+    then crashed before its offset committed REPLAYS with the pin
+    present — it must return None again (never score the reference
+    against itself), and a pin torn between marker and snapshot rows is
+    completed by the replay."""
+    import os as _os
+
+    from pdf_etl_pipeline_spark.operators import fsutil
+    from pdf_etl_pipeline_spark.streaming.drift_monitor import (
+        PIN_MARKER,
+        REFERENCE_SUBDIR,
+        _reference_path,
+        monitor_drift_batch,
+    )
+
+    vals = spark.createDataFrame(
+        [("m", float(i % 7)) for i in range(30)], "event_type string, value double"
+    )
+    state = str(tmp_path / "state")
+    assert monitor_drift_batch(vals, state, batch_id=0) is None  # pins
+    # full replay of the pinning epoch: None again, pin untouched
+    before = sorted(_os.listdir(_os.path.join(state, REFERENCE_SUBDIR)))
+    assert monitor_drift_batch(vals, state, batch_id=0) is None
+    assert sorted(_os.listdir(_os.path.join(state, REFERENCE_SUBDIR))) == before
+    # a later batch scores normally against the pin
+    out = monitor_drift_batch(vals, state, batch_id=1)
+    assert out is not None and out.collect()[0].psi == 0.0
+
+    # torn pin: marker committed, snapshot rows not — the replay completes it
+    state2 = str(tmp_path / "torn")
+    ref2 = _reference_path(state2)
+    fsutil.write_text(_os.path.join(ref2, PIN_MARKER), "0", spark)
+    assert monitor_drift_batch(vals, state2, batch_id=0) is None
+    assert fsutil.list_data_files(ref2, spark)  # snapshot rows now present
+    out2 = monitor_drift_batch(vals, state2, batch_id=1)
+    assert out2 is not None and out2.collect()[0].ks_d == 0.0
