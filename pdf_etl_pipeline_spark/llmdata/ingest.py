@@ -189,7 +189,16 @@ def admission_matches(
         .alias("n")
         .join(
             ex_bands.alias("o"),
-            (F.col("n.band") == F.col("o.band")) & (F.col("n.key") == F.col("o.key")),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.key") == F.col("o.key"))
+            # Self-match guard for crash-replay: a doc is ingested exactly
+            # once, so an index row with the SAME doc_id can only be the
+            # replayed batch's own append (the crash happened after the
+            # index write). Without this, every replayed doc self-matches
+            # at Jaccard 1.0 and the replay flips all verdicts to
+            # drop_neardup — breaking the bit-identical-replay contract
+            # (st11). Pinned by test_curation_replay_is_bit_identical.
+            & (F.col("n.doc_id") != F.col("o.doc_id")),
         )
         .select(F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id"))
         .dropDuplicates(["new_id", "old_id"])
@@ -326,9 +335,12 @@ def near_dup_ingest_stream(
     ``ingest_batch`` (foreachBatch, availableNow) — same body as batch,
     same index on disk. ``checkpointLocation`` defaults to
     ``<index_dir>/_checkpoint`` so a restarted stream resumes offsets
-    instead of replaying the corpus (replayed appends are
-    admission-neutral here — candidates dropDuplicates, matches
-    distinct — but they cost index I/O forever)."""
+    instead of replaying the corpus. A crash-replayed batch (index rows
+    already appended) recomputes a bit-identical admitted set: the
+    admission probe excludes same-doc_id index rows (the replayed
+    batch's own append — see :func:`admission_matches`), and duplicate
+    appends are admission-neutral (candidates dropDuplicates, matches
+    distinct) — the only replay cost is index I/O."""
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         ingest_batch(batch_df, index_dir, threshold)

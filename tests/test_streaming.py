@@ -691,12 +691,21 @@ def test_ingest_index_catalog_registration_and_recovery(spark, sf_dir, tmp_path)
     assert _index_exists(spark, ix)  # recovery re-registered the location
     assert spark.table(bands_table(ix)).count() > n_tbl  # includes batch 2's rows
 
-    # re-running batch 2 against the recovered index rejects everything
-    # it already admitted plus what it rejected before (idempotent replay:
-    # admitted docs now match themselves in the index)
+    # re-running batch 2 against the recovered index is a crash-replay:
+    # the admission probe excludes same-doc_id index rows (the replayed
+    # batch's own append), so the replay re-admits the BIT-IDENTICAL set
+    # instead of self-matching everything to drop_neardup (the st11
+    # replay contract; ADVICE r12)
     kept2_b = {r.doc_id for r in ingest_batch(docs.filter(F2.col("doc_id") >= cut), ix).collect()}
-    assert kept2_b == set()  # every doc (or its canonical twin) is indexed
+    assert kept2_b == kept2_a  # replay is idempotent through recovery
     assert kept2_a  # the original admission was non-empty
+    # content-level dedup through the recovered table still works: the
+    # same bytes under FRESH doc_ids are all rejected (each re-ingested
+    # canonical has a Jaccard-1.0 twin already in the index)
+    shifted = docs.filter(F2.col("doc_id") >= cut).withColumn(
+        "doc_id", F2.col("doc_id") + F2.lit(10_000_000)
+    )
+    assert {r.doc_id for r in ingest_batch(shifted, ix).collect()} == set()
     drop_index(spark, ix)
 
 
@@ -755,9 +764,13 @@ def test_ingest_compaction_invariance_and_file_bounds(spark, sf_dir, tmp_path):
     assert max_band_files(ix_plain) >= n_batches
     # with compaction at threshold 3: bounded by threshold + one fresh batch
     assert max_band_files(ix_compact) <= 4
-    # the compacted index still serves admission correctly: replaying the
-    # full corpus admits nothing new
-    assert {r.doc_id for r in ingest_batch(docs, ix_compact).collect()} == set()
+    # the compacted index still serves admission correctly: the full
+    # corpus re-ingested under FRESH doc_ids admits nothing — every
+    # re-ingested canonical is an exact-content twin of an indexed doc
+    # (same-id replays are idempotent by the self-exclusion contract,
+    # so fresh ids are the content-dedup probe here)
+    re_ids = docs.withColumn("doc_id", F2.col("doc_id") + F2.lit(10_000_000))
+    assert {r.doc_id for r in ingest_batch(re_ids, ix_compact).collect()} == set()
     drop_index(spark, ix_plain)
     drop_index(spark, ix_compact)
 
@@ -785,8 +798,12 @@ def test_ingest_index_quote_bearing_path(spark, sf_dir, tmp_path):
     drop_index(spark, ix)
     assert _index_exists(spark, ix)
     assert spark.table(bands_table(ix)).count() > 0
-    # replay is fully rejected through the recovered table
-    assert {r.doc_id for r in ingest_batch(docs, ix).collect()} == set()
+    # a same-id replay through the recovered table is idempotent (the
+    # self-exclusion contract) — and a fresh-id re-ingest of the same
+    # bytes is fully rejected
+    assert {r.doc_id for r in ingest_batch(docs, ix).collect()} == kept
+    shifted = docs.withColumn("doc_id", F2.col("doc_id") + F2.lit(10_000_000))
+    assert {r.doc_id for r in ingest_batch(shifted, ix).collect()} == set()
     drop_index(spark, ix)
 
 
@@ -1389,6 +1406,41 @@ def test_st11_streamed_equals_offline(spark, tmp_path):
     got = [[getattr(r, c) for c in cols] for r in sorted(rows, key=key)]
     want = [[getattr(r, c) for c in cols] for r in sorted(offline, key=key)]
     assert got == want
+
+
+def test_curation_replay_is_bit_identical(spark, tmp_path):
+    """st11 crash-replay contract (ADVICE r12, high): a micro-batch that
+    crashed AFTER its index appends (near-dup bands/toks and span counts
+    already on disk) but before the verdict write replays to the
+    BIT-IDENTICAL verdict rows. Without admission_matches' same-doc_id
+    exclusion every replayed doc self-matches at Jaccard 1.0 and the
+    replay flips all verdicts to drop_neardup — then read_curation_verdicts'
+    (batch_id, doc_id) dedup keeps an arbitrary row between the
+    conflicting keep/drop twins. Mirrors
+    test_span_replay_after_merge_is_bit_identical."""
+    from pdf_etl_pipeline_spark.llmdata.curation_stream import (
+        curation_verdict_batch,
+        drop_curation_state,
+    )
+
+    b1, b2 = _st11_fixture(spark)
+    state = str(tmp_path / "replay_state")
+    cols = ["doc_id", "n_tokens", "n_kept", "admitted", "lang_trim", "q_trim", "verdict"]
+    snap = lambda df: sorted([getattr(r, c) for c in cols] for r in df.collect())
+
+    curation_verdict_batch(b1, state, batch_id=0).collect()
+    v2 = snap(curation_verdict_batch(b2, state, batch_id=1))
+    # batch 2 has a genuine cross-batch near-dup (doc 5 ~ batch 1's doc 2)
+    # and genuine keepers — the replay must preserve BOTH outcomes
+    verdicts = {r[0]: r[-1] for r in v2}
+    assert verdicts[5] == "drop_neardup"
+    assert any(v == "keep" for v in verdicts.values())
+
+    # crash-replay: same docs, same batch_id, indexes already appended
+    v2_replay = snap(curation_verdict_batch(b2, state, batch_id=1))
+    assert v2_replay == v2
+    drop_curation_state(spark, state)
+
 
 @pytest.mark.slow
 def test_cc11_manifest_consistent_with_st11_keepers(spark):
