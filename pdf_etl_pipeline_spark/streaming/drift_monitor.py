@@ -46,10 +46,27 @@ def _reference_path(state_dir: str) -> str:
 def _pinned_batch_id(spark, state_dir: str) -> int | None:
     from pdf_etl_pipeline_spark.operators import fsutil
 
-    p = os.path.join(_reference_path(state_dir), PIN_MARKER)
+    ref_path = _reference_path(state_dir)
+    p = os.path.join(ref_path, PIN_MARKER)
     if not fsutil.exists(p, spark):
         return None
-    return int(fsutil.read_text(p, spark).strip())
+    raw = fsutil.read_text(p, spark).strip()
+    try:
+        return int(raw)
+    except ValueError:
+        # fsutil.write_text is non-atomic: a marker torn mid-write (empty
+        # or partial bytes) must not wedge the stream with a permanent
+        # parse error. The write order (marker BEFORE snapshot rows) means
+        # a torn marker implies no snapshot rows — treat it as no-pin so
+        # the next batch re-pins, overwriting the torn bytes. A torn
+        # marker ALONGSIDE snapshot rows cannot arise from this module's
+        # writes; refuse to guess rather than silently re-pin.
+        if fsutil.list_data_files(ref_path, spark):
+            raise ValueError(
+                f"drift monitor state corrupt: unparseable pin marker {p!r}"
+                f" ({raw!r}) alongside existing snapshot rows"
+            ) from None
+        return None
 
 
 def drift_batch_df(ref: DataFrame, cur: DataFrame) -> DataFrame:
@@ -92,6 +109,18 @@ def monitor_drift_batch(values: DataFrame, state_dir: str, batch_id: int) -> Dat
             values.select("event_type", "value").write.mode("append").parquet(ref_path)
         return None
     if not fsutil.list_data_files(ref_path, spark):
+        if pinned is not None:
+            # Torn pin (marker committed, snapshot rows not) seen by a
+            # DIFFERENT batch id: only reachable through out-of-order
+            # DIRECT calls — the streaming wrapper replays the torn epoch
+            # first (checkpoint contract) and completes the pin above.
+            # Re-pinning here would silently move the reference under the
+            # original batch's feet; refuse instead.
+            raise ValueError(
+                f"drift monitor pin is torn: marker claims batch {pinned} "
+                f"but no snapshot rows exist; replay batch {pinned} to "
+                f"complete the pin before scoring batch {batch_id}"
+            )
         fsutil.write_text(
             os.path.join(ref_path, PIN_MARKER), str(int(batch_id)), spark,
             overwrite=True,

@@ -1758,3 +1758,57 @@ def test_st12_pinning_batch_replay_is_neutral(spark, tmp_path):
     assert fsutil.list_data_files(ref2, spark)  # snapshot rows now present
     out2 = monitor_drift_batch(vals, state2, batch_id=1)
     assert out2 is not None and out2.collect()[0].ks_d == 0.0
+
+
+def test_st12_torn_pin_guards(spark, tmp_path):
+    """The two torn-pin edges direct callers can reach (r12 ADVICE +
+    VERDICT finding 4):
+
+    (a) an UNPARSEABLE marker (write_text is non-atomic; empty/partial
+        bytes) with no snapshot rows is treated as no-pin — the next
+        batch re-pins instead of raising ValueError forever;
+    (b) a VALID marker without snapshot rows seen by a DIFFERENT
+        batch_id refuses to re-pin (that would silently move the
+        reference) — only the original batch's replay completes the pin;
+    (c) an unparseable marker ALONGSIDE snapshot rows is impossible from
+        this module's write order — refused loudly."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from pdf_etl_pipeline_spark.operators import fsutil
+    from pdf_etl_pipeline_spark.streaming.drift_monitor import (
+        PIN_MARKER,
+        _pinned_batch_id,
+        _reference_path,
+        monitor_drift_batch,
+    )
+
+    vals = spark.createDataFrame(
+        [("m", float(i % 7)) for i in range(30)], "event_type string, value double"
+    )
+
+    # (a) torn marker bytes, no snapshot rows: self-heals by re-pinning
+    state = str(tmp_path / "torn_bytes")
+    ref = _reference_path(state)
+    fsutil.write_text(_os.path.join(ref, PIN_MARKER), "", spark)
+    assert _pinned_batch_id(spark, state) is None
+    assert monitor_drift_batch(vals, state, batch_id=3) is None  # re-pins
+    assert _pinned_batch_id(spark, state) == 3
+    out = monitor_drift_batch(vals, state, batch_id=4)
+    assert out is not None and out.collect()[0].psi == 0.0
+
+    # (b) valid marker, no snapshot rows, different batch_id: refused
+    state2 = str(tmp_path / "torn_rows")
+    ref2 = _reference_path(state2)
+    fsutil.write_text(_os.path.join(ref2, PIN_MARKER), "0", spark)
+    with _pytest.raises(ValueError, match="pin is torn"):
+        monitor_drift_batch(vals, state2, batch_id=7)
+    # the original batch's replay still completes the pin afterwards
+    assert monitor_drift_batch(vals, state2, batch_id=0) is None
+    assert monitor_drift_batch(vals, state2, batch_id=7) is not None
+
+    # (c) unparseable marker alongside snapshot rows: loud corruption error
+    fsutil.write_text(_os.path.join(ref2, PIN_MARKER), "garbage", spark, overwrite=True)
+    with _pytest.raises(ValueError, match="state corrupt"):
+        monitor_drift_batch(vals, state2, batch_id=8)
