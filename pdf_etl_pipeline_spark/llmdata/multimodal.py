@@ -797,6 +797,63 @@ def perceptual_hash(assets: DataFrame, decode: str = "fake") -> DataFrame:
     return assets.mapInPandas(run, PHASH_SCHEMA)
 
 
+def _require_banding_complete(max_hamming: int) -> None:
+    if max_hamming > PHASH_BANDS - 1:
+        raise ValueError(
+            f"pigeonhole banding with {PHASH_BANDS} bands is complete only for "
+            f"Hamming <= {PHASH_BANDS - 1}; max_hamming={max_hamming} would "
+            "silently return an incomplete pair set (add bands to go further)"
+        )
+
+
+def _distinct_hash_band_pairs(hashes: DataFrame, hash_col: str) -> DataFrame:
+    """Banding candidates over DISTINCT hash values: (ha, hb) with
+    ha < hb (signed 64-bit order, the canonical pair orientation) that
+    agree exactly on at least one 16-bit band. This is the hot-band
+    degeneracy guard (r12 VERDICT finding 2): a degenerate corpus — a
+    million black frames, constant digital silence, letterboxed images —
+    collapses to ONE row per distinct hash before the self-equi-join, so
+    identical-hash pile-ups can never make a (band_idx, band_val) bucket
+    quadratic. Identical-hash pairs (Hamming 0 by definition) are
+    reconstructed by the callers' output-bounded expansion joins instead.
+
+    Residual hot bands — many DISTINCT hashes sharing one band value —
+    are bounded by genuine hash diversity, not duplicate multiplicity;
+    the degenerate regimes above all collapse to a handful of distinct
+    values. (An adversarially-constructed corpus of millions of distinct
+    hashes equal on one band would need the pigeonhole recursion — re-band
+    the remaining 48 bits — which no measured regime has warranted.)"""
+    dh = hashes.select(F.col(hash_col).alias("h")).distinct()
+    banded = dh.select(
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("h"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("h", "b.band_idx", "b.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.h") < F.col("b.h")),
+        )
+        .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
+        .dropDuplicates(["ha", "hb"])
+    )
+
+
 def _banded_hash_pairs(hashes: DataFrame, hash_col: str, max_hamming: int) -> DataFrame:
     """(asset_a, asset_b, hamming) pairs with Hamming(hash) ≤ ``max_hamming``
     — the EXACT pigeonhole banding shared by the image (phash) and audio
@@ -806,53 +863,51 @@ def _banded_hash_pairs(hashes: DataFrame, hash_col: str, max_hamming: int) -> Da
     pair with NO false negatives (unlike probabilistic LSH) and the exact
     popcount verify prunes band-collision false positives.
 
-    Scale shape: the same as dd3 — banding is an explode + self-equi-join
-    on (band_idx, band_value), linear in corpus size for bounded bucket
-    sizes; the verify (xor + bit_count, pure codegen) touches only
-    banding survivors. Never an all-pairs product."""
-    if max_hamming > PHASH_BANDS - 1:
-        raise ValueError(
-            f"pigeonhole banding with {PHASH_BANDS} bands is complete only for "
-            f"Hamming <= {PHASH_BANDS - 1}; max_hamming={max_hamming} would "
-            "silently return an incomplete pair set (add bands to go further)"
-        )
-    banded = hashes.select(
-        "asset_id",
-        hash_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(F.col(hash_col), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band_val"),
-                    )
-                    for i in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("asset_id", hash_col, "b.band_idx", "b.band_val")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
+    Scale shape: the band self-join runs over DISTINCT hash values only
+    (:func:`_distinct_hash_band_pairs` — the hot-band degeneracy guard),
+    so candidate count is bounded by hash DIVERSITY, never by duplicate
+    multiplicity. Asset pairs reconstruct by two output-bounded
+    expansion joins: identical-hash members pair directly at Hamming 0,
+    qualifying distinct-hash pairs fan out to their member cross
+    product — every row either join emits IS a true pair, so the
+    quadratic cost exists only where the answer itself is quadratic.
+    The verify (xor + bit_count, pure codegen) runs once per distinct
+    hash pair. Never an all-pairs product."""
+    _require_banding_complete(max_hamming)
+    members = hashes.select("asset_id", F.col(hash_col).alias("h"))
+    ma, mb = members.alias("a"), members.alias("b")
+    same = (
+        ma.join(
+            mb,
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.asset_id") < F.col("b.asset_id")),
         )
         .select(
             F.col("a.asset_id").alias("asset_a"),
             F.col("b.asset_id").alias("asset_b"),
-            F.col(f"a.{hash_col}").alias("ha"),
-            F.col(f"b.{hash_col}").alias("hb"),
+            F.lit(0).alias("hamming"),
         )
-        .dropDuplicates(["asset_a", "asset_b"])
+    )
+    hp = (
+        _distinct_hash_band_pairs(hashes, hash_col)
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    cross = (
+        hp.join(
+            members.select(F.col("h").alias("ha"), F.col("asset_id").alias("ia")), "ha"
+        )
+        .join(
+            members.select(F.col("h").alias("hb"), F.col("asset_id").alias("ib")), "hb"
+        )
+        .select(
+            F.least("ia", "ib").alias("asset_a"),
+            F.greatest("ia", "ib").alias("asset_b"),
+            "hamming",
+        )
     )
     return (
-        cands.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .filter(F.col("hamming") <= max_hamming)
+        same.unionByName(cross)
         .select("asset_a", "asset_b", "hamming")
         .orderBy("asset_a", "asset_b")
     )
@@ -1002,40 +1057,25 @@ def video_dup_pairs(
     of a longer video still reads 1.0. Pairs at or above
     ``min_match_frac`` survive.
 
-    Scale shape: dd3's — band explode + equi-join on (band_idx,
-    band_val), codegen popcount verify on banding survivors, two keyed
-    aggregations; frames themselves never shuffle (only 64-bit hashes)."""
-    if max_hamming > PHASH_BANDS - 1:
-        raise ValueError(
-            f"pigeonhole banding with {PHASH_BANDS} bands is complete only for "
-            f"Hamming <= {PHASH_BANDS - 1}; max_hamming={max_hamming} would "
-            "silently return an incomplete pair set (add bands to go further)"
-        )
-    banded = frame_hashes.select(
-        "asset_id",
-        "frame_idx",
-        "fhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("fhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band_val"),
-                    )
-                    for i in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("asset_id", "frame_idx", "fhash", "b.band_idx", "b.band_val")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    matched = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
+    Scale shape: dd3's — the band self-join runs over DISTINCT frame-hash
+    values only (:func:`_distinct_hash_band_pairs`: the hot-band
+    degeneracy guard — a black-frame pile-up collapses to ONE banding row
+    per distinct hash, so candidate count tracks hash diversity, not
+    duplicate multiplicity), codegen popcount verify once per distinct
+    hash pair, then two output-bounded expansion joins reconstruct the
+    frame pairs (identical hashes at Hamming 0 directly; qualifying
+    distinct-hash pairs via their member cross product — every emitted
+    row is a true frame match), and two keyed aggregations roll up;
+    frames themselves never shuffle (only 64-bit hashes)."""
+    _require_banding_complete(max_hamming)
+    members = frame_hashes.select(
+        "asset_id", "frame_idx", F.col("fhash").alias("h")
+    )
+    ma, mb = members.alias("a"), members.alias("b")
+    same = (
+        ma.join(
+            mb,
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.asset_id") < F.col("b.asset_id")),
         )
         .select(
@@ -1043,14 +1083,41 @@ def video_dup_pairs(
             F.col("a.frame_idx").alias("frame_a"),
             F.col("b.asset_id").alias("asset_b"),
             F.col("b.frame_idx").alias("frame_b"),
-            F.col("a.fhash").alias("ha"),
-            F.col("b.fhash").alias("hb"),
-        )
-        .dropDuplicates(["asset_a", "frame_a", "asset_b", "frame_b"])
-        .filter(
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming
         )
     )
+    hp = _distinct_hash_band_pairs(frame_hashes, "fhash").filter(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming
+    )
+    cross = (
+        hp.join(
+            members.select(
+                F.col("h").alias("ha"),
+                F.col("asset_id").alias("ia"),
+                F.col("frame_idx").alias("fa"),
+            ),
+            "ha",
+        )
+        .join(
+            members.select(
+                F.col("h").alias("hb"),
+                F.col("asset_id").alias("ib"),
+                F.col("frame_idx").alias("fb"),
+            ),
+            "hb",
+        )
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            F.least("ia", "ib").alias("asset_a"),
+            F.when(F.col("ia") < F.col("ib"), F.col("fa"))
+            .otherwise(F.col("fb"))
+            .alias("frame_a"),
+            F.greatest("ia", "ib").alias("asset_b"),
+            F.when(F.col("ia") < F.col("ib"), F.col("fb"))
+            .otherwise(F.col("fa"))
+            .alias("frame_b"),
+        )
+    )
+    matched = same.unionByName(cross)
     per_pair = matched.groupBy("asset_a", "asset_b").agg(
         F.count_distinct("frame_a").alias("n_matched_a"),
         F.count_distinct("frame_b").alias("n_matched_b"),

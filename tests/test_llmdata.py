@@ -754,6 +754,89 @@ def test_dup_span_stats_cross_doc_only(spark):
     assert out[4].n_dup_spans == 0 and out[4].n_spans > 0
 
 
+def test_banded_pairs_hot_band_degeneracy_collapses(spark):
+    """r12 VERDICT finding 2: a degenerate constant hash (black frames,
+    digital silence) must NOT make the band self-join quadratic. The band
+    join runs over DISTINCT hash values, so the candidate relation is the
+    same whether the constant hash appears once or sixty times, while the
+    returned pair set (after the output-bounded expansion) is
+    bit-identical to brute force — including the pile's Hamming-0
+    pairs."""
+    from pdf_etl_pipeline_spark.llmdata.multimodal import (
+        _distinct_hash_band_pairs,
+        phash_dup_pairs,
+    )
+
+    def to_i64(u):  # store as signed 64-bit like the hash extractors do
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    base = 0xDEADBEEFCAFE1234
+    near = base ^ 0b101  # hamming 2 from base
+    far = 0x0123456789ABCDEF
+    pile = 0xFFFFFFFFFFFFFFFF  # the degenerate constant (e.g. all-black)
+
+    def mk(m):
+        rows = [(i, to_i64(pile)) for i in range(m)]
+        rows += [(1000, to_i64(base)), (1001, to_i64(near)), (1002, to_i64(far))]
+        return spark.createDataFrame(rows, "asset_id long, phash long")
+
+    small, big = mk(2), mk(60)
+    # the banding candidate relation is DUPLICATE-MULTIPLICITY-INVARIANT:
+    # 60 identical hashes contribute exactly what 2 do
+    n_small = _distinct_hash_band_pairs(small, "phash").count()
+    n_big = _distinct_hash_band_pairs(big, "phash").count()
+    assert n_big == n_small
+    # per-asset banding would have floored at C(60,2)=1770 candidates for
+    # the pile alone; the distinct-hash relation stays at the diversity
+    # bound (4 distinct hashes -> at most C(4,2)=6 candidates)
+    assert n_big <= 6
+
+    # the returned pair set is still EXACTLY brute force
+    got = {(r.asset_a, r.asset_b): r.hamming for r in phash_dup_pairs(big).collect()}
+    hs = {r.asset_id: r.phash & ((1 << 64) - 1) for r in big.collect()}
+    brute = {
+        (a, b): bin(hs[a] ^ hs[b]).count("1")
+        for a in hs
+        for b in hs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    assert got == brute
+    assert len([1 for (a, b) in got if got[(a, b)] == 0]) == 60 * 59 // 2
+    assert got[(1000, 1001)] == 2
+
+
+def test_video_dup_pairs_black_frame_degeneracy(spark):
+    """The video twin of the hot-band guard: many videos sharing a
+    constant black-frame hash collapse to one banding row per distinct
+    hash; the rolled-up pair relation still matches brute force."""
+    from pdf_etl_pipeline_spark.llmdata.multimodal import (
+        _distinct_hash_band_pairs,
+        video_dup_pairs,
+    )
+
+    black = -1  # all-ones 64-bit as signed
+    rows = []
+    # 12 videos, 4 frames each: frames 0-2 are "black", frame 3 is unique
+    # per video (far apart in Hamming) so only the black frames match
+    for v in range(12):
+        for f in range(3):
+            rows.append((v, f, black))
+        rows.append((v, 3, (v + 1) * 0x1111111111111111 - (1 << 63)))
+    fh = spark.createDataFrame(rows, "asset_id long, frame_idx int, fhash long")
+
+    # 13 distinct hashes total; candidates bounded by diversity, not by
+    # the 36 black frames
+    assert _distinct_hash_band_pairs(fh, "fhash").count() <= 13 * 12 // 2
+
+    got = {
+        (r.asset_a, r.asset_b): (r.n_matched_a, r.n_matched_b, r.match_frac)
+        for r in video_dup_pairs(fh, min_match_frac=0.0).collect()
+    }
+    # every video pair shares exactly its 3 black frames; containment 3/4
+    assert len(got) == 12 * 11 // 2
+    assert all(v == (3, 3, 0.75) for v in got.values())
+
+
 def test_phash_max_hamming_guard():
     """mm2: distances beyond the pigeonhole guarantee raise instead of
     silently returning an incomplete pair set."""
