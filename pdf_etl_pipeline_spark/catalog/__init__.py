@@ -45,6 +45,7 @@ _MODULES = [
     "ingest_q",
     "quality_q",
     "tokenize_q",
+    "multimodal_q",
 ]
 
 

@@ -1,0 +1,216 @@
+"""Multimodal-dedup catalog (mm1–mm3) — the image/audio/video near-dup
+banding registered as oracle-checked queries (r12 VERDICT item 4).
+
+The hash EXTRACTORS (aHash, spectral fingerprint, frame hashes) are
+mapInPandas decoders pinned by real-asset tests (BMP/PNG/JPEG/WAV/AVI in
+``tests/test_llmdata.py``) — numpy arithmetic no SQL engine reproduces.
+What the oracle CAN check end-to-end is everything downstream of the
+hash: the exact pigeonhole banding over distinct hash values, the
+Hamming verify, the identical-hash/cross-hash pair reconstruction, and
+the video containment roll-up. These queries therefore derive a
+DETERMINISTIC synthetic hash relation from the ``documents`` table with
+the portable md5 pair (both engines compute bit-identical 64-bit
+values), plant near-dup structure with small XOR perturbations, and run
+the REAL operators (``phash_dup_pairs`` / ``audio_dup_pairs`` /
+``video_dup_pairs``) against a brute-force all-pairs DuckDB oracle —
+which doubles as an exactness check: banding must find EXACTLY the
+brute-force Hamming pairs, nothing more, nothing less.
+
+Synthetic structure (per group of consecutive doc_ids): one base hash
+from md5, members XOR'd with fixed small constants so some pairs land
+at Hamming ≤ 3 (found), some identical (Hamming 0 — the degenerate-
+collapse path), some just over the budget (excluded by the verify).
+Cross-group hashes are independent md5 draws (~32 bits apart).
+
+Scale story: the Spark side is the audited production plan — distinct-
+hash banding (duplicate-multiplicity-invariant candidates), codegen
+popcount verify, output-bounded expansion joins; the all-pairs shape
+exists ONLY in the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.catalog import register
+from pdf_etl_pipeline_spark.functions.scalars import portable_hash32, portable_hash32_sql
+from pdf_etl_pipeline_spark.llmdata import multimodal as MM
+from pdf_etl_pipeline_spark.session import load_table, tune
+
+
+def _h64(seed: Column) -> Column:
+    """Deterministic positive 64-bit hash both engines reproduce: two
+    portable md5-derived 32-bit halves, the high half masked to 31 bits
+    so the result stays in [0, 2^63) — bit ops on it agree between
+    Spark's signed long and DuckDB's BIGINT."""
+    hi = portable_hash32(F.concat(F.lit("a"), seed)) % F.lit(2147483648)
+    return (hi * F.lit(4294967296).cast("long") + portable_hash32(F.concat(F.lit("b"), seed))).cast("long")
+
+
+def _h64_sql(seed: str) -> str:
+    hi = portable_hash32_sql(f"'a' || {seed}")
+    lo = portable_hash32_sql(f"'b' || {seed}")
+    return f"((({hi}) % 2147483648) * 4294967296 + ({lo}))"
+
+
+# --- mm1: image aHash near-dup pairs ------------------------------------------
+# Groups of 4: perturbs [0, 0, 3, 127] -> per complete group the pairs
+# (0,1)@H0 (identical twin), (0,2)/(1,2)@H2; member 3 sits at H7, past
+# the pigeonhole budget, so its pairs must be verify-pruned.
+_MM1_PERTURB = "CASE doc_id % 4 WHEN 2 THEN 3 WHEN 3 THEN 127 ELSE 0 END"
+
+
+def _mm1_hashes(docs: DataFrame) -> DataFrame:
+    g = F.floor(F.col("doc_id") / F.lit(4)).cast("long")
+    m = F.col("doc_id") % 4
+    perturb = F.when(m == 2, F.lit(3)).when(m == 3, F.lit(127)).otherwise(F.lit(0))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        _h64(F.concat(F.lit("img"), g.cast("string"))).bitwiseXOR(perturb.cast("long")).alias("phash"),
+    )
+
+
+@register(
+    "mm1_phash_pairs",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id AS asset_id,
+         xor({_h64_sql("'img' || CAST(CAST(floor(doc_id / 4) AS BIGINT) AS VARCHAR)")},
+             CAST({_MM1_PERTURB} AS BIGINT)) AS phash
+  FROM documents
+)
+SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM h a JOIN h b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+ORDER BY asset_a, asset_b""",
+    doc="mm1: image aHash near-dup pairs (Hamming<=3) via the exact distinct-hash "
+    "pigeonhole banding over a deterministic synthetic hash relation; the "
+    "brute-force oracle pins banding exactness (no false positives OR negatives). "
+    "Scale: candidates bounded by hash diversity (degeneracy-collapse), codegen "
+    "popcount verify, output-bounded expansion — never all-pairs on the Spark side.",
+)
+def mm1_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return MM.phash_dup_pairs(_mm1_hashes(load_table(spark, sf_dir, "documents")))
+
+
+# --- mm2: audio spectral-fingerprint near-dup pairs ---------------------------
+# Groups of 5: perturbs [0, 1, 6, 96, 255] -> qualifying pairs per group
+# (0,1)@H1 (0,2)@H2 (0,3)@H2 (1,2)@H3 (1,3)@H3; member 4 at H8 and the
+# (2,3)/(x,4) combinations land at H4-H8 — verify-pruned.
+_MM2_PERTURB = (
+    "CASE doc_id % 5 WHEN 1 THEN 1 WHEN 2 THEN 6 WHEN 3 THEN 96 WHEN 4 THEN 255 ELSE 0 END"
+)
+
+
+def _mm2_hashes(docs: DataFrame) -> DataFrame:
+    g = F.floor(F.col("doc_id") / F.lit(5)).cast("long")
+    m = F.col("doc_id") % 5
+    perturb = (
+        F.when(m == 1, F.lit(1))
+        .when(m == 2, F.lit(6))
+        .when(m == 3, F.lit(96))
+        .when(m == 4, F.lit(255))
+        .otherwise(F.lit(0))
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        _h64(F.concat(F.lit("aud"), g.cast("string"))).bitwiseXOR(perturb.cast("long")).alias("afp"),
+    )
+
+
+@register(
+    "mm2_audio_pairs",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id AS asset_id,
+         xor({_h64_sql("'aud' || CAST(CAST(floor(doc_id / 5) AS BIGINT) AS VARCHAR)")},
+             CAST({_MM2_PERTURB} AS BIGINT)) AS afp
+  FROM documents
+)
+SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       bit_count(xor(a.afp, b.afp)) AS hamming
+FROM h a JOIN h b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3
+ORDER BY asset_a, asset_b""",
+    doc="mm2: audio spectral-fingerprint near-dup pairs (Hamming<=3), the audio "
+    "twin of mm1 through the shared banding path with a denser perturbation mix "
+    "(five members straddling the budget). Same scale story as mm1.",
+)
+def mm2_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return MM.audio_dup_pairs(_mm2_hashes(load_table(spark, sf_dir, "documents")))
+
+
+# --- mm3: video frame-hash near-dup roll-up -----------------------------------
+# 4 frames per video (asset_id = doc_id//4, frame_idx = doc_id%4), scenes
+# of two consecutive videos sharing base frame hashes; the odd video's
+# frames sit at H1/H0/H3/H8 from its partner's -> frames {0,1,2} match,
+# frame 3 is verify-pruned, containment = 3/4 per scene pair.
+_MM3_ODD_PERTURB = "CASE doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 7 WHEN 3 THEN 255 ELSE 0 END"
+
+
+def _mm3_frame_hashes(docs: DataFrame) -> DataFrame:
+    asset = F.floor(F.col("doc_id") / F.lit(4)).cast("long")
+    frame = (F.col("doc_id") % 4).cast("int")
+    scene = F.floor(F.col("doc_id") / F.lit(8)).cast("long")
+    fperturb = (
+        F.when(frame == 0, F.lit(1))
+        .when(frame == 2, F.lit(7))
+        .when(frame == 3, F.lit(255))
+        .otherwise(F.lit(0))
+    )
+    perturb = F.when(asset % 2 == 1, fperturb).otherwise(F.lit(0))
+    seed = F.concat(
+        F.lit("vid"), scene.cast("string"), F.lit("f"), frame.cast("string")
+    )
+    return docs.select(
+        asset.alias("asset_id"),
+        frame.alias("frame_idx"),
+        _h64(seed).bitwiseXOR(perturb.cast("long")).alias("fhash"),
+    )
+
+
+@register(
+    "mm3_video_pairs",
+    oracle=f"""
+WITH fh AS (
+  SELECT CAST(floor(doc_id / 4) AS BIGINT) AS asset_id,
+         CAST(doc_id % 4 AS INT) AS frame_idx,
+         xor({_h64_sql("'vid' || CAST(CAST(floor(doc_id / 8) AS BIGINT) AS VARCHAR) || 'f' || CAST(CAST(doc_id % 4 AS INT) AS VARCHAR)")},
+             CASE WHEN CAST(floor(doc_id / 4) AS BIGINT) % 2 = 1
+                  THEN CAST({_MM3_ODD_PERTURB} AS BIGINT) ELSE 0 END) AS fhash
+  FROM documents
+),
+matched AS (
+  SELECT a.asset_id AS asset_a, a.frame_idx AS frame_a,
+         b.asset_id AS asset_b, b.frame_idx AS frame_b
+  FROM fh a JOIN fh b
+    ON a.asset_id < b.asset_id
+   AND bit_count(xor(a.fhash, b.fhash)) <= 3
+),
+per_pair AS (
+  SELECT asset_a, asset_b,
+         COUNT(DISTINCT frame_a) AS n_matched_a,
+         COUNT(DISTINCT frame_b) AS n_matched_b
+  FROM matched GROUP BY 1, 2
+),
+counts AS (SELECT asset_id, COUNT(*) AS n_frames FROM fh GROUP BY 1)
+SELECT asset_a, asset_b,
+       ca.n_frames AS n_frames_a, cb.n_frames AS n_frames_b,
+       n_matched_a, n_matched_b,
+       round(greatest(n_matched_a / ca.n_frames, n_matched_b / cb.n_frames), 6) AS match_frac
+FROM per_pair
+JOIN counts ca ON ca.asset_id = asset_a
+JOIN counts cb ON cb.asset_id = asset_b
+WHERE round(greatest(n_matched_a / ca.n_frames, n_matched_b / cb.n_frames), 6) >= 0.5
+ORDER BY asset_a, asset_b""",
+    doc="mm3: video near-dup roll-up — frame-level pigeonhole banding then "
+    "containment match_frac (clip-of-longer-video reads 1.0); synthetic scenes "
+    "of two videos sharing 3 of 4 frames within the Hamming budget. Scale: only "
+    "64-bit frame hashes shuffle, distinct-hash banding + two keyed aggregations.",
+)
+def mm3_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return MM.video_dup_pairs(_mm3_frame_hashes(load_table(spark, sf_dir, "documents")))

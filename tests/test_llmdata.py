@@ -837,6 +837,50 @@ def test_video_dup_pairs_black_frame_degeneracy(spark):
     assert all(v == (3, 3, 0.75) for v in got.values())
 
 
+def test_mm_catalog_queries_hand_computed(spark):
+    """mm1/mm2/mm3: the registered synthetic-hash relations have a fully
+    hand-computable pair structure (doc_ids are contiguous from 0 at
+    every SF, so groups are complete except possibly the tail):
+
+    - mm1 groups of 4, perturbs [0,0,3,127] -> per group exactly
+      (m0,m1)@H0, (m0,m2)@H2, (m1,m2)@H2; member 3 at H7 never pairs.
+    - mm2 groups of 5, perturbs [0,1,6,96,255] -> hammings
+      {(0,1):1,(0,2):2,(0,3):2,(1,2):3,(1,3):3}; member 4 never pairs.
+    - mm3 scenes of two 4-frame videos -> every scene pair matches
+      frames {0,1,2} and reads containment 3/4."""
+    from pdf_etl_pipeline_spark.catalog import load_registry
+
+    sf = "/root/testdata/sf0.001"
+    reg = load_registry()
+
+    mm1 = {(r.asset_a, r.asset_b): r.hamming for r in reg["mm1_phash_pairs"].fn(spark, sf).collect()}
+    n_docs = 500
+    want1 = {}
+    for g in range(n_docs // 4):
+        b = 4 * g
+        want1.update({(b, b + 1): 0, (b, b + 2): 2, (b + 1, b + 2): 2})
+    assert mm1 == want1
+
+    mm2 = {(r.asset_a, r.asset_b): r.hamming for r in reg["mm2_audio_pairs"].fn(spark, sf).collect()}
+    want2 = {}
+    for g in range(n_docs // 5):
+        b = 5 * g
+        want2.update(
+            {(b, b + 1): 1, (b, b + 2): 2, (b, b + 3): 2, (b + 1, b + 2): 3, (b + 1, b + 3): 3}
+        )
+    assert mm2 == want2
+
+    mm3 = {
+        (r.asset_a, r.asset_b): (r.n_frames_a, r.n_frames_b, r.n_matched_a, r.n_matched_b, r.match_frac)
+        for r in reg["mm3_video_pairs"].fn(spark, sf).collect()
+    }
+    n_videos = n_docs // 4
+    want3 = {
+        (2 * s, 2 * s + 1): (4, 4, 3, 3, 0.75) for s in range(n_videos // 2)
+    }
+    assert mm3 == want3
+
+
 def test_phash_max_hamming_guard():
     """mm2: distances beyond the pigeonhole guarantee raise instead of
     silently returning an incomplete pair set."""

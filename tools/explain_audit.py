@@ -1302,6 +1302,41 @@ CHECKS = {
         "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
         "check": _pk1_tiny_window_input,
     },
+    "mm1_phash_pairs": {
+        # exact pigeonhole banding over DISTINCT hash values: the distinct
+        # (HashAggregate) feeds the band explode (Generate) and the
+        # self-equi-join; identical-hash/cross-hash expansion joins are
+        # keyed equi-joins; no Python, no all-pairs product anywhere —
+        # the brute-force shape exists only in the DuckDB oracle
+        "must": ["HashAggregate", "Generate", "Union"],
+        "must_not": [
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ],
+    },
+    "mm2_audio_pairs": {
+        # same banding path as mm1 (shared _banded_hash_pairs)
+        "must": ["HashAggregate", "Generate", "Union"],
+        "must_not": [
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ],
+    },
+    "mm3_video_pairs": {
+        # frame-level distinct-hash banding + output-bounded expansion +
+        # two keyed roll-up aggregations; only 64-bit hashes shuffle
+        "must": ["HashAggregate", "Generate", "Union"],
+        "must_not": [
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ],
+    },
 }
 
 
