@@ -69,7 +69,11 @@ discipline. :func:`monitor_batch`, :func:`read_index_counts` and
 Scale shape per batch: the incoming spans explode corpus-linearly; the
 index probe is ONE equi-join on the hash (the index side is pre-
 aggregated, one row per (batch, hash) or per merged hash); the meta
-relation is bounded by total batch count and only ever broadcast;
+relation is only ever broadcast and stays O(buckets) under the epoch
+discipline (coverage is a PREFIX of the monotonic epoch ids, committed
+as one watermark row per bucket per generation — "all ids ≤ W merged");
+derived-id indexes keep the explicit covered set, bounded by batch
+count (content-hash ids carry no order to watermark over);
 coverage is dd10's audited doc_id-partitioned interval merge over
 duplicated starts only. Nothing iterative, nothing Python-side, no
 window over the corpus, no global sort (reports are unordered; sort at
@@ -210,9 +214,17 @@ def _validate_manifest(
 
 
 def _latest_meta(spark, index_dir: str) -> DataFrame | None:
-    """(bucket, g_live, batch_id) — the covered batch ids of each bucket's
+    """(bucket, g_live, batch_id) — the coverage rows of each bucket's
     latest COMMITTED merge generation. None when no merge ever committed.
-    Bounded by total batch count; only ever broadcast."""
+
+    Interpretation depends on the index's batch-id discipline (manifest):
+    under ``epoch`` ids the relation holds ONE WATERMARK row per bucket —
+    ``batch_id`` = W means "every generation-0 row with batch_id ≤ W is
+    merged" (epoch ids are monotonic, so the covered set is always a
+    prefix; meta rows per bucket stay O(1) for the life of the index).
+    Under ``derived`` (content-hash) ids there is no order, so the
+    covered set stays EXPLICIT — one row per covered id, bounded by batch
+    count. Only ever broadcast."""
     from pdf_etl_pipeline_spark.operators import fsutil
 
     mp = _meta_path(index_dir)
@@ -228,6 +240,28 @@ def _latest_meta(spark, index_dir: str) -> DataFrame | None:
     )
 
 
+def _covers_watermark(spark, index_dir: str) -> bool:
+    """True iff this index's meta coverage rows are watermark rows (the
+    epoch discipline) rather than explicit covered-id sets (derived)."""
+    return _require_manifest(spark, index_dir)["id_discipline"] == "epoch"
+
+
+def _uncovered_raw(raw: DataFrame, meta: DataFrame, watermark: bool) -> DataFrame:
+    """Generation-0 rows NOT absorbed by the latest committed merge:
+    watermark coverage keeps rows with ``batch_id > W(bucket)`` (one
+    broadcast row per bucket); set coverage anti-joins the explicit ids."""
+    if watermark:
+        wm = meta.groupBy("bucket").agg(F.max("batch_id").alias("_wm"))
+        return (
+            raw.join(F.broadcast(wm), "bucket", "left")
+            .filter(F.col("_wm").isNull() | (F.col("batch_id") > F.col("_wm")))
+            .drop("_wm")
+        )
+    return raw.join(
+        F.broadcast(meta.select("bucket", "batch_id")), ["bucket", "batch_id"], "left_anti"
+    )
+
+
 def _live_index_rows(spark, index_dir: str) -> DataFrame:
     """The committed view of the index: per bucket, the latest
     meta-committed generation's merged rows plus generation-0 batch rows
@@ -238,8 +272,10 @@ def _live_index_rows(spark, index_dir: str) -> DataFrame:
     meta = _latest_meta(spark, index_dir)
     if meta is None:
         return idx.filter(F.col("generation") == F.lit(0))
-    raw = idx.filter(F.col("generation") == F.lit(0)).join(
-        F.broadcast(meta.select("bucket", "batch_id")), ["bucket", "batch_id"], "left_anti"
+    raw = _uncovered_raw(
+        idx.filter(F.col("generation") == F.lit(0)),
+        meta,
+        _covers_watermark(spark, index_dir),
     )
     merged = (
         idx.filter(F.col("generation") > F.lit(0))
@@ -277,12 +313,14 @@ def _covered_buckets_for(spark, index_dir: str, batch_id: int | None) -> list[in
     meta = _latest_meta(spark, index_dir)
     if meta is None:
         return []
+    covered = (
+        F.col("batch_id") >= F.lit(batch_id)  # watermark W >= id covers it
+        if _covers_watermark(spark, index_dir)
+        else F.col("batch_id") == F.lit(batch_id)
+    )
     return [
         r.bucket
-        for r in meta.filter(F.col("batch_id") == F.lit(batch_id))
-        .select("bucket")
-        .distinct()
-        .collect()
+        for r in meta.filter(covered).select("bucket").distinct().collect()
     ]
 
 
@@ -406,7 +444,13 @@ def monitor_batch(
     sort at read time.
 
     ``batch_id=None`` derives a content hash id ("derived" discipline);
-    an explicit non-negative id is the checkpointed-epoch discipline.
+    an explicit non-negative id is the checkpointed-epoch discipline,
+    which additionally promises NEW batch ids are monotonically
+    increasing (the streaming wrapper's epoch_id guarantees it; replays
+    of already-ingested ids are fine) — merge coverage is committed as a
+    per-bucket watermark under that promise, so a direct caller
+    inventing a fresh id BELOW an already-merged one would be wrongly
+    suppressed as a replay.
     The first batch creates the manifest (recording ``span_buckets``, a
     write-parallelism knob fixed at creation); every later batch
     validates against it and fails loudly on mismatch."""
@@ -564,8 +608,10 @@ def compact_span_index(
     This is LOGICAL count-merging compaction: a bucket's live rows are
     SUM-merged to one row per hash, written as ``generation = g+1`` with
     the reserved ``batch_id = -(g+1)``, and the merge is COMMITTED by
-    appending the covered batch-id set (previous covered set ∪ the raw
-    batch ids merged now) to the per-bucket meta relation. Readers key on
+    appending the bucket's coverage to the per-bucket meta relation —
+    ONE watermark row (max covered id; epoch ids are monotonic so
+    coverage is a prefix) under the epoch discipline, the explicit
+    covered set (previous ∪ the raw ids merged now) under derived ids. Readers key on
     the meta commit, so per bucket the sequence is crash-neutral at every
     cut: (1) append merged data rows — a crash here leaves an orphan
     generation no reader admits, and the rerun picks a strictly larger
@@ -627,6 +673,7 @@ def compact_span_index(
         )
         .collect()
     }
+    watermark = _covers_watermark(spark, index_dir)
     latest = _latest_meta(spark, index_dir)
     meta_pairs: dict[int, tuple[int, set[int]]] = {}
     if latest is not None:
@@ -634,24 +681,29 @@ def compact_span_index(
             g, ids = meta_pairs.get(r.bucket, (0, set()))
             meta_pairs[r.bucket] = (max(g, r.g_live), ids | {r.batch_id})
 
-    plans: dict[int, tuple[int, list[int]]] = {}  # bucket -> (g_new, covered)
+    plans: dict[int, tuple[int, list[int]]] = {}  # bucket -> (g_new, coverage rows)
     for bucket in targets:
         g_meta, covered = meta_pairs.get(bucket, (0, set()))
         st = stats.get(bucket)
         g_data = int(st.g_data) if st is not None else 0
         raw_ids = set(st.raw_ids) if st is not None else set()
-        new_covered = sorted(covered | raw_ids)
+        new_covered = covered | raw_ids
         if new_covered:
-            plans[bucket] = (int(max(g_data, g_meta)) + 1, new_covered)
+            # epoch ids are monotonic, so coverage is a PREFIX: commit one
+            # watermark row ("all ids <= W merged") instead of re-appending
+            # the full covered set at every generation — meta rows per
+            # bucket stay O(1) for the life of the index (r12 finding 3).
+            # Derived (content-hash) ids are unordered: keep the explicit
+            # set, bounded by batch count as documented.
+            rows_out = [max(new_covered)] if watermark else sorted(new_covered)
+            plans[bucket] = (int(max(g_data, g_meta)) + 1, rows_out)
         # else: pure-orphan bucket — nothing live; prune only
 
     if plans:
         # live view of the target buckets (same commit rules as readers)
         if latest is not None:
-            raw = rows.filter(F.col("generation") == 0).join(
-                F.broadcast(latest.select("bucket", "batch_id")),
-                ["bucket", "batch_id"],
-                "left_anti",
+            raw = _uncovered_raw(
+                rows.filter(F.col("generation") == 0), latest, watermark
             )
             merged_live = (
                 rows.filter(F.col("generation") > 0)
@@ -662,18 +714,20 @@ def compact_span_index(
             live = raw.unionByName(merged_live)
         else:
             live = rows.filter(F.col("generation") == 0)
+        # per-bucket output sizing: each bucket gets ceil(its_bytes/target)
+        # h-slices — a large bucket no longer forces small co-compacted
+        # buckets to split into its file count (which could hold them
+        # above max_files and re-compact them every pass)
+        nout = {
+            b: max(
+                1,
+                math.ceil(sum(length for _, length in targets[b]) / target_bytes),
+            )
+            for b in plans
+        }
         gen_map = spark.createDataFrame(
-            [(b, g) for b, (g, _) in plans.items()], "bucket int, g_new long"
-        )
-        # per-bucket output sizing: every compacted bucket gets up to
-        # max_nout files (max over buckets of ceil(bytes/target)); 1 in
-        # the common case
-        max_nout = max(
-            1,
-            max(
-                math.ceil(sum(length for _, length in targets[b]) / target_bytes)
-                for b in plans
-            ),
+            [(b, g, nout[b]) for b, (g, _) in plans.items()],
+            "bucket int, g_new long, n_out int",
         )
         merged = (
             live.dropDuplicates(["batch_id", "h"])
@@ -686,10 +740,17 @@ def compact_span_index(
                 (-F.col("g_new")).cast("long").alias("batch_id"),
                 F.col("g_new").cast("long").alias("generation"),
                 "bucket",
+                "n_out",
             )
+            # slice key re-mixed through xxhash64: raw h values can be
+            # structured (e.g. bucket k holds only h ≡ k patterns), which
+            # would collapse pmod(h, n_out) onto a subset of slices
             .repartition(
-                len(plans) * max_nout, "bucket", F.pmod(F.col("h"), F.lit(max_nout))
+                sum(nout.values()),
+                "bucket",
+                F.pmod(F.xxhash64(F.col("h")), F.col("n_out")),
             )
+            .drop("n_out")
         )
         # old meta files listed BEFORE the commit write so the prune
         # removes exactly the pre-commit files

@@ -1135,6 +1135,110 @@ def test_span_index_merge_bounds_rows_by_distinct_hashes(spark, tmp_path):
     assert probe[0][2] == 11
 
 
+@pytest.mark.slow
+def test_span_meta_rows_stay_constant_over_200_batches(spark, tmp_path):
+    """r12 finding 3: merge coverage under the epoch discipline commits a
+    per-bucket WATERMARK row, not the full covered-id set — so at a
+    200-batch horizon the meta relation holds at most ONE row per bucket
+    (the old layout carried ~200 covered-id rows per bucket per
+    generation, broadcast at every probe and collected per batch).
+    Replays of long-covered batches stay bit-identical through the
+    watermark coverage."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import (
+        _meta_path,
+        compact_span_index,
+        monitor_batch,
+        read_index_counts,
+    )
+
+    run = " ".join(f"w{i}" for i in range(11))  # shared 11-token run
+    mk = lambda i: spark.createDataFrame(
+        [(i, run + f" u{i}a u{i}b u{i}c")], "doc_id long, text string"
+    )
+    ix = str(tmp_path / "ix200")
+    n_batches = 200
+    last = None
+    for i in range(n_batches):
+        rep = monitor_batch(mk(i), ix, batch_id=i, span_buckets=2)
+        if i == n_batches - 1:
+            last = sorted(map(tuple, rep.collect()))
+        if i % 25 == 24:
+            compact_span_index(spark, ix, max_files=1)
+    compact_span_index(spark, ix, max_files=1)
+
+    meta = spark.read.parquet(_meta_path(ix))
+    latest = meta.groupBy("bucket").agg(
+        F2.max("generation").alias("g"), F2.count(F2.lit(1)).alias("n_rows")
+    )
+    per_bucket = {r.bucket: r.n_rows for r in latest.collect()}
+    # O(1) per bucket: the pruned meta holds exactly the watermark rows
+    assert per_bucket and all(n <= 1 or n <= 2 for n in per_bucket.values())
+    assert meta.count() <= 2 * len(per_bucket)  # never ~200 covered ids
+    # watermark == the max merged epoch id
+    assert {r.covered_batch_id for r in meta.collect()} <= {n_batches - 1}
+
+    # the index still answers exactly: the shared run's 1 window hash has
+    # nd == 200 (one distinct doc per batch); the crash-replay of the
+    # LAST batch (merged at the final compaction) is bit-identical —
+    # the watermark covers it, so its own recomputed counts are
+    # suppressed against the merged row that already holds them
+    counts = {r.h: r.nd_idx for r in read_index_counts(spark, ix).collect()}
+    assert max(counts.values()) == n_batches
+    got = sorted(
+        map(tuple, monitor_batch(mk(n_batches - 1), ix, batch_id=n_batches - 1).collect())
+    )
+    assert got == last
+
+
+def test_span_compaction_sizes_outputs_per_bucket(spark, tmp_path):
+    """r12 ADVICE: the compacted output file count is sized PER BUCKET
+    (ceil(bucket_bytes/target)), so a large bucket no longer forces a
+    small co-compacted bucket to split into its slice count — which could
+    hold the small bucket above max_files and re-compact it forever."""
+    from pdf_etl_pipeline_spark.llmdata.span_ingest import (
+        _append_batch_counts,
+        _index_path,
+        compact_span_index,
+        monitor_batch,
+        read_index_counts,
+    )
+    from pdf_etl_pipeline_spark.operators.compaction import data_file_count
+
+    ix = str(tmp_path / "ix_nout")
+    # seed via the public path (creates the manifest; span_buckets=2)
+    monitor_batch(
+        spark.createDataFrame([(0, "a b c d e f g h i j k l")], "doc_id long, text string"),
+        ix,
+        batch_id=0,
+        span_buckets=2,
+    )
+    # skew bucket 0: many distinct even hashes appended across several
+    # batches (white-box twin of _append_batch_counts' own writes)
+    for b in range(1, 4):
+        rows = [(int(d), int(2 * (10_000 * b + k))) for d in range(3) for k in range(4000)]
+        # a handful of odd hashes per batch: bucket 1 fragments past
+        # max_files too (so it IS co-compacted) but stays tiny in bytes
+        rows += [(int(d), int(2 * (10_000 * b + k) + 1)) for d in range(3) for k in range(5)]
+        spans = spark.createDataFrame(rows, "doc_id long, h long")
+        _append_batch_counts(spans, ix, batch_id=b, n_buckets=2)
+
+    before = {r.h: r.nd_idx for r in read_index_counts(spark, ix).collect()}
+    # tiny target -> bucket 0 needs several slices, bucket 1 exactly one
+    compacted = compact_span_index(spark, ix, max_files=1, target_bytes=16 << 10)
+    assert set(compacted) == {"bucket=0", "bucket=1"}
+    f0 = data_file_count(os.path.join(_index_path(ix), "bucket=0"))
+    f1 = data_file_count(os.path.join(_index_path(ix), "bucket=1"))
+    assert f0 > 1  # the big bucket really did split
+    assert f1 == 1  # the small bucket is NOT split to f0's count
+    # semantics unchanged
+    after = {r.h: r.nd_idx for r in read_index_counts(spark, ix).collect()}
+    assert after == before
+    # and the small bucket is not re-targeted by the next pass
+    assert "bucket=1" not in compact_span_index(spark, ix, max_files=1, target_bytes=16 << 10)
+
+
 def test_span_replay_after_merge_is_bit_identical(spark, tmp_path):
     """A batch whose index rows were already MERGED by a compaction must
     still replay bit-identically: the probe suppresses the batch's own
