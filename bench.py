@@ -49,17 +49,16 @@ BENCH_QUERIES = [
 # the extended section grew every round (78 s -> 123 s timed in r11 alone,
 # each query also paying a warm pass), stretching the idle-box window the
 # run depends on. The section is now a FIXED tier of scale-contract
-# representatives — one per distinct heavy plan shape (streaming ingest,
-# IVF/ADC ANN, graph join, BM25, star join, span trim offline + streaming,
-# LSH-chain curation delivery, BPE, rolling-hash n-grams, composed
-# streaming curation) — benched every round. Everything rotated out keeps
+# representatives — one per distinct heavy plan shape (IVF/ADC ANN, graph
+# join, BM25, star join, span trim offline + streaming, LSH-chain curation
+# delivery, BPE, rolling-hash n-grams, and the guarded composed streaming
+# corpus builder) — benched every round. Everything rotated out keeps
 # its correctness gate (oracle + plan audit every round) and its
 # perf coverage through tools/sf1_curves.py decade measurements instead of
 # a per-round wall-clock row; ROTATED_OUT documents the list so a future
 # regression hunt knows where the numbers went. The HEADLINE list above
 # never changes (round-over-round comparability).
 EXTENDED_QUERIES = [
-    "st7_neardup_ingest",
     "ss8_ivf_adc_topk",
     "g2_triangle_count",
     "ir1_bm25_topk",
@@ -69,12 +68,18 @@ EXTENDED_QUERIES = [
     "cc10_trimmed_shard_manifest",
     "tk6_bpe_capped_encode",
     "tx13_ngram_novelty",
-    "st11_curation_funnel",
+    "st14_corpus_builder",
 ]
 
 # Rotated out of per-round wall-clock benching in r12 (still oracle- and
-# audit-gated every round; perf via sf1_curves decades on demand):
+# audit-gated every round; perf via sf1_curves decades on demand).
+# r13: st14_corpus_builder (guard -> curation -> packing) supersedes both
+# composed-streaming representatives — st7_neardup_ingest (its two-batch
+# index lifecycle runs INSIDE st14's curation stage) and
+# st11_curation_funnel (st14 minus the guard and the manifest) — so both
+# rotate out; the tier keeps ONE representative per heavy plan shape.
 ROTATED_OUT = [
+    "st7_neardup_ingest", "st11_curation_funnel",
     "ss6_pq_adc_topk", "ss7_pq_rerank", "j5_fuzzy_supplier_match",
     "sk2_kmv_distinct", "tx7_unigram_logprob", "ml2_naive_bayes",
     "tx8_tfidf_topk", "dp3_robust_outliers", "rs5_rolling_anomaly",
@@ -183,7 +188,7 @@ def main() -> None:
     # final adaptive plans). Their multi-stage chains (LSH index -> cluster
     # -> trim -> pack) need a second execution before tiered JIT and
     # shuffle-path warm-up settle, so they get one extra untimed pass.
-    DOUBLE_WARM = {"cc10_trimmed_shard_manifest", "st11_curation_funnel"}
+    DOUBLE_WARM = {"cc10_trimmed_shard_manifest", "st14_corpus_builder"}
 
     def run_set(names: list[str]) -> dict[str, float]:
         times: dict[str, float] = {}
@@ -229,7 +234,7 @@ def main() -> None:
                 # extended composition changed in r12 (fixed representative
                 # tier; see ROTATED_OUT) — extended_total is NOT comparable
                 # to pre-r12 artifacts; the headline composition is unchanged
-                "extended_tier": "r12-fixed",
+                "extended_tier": "r13-fixed",
                 "sf": sf,
                 "runs": RUNS,
                 "runs_detail": runs_detail,

@@ -298,11 +298,15 @@ ttrim{tag} AS MATERIALIZED (
 _ST11_PRED1 = f"doc_id < {_SPLIT}"
 _ST11_PRED2 = f"doc_id >= {_SPLIT}"
 
+
 # the composed two-batch unroll: st7's admission fragments (keep1/keep2 +
 # cross-batch matched), st10's span-count fragments under non-colliding
-# x1/x2 tags, the scoped trim, then cc9's lang/quality gates on trimmed text
-_ST11_VER_CTES = f"""{_half_ctes(1, _ST11_PRED1)},
-{_half_ctes(2, _ST11_PRED2)},
+# x1/x2 tags, the scoped trim, then cc9's lang/quality gates on trimmed
+# text. Parameterized by the batch predicates so st14 can reuse the whole
+# chain over the contamination-filtered corpus.
+def _ver_ctes(pred1: str, pred2: str) -> str:
+    return f"""{_half_ctes(1, pred1)},
+{_half_ctes(2, pred2)},
 xb AS (
   SELECT a.doc_id AS new_id, b.doc_id AS old_id,
          any_value(a.toks) AS ta, any_value(b.toks) AS tb
@@ -316,15 +320,15 @@ adm1 AS (SELECT doc_id FROM keep1),
 adm2 AS (
   SELECT doc_id FROM keep2 WHERE doc_id NOT IN (SELECT new_id FROM matched)
 ),
-{_span_scope_ctes("x1", _ST11_PRED1)},
-{_span_scope_ctes("x2", _ST11_PRED2)},
+{_span_scope_ctes("x1", pred1)},
+{_span_scope_ctes("x2", pred2)},
 dupx1 AS (SELECT h FROM cx1 WHERE nd >= 2),
 dupx2 AS (
   SELECT cx2.h FROM cx2 LEFT JOIN cx1 ON cx2.h = cx1.h
   WHERE cx2.nd + COALESCE(cx1.nd, 0) >= 2
 ),
-{_span_trim_ctes("x1", _ST11_PRED1, "dupx1")},
-{_span_trim_ctes("x2", _ST11_PRED2, "dupx2")},
+{_span_trim_ctes("x1", pred1, "dupx1")},
+{_span_trim_ctes("x2", pred2, "dupx2")},
 ver AS MATERIALIZED (
   SELECT t.doc_id, CAST(0 AS BIGINT) AS batch_id, t.n_tokens, t.n_kept,
          (a.doc_id IS NOT NULL) AS admitted,
@@ -338,6 +342,9 @@ ver AS MATERIALIZED (
          round({_QUALITY}, 6) AS q_trim
   FROM ttrimx2 t LEFT JOIN adm2 a ON a.doc_id = t.doc_id
 )"""
+
+
+_ST11_VER_CTES = _ver_ctes(_ST11_PRED1, _ST11_PRED2)
 
 _ST11_ORACLE = f"""
 WITH {_ST11_VER_CTES}
@@ -495,3 +502,146 @@ def cc11_verdict_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# --- ST14: composed streaming corpus builder (st13 -> st11 -> cc11) ---------------
+# The capstone composition: per micro-batch, contamination guard against
+# the pinned benchmark, curation verdict over the CLEAN docs (contaminated
+# docs never reach the near-dup or span indexes), per-batch shard packing
+# of the keep verdicts. Oracle = the st13 guard fragments feeding the
+# proven st11 ver CTEs via contamination-filtered batch predicates.
+_SH14 = CP._shingle_hashes_sql("text", CP.DECON_N)
+
+_ST14_GUARD_CTES = f"""gsh AS (SELECT doc_id, unnest({_SH14}) AS h FROM documents),
+gbench AS (SELECT DISTINCT h FROM gsh WHERE doc_id % {CP.BENCH_MOD} = 0),
+contam AS MATERIALIZED (
+  SELECT DISTINCT s.doc_id FROM gsh s JOIN gbench USING (h)
+  WHERE s.doc_id % {CP.BENCH_MOD} <> 0
+)"""
+
+_ST14_CLEAN = (
+    f"doc_id % {CP.BENCH_MOD} <> 0 "
+    "AND doc_id NOT IN (SELECT doc_id FROM contam)"
+)
+_ST14_PRED1 = f"{_ST14_CLEAN} AND doc_id < {_SPLIT}"
+_ST14_PRED2 = f"{_ST14_CLEAN} AND doc_id >= {_SPLIT}"
+
+_ST14_VERDICT_CASE = """CASE WHEN NOT admitted THEN 'drop_neardup'
+            WHEN lang_trim <> 'en' THEN 'drop_lang'
+            WHEN q_trim < 0.5 THEN 'drop_quality'
+            ELSE 'keep' END"""
+
+_ST14_VERDICTS_ORACLE = f"""
+WITH {_ST14_GUARD_CTES},
+{_ver_ctes(_ST14_PRED1, _ST14_PRED2)}
+SELECT doc_id, batch_id, n_tokens, n_kept, admitted, lang_trim, q_trim,
+       {_ST14_VERDICT_CASE} AS verdict
+FROM ver
+UNION ALL
+SELECT d.doc_id,
+       CAST(CASE WHEN d.doc_id < {_SPLIT} THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
+       CAST(len({_ST10_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(0 AS BIGINT) AS n_kept,
+       FALSE AS admitted,
+       CAST(NULL AS VARCHAR) AS lang_trim,
+       CAST(NULL AS DOUBLE) AS q_trim,
+       'drop_contaminated' AS verdict
+FROM documents d JOIN contam c ON d.doc_id = c.doc_id
+ORDER BY doc_id"""
+
+_ST14_MANIFEST_ORACLE = f"""
+WITH {_ST14_GUARD_CTES},
+{_ver_ctes(_ST14_PRED1, _ST14_PRED2)},
+keep14 AS (
+  SELECT batch_id, doc_id, n_kept AS n_tokens FROM ver
+  WHERE admitted AND lang_trim = 'en' AND q_trim >= 0.5
+),
+packed14 AS (
+  SELECT batch_id, doc_id, n_tokens,
+         CAST(floor(CAST(CAST(SUM(n_tokens) OVER (PARTITION BY batch_id ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS DOUBLE)
+                    / {CP.PACK_BUDGET}) AS BIGINT) AS shard_id
+  FROM keep14
+)
+SELECT batch_id, shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id
+FROM packed14 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def _st14_outputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two real ingest batches through the composed builder body (fresh
+    pinned benchmark + curation state), verdicts and manifests
+    materialized before the temp state disappears. Batch split and
+    benchmark convention match st13's (corpus = doc_id % BENCH_MOD != 0,
+    split at (max+1)//2 over all documents)."""
+    from pdf_etl_pipeline_spark.streaming.contamination_guard import pin_benchmark
+    from pdf_etl_pipeline_spark.streaming.corpus_builder import (
+        build_corpus_batch,
+        drop_builder_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % CP.BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % CP.BENCH_MOD != 0)
+    split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    tmp = tempfile.mkdtemp(prefix="st14_state_")
+    try:
+        assert pin_benchmark(bench, tmp)
+        v1, m1 = build_corpus_batch(
+            corpus.filter(F.col("doc_id") < split), tmp, batch_id=0
+        )
+        v2, m2 = build_corpus_batch(
+            corpus.filter(F.col("doc_id") >= split), tmp, batch_id=1
+        )
+        tag = lambda df, b: df.withColumn("batch_id", F.lit(b).cast("long"))
+        # build_corpus_batch localCheckpoints both outputs, so the unions
+        # survive the temp-state deletion without re-materializing
+        verdicts = tag(v1, 0).unionByName(tag(v2, 1))
+        manifest = tag(m1, 0).unionByName(tag(m2, 1))
+    finally:
+        drop_builder_state(spark, tmp)
+    return verdicts, manifest
+
+
+@register(
+    "st14_builder_verdicts",
+    oracle=_ST14_VERDICTS_ORACLE,
+    doc="ST14 composed streaming corpus builder — the per-doc verdict relation: "
+    "st13 contamination guard (pinned benchmark; contaminated docs dropped "
+    "BEFORE the curation indexes see them), st11 curation verdict over the "
+    "clean docs (st7 admission + st10 span trim + lang/quality on trimmed "
+    "text), one FINAL row per incoming doc incl. drop_contaminated. Oracle "
+    "feeds the dc1 guard fragments into the proven st11 ver CTEs via "
+    "contamination-filtered batch predicates. Scale: guard is a broadcast-pin "
+    "equi-join, the rest the audited st7/st10 probe plans — nothing "
+    "stream-global per batch",
+)
+def st14_builder_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    verdicts, _ = _st14_outputs(spark, sf_dir)
+    return verdicts.select(
+        "doc_id", "batch_id", "n_tokens", "n_kept", "admitted",
+        "lang_trim", "q_trim", "verdict",
+    ).orderBy("doc_id")
+
+
+@register(
+    "st14_corpus_builder",
+    oracle=_ST14_MANIFEST_ORACLE,
+    doc="ST14 composed streaming corpus builder — the per-batch DELIVERY "
+    "MANIFEST: the batch's keep verdicts (guarded, admitted, trimmed, "
+    "gate-scored) packed into 2048-token shards by TRIMMED token counts "
+    "(pk1's two-level cumsum, shard ids batch-local), one row per (batch, "
+    "shard) with doc/token accounting — what a training loader pulls from a "
+    "streaming ingest. Scale: a filter over the batch's bounded materialized "
+    "verdict relation into bkt-partitioned cumsum windows; the only "
+    "single-partition exchange is the tiny per-bucket offsets relation",
+)
+def st14_corpus_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    _, manifest = _st14_outputs(spark, sf_dir)
+    return manifest.select(
+        "batch_id", "shard_id", "n_docs", "total_tokens",
+        "first_doc_id", "last_doc_id",
+    ).orderBy("batch_id", "shard_id")

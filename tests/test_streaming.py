@@ -1571,6 +1571,183 @@ def test_cc11_manifest_consistent_with_st11_keepers(spark):
         assert r.total_tokens >= 1 and r.n_docs >= 1
         assert r.total_tokens >= CP.PACK_BUDGET - max(k.n_kept for k in keep)
 
+def _st14_fixture(spark):
+    """The st11 fixture plus a planted contamination pair: doc 8 (batch 1)
+    shares a 5-gram shingle with the benchmark doc -> contaminated; doc 9
+    (batch 2) is doc 8's tokens REVERSED — same token set (a MinHash
+    near-dup of doc 8) but no shared 5-gram with the benchmark (shingles
+    are order-sensitive) -> clean. Doc 9 is therefore the semantics pin:
+    it stays admitted IFF the contaminated doc 8 never entered the
+    near-dup index."""
+    texts = dict(_ST11_DOCS)
+    rev = " ".join(reversed(texts[1].split()))
+    texts[2] = rev
+    texts[5] = rev
+    texts[8] = (
+        "completely unrelated words here alpha beta gamma delta epsilon "
+        "something else entirely follows"
+    )
+    texts[9] = " ".join(reversed(texts[8].split()))
+    mk = lambda ids: spark.createDataFrame(
+        [(i, texts[i]) for i in ids], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    return bench, mk([1, 2, 3, 8]), mk([4, 5, 6, 7, 9])
+
+
+def test_st14_builder_hand_computed(spark, tmp_path):
+    """The composed builder on planted docs: the contamination guard
+    drops doc 8 with a FINAL drop_contaminated row (n_kept 0, gates
+    null), doc 8 never reaches the curation indexes (its reversed twin
+    doc 9 in batch 2 stays admitted — it would read drop_neardup if the
+    contaminated doc had been indexed), the st11 verdicts are otherwise
+    unchanged, and the per-batch manifest packs exactly the keep
+    verdicts' trimmed tokens into batch-local shard 0."""
+    from pdf_etl_pipeline_spark.streaming.contamination_guard import pin_benchmark
+    from pdf_etl_pipeline_spark.streaming.corpus_builder import (
+        build_corpus_batch,
+        drop_builder_state,
+    )
+
+    bench, b1, b2 = _st14_fixture(spark)
+    state = str(tmp_path / "st14")
+    assert pin_benchmark(bench, state)
+    v1, m1 = build_corpus_batch(b1, state, batch_id=0)
+    v2, m2 = build_corpus_batch(b2, state, batch_id=1)
+    verd = {r.doc_id: r for r in v1.unionByName(v2).collect()}
+
+    # the guard's final row: dropped before trim or scoring
+    r8 = verd[8]
+    assert (r8.verdict, r8.n_kept, r8.admitted) == ("drop_contaminated", 0, False)
+    assert r8.lang_trim is None and r8.q_trim is None
+    assert r8.n_tokens == 13
+    # doc 9 (clean reversed twin) is ADMITTED: doc 8 never entered the index
+    assert verd[9].admitted and verd[9].verdict != "drop_neardup"
+    # the st11 fixture's verdicts are undisturbed by the new docs
+    assert verd[5].verdict == "drop_neardup"
+    assert verd[6].verdict == "drop_lang"
+    assert verd[7].verdict == "drop_quality"
+
+    # manifest: per batch, one shard 0 holding exactly the keepers
+    for m, v in ((m1, v1), (m2, v2)):
+        keep = sorted(
+            (r.doc_id, r.n_kept) for r in v.collect() if r.verdict == "keep"
+        )
+        rows = m.collect()
+        assert [r.shard_id for r in rows] == [0]
+        assert rows[0].n_docs == len(keep)
+        assert rows[0].total_tokens == sum(k for _, k in keep)
+        assert rows[0].first_doc_id == keep[0][0]
+        assert rows[0].last_doc_id == keep[-1][0]
+    drop_builder_state(spark, state)
+
+
+@pytest.mark.slow
+def test_st14_streamed_equals_offline(spark, tmp_path):
+    """Drive the real foreachBatch corpus-builder stream over parquet
+    drops, then replay the SAME per-epoch batches through the direct
+    build_corpus_batch composition on fresh state: the streamed verdict
+    AND manifest rows must match the offline twin's exactly."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.streaming.contamination_guard import pin_benchmark
+    from pdf_etl_pipeline_spark.streaming.corpus_builder import (
+        build_corpus_batch,
+        corpus_builder_stream,
+        read_builder_manifest,
+        read_builder_verdicts,
+    )
+
+    bench, b1, b2 = _st14_fixture(spark)
+    drop_dir = str(tmp_path / "drops")
+    b1.coalesce(1).write.mode("append").parquet(drop_dir)
+    _time.sleep(1.1)  # distinct mod times -> deterministic file order
+    b2.coalesce(1).write.mode("append").parquet(drop_dir)
+
+    state = str(tmp_path / "stream_state")
+    assert pin_benchmark(bench, state)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(drop_dir)
+    )
+    q = corpus_builder_stream(stream, state).start()
+    q.awaitTermination(300)
+
+    verdicts = read_builder_verdicts(spark, state)
+    manifest = read_builder_manifest(spark, state)
+    by_batch: dict[int, list[int]] = {}
+    for r in verdicts.collect():
+        by_batch.setdefault(r.batch_id, []).append(r.doc_id)
+    assert sum(len(v) for v in by_batch.values()) == 9
+
+    offline_state = str(tmp_path / "offline_state")
+    assert pin_benchmark(bench, offline_state)
+    all_docs = b1.unionByName(b2)
+    off_v, off_m = [], []
+    for bid in sorted(by_batch):
+        v, m = build_corpus_batch(
+            all_docs.filter(F2.col("doc_id").isin(by_batch[bid])),
+            offline_state,
+            batch_id=bid,
+        )
+        off_v.extend(
+            v.withColumn("batch_id", F2.lit(bid).cast("long")).collect()
+        )
+        off_m.extend(
+            m.withColumn("batch_id", F2.lit(bid).cast("long")).collect()
+        )
+
+    vcols = ["doc_id", "batch_id", "n_tokens", "n_kept", "admitted",
+             "lang_trim", "q_trim", "verdict"]
+    mcols = ["batch_id", "shard_id", "n_docs", "total_tokens",
+             "first_doc_id", "last_doc_id"]
+    snap = lambda rows, cols, key: sorted(
+        ([getattr(r, c) for c in cols] for r in rows),
+        key=lambda x: (x[0], x[1]),
+    )
+    assert snap(verdicts.collect(), vcols, None) == snap(off_v, vcols, None)
+    assert snap(manifest.collect(), mcols, None) == snap(off_m, mcols, None)
+
+
+def test_st14_replay_is_bit_identical(spark, tmp_path):
+    """st14's crash-replay contract — the composition inherits every
+    piece's: the guard screens against the immutable pin only, the
+    curation verdict replays bit-identically (st7 same-id exclusion +
+    st10 covered-batch suppression), the manifest is a deterministic
+    function of the verdicts. Re-running batch 2 with its state already
+    appended re-emits byte-identical verdict AND manifest rows."""
+    from pdf_etl_pipeline_spark.streaming.contamination_guard import pin_benchmark
+    from pdf_etl_pipeline_spark.streaming.corpus_builder import (
+        build_corpus_batch,
+        drop_builder_state,
+    )
+
+    bench, b1, b2 = _st14_fixture(spark)
+    state = str(tmp_path / "st14_replay")
+    assert pin_benchmark(bench, state)
+    vcols = ["doc_id", "n_tokens", "n_kept", "admitted", "lang_trim", "q_trim", "verdict"]
+    mcols = ["shard_id", "n_docs", "total_tokens", "first_doc_id", "last_doc_id"]
+    snap = lambda df, cols: sorted([getattr(r, c) for c in cols] for r in df.collect())
+
+    build_corpus_batch(b1, state, batch_id=0)
+    v2, m2 = build_corpus_batch(b2, state, batch_id=1)
+    want_v, want_m = snap(v2, vcols), snap(m2, mcols)
+    assert any(r[-1] == "drop_neardup" for r in want_v)  # genuine cross-batch dup
+    assert any(r[-1] == "keep" for r in want_v)
+
+    v2r, m2r = build_corpus_batch(b2, state, batch_id=1)
+    assert snap(v2r, vcols) == want_v
+    assert snap(m2r, mcols) == want_m
+    drop_builder_state(spark, state)
+
+
 def test_st12_drift_monitor_stream_and_pinned_reference(spark, tmp_path):
     """st12: the FIRST batch is pinned as the immutable reference; every
     later batch scores against that pin (not against its predecessor);

@@ -147,6 +147,26 @@ def _st11_verdict_body_df(spark, sf_dir):
     return curation_verdict_df(b2, admitted, trimmed)
 
 
+_ST14_AUDIT_TMP: dict = {}
+
+
+def _st14_manifest_body_df(spark, sf_dir):
+    """st14's delivery step over a REAL staged two-batch verdict relation
+    (guard -> curation -> union with drop_contaminated rows, all
+    materialized by the composed body exactly as in production): the
+    manifest plan is a keep-filter into pk1's two-level packing cumsum +
+    one roll-up aggregate. The upstream pieces carry their own audits
+    (st13_contamination_guard / st11_curation_batch_body)."""
+    if "df" not in _ST14_AUDIT_TMP:
+        from pdf_etl_pipeline_spark.catalog.ingest_q import _st14_outputs
+
+        verdicts, _ = _st14_outputs(spark, sf_dir)
+        _ST14_AUDIT_TMP["df"] = verdicts.localCheckpoint()
+    from pdf_etl_pipeline_spark.streaming.corpus_builder import builder_manifest_df
+
+    return builder_manifest_df(_ST14_AUDIT_TMP["df"])
+
+
 _ST12_AUDIT_TMP: dict = {}
 
 
@@ -1301,6 +1321,27 @@ CHECKS = {
         "must": ["BroadcastHashJoin", "Window"],
         "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
         "check": _pk1_tiny_window_input,
+    },
+    "st14_builder_manifest_body": {
+        # the composed builder's delivery step: keep-filter over the
+        # batch's materialized verdict relation into pk1's two-level
+        # packing — bkt-partitioned cumsum windows, the only
+        # SinglePartition exchange the bounded per-bucket offsets
+        # relation; no Python, no cartesian (the guard and curation
+        # stages carry their own audits)
+        "build": _st14_manifest_body_df,
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        "check": lambda plan: (
+            _pk1_tiny_window_input(plan)
+            + [
+                f"Window partitioned by neither doc_id nor bkt: {l.strip()[:100]}"
+                for l in plan.splitlines()
+                if "Window [" in l
+                and ", [doc_id" not in l.split("Window [", 1)[1]
+                and ", [bkt" not in l.split("Window [", 1)[1]
+            ]
+        ),
     },
     "mm1_phash_pairs": {
         # exact pigeonhole banding over DISTINCT hash values: the distinct
