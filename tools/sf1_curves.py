@@ -217,6 +217,18 @@ def main() -> None:
         "st13_contamination_guard": st13_contamination_guard,
         "dq6_categorical_drift": dq6_categorical_drift,
         "dq7_embedding_drift": dq7_embedding_drift,
+        "st14_corpus_builder": __import__(
+            "pdf_etl_pipeline_spark.catalog.ingest_q", fromlist=["st14_corpus_builder"]
+        ).st14_corpus_builder,
+        "mm1_phash_pairs": __import__(
+            "pdf_etl_pipeline_spark.catalog.multimodal_q", fromlist=["mm1_phash_pairs"]
+        ).mm1_phash_pairs,
+        "mm2_audio_pairs": __import__(
+            "pdf_etl_pipeline_spark.catalog.multimodal_q", fromlist=["mm2_audio_pairs"]
+        ).mm2_audio_pairs,
+        "mm3_video_pairs": __import__(
+            "pdf_etl_pipeline_spark.catalog.multimodal_q", fromlist=["mm3_video_pairs"]
+        ).mm3_video_pairs,
     }
     # optional comma-separated substring filter (argv[3]): measure a
     # subset without paying for the whole battery
