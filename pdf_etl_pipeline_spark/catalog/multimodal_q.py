@@ -1,5 +1,6 @@
-"""Multimodal-dedup catalog (mm1–mm3) — the image/audio/video near-dup
-banding registered as oracle-checked queries (r12 VERDICT item 4).
+"""Multimodal-dedup catalog (mm1–mm4) — the image/audio/video near-dup
+banding and the cross-modal image-in-video containment registered as
+oracle-checked queries (r12 VERDICT item 4 + the r13 bipartite extension).
 
 The hash EXTRACTORS (aHash, spectral fingerprint, frame hashes) are
 mapInPandas decoders pinned by real-asset tests (BMP/PNG/JPEG/WAV/AVI in
@@ -172,17 +173,20 @@ def _mm3_frame_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "mm3_video_pairs",
-    oracle=f"""
-WITH fh AS (
+_MM3_FH_CTE = f"""fh AS (
   SELECT CAST(floor(doc_id / 4) AS BIGINT) AS asset_id,
          CAST(doc_id % 4 AS INT) AS frame_idx,
          xor({_h64_sql("'vid' || CAST(CAST(floor(doc_id / 8) AS BIGINT) AS VARCHAR) || 'f' || CAST(CAST(doc_id % 4 AS INT) AS VARCHAR)")},
              CASE WHEN CAST(floor(doc_id / 4) AS BIGINT) % 2 = 1
                   THEN CAST({_MM3_ODD_PERTURB} AS BIGINT) ELSE 0 END) AS fhash
   FROM documents
-),
+)"""
+
+
+@register(
+    "mm3_video_pairs",
+    oracle=f"""
+WITH {_MM3_FH_CTE},
 matched AS (
   SELECT a.asset_id AS asset_a, a.frame_idx AS frame_a,
          b.asset_id AS asset_b, b.frame_idx AS frame_b
@@ -214,3 +218,62 @@ ORDER BY asset_a, asset_b""",
 def mm3_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return MM.video_dup_pairs(_mm3_frame_hashes(load_table(spark, sf_dir, "documents")))
+
+
+# --- mm4: cross-modal image-in-video containment -------------------------------
+# Images target their doc_id's mm3 scene/frame base: doc_id % 3 == 0 hits
+# the even video exactly (H0) and the odd video at that frame's
+# perturbation distance (H1/H0/H3 for frames 0-2; frame 3 at H8 prunes);
+# % 3 == 1 sits at XOR 2 (even H1; odd H2/H1/H2, frame 3 H7 prunes);
+# % 3 == 2 sits at XOR 0xF0F (H8) and never matches anything.
+_MM4_IMG_PERTURB = "CASE doc_id % 3 WHEN 1 THEN 2 WHEN 2 THEN 3855 ELSE 0 END"
+
+
+def _mm4_image_hashes(docs: DataFrame) -> DataFrame:
+    scene = F.floor(F.col("doc_id") / F.lit(8)).cast("long")
+    fsel = (F.col("doc_id") % 4).cast("int")
+    m = F.col("doc_id") % 3
+    perturb = F.when(m == 1, F.lit(2)).when(m == 2, F.lit(3855)).otherwise(F.lit(0))
+    seed = F.concat(F.lit("vid"), scene.cast("string"), F.lit("f"), fsel.cast("string"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        _h64(seed).bitwiseXOR(perturb.cast("long")).alias("phash"),
+    )
+
+
+@register(
+    "mm4_image_in_video",
+    oracle=f"""
+WITH {_MM3_FH_CTE},
+img AS (
+  SELECT doc_id AS asset_img,
+         xor({_h64_sql("'vid' || CAST(CAST(floor(doc_id / 8) AS BIGINT) AS VARCHAR) || 'f' || CAST(CAST(doc_id % 4 AS INT) AS VARCHAR)")},
+             CAST({_MM4_IMG_PERTURB} AS BIGINT)) AS phash
+  FROM documents
+),
+m AS (
+  SELECT i.asset_img, f.asset_id AS asset_vid, f.frame_idx,
+         bit_count(xor(i.phash, f.fhash)) AS hamming
+  FROM img i JOIN fh f ON bit_count(xor(i.phash, f.fhash)) <= 3
+),
+pp AS (
+  SELECT asset_img, asset_vid, COUNT(DISTINCT frame_idx) AS n_matched_frames,
+         MIN(hamming) AS best_hamming
+  FROM m GROUP BY 1, 2
+),
+cnt AS (SELECT asset_id, COUNT(*) AS n_frames FROM fh GROUP BY 1)
+SELECT asset_img, asset_vid, n_matched_frames, c.n_frames AS n_frames,
+       round(n_matched_frames / c.n_frames, 6) AS match_frac, best_hamming
+FROM pp JOIN cnt c ON c.asset_id = asset_vid
+ORDER BY asset_img, asset_vid""",
+    doc="mm4: cross-modal image-in-video containment — which videos hold a "
+    "frame within Hamming 3 of each image's aHash (frame-grab provenance for "
+    "a multimodal corpus). BIPARTITE distinct-hash pigeonhole banding (the "
+    "degeneracy guard on both sides), popcount verify per distinct cross "
+    "pair, output-bounded expansion, one keyed roll-up; the brute-force "
+    "all-pairs shape exists only in the DuckDB oracle.",
+)
+def mm4_image_in_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.image_in_video_pairs(_mm4_image_hashes(docs), _mm3_frame_hashes(docs))

@@ -1150,3 +1150,106 @@ def video_dup_pairs(
         )
         .orderBy("asset_a", "asset_b")
     )
+
+
+# --- Cross-modal: image-in-video containment search ---------------------------
+
+
+def image_in_video_pairs(
+    image_hashes: DataFrame,
+    frame_hashes: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(asset_img, asset_vid, n_matched_frames, n_frames, match_frac,
+    best_hamming): which videos CONTAIN which images — an image matches a
+    video when at least one sampled frame's aHash is within Hamming
+    ``max_hamming`` of the image's. The cross-modal dedup/provenance
+    question a multimodal training corpus asks ("is this still a frame
+    grab of a video we already hold?"); both sides share the 64-bit
+    aHash space (``perceptual_hash`` / ``video_frame_hashes``), so the
+    match is the same exact pigeonhole banding, made BIPARTITE.
+
+    Scale shape: distinct image hashes band-join distinct frame hashes
+    (hot-band degeneracy guard on BOTH sides — a black test card and a
+    black-frame pile-up each collapse to one banding row), codegen
+    popcount verify once per distinct cross pair, output-bounded
+    expansion to (image, frame) matches, one keyed roll-up per
+    (image, video). Images are typically the small side — Spark
+    broadcasts the distinct-hash band relation on its own statistics.
+    No self-join, never all-pairs."""
+    _require_banding_complete(max_hamming)
+
+    def _banded_distinct(hashes: DataFrame, col: str) -> DataFrame:
+        dh = hashes.select(F.col(col).alias("h")).distinct()
+        return dh.select(
+            "h",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.shiftrightunsigned(F.col("h"), 16 * i)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("band_val"),
+                        )
+                        for i in range(PHASH_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        ).select("h", "b.band_idx", "b.band_val")
+
+    li = _banded_distinct(image_hashes, "phash").alias("i")
+    rf = _banded_distinct(frame_hashes, "fhash").alias("f")
+    # bipartite: equal hashes agree on every band, so Hamming-0 matches
+    # fall out of the same join — no separate identical-hash branch
+    hp = (
+        li.join(
+            rf,
+            (F.col("i.band_idx") == F.col("f.band_idx"))
+            & (F.col("i.band_val") == F.col("f.band_val")),
+        )
+        .select(F.col("i.h").alias("hi"), F.col("f.h").alias("hf"))
+        .dropDuplicates(["hi", "hf"])
+        .withColumn("hamming", F.bit_count(F.col("hi").bitwiseXOR(F.col("hf"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    matched = (
+        hp.join(
+            image_hashes.select(
+                F.col("phash").alias("hi"), F.col("asset_id").alias("asset_img")
+            ),
+            "hi",
+        )
+        .join(
+            frame_hashes.select(
+                F.col("fhash").alias("hf"),
+                F.col("asset_id").alias("asset_vid"),
+                "frame_idx",
+            ),
+            "hf",
+        )
+    )
+    per_pair = matched.groupBy("asset_img", "asset_vid").agg(
+        F.count_distinct("frame_idx").alias("n_matched_frames"),
+        F.min("hamming").alias("best_hamming"),
+    )
+    counts = frame_hashes.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return (
+        per_pair.join(
+            counts.select(F.col("asset_id").alias("asset_vid"), "n_frames"),
+            "asset_vid",
+        )
+        .select(
+            "asset_img",
+            "asset_vid",
+            "n_matched_frames",
+            "n_frames",
+            F.round(F.col("n_matched_frames") / F.col("n_frames"), 6).alias(
+                "match_frac"
+            ),
+            "best_hamming",
+        )
+        .orderBy("asset_img", "asset_vid")
+    )

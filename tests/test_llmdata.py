@@ -881,6 +881,40 @@ def test_mm_catalog_queries_hand_computed(spark):
     assert mm3 == want3
 
 
+def test_mm4_image_in_video_hand_computed(spark):
+    """mm4's cross-modal containment on the synthetic relations is fully
+    hand-computable: an image targets its doc_id's mm3 scene/frame base —
+    doc_id % 3 == 0 images hit the even video at H0 and the odd video at
+    that frame's perturbation distance (frame 3 prunes at H8); % 3 == 1
+    images sit 1 bit off (odd-video frame 3 prunes at H7); % 3 == 2
+    images (H8 from everything) never match. Exactly one frame matches
+    per (image, video), so n_matched_frames == 1 and match_frac == 1/4
+    everywhere (complete videos)."""
+    from pdf_etl_pipeline_spark.catalog import load_registry
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.asset_img, r.asset_vid): (
+            r.n_matched_frames, r.n_frames, r.match_frac, r.best_hamming
+        )
+        for r in load_registry()["mm4_image_in_video"].fn(spark, sf).collect()
+    }
+    n_docs, odd_pert_pc = 500, {0: 1, 1: 0, 2: 3, 3: 8}
+    img_pc = {0: 0, 1: 1, 2: 8}  # popcount of the image perturbation
+    want = {}
+    for i in range(n_docs):
+        s, f, m = i // 8, i % 4, i % 3
+        pert = {0: 0, 1: 2, 2: 0xF0F}[m]
+        for vid, h in ((2 * s, bin(pert).count("1")),
+                       (2 * s + 1, bin(pert ^ {0: 1, 1: 0, 2: 7, 3: 255}[f]).count("1"))):
+            if h <= 3 and vid < n_docs // 4:
+                want[(i, vid)] = (1, 4, 0.25, h)
+    assert got == want
+    # sanity on the planted structure itself
+    assert (0, 0) in want and want[(0, 0)][3] == 0  # exact frame grab
+    assert all((i, v) not in want for i in range(2, n_docs, 3) for v in (i // 8 * 2,))
+
+
 def test_phash_max_hamming_guard():
     """mm2: distances beyond the pigeonhole guarantee raise instead of
     silently returning an incomplete pair set."""

@@ -1378,6 +1378,19 @@ CHECKS = {
             "BroadcastNestedLoopJoin",
         ],
     },
+    "mm4_image_in_video": {
+        # BIPARTITE distinct-hash banding (degeneracy guard both sides):
+        # equi-join on (band_idx, band_val) only — no self-join, no union
+        # branch (equal hashes agree on every band), expansion joins
+        # keyed, keyed roll-up; never an all-pairs product
+        "must": ["HashAggregate", "Generate"],
+        "must_not": [
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ],
+    },
 }
 
 
