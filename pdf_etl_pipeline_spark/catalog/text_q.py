@@ -495,3 +495,37 @@ def tx13_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- TX14: Heaps-law vocabulary growth ------------------------------------------
+@register(
+    "tx14_vocab_growth",
+    oracle=f"""
+WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+first AS (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY 1),
+dstats AS (
+  SELECT CAST(floor(doc_id * 10 / m) AS BIGINT) AS bucket,
+         COUNT(*) AS n_docs, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tok
+  FROM documents, mx GROUP BY 1
+),
+vstats AS (
+  SELECT CAST(floor(fd * 10 / m) AS BIGINT) AS bucket, COUNT(*) AS new_vocab
+  FROM first, mx GROUP BY 1
+)
+SELECT d.bucket, d.n_docs,
+       CAST(SUM(d.n_docs) OVER (ORDER BY d.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+       CAST(SUM(d.n_tok) OVER (ORDER BY d.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(v.new_vocab, 0)) OVER (ORDER BY d.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM dstats d LEFT JOIN vstats v ON d.bucket = v.bucket
+ORDER BY d.bucket""",
+    doc="TX14 Heaps-law vocabulary-growth curve: per doc_id decile, cumulative "
+    "docs / token occurrences / DISTINCT vocabulary — the corpus-health readout "
+    "(dedup failures flatten V against N; templated floods bend it down). "
+    "Prefix-distinct WITHOUT prefix rescans: a token is new to a prefix iff its "
+    "min doc_id lands there — one keyed min-agg over the exploded tokens, a "
+    "10-row roll-up, a running sum over that bounded relation only.",
+)
+def tx14_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return TX.vocab_growth(load_table(spark, sf_dir, "documents"))

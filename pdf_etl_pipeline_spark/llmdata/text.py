@@ -507,3 +507,58 @@ LEFT JOIN (SELECT per_doc.doc_id AS doc_id, n_alpha, n_symbols, entropy
            FROM per_doc JOIN ent ON per_doc.doc_id = ent.doc_id) s
   ON d.doc_id = s.doc_id
 ORDER BY doc_id"""
+
+
+def vocab_growth(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Heaps-law vocabulary-growth curve (tx14): documents in doc_id
+    order are cut into ``n_buckets`` equal-width id buckets; per bucket,
+    the cumulative doc count, cumulative token OCCURRENCES, and
+    cumulative DISTINCT vocabulary — the V(N) curve whose log-log slope
+    is the Heaps exponent. The curve is the corpus-health readout a
+    training pipeline watches: a dedup failure flattens vocabulary
+    growth against token growth (the corpus repeats itself), synthetic
+    or templated floods bend it down, genuinely fresh data keeps
+    V(N) ~ K·N^β with β ≈ 0.4–0.6.
+
+    The prefix-distinct count is computed WITHOUT any prefix rescans:
+    a token is new to prefix P iff its FIRST occurrence (min doc_id)
+    lands in P — so one keyed min-aggregation over the exploded tokens
+    (map-side combinable), a 10-row per-bucket roll-up, and a running
+    sum over that bounded relation. Scale shape: one corpus-linear
+    explode + keyed agg; the only global window runs over the
+    ``n_buckets``-row aggregate (pk1's bounded-offsets discipline),
+    never the corpus."""
+    spark_max = docs.agg(F.max("doc_id")).first()[0]
+    m = int(spark_max) + 1
+
+    def bucket(c: Column) -> Column:
+        return F.floor(c * n_buckets / m).cast("long")
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col("text", distinct=False)).alias("tok")
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    dstats = (
+        docs.select(
+            bucket(F.col("doc_id")).alias("bucket"),
+            F.size(tokens_col("text", distinct=False)).cast("long").alias("nt"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tok"))
+    )
+    vstats = first.groupBy(bucket(F.col("fd")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_vocab")
+    )
+    run = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dstats.join(vstats, "bucket", "left")
+        .fillna(0, subset=["new_vocab"])
+        .select(
+            "bucket",
+            "n_docs",
+            F.sum("n_docs").over(run).alias("cum_docs"),
+            F.sum("n_tok").over(run).alias("cum_tokens"),
+            F.sum("new_vocab").over(run).alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )

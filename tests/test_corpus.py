@@ -766,3 +766,30 @@ def test_cc8_temperature_mix_hand_computed(spark, tmp_path):
     assert (out["tiny"].weight, out["mid"].weight, out["big"].weight) == (0.125, 0.25, 0.625)
     assert (out["tiny"].quota_tokens, out["mid"].quota_tokens, out["big"].quota_tokens) == (250, 500, 1250)
     assert (out["tiny"].epochs, out["mid"].epochs, out["big"].epochs) == (2.5, 1.25, 0.5)
+
+
+def test_tx14_vocab_growth_hand_computed_and_dedup_flattening(spark):
+    """tx14 on a planted 10-doc corpus (one bucket per doc): doc i =
+    "common w{i}" gives cum_vocab = 2, 3, 4, ... (the shared token plus
+    one fresh token per doc). Replacing the last five docs with copies
+    of doc 0 FLATTENS the vocabulary curve while cum_tokens keeps
+    growing — the dedup-failure signature the curve exists to expose."""
+    from pdf_etl_pipeline_spark.llmdata.text import vocab_growth
+
+    fresh = spark.createDataFrame(
+        [(i, f"common w{i}") for i in range(10)], "doc_id long, text string"
+    )
+    rows = {r.bucket: r for r in vocab_growth(fresh).collect()}
+    assert len(rows) == 10
+    for b in range(10):
+        assert (rows[b].n_docs, rows[b].cum_docs) == (1, b + 1)
+        assert rows[b].cum_tokens == 2 * (b + 1)
+        assert rows[b].cum_vocab == b + 2
+
+    dupped = spark.createDataFrame(
+        [(i, f"common w{i}" if i < 5 else "common w0") for i in range(10)],
+        "doc_id long, text string",
+    )
+    rows = {r.bucket: r for r in vocab_growth(dupped).collect()}
+    assert rows[9].cum_tokens == 20  # token volume unchanged
+    assert rows[4].cum_vocab == 6 and rows[9].cum_vocab == 6  # vocab flat

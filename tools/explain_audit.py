@@ -1378,6 +1378,23 @@ CHECKS = {
             "BroadcastNestedLoopJoin",
         ],
     },
+    "tx14_vocab_growth": {
+        # prefix-distinct via first-occurrence min-agg (corpus-linear,
+        # map-side combinable) — the only global window runs over the
+        # 10-row per-bucket aggregate, never the corpus
+        "must": ["HashAggregate", "Generate"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        "check": lambda plan: (
+            ["missing: HashAggregate(keys=[bucket (the pre-window reduction)"]
+            if "HashAggregate(keys=[bucket" not in plan
+            else []
+        )
+        + (
+            []
+            if plan.count("Exchange SinglePartition") <= 1
+            else ["more than one SinglePartition exchange — a corpus-wide sort crept in"]
+        ),
+    },
     "mm4_image_in_video": {
         # BIPARTITE distinct-hash banding (degeneracy guard both sides):
         # equi-join on (band_idx, band_val) only — no self-join, no union
