@@ -770,3 +770,69 @@ def cc8_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- DD14: quality-aware cluster keeper --------------------------------------------
+# Min-id survivorship (dd6/dd6b) is an arbitrary policy: crawl order, not
+# merit. Real curation keeps the BEST copy of each duplicate family — the
+# highest quality-scored member (rounded to 6 dp first so both engines
+# rank the identical value), doc_id as the deterministic tiebreak. One
+# cluster_id-partitioned ranking window over the converged label relation;
+# the heavy lifting is the already-audited shared LSH pair index.
+from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs as _shared_pairs  # noqa: E402
+
+_DD14_ORACLE = f"""
+WITH {_DD3_CTES},
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cands WHERE {_DD3_JACCARD} >= 0.9
+),
+e AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+{_label_rounds(DD.CLUSTER_ITERS)},
+ql AS (
+  SELECT l.doc_id, l.cluster_id, round({_QUALITY}, 6) AS q
+  FROM l{DD.CLUSTER_ITERS} l JOIN documents d ON d.doc_id = l.doc_id
+)
+SELECT doc_id, cluster_id, q,
+       row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) = 1
+         AS is_keeper
+FROM ql ORDER BY doc_id"""
+
+
+@register(
+    "dd14_best_keeper",
+    oracle=_DD14_ORACLE,
+    doc="DD14 quality-aware cluster keeper: near-dup families keep their "
+    "HIGHEST-QUALITY member (rounded score, doc_id tiebreak) instead of the "
+    "arbitrary min-id survivor — the curation policy that keeps the clean "
+    "original over the boilerplate-wrapped syndication copy. One "
+    "cluster-partitioned ranking window over the converged labels; the LSH "
+    "pair index is the shared, already-audited build",
+)
+def dd14_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    from pdf_etl_pipeline_spark.llmdata.dedup import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = near_dup_clusters(
+        docs, threshold=0.9, pairs=_shared_pairs(spark, sf_dir, 0.9)
+    ).select("doc_id", "cluster_id")
+    q = docs.select(
+        "doc_id", F.round(TX.quality_score_col("text"), 6).alias("q")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("q").desc(), F.col("doc_id"))
+    return (
+        labels.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "q",
+            (F.row_number().over(w) == 1).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1380,3 +1380,30 @@ def test_video_dup_pairs_banding_equals_brute_force(spark):
     assert got == brute
     assert (1, 2) in got and got[(1, 2)][2] == 1.0
     assert all(3 not in k for k in got)
+
+
+def test_dd14_best_keeper_prefers_quality_over_min_id(spark):
+    """dd14 semantics on sf0.001: exactly one keeper per cluster, every
+    keeper's rounded quality is the cluster max (doc_id tiebreak), and
+    the policy genuinely differs from min-id survivorship somewhere on
+    this corpus (otherwise the query is dd6b re-labeled)."""
+    from collections import defaultdict
+
+    from pdf_etl_pipeline_spark.catalog import load_registry
+
+    rows = load_registry()["dd14_best_keeper"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster_id].append(r)
+    assert sum(1 for r in rows if r.is_keeper) == len(by_cluster)
+    for members in by_cluster.values():
+        keepers = [r for r in members if r.is_keeper]
+        assert len(keepers) == 1
+        best_q = max(r.q for r in members)
+        assert keepers[0].q == best_q
+        assert keepers[0].doc_id == min(r.doc_id for r in members if r.q == best_q)
+    # at least one multi-doc cluster keeps a non-minimal id (policy bites)
+    assert any(
+        len(m) > 1 and next(r for r in m if r.is_keeper).doc_id != min(r.doc_id for r in m)
+        for m in by_cluster.values()
+    )

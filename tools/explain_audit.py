@@ -1378,6 +1378,20 @@ CHECKS = {
             "BroadcastNestedLoopJoin",
         ],
     },
+    "dd14_best_keeper": {
+        # quality-aware keeper pick: the ranking window is partitioned by
+        # cluster_id (never global), quality is a codegen Column over the
+        # doc scan, clustering reuses the audited shared-pair build
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            f"ranking window not partitioned by cluster_id: {ln.strip()[:90]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "row_number()" in ln
+            and "windowspecdefinition(cluster_id#" not in ln
+        ],
+    },
     "tx14_vocab_growth": {
         # prefix-distinct via first-occurrence min-agg (corpus-linear,
         # map-side combinable) — the only global window runs over the
