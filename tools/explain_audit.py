@@ -1381,8 +1381,10 @@ CHECKS = {
     "dd14_best_keeper": {
         # quality-aware keeper pick: the ranking window is partitioned by
         # cluster_id (never global), quality is a codegen Column over the
-        # doc scan, clustering reuses the audited shared-pair build
-        "must": ["Window", "HashAggregate"],
+        # doc scan. The clustering arrives as the memoized checkpointed
+        # label relation (its own build is audited via dd3/dd6), so the
+        # final plan is joins + the keyed window — no aggregate expected
+        "must": ["Window"],
         "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
         "check": lambda plan: [
             f"ranking window not partitioned by cluster_id: {ln.strip()[:90]}"
