@@ -836,3 +836,200 @@ def dd14_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- CC12: the guarded full corpus build (offline st14) --------------------------
+# The complete offline textbook recipe in ONE funnel: benchmark
+# decontamination first (dc1 exact shingles — eval docs must not shape
+# ANY later stage), then dd14's quality-aware cluster dedup over the
+# decontaminated survivors (keep the best copy, not the min id), then
+# dd11's span trim, then lang/quality gates on the TRIMMED text. The
+# batch twin of st14 with the better keeper policy — what a one-shot
+# corpus build actually runs.
+_CC12_STAGES = ["raw", "decontaminate", "best_dedup", "span_trim", "lang", "quality"]
+
+
+def _cc12_oracle() -> str:
+    sh = CP._shingle_hashes_sql("text", CP.DECON_N)
+    stage_rows = []
+    for i, name in enumerate(_CC12_STAGES):
+        stage_rows.append(
+            f"SELECT {i} AS stage, '{name}' AS stage_name, s{i}d AS n_docs, s{i}t AS n_tokens,\n"
+            f"       round(CAST(s{i}d AS DOUBLE) / s0d, 6) AS doc_retention,\n"
+            f"       round(CAST(s{i}t AS DOUBLE) / s0t, 6) AS token_retention FROM wide"
+        )
+    unpivot = "\nUNION ALL\n".join(stage_rows)
+    tok_expr = ["n_raw", "n_raw", "n_raw", "n_trim", "n_trim", "n_trim"]
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN s{i} THEN 1 ELSE 0 END) AS BIGINT) AS s{i}d, "
+        f"CAST(SUM(CASE WHEN s{i} THEN {tok_expr[i]} ELSE 0 END) AS BIGINT) AS s{i}t"
+        for i in range(6)
+    )
+    return f"""
+WITH cdocs AS MATERIALIZED (
+  SELECT * FROM documents WHERE doc_id % {CP.BENCH_MOD} <> 0
+),
+bsh AS (
+  SELECT DISTINCT unnest({sh}) AS h FROM documents WHERE doc_id % {CP.BENCH_MOD} = 0
+),
+contam AS MATERIALIZED (
+  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({sh}) AS h FROM cdocs)
+  WHERE h IN (SELECT h FROM bsh)
+),
+sdocs AS MATERIALIZED (
+  SELECT doc_id FROM cdocs WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
+{_DD3_CTES},
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cands WHERE {_DD3_JACCARD} >= 0.9
+),
+spairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE doc_a IN (SELECT doc_id FROM sdocs)
+    AND doc_b IN (SELECT doc_id FROM sdocs)
+),
+e AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM spairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM spairs
+),
+{_label_rounds(DD.CLUSTER_ITERS, nodes="sdocs", edges="e")},
+ql AS (
+  SELECT l.doc_id, l.cluster_id, round({_QUALITY}, 6) AS q
+  FROM l{DD.CLUSTER_ITERS} l JOIN cdocs d ON d.doc_id = l.doc_id
+),
+keep AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+    FROM ql
+  ) WHERE rn = 1
+),
+{DD.trimmed_docs_ctes('cdocs')},
+feats AS (
+  SELECT doc_id, n_tokens AS n_raw, n_kept AS n_trim,
+         round({_QUALITY}, 6) AS q_trim,
+         {TX.lang_id_sql('text')} AS lang_trim
+  FROM ttdocs
+),
+flags AS (
+  SELECT f.doc_id, f.n_raw, f.n_trim,
+         (c.doc_id IS NULL) AS f_decon,
+         (k.doc_id IS NOT NULL) AS f_keep,
+         (f.lang_trim = 'en') AS f_lang,
+         (f.q_trim >= 0.5) AS f_quality
+  FROM feats f
+  LEFT JOIN contam c ON c.doc_id = f.doc_id
+  LEFT JOIN keep k ON k.doc_id = f.doc_id
+),
+cum AS (
+  SELECT n_raw, n_trim,
+         TRUE AS s0,
+         f_decon AS s1,
+         f_keep AS s2,
+         f_keep AS s3,
+         f_keep AND f_lang AS s4,
+         f_keep AND f_lang AND f_quality AS s5
+  FROM flags
+),
+wide AS (SELECT {sums} FROM cum)
+{unpivot}
+ORDER BY stage"""
+
+
+@register(
+    "cc12_guarded_corpus_build",
+    oracle=_cc12_oracle(),
+    doc="CC12 guarded full corpus build — the offline st14 with the dd14 keeper "
+    "policy, one funnel: benchmark decontamination (dc1 exact shingles) BEFORE "
+    "anything else, quality-aware cluster dedup over the decontaminated "
+    "survivors (subgraph clustering of the shared LSH pair graph), dd11 span "
+    "trim, lang/quality gates on the TRIMMED text. Scale: every stage is an "
+    "already-audited fragment (broadcast bench shingles, shared pair index, "
+    "cluster-partitioned keeper window, doc_id-partitioned trim windows, "
+    "codegen gates), folded by ONE conditional aggregate — no per-stage "
+    "rescans",
+)
+def cc12_guarded_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pyspark.sql.window import Window
+
+    from pdf_etl_pipeline_spark.llmdata.corpus import _shingle_hashes
+    from pdf_etl_pipeline_spark.llmdata.dedup import near_dup_clusters, trimmed_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % CP.BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % CP.BENCH_MOD == 0)
+    bh = bench.select(
+        F.explode(_shingle_hashes("text", CP.DECON_N)).alias("h")
+    ).distinct()
+    contam = (
+        corpus.select("doc_id", F.explode(_shingle_hashes("text", CP.DECON_N)).alias("h"))
+        .join(bh, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = corpus.join(contam, "doc_id", "left_anti")
+    pairs = _shared_pairs(spark, sf_dir, 0.9)
+    sids_a = survivors.select(F.col("doc_id").alias("doc_a"))
+    sids_b = survivors.select(F.col("doc_id").alias("doc_b"))
+    spairs = pairs.join(sids_a, "doc_a", "left_semi").join(sids_b, "doc_b", "left_semi")
+    labels = near_dup_clusters(survivors, threshold=0.9, pairs=spairs).select(
+        "doc_id", "cluster_id"
+    )
+    q_raw = corpus.select(
+        "doc_id", F.round(TX.quality_score_col("text"), 6).alias("q")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("q").desc(), F.col("doc_id"))
+    keep = (
+        labels.join(q_raw, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.lit(1).alias("_k"))
+    )
+    trimmed = trimmed_docs(corpus)
+    feats = trimmed.select(
+        "doc_id",
+        F.col("n_tokens").alias("n_raw"),
+        F.col("n_kept").alias("n_trim"),
+        TX.quality_score_col(F.col("trimmed_text")).alias("q_trim"),
+        TX.lang_id(F.col("trimmed_text")).alias("lang_trim"),
+    )
+    flags = (
+        feats.join(contam.select("doc_id", F.lit(1).alias("_c")), "doc_id", "left")
+        .join(keep, "doc_id", "left")
+        .select(
+            "n_raw",
+            "n_trim",
+            F.col("_c").isNull().alias("f_decon"),
+            F.col("_k").isNotNull().alias("f_keep"),
+            (F.col("lang_trim") == "en").alias("f_lang"),
+            (F.col("q_trim") >= 0.5).alias("f_quality"),
+        )
+    )
+    stages = [
+        (F.lit(True), "n_raw"),
+        (F.col("f_decon"), "n_raw"),
+        (F.col("f_keep"), "n_raw"),
+        (F.col("f_keep"), "n_trim"),
+        (F.col("f_keep") & F.col("f_lang"), "n_trim"),
+        (F.col("f_keep") & F.col("f_lang") & F.col("f_quality"), "n_trim"),
+    ]
+    aggs = []
+    for i, (s, tok) in enumerate(stages):
+        aggs.append(F.sum(F.when(s, 1).otherwise(0)).cast("long").alias(f"s{i}d"))
+        aggs.append(
+            F.sum(F.when(s, F.col(tok)).otherwise(0)).cast("long").alias(f"s{i}t")
+        )
+    wide = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}L, '{name}', s{i}d, s{i}t, round(CAST(s{i}d AS DOUBLE) / s0d, 6), "
+        f"round(CAST(s{i}t AS DOUBLE) / s0t, 6)"
+        for i, name in enumerate(_CC12_STAGES)
+    )
+    return wide.select(
+        F.expr(
+            f"stack(6, {stack_args}) AS "
+            "(stage, stage_name, n_docs, n_tokens, doc_retention, token_retention)"
+        )
+    ).orderBy("stage")

@@ -1407,3 +1407,27 @@ def test_dd14_best_keeper_prefers_quality_over_min_id(spark):
         len(m) > 1 and next(r for r in m if r.is_keeper).doc_id != min(r.doc_id for r in m)
         for m in by_cluster.values()
     )
+
+
+def test_cc12_funnel_invariants(spark):
+    """cc12's funnel on sf0.001: monotone doc counts through the drop
+    stages, span_trim preserves docs but removes tokens, decontamination
+    really bites (there are planted bench near-copies), best_dedup keeps
+    exactly the number of survivor clusters, and every retention is
+    relative to the raw corpus stage."""
+    from pdf_etl_pipeline_spark.catalog import load_registry
+
+    rows = {
+        r.stage_name: r
+        for r in load_registry()["cc12_guarded_corpus_build"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert list(rows) == ["raw", "decontaminate", "best_dedup", "span_trim", "lang", "quality"]
+    d = [rows[s].n_docs for s in rows]
+    assert d[0] >= d[1] >= d[2] == d[3] >= d[4] >= d[5] > 0
+    assert d[1] < d[0]  # decontamination bites on this corpus
+    assert d[2] < d[1]  # dedup bites
+    assert rows["span_trim"].n_tokens < rows["best_dedup"].n_tokens  # trim bites
+    assert rows["raw"].doc_retention == 1.0 and rows["raw"].token_retention == 1.0
+    assert rows["quality"].doc_retention == round(d[5] / d[0], 6)

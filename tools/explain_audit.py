@@ -1378,6 +1378,22 @@ CHECKS = {
             "BroadcastNestedLoopJoin",
         ],
     },
+    "cc12_guarded_corpus_build": {
+        # the offline st14: broadcast bench-shingle decon semi-join,
+        # survivor-subgraph clustering over the checkpointed pair index,
+        # cluster-partitioned keeper window, doc_id-partitioned trim
+        # windows, codegen gates, ONE conditional aggregate — no Python,
+        # no cartesian, no corpus-global ranking window
+        "must": ["Window", "HashAggregate", "Generate"],
+        "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            f"ranking window not partitioned by cluster_id: {ln.strip()[:90]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "row_number()" in ln
+            and "windowspecdefinition(cluster_id#" not in ln
+        ],
+    },
     "dd14_best_keeper": {
         # quality-aware keeper pick: the ranking window is partitioned by
         # cluster_id (never global), quality is a codegen Column over the
