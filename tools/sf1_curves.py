@@ -229,6 +229,18 @@ def main() -> None:
         "mm3_video_pairs": __import__(
             "pdf_etl_pipeline_spark.catalog.multimodal_q", fromlist=["mm3_video_pairs"]
         ).mm3_video_pairs,
+        "mm4_image_in_video": __import__(
+            "pdf_etl_pipeline_spark.catalog.multimodal_q", fromlist=["mm4_image_in_video"]
+        ).mm4_image_in_video,
+        "tx14_vocab_growth": __import__(
+            "pdf_etl_pipeline_spark.catalog.text_q", fromlist=["tx14_vocab_growth"]
+        ).tx14_vocab_growth,
+        "dd14_best_keeper": __import__(
+            "pdf_etl_pipeline_spark.catalog.curation_q", fromlist=["dd14_best_keeper"]
+        ).dd14_best_keeper,
+        "cc12_guarded_corpus_build": __import__(
+            "pdf_etl_pipeline_spark.catalog.curation_q", fromlist=["cc12_guarded_corpus_build"]
+        ).cc12_guarded_corpus_build,
     }
     # optional comma-separated substring filter (argv[3]): measure a
     # subset without paying for the whole battery
