@@ -806,7 +806,39 @@ def _require_banding_complete(max_hamming: int) -> None:
         )
 
 
-def _distinct_hash_band_pairs(hashes: DataFrame, hash_col: str) -> DataFrame:
+# A (band_idx, band_val) bucket holding more DISTINCT hashes than this
+# is "hot": its members pair through the recursive sub-banding on the
+# remaining 48 bits instead of the direct self-join (cap² direct pairs
+# per bucket is the bound the cap buys; dd9's cell_cap discipline).
+HOT_BAND_CAP = 256
+_SUB_BANDS = 4  # 4 × 12-bit sub-bands over the remaining 48 bits
+
+
+def _remaining48(h, band_idx):
+    """The 48 bits of ``h`` OUTSIDE the 16-bit band ``band_idx`` (bands
+    above it shifted down) — the space the recursive pigeonhole re-bands.
+    Positive by construction (< 2^48), so long arithmetic is exact. The
+    top band is special-cased: a JVM long shift is mod 64, so
+    ``shiftrightunsigned(h, 64)`` would return ``h`` itself."""
+    expr = None
+    for i in range(PHASH_BANDS):
+        if i == PHASH_BANDS - 1:
+            r = h.bitwiseAND(F.lit((1 << 48) - 1).cast("long"))
+        else:
+            hi = F.shiftrightunsigned(h, 16 * (i + 1)) * F.lit(1 << (16 * i)).cast("long")
+            lo = (
+                h.bitwiseAND(F.lit((1 << (16 * i)) - 1).cast("long"))
+                if i
+                else F.lit(0).cast("long")
+            )
+            r = hi + lo
+        expr = r if expr is None else F.when(band_idx == i, r).otherwise(expr)
+    return expr
+
+
+def _distinct_hash_band_pairs(
+    hashes: DataFrame, hash_col: str, hot_cap: int = HOT_BAND_CAP
+) -> DataFrame:
     """Banding candidates over DISTINCT hash values: (ha, hb) with
     ha < hb (signed 64-bit order, the canonical pair orientation) that
     agree exactly on at least one 16-bit band. This is the hot-band
@@ -817,12 +849,18 @@ def _distinct_hash_band_pairs(hashes: DataFrame, hash_col: str) -> DataFrame:
     quadratic. Identical-hash pairs (Hamming 0 by definition) are
     reconstructed by the callers' output-bounded expansion joins instead.
 
-    Residual hot bands — many DISTINCT hashes sharing one band value —
-    are bounded by genuine hash diversity, not duplicate multiplicity;
-    the degenerate regimes above all collapse to a handful of distinct
-    values. (An adversarially-constructed corpus of millions of distinct
-    hashes equal on one band would need the pigeonhole recursion — re-band
-    the remaining 48 bits — which no measured regime has warranted.)"""
+    Residual hot bands — more than ``hot_cap`` DISTINCT hashes sharing
+    one band value (structured corpora: identical headers, letterbox
+    rows) — go through the RECURSIVE pigeonhole instead of the direct
+    self-join: members of a hot bucket agree on that 16-bit band, so a
+    qualifying pair's ≤ ``PHASH_BANDS − 1`` differing bits all live in
+    the remaining 48, and re-banding those into ``_SUB_BANDS`` 12-bit
+    sub-bands guarantees some sub-band agrees exactly — completeness is
+    preserved, per-bucket candidates drop from n²/2 to the sub-bucket
+    sum. Direct pairs per bucket are thereby bounded by ``hot_cap``²/2;
+    a second recursion level (hot SUB-buckets: many distinct hashes
+    agreeing on band + sub-band — 28 shared bits) has never been
+    warranted by a measured regime and is left undone deliberately."""
     dh = hashes.select(F.col(hash_col).alias("h")).distinct()
     banded = dh.select(
         "h",
@@ -840,9 +878,13 @@ def _distinct_hash_band_pairs(hashes: DataFrame, hash_col: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("h", "b.band_idx", "b.band_val")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
+    sizes = banded.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    banded = banded.join(F.broadcast(sizes), ["band_idx", "band_val"])
+    cold = banded.filter(F.col("_n") <= hot_cap)
+    a, b = cold.alias("a"), cold.alias("b")
+    direct = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -850,8 +892,41 @@ def _distinct_hash_band_pairs(hashes: DataFrame, hash_col: str) -> DataFrame:
             & (F.col("a.h") < F.col("b.h")),
         )
         .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
-        .dropDuplicates(["ha", "hb"])
     )
+    hot = banded.filter(F.col("_n") > hot_cap).withColumn(
+        "r48", _remaining48(F.col("h"), F.col("band_idx"))
+    )
+    sub = hot.select(
+        "h",
+        "band_idx",
+        "band_val",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("sub_idx"),
+                        F.shiftrightunsigned(F.col("r48"), 12 * k)
+                        .bitwiseAND(F.lit(0xFFF))
+                        .alias("sub_val"),
+                    )
+                    for k in range(_SUB_BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("h", "band_idx", "band_val", "s.sub_idx", "s.sub_val")
+    sa, sb = sub.alias("a"), sub.alias("b")
+    recursed = (
+        sa.join(
+            sb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.sub_idx") == F.col("b.sub_idx"))
+            & (F.col("a.sub_val") == F.col("b.sub_val"))
+            & (F.col("a.h") < F.col("b.h")),
+        )
+        .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
+    )
+    return direct.unionByName(recursed).dropDuplicates(["ha", "hb"])
 
 
 def _banded_hash_pairs(hashes: DataFrame, hash_col: str, max_hamming: int) -> DataFrame:

@@ -805,6 +805,72 @@ def test_banded_pairs_hot_band_degeneracy_collapses(spark):
     assert got[(1000, 1001)] == 2
 
 
+def test_hot_band_recursion_is_exact_and_collapses_candidates(spark):
+    """The residual hot-band case: many DISTINCT hashes agreeing on one
+    16-bit band (structured corpora — shared headers, letterbox rows).
+    Buckets over HOT_BAND_CAP re-band the remaining 48 bits into 12-bit
+    sub-bands (recursive pigeonhole): the candidate relation collapses
+    from n²/2 per hot bucket to the sub-bucket sum while the pair set
+    stays EXACTLY brute force — forced here by comparing hot_cap=8
+    (recursion) against hot_cap=10**9 (direct join) against brute
+    force."""
+    from pdf_etl_pipeline_spark.llmdata.multimodal import (
+        _banded_hash_pairs,
+        _distinct_hash_band_pairs,
+    )
+
+    band0 = 0x1234  # every hash agrees on band 0 -> one 42-member bucket
+    rows, uppers = [], set()
+    for k in range(20):
+        u = (k * 0x9E3779B97F4A7C) & ((1 << 47) - 1)  # distinct, spread
+        uppers.add(u)
+        uppers.add(u ^ (1 << 21))  # a Hamming-1 twin (upper bits only)
+    for i, u in enumerate(sorted(uppers)):
+        rows.append((i, (u << 16) | band0))
+    hashes = spark.createDataFrame(rows, "asset_id long, phash long")
+
+    n_direct = _distinct_hash_band_pairs(hashes, "phash", hot_cap=10**9).count()
+    n_recursed = _distinct_hash_band_pairs(hashes, "phash", hot_cap=8).count()
+    assert n_direct == len(rows) * (len(rows) - 1) // 2  # the quadratic bucket
+    assert n_recursed < n_direct / 4  # recursion genuinely prunes
+
+    hs = {r.asset_id: r.phash & ((1 << 64) - 1) for r in hashes.collect()}
+    brute = {
+        (a, b): bin(hs[a] ^ hs[b]).count("1")
+        for a in hs
+        for b in hs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    assert brute  # the planted twins exist
+    got = {(r.asset_a, r.asset_b): r.hamming for r in _banded_hash_pairs(hashes, "phash", 3).collect()}
+    assert got == brute
+
+
+def test_remaining48_strips_each_band(spark):
+    """_remaining48 removes exactly the 16 bits of the named band —
+    including the TOP band, where a naive shiftrightunsigned(h, 64) is a
+    JVM mod-64 no-op and would corrupt the sub-banding space."""
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.llmdata.multimodal import _remaining48
+
+    h = 0x0123_4567_89AB_CDEF
+    df = spark.createDataFrame([(h, i) for i in range(4)], "h long, band_idx int")
+    got = {
+        r.band_idx: r.r
+        for r in df.select(
+            "band_idx", _remaining48(F2.col("h"), F2.col("band_idx")).alias("r")
+        ).collect()
+    }
+    want = {
+        0: 0x0123_4567_89AB,          # drop bits [0,16)
+        1: 0x0123_4567_CDEF,          # drop bits [16,32)
+        2: 0x0123_89AB_CDEF,          # drop bits [32,48)
+        3: 0x4567_89AB_CDEF,          # drop bits [48,64) — the mod-64 trap
+    }
+    assert got == want
+
+
 def test_video_dup_pairs_black_frame_degeneracy(spark):
     """The video twin of the hot-band guard: many videos sharing a
     constant black-frame hash collapse to one banding row per distinct
