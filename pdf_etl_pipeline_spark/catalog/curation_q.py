@@ -1033,3 +1033,27 @@ def cc12_guarded_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(stage, stage_name, n_docs, n_tokens, doc_retention, token_retention)"
         )
     ).orderBy("stage")
+
+
+# --- CC13: deterministic curriculum training order ----------------------------
+# Curriculum learning's data-side contract: feed highest-quality documents
+# first, but pseudo-shuffled within each stage so training order never
+# correlates with doc_id / crawl order. Global position via pk1's two-level
+# rank (per-(stage, hash-bucket) row_number + broadcast cumulative offsets)
+# — no global sort anywhere in the plan.
+from pdf_etl_pipeline_spark.llmdata import corpus as _CP
+
+
+@register(
+    "cc13_curriculum_order",
+    oracle=_CP.curriculum_order_oracle_sql(_QUALITY),
+    doc="CC13 deterministic curriculum order: quality-staged (4 fixed "
+    "thresholds, best first), salted-hash shuffle within stage, global "
+    "position by two-level rank (per-bucket row_number + broadcast offsets). "
+    "Scale: no global-sort window — the naive ORDER BY stage,h collapses to "
+    "one task; this stays stage x 64-bucket parallel. Seedless + "
+    "reshard-stable: position is a pure function of (text, doc_id)",
+)
+def cc13_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return _CP.curriculum_order(load_table(spark, sf_dir, "documents")).orderBy("position")

@@ -117,6 +117,11 @@ _DD3_JACCARD = (
     "len(list_intersect(ta, tb)) / (len(ta) + len(tb) - len(list_intersect(ta, tb)))"
 )
 
+# Public aliases: other catalog families compose the same oracle fragments
+# (quality_q's dq8 split-leakage audit runs over the dd3 pair relation).
+DD3_PAIR_CTES = _DD3_CTES
+DD3_JACCARD_SQL = _DD3_JACCARD
+
 @register(
     "dd3_minhash_lsh",
     oracle=f"""

@@ -1181,3 +1181,59 @@ def dq7_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("qd"), 6).alias("centroid_l2_shift"),
         F.when(ok, cos < DQ7_COS_MIN).alias("drift"),
     ).orderBy("label")
+
+
+# --- DQ8: near-dup leakage across the train/val/test hash split --------------------
+# The split-hygiene audit a training pipeline runs before trusting held-out
+# numbers: sp1's salted-hash split assigns membership per document, but
+# near-DUPLICATE documents land in splits independently — a test doc whose
+# near-copy trains is contamination that exact decontamination (dc1) misses.
+# Composes the two proven fragments: dd3's banded near-dup pair relation
+# (corpus-linear, never doc x doc) and sp1's zero-shuffle split projection,
+# applied directly to the pair columns (no join back to documents).
+def _dq8_oracle() -> str:
+    from pdf_etl_pipeline_spark.catalog.dedup_q import DD3_JACCARD_SQL, DD3_PAIR_CTES
+    from pdf_etl_pipeline_spark.llmdata import corpus as CP
+
+    return f"""
+WITH {DD3_PAIR_CTES},
+pairs AS (SELECT doc_a, doc_b FROM cands WHERE {DD3_JACCARD_SQL} >= 0.9),
+staged AS (
+  SELECT least(sa, sb) AS lo_s, greatest(sa, sb) AS hi_s,
+         CASE WHEN sa >= sb THEN doc_a ELSE doc_b END AS hi_doc
+  FROM (SELECT doc_a, doc_b, {CP.split_stage_sql('doc_a')} AS sa,
+               {CP.split_stage_sql('doc_b')} AS sb FROM pairs)
+),
+agg AS (
+  SELECT lo_s, hi_s, COUNT(*) AS n_pairs, COUNT(DISTINCT hi_doc) AS n_dup_docs
+  FROM staged GROUP BY 1, 2
+),
+sizes AS (
+  SELECT {CP.split_stage_sql('doc_id')} AS hi_s, COUNT(*) AS n_docs_hi
+  FROM documents GROUP BY 1
+)
+SELECT {CP.split_name_sql('lo_s')} AS split_lo, {CP.split_name_sql('hi_s')} AS split_hi,
+       lo_s <> hi_s AS is_leak, n_pairs, n_dup_docs, n_docs_hi,
+       round(n_dup_docs / n_docs_hi, 6) AS dup_doc_rate
+FROM agg JOIN sizes USING (hi_s)
+ORDER BY split_lo, split_hi"""
+
+
+@register(
+    "dq8_split_leakage",
+    oracle=_dq8_oracle(),
+    doc="DQ8 near-dup leakage across the sp1 hash split: per split combination, "
+    "dd3 pair count + distinct held-out-side docs carrying a dup (is_leak marks "
+    "cross-split contamination), normalized by split size. Scale: split staging "
+    "is a pure projection over the corpus-linear pair relation (no membership "
+    "join); 6-row aggregate; split sizes broadcast",
+)
+def dq8_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+    from pdf_etl_pipeline_spark.llmdata import corpus as CP
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return CP.split_leakage(docs, shared_pairs(spark, sf_dir, 0.9)).orderBy(
+        "split_lo", "split_hi"
+    )

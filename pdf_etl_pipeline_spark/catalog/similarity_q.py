@@ -752,3 +752,38 @@ def ss11_text_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     hv = SS.feature_hash_vectors(load_table(spark, sf_dir, "documents"))
     return SS.ivf_topk(hv, _QUERY_IDS, k=5)
+
+
+# --- SS12: attribute-filtered vector search -----------------------------------
+# The "filtered ANN" primitive every production vector store exposes: top-k
+# restricted to candidates matching an attribute predicate. PRE-filter
+# semantics (the attribute match is the join condition, ranking runs over the
+# filtered set) — post-filtering an unfiltered top-k starves when the matching
+# candidates are rare.
+@register(
+    "ss12_filtered_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_attr
+           FROM embeddings WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
+c AS (SELECT vec_id AS cand_id, embedding AS cv, label AS c_attr FROM embeddings),
+scored AS (
+  SELECT query_id, q_attr, cand_id, {_COS} AS cos
+  FROM q JOIN c ON q_attr = c_attr AND query_id <> cand_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, q_attr AS label, cand_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    doc="SS12 attribute-filtered vector search: top-5 cosine among same-label "
+    "candidates (pre-filter, not post-filter). Scale: bounded query side "
+    "broadcasts with its attribute, candidates stream through one codegen "
+    "stage, zero shuffle; on a label-partitioned vector table the equi-join "
+    "key becomes partition pruning at the scan",
+)
+def ss12_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return SS.filtered_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5
+    )

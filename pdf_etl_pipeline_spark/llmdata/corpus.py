@@ -33,8 +33,8 @@ def _salted_bucket(doc_id: Column, salt: str, mod: int) -> Column:
     return portable_hash32(F.concat(F.lit(salt), doc_id.cast("string"))) % mod
 
 
-def _salted_bucket_sql(salt: str, mod: int) -> str:
-    return portable_hash32_sql(f"'{salt}' || CAST(doc_id AS VARCHAR)") + f" % {mod}"
+def _salted_bucket_sql(salt: str, mod: int, col: str = "doc_id") -> str:
+    return portable_hash32_sql(f"'{salt}' || CAST({col} AS VARCHAR)") + f" % {mod}"
 
 
 def hash_split(docs: DataFrame) -> DataFrame:
@@ -56,6 +56,79 @@ def hash_split(docs: DataFrame) -> DataFrame:
 
 def hash_split_bucket_sql() -> str:
     return _salted_bucket_sql(SPLIT_SALT, 100)
+
+
+def split_stage(doc_id: Column) -> Column:
+    """Ordinal split stage (0=train, 1=val, 2=test) from a doc-id column.
+
+    Same salted-hash arithmetic as :func:`hash_split`, but usable directly on
+    pair relations (doc_a / doc_b) — the leakage audit never joins pairs back
+    to the documents table for membership: at 100 TB the staging is a pure
+    projection over the (corpus-linear) near-dup pair relation.
+    """
+    b = _salted_bucket(doc_id, SPLIT_SALT, 100)
+    return (
+        F.when(b < TRAIN_PCT, F.lit(0))
+        .when(b < TRAIN_PCT + VAL_PCT, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+
+
+def split_stage_sql(col: str) -> str:
+    """DuckDB twin of :func:`split_stage` for an arbitrary id column."""
+    b = _salted_bucket_sql(SPLIT_SALT, 100, col)
+    return (
+        f"CASE WHEN {b} < {TRAIN_PCT} THEN 0 "
+        f"WHEN {b} < {TRAIN_PCT + VAL_PCT} THEN 1 ELSE 2 END"
+    )
+
+
+def split_name_sql(stage_expr: str) -> str:
+    return f"CASE {stage_expr} WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END"
+
+
+def split_leakage(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Near-dup leakage audit across the hash split (dq8).
+
+    For every unordered split combination, counts the near-dup pairs landing
+    in it and the distinct documents on the MORE-held-out side carrying a
+    dup (``is_leak`` marks cross-split rows — a val/test doc with a train
+    near-dup is contamination; same-split rows are ordinary redundancy).
+    ``dup_doc_rate`` normalizes by the held-out split's size.
+
+    Scale: ``pairs`` is the dd3 banded relation (corpus-linear, never
+    doc × doc); split staging is a zero-shuffle projection over it (no join
+    with ``docs``); the aggregate is 6 rows; split sizes are one
+    scan-aggregate broadcast into the final join. Nothing here grows faster
+    than the pair relation itself.
+    """
+    sa, sb = split_stage(F.col("doc_a")), split_stage(F.col("doc_b"))
+    staged = pairs.select(
+        F.least(sa, sb).alias("lo_s"),
+        F.greatest(sa, sb).alias("hi_s"),
+        # pairs arrive doc_a < doc_b, so the tie (sa == sb) picks doc_a
+        # deterministically in both engines
+        F.when(sa >= sb, F.col("doc_a")).otherwise(F.col("doc_b")).alias("hi_doc"),
+    )
+    agg = staged.groupBy("lo_s", "hi_s").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("hi_doc").alias("n_dup_docs"),
+    )
+    sizes = (
+        docs.select(split_stage(F.col("doc_id")).alias("hi_s"))
+        .groupBy("hi_s")
+        .agg(F.count(F.lit(1)).alias("n_docs_hi"))
+    )
+    name = lambda c: F.when(c == 0, "train").when(c == 1, "val").otherwise("test")  # noqa: E731
+    return agg.join(F.broadcast(sizes), "hi_s").select(
+        name(F.col("lo_s")).alias("split_lo"),
+        name(F.col("hi_s")).alias("split_hi"),
+        (F.col("lo_s") != F.col("hi_s")).alias("is_leak"),
+        "n_pairs",
+        "n_dup_docs",
+        "n_docs_hi",
+        F.round(F.col("n_dup_docs") / F.col("n_docs_hi"), 6).alias("dup_doc_rate"),
+    )
 
 
 def temporal_split(
@@ -189,6 +262,88 @@ ORDER BY rank"""
 # ---------------------------------------------------------------------------
 PACK_BUDGET = 2048  # tokens per shard
 PACK_BUCKET = 10_000  # doc_ids per cumsum bucket (level-1 parallelism unit)
+
+
+CURRICULUM_SALT = "curriculum_"
+CURRICULUM_THRESHOLDS = (0.75, 0.65, 0.6)  # stage 0 = highest quality first
+CURRICULUM_BUCKETS = 64
+
+
+def curriculum_order(
+    docs: DataFrame,
+    thresholds: tuple = CURRICULUM_THRESHOLDS,
+    n_buckets: int = CURRICULUM_BUCKETS,
+) -> DataFrame:
+    """Deterministic curriculum training order (cc13): stage documents by
+    quality score (highest first), pseudo-shuffle WITHIN each stage by a
+    salted hash (training order must not correlate with doc_id / crawl
+    order), and assign every document a global position.
+
+    The global position is stage-major rank over ``(stage, h, doc_id)``,
+    computed with pk1's two-level trick so it scales: a row_number within
+    each ``(stage, hash-bucket)`` partition (bounded rows per task, all
+    buckets in parallel), plus a cumulative offset over the tiny
+    ``stages × n_buckets`` count relation broadcast back. No global sort —
+    a naive ``Window.orderBy(stage, h)`` would collapse the corpus onto one
+    task at 100 TB. Reshard-stable and seedless: position is a pure function
+    of (text, doc_id).
+    """
+    from pdf_etl_pipeline_spark.llmdata.text import quality_score_col
+
+    t0, t1, t2 = thresholds
+    base = docs.select(
+        "doc_id",
+        quality_score_col("text").alias("quality_score"),
+        _salted_bucket(F.col("doc_id"), CURRICULUM_SALT, 2**31).alias("h"),
+    ).withColumn(
+        "stage",
+        F.when(F.col("quality_score") >= t0, 0)
+        .when(F.col("quality_score") >= t1, 1)
+        .when(F.col("quality_score") >= t2, 2)
+        .otherwise(3),
+    ).withColumn(
+        # RANGE bucket (h // width), not h % n: bucket-major order must equal
+        # h order for the two-level rank to reproduce ORDER BY (stage, h);
+        # hash values are uniform, so range buckets stay balanced anyway
+        "bkt",
+        (F.col("h") / (2**31 // n_buckets + 1)).cast("long"),
+    )
+    in_b = Window.partitionBy("stage", "bkt").orderBy("h", "doc_id")
+    local = base.withColumn("local_rank", F.row_number().over(in_b))
+    off_w = Window.orderBy("stage", "bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("stage", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("offset", F.coalesce(F.sum("n").over(off_w), F.lit(0)))
+        .select("stage", "bkt", "offset")
+    )
+    return local.join(F.broadcast(offsets), ["stage", "bkt"]).select(
+        "doc_id",
+        "quality_score",
+        F.col("stage").cast("long").alias("stage"),
+        (F.col("offset") + F.col("local_rank") - 1).cast("long").alias("position"),
+    )
+
+
+def curriculum_order_oracle_sql(quality_sql: str) -> str:
+    """DuckDB twin of :func:`curriculum_order` — a plain global row_number
+    (the oracle may do what the engine must not)."""
+    t0, t1, t2 = CURRICULUM_THRESHOLDS
+    h = _salted_bucket_sql(CURRICULUM_SALT, 2**31)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, round(({quality_sql}), 6) AS quality_score, {h} AS h
+  FROM documents
+),
+staged AS (
+  SELECT *, CASE WHEN quality_score >= {t0} THEN 0
+                 WHEN quality_score >= {t1} THEN 1
+                 WHEN quality_score >= {t2} THEN 2 ELSE 3 END AS stage
+  FROM scored
+)
+SELECT doc_id, quality_score, stage,
+       row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS position
+FROM staged ORDER BY position"""
 
 
 def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:

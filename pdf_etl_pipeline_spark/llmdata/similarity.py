@@ -114,6 +114,55 @@ def cosine_topk(
     )
 
 
+def filtered_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    filter_col: str = "label",
+) -> DataFrame:
+    """Attribute-FILTERED vector search: each query's top-k cosine neighbors
+    restricted to candidates sharing its ``filter_col`` value (in-class
+    retrieval — "nearest English docs", "same-tenant neighbors").
+
+    PRE-filter semantics, not post-filter: the attribute match is the join
+    condition, so ranking happens over the filtered candidate set and always
+    returns k rows when k exist (post-filtering an unfiltered top-k can
+    starve). Scale: the bounded query side broadcasts with its attribute
+    value, so candidates stream through one codegen stage — no shuffle; on a
+    vector table partitioned/bucketed by the attribute (the standard layout
+    for filtered ANN at 100 TB) the same equi-join key turns into partition
+    pruning, and the scan itself skips non-matching labels.
+    """
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col(filter_col).alias("q_attr"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col(filter_col).alias("c_attr"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("q_attr") == F.col("c_attr")) & (F.col("query_id") != F.col("cand_id")))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("q_attr").alias("label"),
+            "cand_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def hyperplane_lsh_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 5
 ) -> DataFrame:

@@ -24,6 +24,22 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _cc13_tiny_window_input(plan: str) -> list[str]:
+    """cc13's partition-less offsets window is safe ONLY because its input
+    is the per-(stage, bkt) aggregate (stages x 64 rows) — same contract as
+    pk1; a refactor globalizing a raw-corpus sort must fail here."""
+    lines = plan.splitlines()
+    idxs = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    if not idxs:
+        return ["missing: Exchange SinglePartition (the tiny offsets cumsum)"]
+    return [
+        "SinglePartition exchange not fed by HashAggregate(keys=[stage,bkt...]) — "
+        "the partition-less window would sort the raw corpus"
+        for i in idxs
+        if i + 1 >= len(lines) or "HashAggregate(keys=[stage" not in lines[i + 1]
+    ]
+
+
 def _pk1_tiny_window_input(plan: str) -> list[str]:
     """The partition-less offsets window is safe ONLY because its input is
     the per-bucket aggregate (#buckets rows), not the raw corpus. Assert
@@ -458,6 +474,52 @@ CHECKS = {
         "must": ["Window"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
         "check": lambda plan: _pk1_tiny_window_input(plan),
+    },
+    "dq8_split_leakage": {
+        # split staging is a pure projection over the (memoized) pair
+        # relation — no membership join with documents; the only join is
+        # the 3-row split-sizes broadcast
+        "build": lambda spark, sf_dir: __import__(
+            "pdf_etl_pipeline_spark.llmdata.corpus", fromlist=["split_leakage"]
+        ).split_leakage(
+            __import__(
+                "pdf_etl_pipeline_spark.session", fromlist=["load_table"]
+            ).load_table(spark, sf_dir, "documents"),
+            __import__(
+                "pdf_etl_pipeline_spark.llmdata.dedup", fromlist=["minhash_lsh_pairs"]
+            ).minhash_lsh_pairs(
+                __import__(
+                    "pdf_etl_pipeline_spark.session", fromlist=["load_table"]
+                ).load_table(spark, sf_dir, "documents"),
+                0.9,
+                persist=False,
+            ),
+        ),
+        # (no SortMergeJoin ban: the embedded dd3 pair build's band
+        # self-join is corpus x corpus and may legitimately sort-merge)
+        "must": ["HashAggregate", "BroadcastHashJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
+    "ss12_filtered_topk": {
+        # PRE-filter ANN: the attribute match is an EQUI-join key, so the
+        # broadcast probe must be a hash join (ss1's unfiltered BNLJ shape
+        # would mean the filter didn't reach the join) — corpus never
+        # shuffles, ranking stays per-query windows
+        "must": ["BroadcastHashJoin", "Window"],
+        "must_not": [
+            "BatchEvalPython",
+            "CartesianProduct",
+            "SortMergeJoin",
+            "BroadcastNestedLoopJoin",
+        ],
+    },
+    "cc13_curriculum_order": {
+        # two-level rank: per-(stage, bkt) window over a hash exchange; the
+        # only SinglePartition exchange feeds the stages x 64 offsets
+        # aggregate (pk1's contract) — never a global sort of the corpus
+        "must": ["Window", "BroadcastHashJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+        "check": lambda plan: _cc13_tiny_window_input(plan),
     },
     "tx7_unigram_logprob": {
         # corpus-total must join back as a 1-row broadcast (BNLJ over a
