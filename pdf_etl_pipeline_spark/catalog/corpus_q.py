@@ -338,3 +338,104 @@ def st13_contamination_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         fsutil.delete(tmp, recursive=True, spark=spark)
     return out
+
+
+# --- ST15: streaming split-leakage guard (dq8 at admission time) --------------------
+# The held-out splits' MinHash band index + verify token sets are PINNED once;
+# every arriving TRAIN batch probes the pin (dc2's bipartite banding — batch
+# bands vs broadcast held-out bands, exact Jaccard on survivors only) and
+# emits one verdict row per doc. Batches screen against the pin only, never
+# each other — replays are bit-identical.
+_ST15_SPLIT = "(SELECT (MAX(doc_id) + 1) // 2 FROM documents)"
+
+_ST15_ORACLE = f"""
+WITH sigs AS (SELECT doc_id, {_DC2_SIG} AS sig FROM documents),
+banded AS (
+  SELECT doc_id, band,
+         array_to_string(sig[band * {DD.ROWS_PER_BAND} + 1 : (band + 1) * {DD.ROWS_PER_BAND}], '-') AS key
+  FROM sigs, (VALUES {_DC2_BANDS}) bb(band)
+),
+stage AS (SELECT doc_id, {CP.split_stage_sql('doc_id')} AS s FROM documents),
+held AS (
+  SELECT b.doc_id AS heldout_id, band, key
+  FROM banded b JOIN stage USING (doc_id) WHERE s >= 1
+),
+train_b AS (
+  SELECT b.doc_id, band, key
+  FROM banded b JOIN stage USING (doc_id) WHERE s = 0
+),
+cands AS (
+  SELECT t.doc_id, h.heldout_id
+  FROM train_b t JOIN held h ON t.band = h.band AND t.key = h.key
+  GROUP BY 1, 2
+),
+toksh AS (SELECT doc_id, {_DC2_TOKSH} AS th FROM documents),
+ver AS (
+  SELECT c.doc_id, c.heldout_id,
+         len(list_intersect(ta.th, tb.th)) /
+         (len(ta.th) + len(tb.th) - len(list_intersect(ta.th, tb.th))) AS jac
+  FROM cands c
+  JOIN toksh ta ON ta.doc_id = c.doc_id
+  JOIN toksh tb ON tb.doc_id = c.heldout_id
+),
+hits AS (
+  SELECT doc_id, COUNT(DISTINCT heldout_id) AS nh, MAX(jac) AS mx
+  FROM ver WHERE jac >= 0.9 GROUP BY 1
+)
+SELECT st.doc_id,
+       CAST(CASE WHEN st.doc_id < {_ST15_SPLIT} THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
+       CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_heldout_dups,
+       round(h.mx, 6) AS max_jaccard,
+       COALESCE(h.nh, 0) > 0 AS leaks
+FROM stage st LEFT JOIN hits h ON st.doc_id = h.doc_id
+WHERE st.s = 0
+ORDER BY st.doc_id"""
+
+
+@register(
+    "st15_leakage_guard",
+    oracle=_ST15_ORACLE,
+    doc="ST15 streaming split-leakage guard — dq8 at admission time: the "
+    "held-out (val/test) splits' MinHash band index + verify token sets are "
+    "PINNED once (write-once, toks-then-bands so a torn pin reads as "
+    "unpinned and the guard refuses), every arriving TRAIN batch probes the "
+    "pin and emits one FINAL verdict row per doc (n_heldout_dups, "
+    "max_jaccard, leaks). Runs the real foreachBatch body over a two-batch "
+    "unroll. Scale: per batch one tokenize+hash pass, a band equi-join whose "
+    "build side is the broadcast 10%-sized pinned index (64-bit keys, never "
+    "text), exact Jaccard on banding survivors only — nothing stream-global",
+)
+def st15_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    tune(spark)
+    from pdf_etl_pipeline_spark.streaming.leakage_guard import (
+        guard_leakage_batch,
+        pin_heldout,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = CP.split_stage(F.col("doc_id"))
+    heldout = docs.filter(stage >= 1)
+    train = docs.filter(stage == 0)
+    split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    tmp = tempfile.mkdtemp(prefix="st15_state_")
+    try:
+        assert pin_heldout(heldout, tmp)
+        v1 = guard_leakage_batch(
+            train.filter(F.col("doc_id") < split), tmp, batch_id=0
+        ).withColumn("batch_id", F.lit(0).cast("long"))
+        v2 = guard_leakage_batch(
+            train.filter(F.col("doc_id") >= split), tmp, batch_id=1
+        ).withColumn("batch_id", F.lit(1).cast("long"))
+        out = (
+            v1.unionByName(v2)
+            .select("doc_id", "batch_id", "n_heldout_dups", "max_jaccard", "leaks")
+            .orderBy("doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        from pdf_etl_pipeline_spark.operators import fsutil
+
+        fsutil.delete(tmp, recursive=True, spark=spark)
+    return out

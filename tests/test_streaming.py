@@ -2093,3 +2093,76 @@ def test_st12_torn_pin_guards(spark, tmp_path):
     fsutil.write_text(_os.path.join(ref2, PIN_MARKER), "garbage", spark, overwrite=True)
     with _pytest.raises(ValueError, match="state corrupt"):
         monitor_drift_batch(vals, state2, batch_id=8)
+
+
+def test_st15_leakage_guard_stream_and_pin(spark, tmp_path):
+    """st15: a train doc whose token SET equals a pinned held-out doc's
+    (reordered/repeated words — Jaccard 1.0, all bands match) must flag;
+    a half-overlap doc must survive the Jaccard verify even if banded;
+    the pin is write-once; an unpinned OR TORN pin refuses to run;
+    restart appends no duplicate verdicts."""
+    import time as _time
+
+    from pdf_etl_pipeline_spark.streaming.leakage_guard import (
+        guard_leakage_batch,
+        leakage_guard_stream,
+        pin_heldout,
+        read_leakage_reports,
+    )
+
+    words = [f"tok{i}" for i in range(20)]
+    held_text = " ".join(words)
+    dup_text = " ".join(reversed(words)) + " " + words[0]  # same token SET
+    half_text = " ".join(words[:10] + [f"other{i}" for i in range(10)])
+    clean_text = " ".join(f"fresh{i}" for i in range(15))
+    heldout = spark.createDataFrame([(1000, held_text)], "doc_id long, text string")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = mk([(1, dup_text), (2, half_text)])
+    b2 = mk([(3, clean_text)])
+
+    state = str(tmp_path / "state")
+    with pytest.raises(ValueError, match="pin_heldout"):
+        guard_leakage_batch(b1, state, 0)
+
+    # TORN pin: toks written, bands not -> still refuses
+    import os as _os
+
+    from pdf_etl_pipeline_spark.streaming.leakage_guard import TOKS_SUBDIR
+
+    torn = str(tmp_path / "torn")
+    spark.createDataFrame([(1000, [1, 2])], "heldout_id long, th array<long>").write.parquet(
+        _os.path.join(torn, TOKS_SUBDIR)
+    )
+    with pytest.raises(ValueError, match="pin_heldout"):
+        guard_leakage_batch(b1, torn, 0)
+
+    assert pin_heldout(heldout, state)
+    assert not pin_heldout(mk([(9, "entirely different words")]), state)  # write-once
+
+    drop_dir = str(tmp_path / "drops")
+    b1.coalesce(1).write.mode("append").parquet(drop_dir)
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(drop_dir)
+
+    def run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(drop_dir)
+        )
+        q = leakage_guard_stream(stream, state).start()
+        q.awaitTermination(300)
+
+    run()
+    got = {r.doc_id: r for r in read_leakage_reports(spark, state).collect()}
+    assert {d: (got[d].n_heldout_dups, got[d].leaks) for d in sorted(got)} == {
+        1: (1, True),
+        2: (0, False),
+        3: (0, False),
+    }
+    assert got[1].max_jaccard == 1.0
+    assert got[2].max_jaccard is None
+    # restart: no new files -> no duplicate verdicts
+    run()
+    assert read_leakage_reports(spark, state).count() == 3

@@ -248,6 +248,42 @@ def _st13_guard_body_df(spark, sf_dir):
     return guard_batch_df(docs.filter(F.col("doc_id") % BENCH_MOD != 0), bench)
 
 
+_ST15_AUDIT_TMP: dict = {}
+
+
+def _st15_guard_body_df(spark, sf_dir):
+    """st15's per-batch leakage plan against a REAL pinned held-out index:
+    dc2's bipartite shape — the batch's bands probe the broadcast pinned
+    band index, exact Jaccard verify on survivors, one keyed aggregate,
+    per-doc left join."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.llmdata.corpus import split_stage
+    from pdf_etl_pipeline_spark.session import load_table
+    from pdf_etl_pipeline_spark.streaming.leakage_guard import (
+        _bands_path,
+        _toks_path,
+        leakage_batch_df,
+        pin_heldout,
+    )
+
+    if "dir" not in _ST15_AUDIT_TMP:
+        import tempfile
+
+        _ST15_AUDIT_TMP["dir"] = tempfile.mkdtemp(prefix="st15_audit_")
+    state = _ST15_AUDIT_TMP["dir"]
+    docs = load_table(spark, sf_dir, "documents")
+    stage = split_stage(F.col("doc_id"))
+    if "pinned" not in _ST15_AUDIT_TMP:
+        pin_heldout(docs.filter(stage >= 1), state)
+        _ST15_AUDIT_TMP["pinned"] = True
+    return leakage_batch_df(
+        docs.filter(stage == 0),
+        spark.read.parquet(_bands_path(state)),
+        spark.read.parquet(_toks_path(state)),
+    )
+
+
 _ST7_AUDIT_TMP: dict = {}
 
 
@@ -701,6 +737,22 @@ CHECKS = {
         # no cartesian
         "build": _st13_guard_body_df,
         "must": ["Generate", "HashAggregate"],
+        "must_not": [
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "Window",
+        ],
+    },
+    "st15_leakage_guard": {
+        # dc2's bipartite banding at admission: the batch's bands probe
+        # the BROADCAST pinned band index (hash equi-join on band+key),
+        # exact Jaccard verify on survivors only, one keyed aggregate,
+        # per-doc left join — no window, no Python, no cartesian, and
+        # never a nested-loop (the pin side is keyed, not scanned)
+        "build": _st15_guard_body_df,
+        "must": ["HashAggregate", "BroadcastHashJoin"],
         "must_not": [
             "BatchEvalPython",
             "ArrowEvalPython",
