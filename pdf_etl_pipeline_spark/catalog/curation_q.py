@@ -29,8 +29,10 @@ _QUALITY = f"""
   - COALESCE(length(regexp_replace(text, '[^0-9]', '', 'g')) / nullif(length(text), 0), 0.0) * 0.2
 """
 
-_CC1_ORACLE = f"""
-WITH exact_keep AS (
+# CTE body shared by cc1 (the keep set) and cc14 (the release manifest
+# built over it) — ends with a `kept` relation: (doc_id, n_tokens,
+# quality_score) after exact dedup, near-dup removal, lang + quality gates.
+_CC1_CTES = f"""exact_keep AS (
   SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
 sigs AS (
@@ -62,14 +64,20 @@ feats AS (
          round({_QUALITY}, 6) AS quality_score,
          {TX.lang_id_sql('text')} AS lang_pred
   FROM documents
-)
-SELECT f.doc_id, f.n_tokens, f.quality_score
-FROM feats f
-JOIN exact_keep k ON k.doc_id = f.doc_id
-WHERE f.doc_id NOT IN (SELECT doc_id FROM near_losers)
-  AND f.lang_pred = 'en'
-  AND f.quality_score >= 0.5
-ORDER BY f.doc_id"""
+),
+kept AS (
+  SELECT f.doc_id, f.n_tokens, f.quality_score
+  FROM feats f
+  JOIN exact_keep k ON k.doc_id = f.doc_id
+  WHERE f.doc_id NOT IN (SELECT doc_id FROM near_losers)
+    AND f.lang_pred = 'en'
+    AND f.quality_score >= 0.5
+)"""
+
+_CC1_ORACLE = f"""
+WITH {_CC1_CTES}
+SELECT doc_id, n_tokens, quality_score FROM kept
+ORDER BY doc_id"""
 
 
 @register(
@@ -1057,3 +1065,101 @@ from pdf_etl_pipeline_spark.llmdata import corpus as _CP
 def cc13_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return _CP.curriculum_order(load_table(spark, sf_dir, "documents")).orderBy("position")
+
+
+# --- CC14: the training-data RELEASE manifest ----------------------------------
+# The end-to-end deliverable this catalog's pieces exist for: cc1's curated
+# keep set, split by sp1's salted hash, the TRAIN split put in cc13's
+# curriculum order, and the curriculum stream packed into pk1's fixed-budget
+# shards — one row per released document carrying its split, curriculum
+# position, shard and offset (val/test rows carry NULLs: held-out sets are
+# never packed into training shards).
+def _cc14_oracle() -> str:
+    t0, t1, t2 = _CP.CURRICULUM_THRESHOLDS
+    h = _CP._salted_bucket_sql(_CP.CURRICULUM_SALT, 2**31)
+    return f"""
+WITH {_CC1_CTES},
+sp AS (SELECT *, {_CP.split_stage_sql('doc_id')} AS s FROM kept),
+tr AS (
+  SELECT *, CASE WHEN quality_score >= {t0} THEN 0
+                 WHEN quality_score >= {t1} THEN 1
+                 WHEN quality_score >= {t2} THEN 2 ELSE 3 END AS stage,
+         {h} AS h
+  FROM sp WHERE s = 0
+),
+pos AS (
+  SELECT *, row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS position
+  FROM tr
+),
+pk AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY position ROWS UNBOUNDED PRECEDING)
+                 - n_tokens AS BIGINT) AS start_offset
+  FROM pos
+)
+SELECT doc_id, {_CP.split_name_sql('s')} AS split, n_tokens, quality_score,
+       CAST(stage AS BIGINT) AS stage, CAST(position AS BIGINT) AS position,
+       CAST(floor(start_offset / {_CP.PACK_BUDGET}) AS BIGINT) AS shard_id,
+       start_offset
+FROM pk
+UNION ALL
+SELECT doc_id, {_CP.split_name_sql('s')} AS split, n_tokens, quality_score,
+       NULL, NULL, NULL, NULL
+FROM sp WHERE s >= 1
+ORDER BY split, position, doc_id"""
+
+
+@register(
+    "cc14_release_manifest",
+    oracle=_cc14_oracle(),
+    doc="CC14 training-data release manifest — the composed deliverable: cc1 "
+    "curation -> sp1 hash split -> cc13 curriculum order over the TRAIN split "
+    "-> pk1 packing in curriculum order (budget 2048); one row per released "
+    "doc with split/stage/position/shard/offset, val/test rows unpacked "
+    "(NULLs). Scale: every stage is an audited fragment — shared LSH pair "
+    "index, zero-shuffle split/stage projections, two-level curriculum rank, "
+    "two-level packing cumsum; no global sort, no corpus-sized window",
+)
+def cc14_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+
+    kept = curate_corpus(
+        load_table(spark, sf_dir, "documents"), pairs=shared_pairs(spark, sf_dir, 0.9)
+    )
+    sp = kept.withColumn("s", _CP.split_stage(F.col("doc_id")))
+    train = sp.filter(F.col("s") == 0)
+    ranked = _CP.curriculum_rank(train.select("doc_id", "quality_score"))
+    packed = _CP.pack_counts(
+        ranked.join(train.select("doc_id", "n_tokens"), "doc_id").select(
+            "doc_id", "n_tokens", "position"
+        ),
+        order_col="position",
+    )
+    split_name = (
+        F.when(F.col("s") == 0, "train").when(F.col("s") == 1, "val").otherwise("test")
+    )
+    train_rows = (
+        train.join(ranked.select("doc_id", "stage", "position"), "doc_id")
+        .join(packed.select("doc_id", "shard_id", "start_offset"), "doc_id")
+        .select(
+            "doc_id",
+            split_name.alias("split"),
+            "n_tokens",
+            "quality_score",
+            "stage",
+            "position",
+            "shard_id",
+            F.col("start_offset").cast("long").alias("start_offset"),
+        )
+    )
+    held_rows = sp.filter(F.col("s") >= 1).select(
+        "doc_id",
+        split_name.alias("split"),
+        "n_tokens",
+        "quality_score",
+        F.lit(None).cast("long").alias("stage"),
+        F.lit(None).cast("long").alias("position"),
+        F.lit(None).cast("long").alias("shard_id"),
+        F.lit(None).cast("long").alias("start_offset"),
+    )
+    return train_rows.unionByName(held_rows).orderBy("split", "position", "doc_id")

@@ -290,10 +290,26 @@ def curriculum_order(
     """
     from pdf_etl_pipeline_spark.llmdata.text import quality_score_col
 
+    return curriculum_rank(
+        docs.select("doc_id", quality_score_col("text").alias("quality_score")),
+        thresholds,
+        n_buckets,
+    )
+
+
+def curriculum_rank(
+    scored: DataFrame,
+    thresholds: tuple = CURRICULUM_THRESHOLDS,
+    n_buckets: int = CURRICULUM_BUCKETS,
+) -> DataFrame:
+    """The two-level stage-major rank over a PRE-SCORED ``(doc_id,
+    quality_score)`` relation — the composition point: cc13 scores the raw
+    corpus, cc14 feeds the curated keep set (whose scores were already
+    computed by the curation funnel)."""
     t0, t1, t2 = thresholds
-    base = docs.select(
+    base = scored.select(
         "doc_id",
-        quality_score_col("text").alias("quality_score"),
+        "quality_score",
         _salted_bucket(F.col("doc_id"), CURRICULUM_SALT, 2**31).alias("h"),
     ).withColumn(
         "stage",
@@ -353,9 +369,12 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     return pack_counts(docs.select("doc_id", n_tok.alias("n_tokens")), budget)
 
 
-def pack_counts(counts: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+def pack_counts(
+    counts: DataFrame, budget: int = PACK_BUDGET, order_col: str = "doc_id"
+) -> DataFrame:
     """Greedy contiguous sequence packing: documents fill shards of
-    ``budget`` tokens in doc_id order; a document starts in the shard where
+    ``budget`` tokens in ``order_col`` order (doc_id by default; cc14 packs
+    in curriculum-position order); a document starts in the shard where
     its running offset lands (the streaming-fill packer every training
     loader uses — shards may overflow by at most one document).
 
@@ -363,15 +382,22 @@ def pack_counts(counts: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     curated subset (composition point for the curation pipeline).
 
     The global running token count is computed in TWO levels so it scales:
-    (1) a window cumsum WITHIN each doc_id bucket (`doc_id // PACK_BUCKET`,
+    (1) a window cumsum WITHIN each order bucket (`order_col // PACK_BUCKET`,
     bounded rows per task, all buckets in parallel), (2) a cumsum over the
     tiny per-bucket totals relation (#buckets rows — KBs at 100 TB)
     broadcast-joined back as each bucket's starting offset. No single task
     ever sorts or scans the whole corpus, unlike a naive global
     ``Window.orderBy`` which collapses to one partition.
     """
-    d = counts.select("doc_id", "n_tokens", (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bkt"))
-    in_bkt = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    d = counts.select(
+        "doc_id",
+        "n_tokens",
+        F.col(order_col).alias("_ord"),
+        (F.col(order_col) / PACK_BUCKET).cast("long").alias("bkt"),
+    )
+    in_bkt = Window.partitionBy("bkt").orderBy("_ord").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     local = d.withColumn("local_cum", F.sum("n_tokens").over(in_bkt))
     totals_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (

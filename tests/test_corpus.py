@@ -869,3 +869,34 @@ def test_curriculum_order_shuffles_within_stage(spark, docs):
         per_stage[r.stage].append(r.doc_id)
     big = max(per_stage.values(), key=len)
     assert big != sorted(big)
+
+
+# --- cc14 release manifest ---------------------------------------------------
+
+
+def test_release_manifest_invariants(spark, sf_dir):
+    """cc14: train positions are dense 0..n-1 in curriculum (stage-major)
+    order; offsets are the running token sum along positions; shards are
+    offset // budget; held-out rows carry NULLs and every kept doc appears
+    exactly once."""
+    from pdf_etl_pipeline_spark.catalog import load_registry
+
+    out = sorted(
+        load_registry()["cc14_release_manifest"].fn(spark, sf_dir).collect(),
+        key=lambda r: (r.position is None, r.position or 0, r.doc_id),
+    )
+    train = [r for r in out if r.split == "train"]
+    held = [r for r in out if r.split != "train"]
+    assert len({r.doc_id for r in out}) == len(out)
+    assert [r.position for r in train] == list(range(len(train)))
+    stages = [r.stage for r in train]
+    assert stages == sorted(stages)  # stage-major order
+    run = 0
+    for r in train:
+        assert r.start_offset == run
+        assert r.shard_id == run // CP.PACK_BUDGET
+        run += r.n_tokens
+    for r in held:
+        assert r.split in ("val", "test")
+        assert r.stage is None and r.position is None
+        assert r.shard_id is None and r.start_offset is None

@@ -557,6 +557,27 @@ CHECKS = {
         "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
         "check": lambda plan: _cc13_tiny_window_input(plan),
     },
+    "cc14_release_manifest": {
+        # the composed release: curation fragments + two two-level cumsum
+        # stages (curriculum rank keyed [stage,bkt], packing keyed [bkt]) —
+        # every SinglePartition exchange must be fed by one of those tiny
+        # per-bucket aggregates, never a raw-corpus sort
+        "must": ["Window", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            "SinglePartition exchange not fed by a per-bucket HashAggregate — "
+            "a partition-less window would sort the raw corpus"
+            for i, l in enumerate(plan.splitlines())
+            if "Exchange SinglePartition" in l
+            and not (
+                i + 1 < len(plan.splitlines())
+                and (
+                    "HashAggregate(keys=[stage" in plan.splitlines()[i + 1]
+                    or "HashAggregate(keys=[bkt" in plan.splitlines()[i + 1]
+                )
+            )
+        ],
+    },
     "tx7_unigram_logprob": {
         # corpus-total must join back as a 1-row broadcast (BNLJ over a
         # single row is the legitimate shape, like ss1's query side) —
