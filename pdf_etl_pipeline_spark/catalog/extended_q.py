@@ -1680,3 +1680,35 @@ def ev4_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("tsum") > 0, F.round(F.col("wsum") / F.col("tsum"), 6)).alias("twap"),
         F.round(F.col("vsum") / F.col("n_obs"), 6).alias("plain_avg"),
     ).orderBy("event_type", "day_num")
+
+
+# --- G3: local clustering coefficients --------------------------------------------
+from pdf_etl_pipeline_spark.operators.triangles import (  # noqa: E402
+    clustering_coefficients,
+    clustering_coefficients_sql,
+)
+
+
+@register(
+    "g3_clustering_coeff",
+    oracle=clustering_coefficients_sql(_G2_EDGES_SQL),
+    doc="G3 per-node local clustering coefficient of the part co-order graph: "
+    "the degree-oriented triangle LISTING (each triangle once at its "
+    "orientation root, |E|^1.5 wedge bound, hub-skew immune), corners "
+    "exploded (linear in triangles) and counted per node, joined with "
+    "degrees — never the quadratic per-node adjacency intersection; oracle "
+    "is the naive a<b<c listing, same counts by construction",
+)
+def g3_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    )
+    return clustering_coefficients(edges).orderBy("node")

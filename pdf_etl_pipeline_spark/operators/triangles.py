@@ -171,3 +171,77 @@ SELECT (SELECT COUNT(DISTINCT node)
        (SELECT COUNT(*) FROM edges) AS n_edges,
        n_triangles
 FROM tri"""
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node LOCAL clustering coefficient — 2·T(v) / (deg(v)·(deg(v)−1))
+    for every node of degree ≥ 2 (the neighborhood-density score behind
+    community detection and spam/bot features).
+
+    Same degree-oriented wedge join as :func:`triangle_count` (|E|^{3/2}
+    bound, hub-skew immune): each triangle is LISTED exactly once at its
+    orientation root, exploded to its three corners (linear in the triangle
+    count), and counted per node — one keyed aggregate, then a join with the
+    degree relation. No per-node neighborhood materialization: the naive
+    "intersect adjacency lists per node" shape is quadratic on hubs.
+    """
+    canon = canonical_edges(edges)
+    deg = degrees(canon)
+    oriented = orient(canon, deg)
+    wedges = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.dst") == F.col("e2.src")
+    ).select(
+        F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    corners = closed.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    tri_per_node = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri_per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.coalesce("n_triangles", F.lit(0))
+                * 2.0
+                / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def clustering_coefficients_sql(edges_sql: str) -> str:
+    """DuckDB oracle: naive a<b<c triangle listing, corners unnested,
+    joined with degrees — a different listing order, the same per-node
+    counts by construction."""
+    return f"""
+WITH edges AS ({edges_sql}),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+),
+tpn AS (SELECT node, COUNT(*) AS nt FROM corners GROUP BY 1),
+deg AS (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY 1
+)
+SELECT d.node, d.deg, CAST(COALESCE(t.nt, 0) AS BIGINT) AS n_triangles,
+       round(COALESCE(t.nt, 0) * 2.0 / (d.deg * (d.deg - 1)), 6) AS clustering_coeff
+FROM deg d LEFT JOIN tpn t ON d.node = t.node
+WHERE d.deg >= 2
+ORDER BY d.node"""

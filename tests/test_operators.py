@@ -1501,3 +1501,28 @@ def test_dq7_embedding_drift_hand_computed(spark, tmp_path):
     assert a.centroid_l2_shift == round(2 ** 0.5, 6)
     b = got[2]
     assert (b.centroid_cos, b.centroid_l2_shift, bool(b.drift)) == (1.0, 0.0, False)
+
+
+def test_clustering_coefficients_known_graphs(spark):
+    """g3: K4 nodes all have coefficient 1.0; a star center has 0 over
+    C(49,2) pairs; a triangle-with-tail distinguishes the tail node
+    (deg 1 — excluded) from the bridge (deg 3, coeff 1/3)."""
+    from pdf_etl_pipeline_spark.operators.triangles import clustering_coefficients
+
+    def cc(pairs):
+        df = spark.createDataFrame(pairs, "u long, v long")
+        return {r.node: r for r in clustering_coefficients(df).collect()}
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = cc(k4)
+    assert all(got[n].clustering_coeff == 1.0 and got[n].n_triangles == 3 for n in range(4))
+    star = [(0, i) for i in range(1, 50)]
+    got = cc(star)
+    assert got[0].clustering_coeff == 0.0 and got[0].n_triangles == 0
+    assert set(got) == {0}  # leaves have deg 1 -> excluded
+    # triangle 0-1-2 with a tail 2-3: node 2 has deg 3, one triangle of 3 pairs
+    tri_tail = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    got = cc(tri_tail)
+    assert got[2].clustering_coeff == round(1 / 3, 6)
+    assert got[0].clustering_coeff == 1.0
+    assert 3 not in got

@@ -693,6 +693,13 @@ CHECKS = {
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "g3_clustering_coeff": {
+        # triangle LISTING with the same equi-join-only contract as g2,
+        # plus a Generate (the 3-corner explode, linear in triangles) and
+        # keyed aggregates — never a per-node adjacency intersection
+        "must": ["HashAggregate", "Generate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
     "g2a_triangle_doulion": {
         # same audited join shapes as exact g2, with the deterministic
         # md5-hash sampling filter applied BEFORE the degree/orient joins
