@@ -1712,3 +1712,51 @@ def g3_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
     )
     return clustering_coefficients(edges).orderBy("node")
+
+
+# --- EV5: inter-event gap distribution ----------------------------------------------
+# The latency/engagement profile behind session-timeout tuning and anomaly
+# thresholds: per (user, event_type) consecutive-event gaps, summarized per
+# event_type. Exact percentiles via the proven pc1 equivalence
+# (Spark percentile() == DuckDB quantile_cont); pc2's histogram sketch is the
+# documented 100 TB path for the percentile step.
+@register(
+    "ev5_inter_event_gaps",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) -
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_s
+  FROM events
+)
+SELECT event_type, COUNT(gap_s) AS n_gaps,
+       quantile_cont(gap_s, 0.5) AS p50_gap_s,
+       quantile_cont(gap_s, 0.9) AS p90_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY 1 ORDER BY 1""",
+    doc="EV5 inter-event gap distribution: per-(user, event_type) consecutive "
+    "gaps via ONE keyed lag window (partitioned — parallel across users), "
+    "exact p50/p90/max per event_type. Scale: the window never globalizes; "
+    "the exact percentile sorts only per event_type group (pc2's histogram "
+    "sketch is the 100 TB drop-in for that step)",
+)
+def ev5_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pyspark.sql.window import Window as W
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gaps = ev.select("event_type", gap.alias("gap_s")).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.expr("percentile(gap_s, 0.5)").alias("p50_gap_s"),
+            F.expr("percentile(gap_s, 0.9)").alias("p90_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -1526,3 +1526,32 @@ def test_clustering_coefficients_known_graphs(spark):
     assert got[2].clustering_coeff == round(1 / 3, 6)
     assert got[0].clustering_coeff == 1.0
     assert 3 not in got
+
+
+def test_inter_event_gaps_planted(spark):
+    """ev5: gaps are PER (user, event_type) — interleaved other-type and
+    other-user events must not contribute; percentiles are exact."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.catalog import load_registry
+    import tempfile, os
+
+    rows = [
+        # user 1 clicks at t=0, 10, 30 -> gaps 10, 20
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:00:10", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 00:00:30", 1, "click", 1.0, "{}"),
+        # interleaved view by user 1 and click by user 2: no effect
+        (4, "2024-01-01 00:00:05", 1, "view", 1.0, "{}"),
+        (5, "2024-01-01 00:00:07", 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    tmp = tempfile.mkdtemp(prefix="ev5_")
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.event_type: r for r in load_registry()["ev5_inter_event_gaps"].fn(spark, tmp).collect()}
+    assert out["click"].n_gaps == 2
+    assert out["click"].p50_gap_s == 15.0  # exact continuous median of {10, 20}
+    assert out["click"].max_gap_s == 20
+    assert "view" not in out  # single event -> no gap row

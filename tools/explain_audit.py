@@ -693,6 +693,18 @@ CHECKS = {
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "ev5_inter_event_gaps": {
+        # the lag window must stay partitioned by (user_id, event_type) —
+        # parallel across users, never a global sort of the event log
+        "must": ["Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            f"lag window not partitioned by user_id: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(user_id#" not in ln
+        ],
+    },
     "g3_clustering_coeff": {
         # triangle LISTING with the same equi-join-only contract as g2,
         # plus a Generate (the 3-corner explode, linear in triangles) and

@@ -241,6 +241,24 @@ def main() -> None:
         "cc12_guarded_corpus_build": __import__(
             "pdf_etl_pipeline_spark.catalog.curation_q", fromlist=["cc12_guarded_corpus_build"]
         ).cc12_guarded_corpus_build,
+        "dq8_split_leakage": __import__(
+            "pdf_etl_pipeline_spark.catalog.quality_q", fromlist=["dq8_split_leakage"]
+        ).dq8_split_leakage,
+        "ss12_filtered_topk": __import__(
+            "pdf_etl_pipeline_spark.catalog.similarity_q", fromlist=["ss12_filtered_topk"]
+        ).ss12_filtered_topk,
+        "cc13_curriculum_order": __import__(
+            "pdf_etl_pipeline_spark.catalog.curation_q", fromlist=["cc13_curriculum_order"]
+        ).cc13_curriculum_order,
+        "cc14_release_manifest": __import__(
+            "pdf_etl_pipeline_spark.catalog.curation_q", fromlist=["cc14_release_manifest"]
+        ).cc14_release_manifest,
+        "st15_leakage_guard": __import__(
+            "pdf_etl_pipeline_spark.catalog.corpus_q", fromlist=["st15_leakage_guard"]
+        ).st15_leakage_guard,
+        "g3_clustering_coeff": __import__(
+            "pdf_etl_pipeline_spark.catalog.extended_q", fromlist=["g3_clustering_coeff"]
+        ).g3_clustering_coeff,
     }
     # optional comma-separated substring filter (argv[3]): measure a
     # subset without paying for the whole battery
