@@ -529,3 +529,29 @@ ORDER BY d.bucket""",
 def tx14_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return TX.vocab_growth(load_table(spark, sf_dir, "documents"))
+
+
+# --- IR2: exact phrase search (positional postings) ------------------------------
+from pdf_etl_pipeline_spark.llmdata.retrieval import phrase_topk, phrase_topk_sql  # noqa: E402
+
+_IR2_PHRASES = {
+    1: ["table", "hash"],
+    2: ["batch", "batch"],  # repeated term — exercises the distinct-offset vote
+    3: ["join", "part", "filter"],
+}
+
+
+@register(
+    "ir2_phrase_topk",
+    oracle=phrase_topk_sql("documents", _IR2_PHRASES, k=5),
+    doc="IR2 exact-phrase top-5 via positional postings: each phrase term "
+    "votes for anchor p - offset, an anchor collecting all DISTINCT offsets "
+    "is one occurrence (repeated terms handled; overlaps count). Scale: one "
+    "positional explode (the phrase-index relation, bucket by tok at 100 TB), "
+    "broadcast phrase-term equi-join touches only docs sharing a term, one "
+    "keyed anchor aggregate, per-query window — no substring scan, no "
+    "postings self-join",
+)
+def ir2_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return phrase_topk(load_table(spark, sf_dir, "documents"), _IR2_PHRASES, k=5)

@@ -194,3 +194,103 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, rrf_score, n_lists
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+def phrase_topk(docs: DataFrame, phrases: dict[int, list[str]], k: int = 5) -> DataFrame:
+    """(query_id, rank, doc_id, n_occurrences, first_pos): top-``k``
+    documents per EXACT PHRASE via positional-postings alignment (IR2 —
+    the other half of the inverted index: BM25 ranks bags of words, this
+    answers "this exact sequence").
+
+    The alignment trick: each phrase term carries its in-phrase offset;
+    a posting (doc, tok, p) matching term (tok, off) votes for anchor
+    ``p − off``, and an anchor collecting ALL distinct offsets is a full
+    occurrence (repeated phrase terms — "batch batch" — are handled by
+    the DISTINCT-offset count: a lone token votes for two anchors but
+    completes neither). Overlapping occurrences each count.
+
+    Plan shape for 100 TB: the corpus explodes ONCE into positional
+    postings (the relation a phrase-capable index materializes, bucketed
+    by tok); the tiny phrase-term table broadcasts onto it (equi-join on
+    tok — only docs containing SOME phrase term are ever touched); the
+    anchor vote is one keyed aggregation; top-k per query is a window
+    over the (query, doc) occurrence relation. No substring scan of raw
+    text, no self-join of postings.
+    """
+    spark = docs.sparkSession
+    q = spark.createDataFrame(
+        [(qid, t, off) for qid, terms in phrases.items() for off, t in enumerate(terms)],
+        "query_id long, tok string, off long",
+    )
+    qlen = spark.createDataFrame(
+        [(qid, len(terms)) for qid, terms in phrases.items()], "query_id long, qlen long"
+    )
+    postings = docs.select(
+        "doc_id", F.posexplode(tokens_col("text", distinct=False)).alias("p", "tok")
+    )
+    hits = (
+        postings.join(F.broadcast(q), "tok")
+        .groupBy("query_id", "doc_id", (F.col("p") - F.col("off")).alias("anchor"))
+        .agg(F.countDistinct("off").alias("nmatch"))
+    )
+    occ = (
+        hits.join(F.broadcast(qlen), "query_id")
+        .filter((F.col("nmatch") == F.col("qlen")) & (F.col("anchor") >= 0))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("anchor").alias("first_pos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_occurrences"), "doc_id")
+    return (
+        occ.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "n_occurrences",
+            F.col("first_pos").cast("long").alias("first_pos"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def phrase_topk_sql(table: str, phrases: dict[int, list[str]], k: int = 5) -> str:
+    """DuckDB oracle for :func:`phrase_topk` — identical alignment math
+    (0-based positions; DuckDB lists are 1-based, hence t[p + 1])."""
+    toks = tokens_sql("text", distinct=False)
+    qvals = ", ".join(
+        f"({qid}, '{t}', {off})"
+        for qid, terms in phrases.items()
+        for off, t in enumerate(terms)
+    )
+    lvals = ", ".join(f"({qid}, {len(terms)})" for qid, terms in phrases.items())
+    return f"""
+WITH q(query_id, tok, off) AS (VALUES {qvals}),
+qlen(query_id, qlen) AS (VALUES {lvals}),
+pos AS (
+  SELECT doc_id, t, unnest(range(0, len(t))) AS p
+  FROM (SELECT doc_id, {toks} AS t FROM {table})
+),
+postings AS (SELECT doc_id, t[p + 1] AS tok, p FROM pos),
+hits AS (
+  SELECT q.query_id, s.doc_id, s.p - q.off AS anchor, COUNT(DISTINCT q.off) AS nmatch
+  FROM postings s JOIN q USING (tok)
+  GROUP BY 1, 2, 3
+),
+occ AS (
+  SELECT h.query_id, doc_id, COUNT(*) AS n_occurrences, MIN(anchor) AS first_pos
+  FROM hits h JOIN qlen USING (query_id)
+  WHERE nmatch = qlen AND anchor >= 0
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY n_occurrences DESC, doc_id) AS rank
+  FROM occ
+)
+SELECT query_id, rank, doc_id, n_occurrences, CAST(first_pos AS BIGINT) AS first_pos
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""

@@ -1555,3 +1555,28 @@ def test_inter_event_gaps_planted(spark):
     assert out["click"].p50_gap_s == 15.0  # exact continuous median of {10, 20}
     assert out["click"].max_gap_s == 20
     assert "view" not in out  # single event -> no gap row
+
+
+def test_phrase_topk_alignment(spark):
+    """ir2: exact-phrase matching via anchor votes — repeated terms need
+    BOTH offsets at one anchor (a lone token is not 'batch batch');
+    overlapping occurrences each count; phrase must be contiguous."""
+    from pdf_etl_pipeline_spark.llmdata.retrieval import phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),          # has "alpha beta"
+            (2, "alpha delta beta"),          # non-contiguous -> no match
+            (3, "rep rep rep"),               # 2 overlapping "rep rep"
+            (4, "rep solo words here"),       # single rep -> no "rep rep"
+            (5, "x alpha beta y alpha beta"), # 2 occurrences
+        ],
+        "doc_id long, text string",
+    )
+    out = phrase_topk(docs, {1: ["alpha", "beta"], 2: ["rep", "rep"]}, k=5).collect()
+    got = {(r.query_id, r.doc_id): (r.n_occurrences, r.first_pos, r.rank) for r in out}
+    assert got[(1, 5)] == (2, 1, 1)   # two occurrences, first at token 1
+    assert got[(1, 1)] == (1, 0, 2)
+    assert (1, 2) not in got
+    assert got[(2, 3)] == (2, 0, 1)   # overlapping
+    assert (2, 4) not in got

@@ -693,6 +693,14 @@ CHECKS = {
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "ir2_phrase_topk": {
+        # positional postings: one Generate (posexplode), the phrase-term
+        # table broadcast as a hash equi-join on tok, keyed anchor
+        # aggregate, per-query window — never a substring scan of text or
+        # a postings self-join
+        "must": ["Generate", "BroadcastHashJoin", "HashAggregate", "Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    },
     "ev5_inter_event_gaps": {
         # the lag window must stay partitioned by (user_id, event_type) —
         # parallel across users, never a global sort of the event log
