@@ -555,3 +555,23 @@ _IR2_PHRASES = {
 def ir2_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return phrase_topk(load_table(spark, sf_dir, "documents"), _IR2_PHRASES, k=5)
+
+
+# --- ML8: one-vs-rest ROC AUC of the in-plan classifier ---------------------------
+from pdf_etl_pipeline_spark.llmdata.classify import nb_auc_sql, nb_one_vs_rest_auc  # noqa: E402
+
+
+@register(
+    "ml8_nb_auc",
+    oracle=nb_auc_sql("documents"),
+    doc="ML8 one-vs-rest ROC AUC per class from the NB log scores — "
+    "rank-based (Mann-Whitney U) with AVERAGE ranks on ties (a constant "
+    "scorer reads exactly 0.5); rank sums in scale-1 decimals (average ranks "
+    "are .5-multiples — no float-order drift). Completes the eval trio: ml3 "
+    "confusion (argmax), ml7 calibration (confidence), ml8 ranking. Scale: "
+    "per-class rank windows (classes bounded); w8/pc2 histogram ranks are "
+    "the drop-in beyond sortable per-class cardinality",
+)
+def ml8_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return nb_one_vs_rest_auc(load_table(spark, sf_dir, "documents"))

@@ -248,3 +248,81 @@ SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
        round(SUM(CASE WHEN correct THEN 1 ELSE 0 END) / COUNT(*), 6) AS accuracy,
        round({dec_sum_sql('margin')} / COUNT(*), 6) AS mean_margin
 FROM binned GROUP BY 1 ORDER BY bin"""
+
+
+def nb_one_vs_rest_auc(docs: DataFrame, label_col: str = "lang") -> DataFrame:
+    """(lang, n_pos, n_neg, auc): one-vs-rest ROC AUC per class from the
+    self-trained NB's per-class log scores — the threshold-free ranking
+    metric that complements ml3's confusion matrix (argmax quality) and
+    ml7's calibration (confidence quality).
+
+    Rank-based (Mann-Whitney U): AUC = (Σ ranks of positives − n⁺(n⁺+1)/2)
+    / (n⁺ n⁻) with AVERAGE ranks for tied scores (the standard tie
+    correction — a constant scorer reads exactly 0.5, not an artifact of
+    tie order). Ranks and tie counts are windows over the (class, score)
+    relation; the rank sum runs through exact decimals (average ranks are
+    .5-multiples — scale-1 decimals, no float-order drift). Scale note:
+    the per-class rank window sorts each class's scores (classes are
+    bounded; each is a range-partitioned sort); w8/pc2's histogram-rank
+    sketch is the drop-in when per-class cardinality outgrows a sort.
+    """
+    from pdf_etl_pipeline_spark.functions.scalars import dec_sum
+
+    scores = nb_doc_scores(docs, label_col)
+    truth = docs.select("doc_id", F.col(label_col).alias("lang_true"))
+    s = scores.join(truth, "doc_id").select(
+        "lang",
+        "log_score",
+        (F.col("lang") == F.col("lang_true")).alias("is_pos"),
+    )
+    w_rank = Window.partitionBy("lang").orderBy("log_score")
+    w_tie = Window.partitionBy("lang", "log_score")
+    r = F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / 2
+    ranked = s.select("lang", "is_pos", r.alias("r"))
+    agg = ranked.groupBy("lang").agg(
+        dec_sum(F.when(F.col("is_pos"), F.col("r")), scale=1).alias("rsum"),
+        F.count(F.when(F.col("is_pos"), F.lit(1))).alias("n_pos"),
+        F.count(F.when(~F.col("is_pos"), F.lit(1))).alias("n_neg"),
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    auc = (F.col("rsum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2) / (
+        F.col("n_pos") * F.col("n_neg")
+    )
+    return agg.select(
+        "lang",
+        "n_pos",
+        "n_neg",
+        F.when(ok, F.round(auc, 6)).alias("auc"),
+    ).orderBy("lang")
+
+
+def nb_auc_sql(table: str, label_col: str = "lang") -> str:
+    """DuckDB oracle for :func:`nb_one_vs_rest_auc` — identical tie-average
+    rank arithmetic over the shared score CTEs."""
+    from pdf_etl_pipeline_spark.functions.scalars import dec_sum_sql
+
+    return f"""
+WITH {_nb_scores_ctes(table, label_col)},
+truth AS (SELECT doc_id, {label_col} AS lang_true FROM {table}),
+s AS (
+  SELECT d.lang, d.log_score, d.lang = t.lang_true AS is_pos
+  FROM doc_scores d JOIN truth t USING (doc_id)
+),
+ranked AS (
+  SELECT lang, is_pos,
+         rank() OVER (PARTITION BY lang ORDER BY log_score)
+         + (COUNT(*) OVER (PARTITION BY lang, log_score) - 1) / 2.0 AS r
+  FROM s
+),
+agg AS (
+  SELECT lang,
+         {dec_sum_sql('CASE WHEN is_pos THEN r END', 1)} AS rsum,
+         COUNT(*) FILTER (WHERE is_pos) AS n_pos,
+         COUNT(*) FILTER (WHERE NOT is_pos) AS n_neg
+  FROM ranked GROUP BY 1
+)
+SELECT lang, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round((rsum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+       END AS auc
+FROM agg ORDER BY lang"""

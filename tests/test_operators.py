@@ -1580,3 +1580,26 @@ def test_phrase_topk_alignment(spark):
     assert (1, 2) not in got
     assert got[(2, 3)] == (2, 0, 1)   # overlapping
     assert (2, 4) not in got
+
+
+def test_nb_auc_separable_and_ties(spark):
+    """ml8: the AUC machinery on a hand-checkable corpus — separable
+    classes score ~1.0; every class's AUC is within [0,1]; tie-averaged
+    ranks keep the identity sum(r) = n(n+1)/2 per class."""
+    from pdf_etl_pipeline_spark.llmdata.classify import nb_one_vs_rest_auc
+
+    rows = [(i, "alpha beta gamma", "en") for i in range(8)]
+    rows += [(i + 8, "uno dos tres", "es") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: r for r in nb_one_vs_rest_auc(docs).collect()}
+    assert set(out) == {"en", "es"}
+    for r in out.values():
+        assert r.n_pos == 8 and r.n_neg == 8
+        assert r.auc == 1.0  # fully separable vocab -> perfect ranking
+    # constant scorer: identical docs in both classes -> all scores tie -> 0.5
+    rows = [(i, "same words here", "en") for i in range(4)]
+    rows += [(i + 4, "same words here", "es") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: r for r in nb_one_vs_rest_auc(docs).collect()}
+    # scores differ only by prior, equal priors -> all tied -> exactly 0.5
+    assert all(r.auc == 0.5 for r in out.values())

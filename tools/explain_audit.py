@@ -693,6 +693,19 @@ CHECKS = {
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "ml8_nb_auc": {
+        # per-class rank windows over the scored relation (partitioned by
+        # lang — bounded class count); the classes cross join is the 5-row
+        # broadcast BNLJ (ml2's audited shape); no Python, no cartesian
+        "must": ["Window", "HashAggregate", "BroadcastNestedLoopJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            f"rank window not partitioned by lang: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(lang#" not in ln
+        ],
+    },
     "ir2_phrase_topk": {
         # positional postings: one Generate (posexplode), the phrase-term
         # table broadcast as a hash equi-join on tok, keyed anchor
