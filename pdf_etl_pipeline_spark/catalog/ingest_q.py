@@ -645,3 +645,139 @@ def st14_corpus_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id", "shard_id", "n_docs", "total_tokens",
         "first_doc_id", "last_doc_id",
     ).orderBy("batch_id", "shard_id")
+
+
+# --- ST16: guarded streaming RELEASE builder (st13 + st15 + st11) -------------------
+# st14 with the split-hygiene stage wired in: per batch, contamination guard
+# against the pinned benchmark, LEAKAGE guard against the pinned held-out
+# (val/test) near-dup index, curation verdict over the surviving docs.
+# Verdict precedence: contaminated > leaks > curation — both guard families
+# drop BEFORE the curation indexes (an eval twin must not enter the banding
+# where it would shadow genuine docs as their admitted copy).
+_ST16_STAGE_T = CP.split_stage_sql("t.doc_id")
+_ST16_STAGE_H = CP.split_stage_sql("h.doc_id")
+_ST16_STAGE_D = CP.split_stage_sql("d.doc_id")
+_ST16_STAGE = CP.split_stage_sql("doc_id")
+
+_ST16_LEAK_CTES = f"""hsig AS MATERIALIZED (
+  SELECT doc_id, {_TOKSH} AS toks, {_SIG} AS sig FROM documents
+),
+hb AS MATERIALIZED (
+  SELECT doc_id, band,
+         array_to_string(sig[band * {DD.ROWS_PER_BAND} + 1 : (band + 1) * {DD.ROWS_PER_BAND}], '-') AS key
+  FROM hsig, (VALUES (0), (1), (2), (3)) bb(band)
+),
+leaks AS MATERIALIZED (
+  SELECT DISTINCT doc_id FROM (
+    SELECT t.doc_id AS doc_id, any_value(ts.toks) AS ta, any_value(hs.toks) AS tb
+    FROM hb t JOIN hb h ON t.band = h.band AND t.key = h.key
+    JOIN hsig ts ON ts.doc_id = t.doc_id
+    JOIN hsig hs ON hs.doc_id = h.doc_id
+    WHERE t.doc_id % {CP.BENCH_MOD} <> 0 AND ({_ST16_STAGE_T}) = 0
+      AND t.doc_id NOT IN (SELECT doc_id FROM contam)
+      AND ({_ST16_STAGE_H}) >= 1
+    GROUP BY t.doc_id, h.doc_id
+  ) WHERE {_DD3_JACCARD} >= 0.9
+)"""
+
+_ST16_CLEAN = (
+    f"doc_id % {CP.BENCH_MOD} <> 0 AND ({_ST16_STAGE}) = 0 "
+    "AND doc_id NOT IN (SELECT doc_id FROM contam) "
+    "AND doc_id NOT IN (SELECT doc_id FROM leaks)"
+)
+_ST16_PRED1 = f"{_ST16_CLEAN} AND doc_id < {_SPLIT}"
+_ST16_PRED2 = f"{_ST16_CLEAN} AND doc_id >= {_SPLIT}"
+
+_ST16_VERDICTS_ORACLE = f"""
+WITH {_ST14_GUARD_CTES},
+{_ST16_LEAK_CTES},
+{_ver_ctes(_ST16_PRED1, _ST16_PRED2)}
+SELECT doc_id, batch_id, n_tokens, n_kept, admitted, lang_trim, q_trim,
+       {_ST14_VERDICT_CASE} AS verdict
+FROM ver
+UNION ALL
+SELECT d.doc_id,
+       CAST(CASE WHEN d.doc_id < {_SPLIT} THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
+       CAST(len({_ST10_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(0 AS BIGINT) AS n_kept,
+       FALSE AS admitted,
+       CAST(NULL AS VARCHAR) AS lang_trim,
+       CAST(NULL AS DOUBLE) AS q_trim,
+       'drop_contaminated' AS verdict
+FROM documents d JOIN contam c ON d.doc_id = c.doc_id
+WHERE ({_ST16_STAGE_D}) = 0
+UNION ALL
+SELECT d.doc_id,
+       CAST(CASE WHEN d.doc_id < {_SPLIT} THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
+       CAST(len({_ST10_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(0 AS BIGINT) AS n_kept,
+       FALSE AS admitted,
+       CAST(NULL AS VARCHAR) AS lang_trim,
+       CAST(NULL AS DOUBLE) AS q_trim,
+       'drop_leaks_heldout' AS verdict
+FROM documents d JOIN leaks l ON d.doc_id = l.doc_id
+ORDER BY doc_id"""
+
+
+def _st16_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two real ingest batches through the guarded release body: benchmark
+    AND held-out index pinned fresh, train-split corpus docs streamed in
+    two halves with the leakage stage on; verdicts materialized before the
+    temp state disappears."""
+    from pdf_etl_pipeline_spark.streaming.contamination_guard import pin_benchmark
+    from pdf_etl_pipeline_spark.streaming.corpus_builder import (
+        LEAKAGE_SUBDIR,
+        build_corpus_batch,
+        drop_builder_state,
+    )
+    from pdf_etl_pipeline_spark.streaming.leakage_guard import pin_heldout
+
+    import os as _os
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = CP.split_stage(F.col("doc_id"))
+    bench = docs.filter(F.col("doc_id") % CP.BENCH_MOD == 0)
+    heldout = docs.filter(stage >= 1)
+    corpus = docs.filter((F.col("doc_id") % CP.BENCH_MOD != 0) & (stage == 0))
+    split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    tmp = tempfile.mkdtemp(prefix="st16_state_")
+    try:
+        assert pin_benchmark(bench, tmp)
+        assert pin_heldout(heldout, _os.path.join(tmp, LEAKAGE_SUBDIR))
+        v1, _ = build_corpus_batch(
+            corpus.filter(F.col("doc_id") < split), tmp, batch_id=0, leakage_guard=True
+        )
+        v2, _ = build_corpus_batch(
+            corpus.filter(F.col("doc_id") >= split), tmp, batch_id=1, leakage_guard=True
+        )
+        tag = lambda df, b: df.withColumn("batch_id", F.lit(b).cast("long"))
+        verdicts = tag(v1, 0).unionByName(tag(v2, 1))
+    finally:
+        drop_builder_state(spark, tmp)
+    return verdicts
+
+
+@register(
+    "st16_guarded_release",
+    oracle=_ST16_VERDICTS_ORACLE,
+    doc="ST16 guarded streaming RELEASE builder — st14 with split hygiene "
+    "wired in: per batch, st13 contamination guard (pinned benchmark "
+    "shingles), st15 LEAKAGE guard (pinned held-out near-dup band index), "
+    "st11 curation verdict over the survivors; one FINAL row per incoming "
+    "train doc, precedence contaminated > leaks > curation, both guard "
+    "families dropping BEFORE the curation indexes (index isolation). "
+    "Scale: per batch, two broadcast-pin probes (shingle equi-join; band "
+    "equi-join + survivor-only Jaccard) in front of the audited st11 body — "
+    "nothing stream-global",
+)
+def st16_guarded_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return (
+        _st16_outputs(spark, sf_dir)
+        .select(
+            "doc_id", "batch_id", "n_tokens", "n_kept", "admitted",
+            "lang_trim", "q_trim", "verdict",
+        )
+        .orderBy("doc_id")
+        .localCheckpoint()
+    )

@@ -49,6 +49,7 @@ from pdf_etl_pipeline_spark.llmdata.corpus import DECON_N, PACK_BUDGET, pack_cou
 from pdf_etl_pipeline_spark.llmdata.dedup import DUP_SPAN_N, tokens_col
 
 CURATION_SUBDIR = "curation"
+LEAKAGE_SUBDIR = "leakage"
 VERDICTS_SUBDIR = "builder_verdicts"
 MANIFEST_SUBDIR = "builder_manifest"
 
@@ -83,14 +84,24 @@ def build_corpus_batch(
     decon_n: int = DECON_N,
     span_buckets: int | None = None,
     budget: int = PACK_BUDGET,
+    leakage_guard: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Process one ingest batch end to end; returns ``(verdicts,
     manifest)``, both materialized. ``verdicts`` carries one FINAL row
     per incoming doc — st11's schema plus the ``drop_contaminated``
     verdict (n_kept 0, gate columns null: a contaminated doc is dropped
-    before anything is trimmed or scored). ``manifest`` is the batch's
-    delivery manifest over its keep verdicts. Raises if no benchmark is
-    pinned under ``state_dir`` (st13's refuse-to-run contract)."""
+    before anything is trimmed or scored) and, with
+    ``leakage_guard=True``, the ``drop_leaks_heldout`` verdict (st15's
+    screen against the held-out index pinned under
+    ``<state_dir>/leakage`` — a train doc near-dupping val/test data is
+    dropped BEFORE the curation indexes, for the same isolation reason
+    as contamination: a leaking doc must not enter the near-dup banding
+    where it would shadow genuine corpus docs as their admitted twin).
+    Verdict precedence: contaminated > leaks > curation. ``manifest`` is
+    the batch's delivery manifest over its keep verdicts. Raises if no
+    benchmark is pinned under ``state_dir`` (st13's refuse-to-run
+    contract) — and, when the leakage stage is on, if no held-out index
+    is pinned (st15's)."""
     from pdf_etl_pipeline_spark.llmdata.curation_stream import curation_verdict_batch
     from pdf_etl_pipeline_spark.streaming.contamination_guard import (
         guard_contamination_batch,
@@ -100,6 +111,27 @@ def build_corpus_batch(
     clean = docs.join(
         guard.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
     )
+    v_leak = None
+    if leakage_guard:
+        from pdf_etl_pipeline_spark.streaming.leakage_guard import guard_leakage_batch
+
+        leak = guard_leakage_batch(
+            clean, os.path.join(state_dir, LEAKAGE_SUBDIR), batch_id, threshold
+        )
+        leaking = leak.filter(F.col("leaks")).select("doc_id")
+        v_leak = (
+            clean.join(leaking, "doc_id", "left_semi")
+            .select(
+                "doc_id",
+                F.size(tokens_col("text", distinct=False)).cast("long").alias("n_tokens"),
+                F.lit(0).cast("long").alias("n_kept"),
+                F.lit(False).alias("admitted"),
+                F.lit(None).cast("string").alias("lang_trim"),
+                F.lit(None).cast("double").alias("q_trim"),
+                F.lit("drop_leaks_heldout").alias("verdict"),
+            )
+        )
+        clean = clean.join(leaking, "doc_id", "left_anti")
     v_clean = curation_verdict_batch(
         clean,
         os.path.join(state_dir, CURATION_SUBDIR),
@@ -122,7 +154,10 @@ def build_corpus_batch(
             F.lit("drop_contaminated").alias("verdict"),
         )
     )
-    verdicts = v_clean.unionByName(v_cont).localCheckpoint()
+    verdicts = v_clean.unionByName(v_cont)
+    if v_leak is not None:
+        verdicts = verdicts.unionByName(v_leak)
+    verdicts = verdicts.localCheckpoint()
     manifest = builder_manifest_df(verdicts, budget).localCheckpoint()
     return verdicts, manifest
 
@@ -136,13 +171,15 @@ def corpus_builder_stream(
     checkpoint_location: str | None = None,
     span_buckets: int | None = None,
     budget: int = PACK_BUDGET,
+    leakage_guard: bool = False,
 ):
     """Streaming wrapper (foreachBatch, availableNow): each micro-batch
     runs :func:`build_corpus_batch` with the checkpointed ``epoch_id``;
     verdict rows append under ``builder_verdicts``, manifest rows under
     ``builder_manifest``, both tagged ``batch_id``. The benchmark must be
     pinned (``contamination_guard.pin_benchmark``) before the stream
-    starts."""
+    starts — and the held-out index (``leakage_guard.pin_heldout`` under
+    ``<state_dir>/leakage``) when the leakage stage is on."""
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         verdicts, manifest = build_corpus_batch(
@@ -154,6 +191,7 @@ def corpus_builder_stream(
             decon_n=decon_n,
             span_buckets=span_buckets,
             budget=budget,
+            leakage_guard=leakage_guard,
         )
         tag = F.lit(int(epoch_id)).cast("long")
         verdicts.withColumn("batch_id", tag).write.mode("append").parquet(

@@ -2166,3 +2166,53 @@ def test_st15_leakage_guard_stream_and_pin(spark, tmp_path):
     # restart: no new files -> no duplicate verdicts
     run()
     assert read_leakage_reports(spark, state).count() == 3
+
+
+def test_st16_leakage_guard_in_builder(spark, tmp_path):
+    """st16: a train doc whose token set equals a pinned HELD-OUT doc's
+    gets a FINAL drop_leaks_heldout verdict, and — the index-isolation
+    pin — never enters the curation near-dup index; clean docs flow
+    through the unchanged st14 path; an unpinned leakage stage refuses
+    to run."""
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    from pdf_etl_pipeline_spark.streaming.contamination_guard import pin_benchmark
+    from pdf_etl_pipeline_spark.streaming.corpus_builder import (
+        LEAKAGE_SUBDIR,
+        build_corpus_batch,
+    )
+    from pdf_etl_pipeline_spark.streaming.leakage_guard import pin_heldout
+
+    held_words = [f"h{i}" for i in range(30)]
+    heldout = spark.createDataFrame(
+        [(500, " ".join(held_words))], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (20, " ".join(reversed(held_words))),  # same token set as held-out -> leaks
+            (21, "the quick brown fox jumps over a lazy dog and keeps running fast " * 2),
+        ],
+        "doc_id long, text string",
+    )
+
+    state = str(tmp_path / "state")
+    assert pin_benchmark(bench, state)
+    # leakage stage on but no held-out pin -> refuses (st15's contract)
+    with pytest.raises(ValueError, match="pin_heldout"):
+        build_corpus_batch(docs, state, batch_id=0, leakage_guard=True)
+
+    assert pin_heldout(heldout, _os.path.join(state, LEAKAGE_SUBDIR))
+    verdicts, manifest = build_corpus_batch(docs, state, batch_id=0, leakage_guard=True)
+    got = {r.doc_id: r for r in verdicts.collect()}
+    assert got[20].verdict == "drop_leaks_heldout"
+    assert got[20].n_kept == 0 and got[20].admitted is False
+    assert got[21].verdict in ("keep", "drop_quality", "drop_lang")  # flowed through
+    # index isolation: the leaking doc never entered the curation near-dup index
+    toks_path = _os.path.join(state, "curation", "neardup", "toks")
+    indexed = {r.doc_id for r in spark.read.parquet(toks_path).select("doc_id").collect()}
+    assert 20 not in indexed and 21 in indexed

@@ -807,6 +807,12 @@ CHECKS = {
         ],
     },
     "st15_leakage_guard": {
+        # (this audited body is ALSO st16_guarded_release's new fragment:
+        # the builder runs this exact leak probe — same module function —
+        # in front of the separately-audited st11 curation body; st16's
+        # registered query returns a localCheckpoint scan, so the
+        # meaningful plans to audit are its components, here and at
+        # st11_verdict_batch_body / st13_contamination_guard)
         # dc2's bipartite banding at admission: the batch's bands probe
         # the BROADCAST pinned band index (hash equi-join on band+key),
         # exact Jaccard verify on survivors only, one keyed aggregate,

@@ -259,6 +259,9 @@ def main() -> None:
         "g3_clustering_coeff": __import__(
             "pdf_etl_pipeline_spark.catalog.extended_q", fromlist=["g3_clustering_coeff"]
         ).g3_clustering_coeff,
+        "st16_guarded_release": __import__(
+            "pdf_etl_pipeline_spark.catalog.ingest_q", fromlist=["st16_guarded_release"]
+        ).st16_guarded_release,
     }
     # optional comma-separated substring filter (argv[3]): measure a
     # subset without paying for the whole battery
