@@ -68,7 +68,7 @@ EXTENDED_QUERIES = [
     "cc10_trimmed_shard_manifest",
     "tk6_bpe_capped_encode",
     "tx13_ngram_novelty",
-    "st14_corpus_builder",
+    "st16_guarded_release",
 ]
 
 # Rotated out of per-round wall-clock benching in r12 (still oracle- and
@@ -78,7 +78,10 @@ EXTENDED_QUERIES = [
 # index lifecycle runs INSIDE st14's curation stage) and
 # st11_curation_funnel (st14 minus the guard and the manifest) — so both
 # rotate out; the tier keeps ONE representative per heavy plan shape.
+# r13 late: st16_guarded_release (st14 + the st15 leakage probe) is the
+# new superset composition — st14 rotates out under the same rule.
 ROTATED_OUT = [
+    "st14_corpus_builder",
     "st7_neardup_ingest", "st11_curation_funnel",
     "ss6_pq_adc_topk", "ss7_pq_rerank", "j5_fuzzy_supplier_match",
     "sk2_kmv_distinct", "tx7_unigram_logprob", "ml2_naive_bayes",

@@ -189,3 +189,19 @@ def tk6_bpe_capped_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_doc_counts_capped(
         load_table(spark, sf_dir, "documents"), bpe.N_MERGES, TK6_CAP
     )
+
+
+# --- TK7: vocabulary-cap coverage sweep ---------------------------------------------
+@register(
+    "tk7_cap_sweep",
+    oracle=bpe.bpe_cap_sweep_sql("documents"),
+    doc="TK7 cap/coverage tradeoff curve: the tk6 frequency-capped tokenizer "
+    "at caps 4/8/16, one corpus-total row per cap (oov_rate = char-fallback "
+    "volume, subword_ratio) — the sizing readout before freezing a vocab. "
+    "Scale: ONE word-vocabulary pass shared across caps (checkpointed), "
+    "per-cap training bounded by the cap, per-cap encode one broadcast left "
+    "join folded to 1 row",
+)
+def tk7_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return bpe.bpe_cap_sweep(load_table(spark, sf_dir, "documents"))

@@ -616,3 +616,63 @@ def bpe_encode_sql(table: str, n_merges: int = N_MERGES) -> str:
 SELECT doc_id, ws_tokens, bpe_tokens,
        round(bpe_tokens / nullif(CAST(ws_tokens AS DOUBLE), 0), 6) AS subword_ratio
 FROM doc_counts ORDER BY doc_id"""
+
+
+SWEEP_CAPS = (4, 8, 16)
+
+
+def bpe_cap_sweep(docs: DataFrame, caps: tuple = SWEEP_CAPS, n_merges: int = N_MERGES) -> DataFrame:
+    """tk7: the cap/coverage tradeoff CURVE — corpus-level totals of the
+    tk6 capped tokenizer at several vocabulary caps, one row per cap:
+    (cap, ws_tokens, bpe_tokens, oov_tokens, oov_rate, subword_ratio).
+    The sizing question a tokenizer engineer answers before freezing a
+    vocab: how fast does char-fallback volume fall as the cap grows.
+
+    Scale: the word-vocabulary relation is computed ONCE (persisted) and
+    each cap slices its top-K from it (TakeOrdered — bounded); each
+    training is bounded by its cap, never the corpus (tk6's contract);
+    each encode is one broadcast left join of the exploded corpus against
+    a ≤cap-row table, folded to a 1-row aggregate. The union is
+    len(caps) rows.
+    """
+    from functools import reduce
+
+    wv = word_vocab(docs).localCheckpoint()
+    dt = docs.select(F.explode(tokens_col("text", distinct=False)).alias("word"))
+    outs = []
+    for cap in caps:
+        _, rel = train_bpe_on_vocab(wv.orderBy(F.desc("wcnt"), "word").limit(cap), n_merges)
+        enc = subword_counts(rel)
+        outs.append(
+            dt.join(F.broadcast(enc), "word", "left")
+            .agg(
+                F.count(F.lit(1)).alias("ws_tokens"),
+                F.sum(F.coalesce("n_sub", F.length("word"))).alias("bpe_tokens"),
+                F.sum(F.when(F.col("n_sub").isNull(), 1).otherwise(0)).alias("oov_tokens"),
+            )
+            .select(
+                F.lit(cap).cast("long").alias("cap"),
+                F.col("ws_tokens").cast("long").alias("ws_tokens"),
+                F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+                F.col("oov_tokens").cast("long").alias("oov_tokens"),
+                F.round(F.col("oov_tokens") / F.nullif(F.col("ws_tokens").cast("double"), F.lit(0.0)), 6).alias("oov_rate"),
+                F.round(F.col("bpe_tokens") / F.nullif(F.col("ws_tokens").cast("double"), F.lit(0.0)), 6).alias("subword_ratio"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy("cap")
+
+
+def bpe_cap_sweep_sql(table: str, caps: tuple = SWEEP_CAPS, n_merges: int = N_MERGES) -> str:
+    """DuckDB oracle for :func:`bpe_cap_sweep`: the tk6 per-doc oracle
+    folded to corpus totals, one arm per cap, unioned."""
+    arms = []
+    for cap in caps:
+        arms.append(f"""
+SELECT {cap} AS cap,
+       CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(oov_tokens) AS BIGINT) AS oov_tokens,
+       round(SUM(oov_tokens) / nullif(CAST(SUM(ws_tokens) AS DOUBLE), 0), 6) AS oov_rate,
+       round(SUM(bpe_tokens) / nullif(CAST(SUM(ws_tokens) AS DOUBLE), 0), 6) AS subword_ratio
+FROM ({bpe_capped_encode_sql(table, n_merges, cap)})""")
+    return " UNION ALL ".join(arms) + " ORDER BY cap"

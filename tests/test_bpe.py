@@ -216,3 +216,21 @@ def test_bpe_capped_encode_fallback_and_full_cap_equivalence(spark):
     assert (out[1].ws_tokens, out[1].bpe_tokens, out[1].oov_tokens) == (8, 10, 1)
     # doc 2: 'aa'+'bb' at 1 each + 'qqqq' at 4 chars
     assert (out[2].ws_tokens, out[2].bpe_tokens, out[2].oov_tokens) == (3, 6, 1)
+
+
+def test_cap_sweep_monotone_coverage(spark, sf_dir):
+    """tk7: growing the cap can only improve coverage — oov_tokens
+    non-increasing in cap, ws_tokens constant, and every oov_rate in
+    [0, 1]."""
+    from pdf_etl_pipeline_spark.llmdata.bpe import bpe_cap_sweep
+    from pdf_etl_pipeline_spark.session import load_table
+
+    out = sorted(
+        bpe_cap_sweep(load_table(spark, sf_dir, "documents")).collect(),
+        key=lambda r: r.cap,
+    )
+    assert [r.cap for r in out] == [4, 8, 16]
+    assert len({r.ws_tokens for r in out}) == 1  # same corpus every arm
+    oov = [r.oov_tokens for r in out]
+    assert oov == sorted(oov, reverse=True)
+    assert all(0 <= r.oov_rate <= 1 for r in out)

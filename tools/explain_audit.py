@@ -693,6 +693,13 @@ CHECKS = {
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "tk7_cap_sweep": {
+        # per-cap encode: broadcast left join of the exploded corpus
+        # against the <=cap-row encoding, folded to 1 row; the corpus
+        # must never shuffle or cross-join, no Python anywhere
+        "must": ["Generate", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+    },
     "ml8_nb_auc": {
         # per-class rank windows over the scored relation (partitioned by
         # lang — bounded class count); the classes cross join is the 5-row
