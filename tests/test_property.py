@@ -428,3 +428,61 @@ def test_profile_matches_python_reference(spark, vals):
         assert r.min_str == str(min(present)) and r.max_str == str(max(present))
     else:
         assert r.min_str is None and r.max_str is None
+
+
+WORD = st.sampled_from(["aa", "bb", "cc", "dd"])
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    docs=st.lists(st.lists(WORD, min_size=0, max_size=12), min_size=1, max_size=8),
+    phrase=st.lists(WORD, min_size=1, max_size=3),
+)
+def test_phrase_topk_matches_bruteforce(spark, docs, phrase):
+    """ir2's anchor-vote arithmetic equals the brute-force sliding-window
+    count on arbitrary token sequences — including repeated phrase terms
+    and overlapping occurrences."""
+    from pdf_etl_pipeline_spark.llmdata.retrieval import phrase_topk
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in phrase_topk(df, {1: phrase}, k=100).collect()
+    }
+    for i, toks in enumerate(docs):
+        hits = [
+            p
+            for p in range(len(toks) - len(phrase) + 1)
+            if toks[p : p + len(phrase)] == phrase
+        ]
+        if hits:
+            assert out[i] == (len(hits), hits[0]), (toks, phrase)
+        else:
+            assert i not in out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdefg xyz", min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_curriculum_positions_dense_and_stage_major(spark, texts):
+    """cc13's two-level rank yields a dense 0..n-1 permutation with
+    non-decreasing stages for ANY corpus — the naive global-sort parity
+    as a property."""
+    from pdf_etl_pipeline_spark.llmdata.corpus import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = sorted(curriculum_order(df).collect(), key=lambda r: r.position)
+    assert [r.position for r in out] == list(range(len(texts)))
+    stages = [r.stage for r in out]
+    assert stages == sorted(stages)
