@@ -277,3 +277,125 @@ def mm4_image_in_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     return MM.image_in_video_pairs(_mm4_image_hashes(docs), _mm3_frame_hashes(docs))
+
+
+# --- mm5: multimodal dedup MANIFEST (canonical keepers across modalities) -------
+# The delivery step the mm pair families exist for: per modality, connected
+# components over the near-dup pair graph (pairs under-delete — near-dup is
+# transitive), one canonical keeper per component, one manifest row per
+# asset. The multimodal twin of dd6's "keep one per group" deliverable.
+from pdf_etl_pipeline_spark.catalog.dedup_q import _label_rounds  # noqa: E402
+from pdf_etl_pipeline_spark.llmdata.dedup import label_components  # noqa: E402
+
+_MM5_ROUNDS = 12  # component diameters here are tiny; 12 matches dd6b's oracle bound
+
+
+def _mm5_manifest_arm(nodes: DataFrame, pairs: DataFrame, modality: str) -> DataFrame:
+    labels = label_components(
+        nodes,
+        pairs.select(F.col("asset_a").alias("doc_a"), F.col("asset_b").alias("doc_b")),
+        rounds=_MM5_ROUNDS,
+        doubling=False,
+    )
+    return labels.select(
+        F.lit(modality).alias("modality"),
+        F.col("doc_id").alias("asset_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+def _mm5_oracle() -> str:
+    himg = f"""SELECT doc_id AS asset_id,
+         xor({_h64_sql("'img' || CAST(CAST(floor(doc_id / 4) AS BIGINT) AS VARCHAR)")},
+             CAST({_MM1_PERTURB} AS BIGINT)) AS h
+  FROM documents"""
+    haud = f"""SELECT doc_id AS asset_id,
+         xor({_h64_sql("'aud' || CAST(CAST(floor(doc_id / 5) AS BIGINT) AS VARCHAR)")},
+             CAST({_MM2_PERTURB} AS BIGINT)) AS h
+  FROM documents"""
+    arm = lambda tag: f"""p{tag} AS (
+  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b
+  FROM h{tag} a JOIN h{tag} b ON a.asset_id < b.asset_id
+  WHERE bit_count(xor(a.h, b.h)) <= 3
+),
+e{tag} AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM p{tag}
+  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM p{tag}
+),
+n{tag} AS (SELECT asset_id AS doc_id FROM h{tag})"""
+    return f"""
+WITH himg AS ({himg}),
+haud AS ({haud}),
+{arm('img')},
+{arm('aud')},
+{_MM3_FH_CTE},
+vmatched AS (
+  SELECT a.asset_id AS asset_a, a.frame_idx AS frame_a,
+         b.asset_id AS asset_b, b.frame_idx AS frame_b
+  FROM fh a JOIN fh b
+    ON a.asset_id < b.asset_id
+   AND bit_count(xor(a.fhash, b.fhash)) <= 3
+),
+vper AS (
+  SELECT asset_a, asset_b,
+         COUNT(DISTINCT frame_a) AS n_matched_a,
+         COUNT(DISTINCT frame_b) AS n_matched_b
+  FROM vmatched GROUP BY 1, 2
+),
+vcounts AS (SELECT asset_id, COUNT(*) AS n_frames FROM fh GROUP BY 1),
+pvid AS (
+  SELECT asset_a AS doc_a, asset_b AS doc_b
+  FROM vper
+  JOIN vcounts ca ON ca.asset_id = asset_a
+  JOIN vcounts cb ON cb.asset_id = asset_b
+  WHERE round(greatest(n_matched_a / ca.n_frames, n_matched_b / cb.n_frames), 6) >= 0.5
+),
+evid AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM pvid
+  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pvid
+),
+nvid AS (SELECT DISTINCT asset_id AS doc_id FROM fh),
+{_label_rounds(_MM5_ROUNDS, nodes="nimg", edges="eimg", prefix="ki_")},
+{_label_rounds(_MM5_ROUNDS, nodes="naud", edges="eaud", prefix="ka_")},
+{_label_rounds(_MM5_ROUNDS, nodes="nvid", edges="evid", prefix="kv_")}
+SELECT 'image' AS modality, doc_id AS asset_id, cluster_id,
+       doc_id = cluster_id AS is_keeper FROM ki_{_MM5_ROUNDS}
+UNION ALL
+SELECT 'audio', doc_id, cluster_id, doc_id = cluster_id FROM ka_{_MM5_ROUNDS}
+UNION ALL
+SELECT 'video', doc_id, cluster_id, doc_id = cluster_id FROM kv_{_MM5_ROUNDS}
+ORDER BY modality, asset_id"""
+
+
+@register(
+    "mm5_dedup_manifest",
+    oracle=_mm5_oracle(),
+    doc="mm5: the multimodal dedup MANIFEST — per modality (image pHash, audio "
+    "fingerprint, video containment roll-up), connected components over the "
+    "near-dup pair graph (transitive closure, not pair deletion), one "
+    "canonical keeper per component, one row per asset. Scale: each arm is "
+    "the already-audited banding + the checkpointed min-label engine "
+    "(convergence-certified, lineage truncated per round); modalities are "
+    "independent arms, never a cross-modality join",
+)
+def mm5_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    img = _mm5_manifest_arm(
+        _mm1_hashes(docs).select(F.col("asset_id").alias("doc_id")),
+        MM.phash_dup_pairs(_mm1_hashes(docs)),
+        "image",
+    )
+    aud = _mm5_manifest_arm(
+        _mm2_hashes(docs).select(F.col("asset_id").alias("doc_id")),
+        MM.audio_dup_pairs(_mm2_hashes(docs)),
+        "audio",
+    )
+    fh = _mm3_frame_hashes(docs)
+    vid = _mm5_manifest_arm(
+        fh.select(F.col("asset_id").alias("doc_id")).distinct(),
+        MM.video_dup_pairs(fh),
+        "video",
+    )
+    return img.unionByName(aud).unionByName(vid).orderBy("modality", "asset_id")

@@ -1497,3 +1497,38 @@ def test_cc12_funnel_invariants(spark):
     assert rows["span_trim"].n_tokens < rows["best_dedup"].n_tokens  # trim bites
     assert rows["raw"].doc_retention == 1.0 and rows["raw"].token_retention == 1.0
     assert rows["quality"].doc_retention == round(d[5] / d[0], 6)
+
+
+def test_mm5_manifest_keeper_invariants(spark, sf_dir):
+    """mm5: one keeper per cluster, keeper = min asset in cluster, every
+    asset appears once per modality, and clusters match the pair graph's
+    transitive closure (planted structure: image groups of 4 with member
+    3 banding-pruned; audio groups of 5 with members straddling the
+    budget)."""
+    from pdf_etl_pipeline_spark.catalog import load_registry
+
+    out = load_registry()["mm5_dedup_manifest"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    per_mod = defaultdict(dict)
+    for r in out:
+        assert r.asset_id not in per_mod[r.modality]
+        per_mod[r.modality][r.asset_id] = r
+    assert set(per_mod) == {"image", "audio", "video"}
+    for mod, rows in per_mod.items():
+        clusters = defaultdict(list)
+        for r in rows.values():
+            clusters[r.cluster_id].append(r)
+        for cid, members in clusters.items():
+            keepers = [m for m in members if m.is_keeper]
+            assert len(keepers) == 1 and keepers[0].asset_id == cid
+            assert cid == min(m.asset_id for m in members)
+    # image arm: perturbations {0,0,3,127} in groups of 4 -> members
+    # {0,1,2} cluster together (127 is beyond Hamming 3), so cluster
+    # sizes are {3, 1} within every full group
+    img = per_mod["image"]
+    full = [a for a in img if a // 4 < (max(img) // 4)]
+    sizes = defaultdict(set)
+    for a in full:
+        sizes[img[a].cluster_id].add(a)
+    assert {len(v) for v in sizes.values()} <= {1, 3}

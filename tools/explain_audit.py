@@ -693,6 +693,16 @@ CHECKS = {
         "must": ["HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "mm5_dedup_manifest": {
+        # three independent modality arms; the pair generation and the
+        # min-label rounds run through localCheckpoint (the iterative-
+        # graph lineage discipline), so the FINAL plan is checkpoint
+        # scans + projections unioned — the audited contracts for the
+        # arms live at mm1/mm2/mm3 and the label engine's own tests; here
+        # we pin no-Python / no-cartesian / the three-arm union shape
+        "must": ["Union"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
     "tk7_cap_sweep": {
         # per-cap encode: broadcast left join of the exploded corpus
         # against the <=cap-row encoding, folded to 1 row; the corpus
