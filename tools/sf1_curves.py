@@ -262,6 +262,21 @@ def main() -> None:
         "st16_guarded_release": __import__(
             "pdf_etl_pipeline_spark.catalog.ingest_q", fromlist=["st16_guarded_release"]
         ).st16_guarded_release,
+        "ev5_inter_event_gaps": __import__(
+            "pdf_etl_pipeline_spark.catalog.extended_q", fromlist=["ev5_inter_event_gaps"]
+        ).ev5_inter_event_gaps,
+        "ir2_phrase_topk": __import__(
+            "pdf_etl_pipeline_spark.catalog.text_q", fromlist=["ir2_phrase_topk"]
+        ).ir2_phrase_topk,
+        "ml8_nb_auc": __import__(
+            "pdf_etl_pipeline_spark.catalog.text_q", fromlist=["ml8_nb_auc"]
+        ).ml8_nb_auc,
+        "tk7_cap_sweep": __import__(
+            "pdf_etl_pipeline_spark.catalog.tokenize_q", fromlist=["tk7_cap_sweep"]
+        ).tk7_cap_sweep,
+        "mm5_dedup_manifest": __import__(
+            "pdf_etl_pipeline_spark.catalog.multimodal_q", fromlist=["mm5_dedup_manifest"]
+        ).mm5_dedup_manifest,
     }
     # optional comma-separated substring filter (argv[3]): measure a
     # subset without paying for the whole battery
