@@ -836,6 +836,61 @@ def _remaining48(h, band_idx):
     return expr
 
 
+def _band_explode(hashes: DataFrame, hash_col: str) -> DataFrame:
+    """DISTINCT hash values exploded into their ``PHASH_BANDS`` 16-bit
+    bands: ``(h, band_idx, band_val)`` — the shared banding front of the
+    unary (:func:`_distinct_hash_band_pairs`) and bipartite
+    (:func:`_bipartite_distinct_band_pairs`) pigeonhole joins."""
+    dh = hashes.select(F.col(hash_col).alias("h")).distinct()
+    return dh.select(
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("h"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("h", "b.band_idx", "b.band_val")
+
+
+def _sub_band_explode(banded: DataFrame) -> DataFrame:
+    """Hot-band members re-banded: the remaining 48 bits (outside the
+    member's own 16-bit band) exploded into ``_SUB_BANDS`` 12-bit
+    sub-bands — the recursive pigeonhole level. Members of a hot bucket
+    agree on their 16-bit band, so a qualifying pair's ≤ ``PHASH_BANDS−1``
+    differing bits all live in the shared remaining-48 space and some
+    sub-band must agree exactly (completeness preserved)."""
+    return (
+        banded.withColumn("r48", _remaining48(F.col("h"), F.col("band_idx")))
+        .select(
+            "h",
+            "band_idx",
+            "band_val",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("sub_idx"),
+                            F.shiftrightunsigned(F.col("r48"), 12 * k)
+                            .bitwiseAND(F.lit(0xFFF))
+                            .alias("sub_val"),
+                        )
+                        for k in range(_SUB_BANDS)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("h", "band_idx", "band_val", "s.sub_idx", "s.sub_val")
+    )
+
+
 def _distinct_hash_band_pairs(
     hashes: DataFrame, hash_col: str, hot_cap: int = HOT_BAND_CAP
 ) -> DataFrame:
@@ -861,26 +916,13 @@ def _distinct_hash_band_pairs(
     a second recursion level (hot SUB-buckets: many distinct hashes
     agreeing on band + sub-band — 28 shared bits) has never been
     warranted by a measured regime and is left undone deliberately."""
-    dh = hashes.select(F.col(hash_col).alias("h")).distinct()
-    banded = dh.select(
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("h"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band_val"),
-                    )
-                    for i in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("h", "b.band_idx", "b.band_val")
+    banded = _band_explode(hashes, hash_col)
     sizes = banded.groupBy("band_idx", "band_val").agg(
         F.count(F.lit(1)).alias("_n")
     )
+    # broadcast is bounded by the band KEY SPACE, not the corpus:
+    # at most PHASH_BANDS × 2^16 = 262,144 rows regardless of corpus size
+    # (a wider-band refactor must re-check this bound before keeping the hint)
     banded = banded.join(F.broadcast(sizes), ["band_idx", "band_val"])
     cold = banded.filter(F.col("_n") <= hot_cap)
     a, b = cold.alias("a"), cold.alias("b")
@@ -893,27 +935,7 @@ def _distinct_hash_band_pairs(
         )
         .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
     )
-    hot = banded.filter(F.col("_n") > hot_cap).withColumn(
-        "r48", _remaining48(F.col("h"), F.col("band_idx"))
-    )
-    sub = hot.select(
-        "h",
-        "band_idx",
-        "band_val",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("sub_idx"),
-                        F.shiftrightunsigned(F.col("r48"), 12 * k)
-                        .bitwiseAND(F.lit(0xFFF))
-                        .alias("sub_val"),
-                    )
-                    for k in range(_SUB_BANDS)
-                ]
-            )
-        ).alias("s"),
-    ).select("h", "band_idx", "band_val", "s.sub_idx", "s.sub_val")
+    sub = _sub_band_explode(banded.filter(F.col("_n") > hot_cap))
     sa, sb = sub.alias("a"), sub.alias("b")
     recursed = (
         sa.join(
@@ -927,6 +949,61 @@ def _distinct_hash_band_pairs(
         .select(F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
     )
     return direct.unionByName(recursed).dropDuplicates(["ha", "hb"])
+
+
+def _bipartite_distinct_band_pairs(
+    left: DataFrame,
+    left_col: str,
+    right: DataFrame,
+    right_col: str,
+    hot_cap: int = HOT_BAND_CAP,
+) -> DataFrame:
+    """The BIPARTITE twin of :func:`_distinct_hash_band_pairs`: distinct
+    left-hashes × distinct right-hashes ``(hl, hr)`` agreeing exactly on
+    at least one 16-bit band, with the SAME hot-band degeneracy guard on
+    both sides (r13 VERDICT finding 2). Equal hashes agree on every band
+    (and every sub-band), so Hamming-0 cross matches need no separate
+    branch.
+
+    Hotness is judged on the bucket's CROSS-PRODUCT size — a band value
+    where ``n_left × n_right > hot_cap²`` (letterboxed frames vs a black
+    test card, shared title cards) routes through the recursive 12-bit
+    sub-banding over the shared remaining-48 space instead of the direct
+    band join, bounding direct candidates per bucket at ``hot_cap²``.
+    Completeness: both sides of a qualifying pair agree on the hot band,
+    so its ≤ ``PHASH_BANDS−1`` differing bits live in the remaining 48
+    and some 12-bit sub-band agrees exactly — the `_sub_band_explode`
+    argument, applied bipartitely. The inner size-join also prunes bands
+    present on only one side before any pairing work."""
+    bl, br = _band_explode(left, left_col), _band_explode(right, right_col)
+    sizes = (
+        bl.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("_nl"))
+        .join(
+            br.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("_nr")),
+            ["band_idx", "band_val"],
+        )
+    )
+    # bounded by the band key space (≤ PHASH_BANDS × 2^16 rows), never the corpus
+    bl = bl.join(F.broadcast(sizes), ["band_idx", "band_val"])
+    br = br.join(F.broadcast(sizes), ["band_idx", "band_val"])
+    hot = F.col("_nl") * F.col("_nr") > hot_cap * hot_cap
+    li, rf = bl.filter(~hot).alias("i"), br.filter(~hot).alias("f")
+    direct = li.join(
+        rf,
+        (F.col("i.band_idx") == F.col("f.band_idx"))
+        & (F.col("i.band_val") == F.col("f.band_val")),
+    ).select(F.col("i.h").alias("hl"), F.col("f.h").alias("hr"))
+    sl = _sub_band_explode(bl.filter(hot)).alias("i")
+    sr = _sub_band_explode(br.filter(hot)).alias("f")
+    recursed = sl.join(
+        sr,
+        (F.col("i.band_idx") == F.col("f.band_idx"))
+        & (F.col("i.band_val") == F.col("f.band_val"))
+        & (F.col("i.sub_idx") == F.col("f.sub_idx"))
+        & (F.col("i.sub_val") == F.col("f.sub_val")),
+    ).select(F.col("i.h").alias("hl"), F.col("f.h").alias("hr"))
+    return direct.unionByName(recursed).dropDuplicates(["hl", "hr"])
 
 
 def _banded_hash_pairs(hashes: DataFrame, hash_col: str, max_hamming: int) -> DataFrame:
@@ -1245,46 +1322,20 @@ def image_in_video_pairs(
     match is the same exact pigeonhole banding, made BIPARTITE.
 
     Scale shape: distinct image hashes band-join distinct frame hashes
-    (hot-band degeneracy guard on BOTH sides — a black test card and a
-    black-frame pile-up each collapse to one banding row), codegen
-    popcount verify once per distinct cross pair, output-bounded
-    expansion to (image, frame) matches, one keyed roll-up per
-    (image, video). Images are typically the small side — Spark
-    broadcasts the distinct-hash band relation on its own statistics.
-    No self-join, never all-pairs."""
+    through :func:`_bipartite_distinct_band_pairs` — the hot-band
+    degeneracy guard holds on BOTH sides in BOTH regimes: identical-hash
+    pile-ups (a black test card, a black-frame pile) collapse to one
+    banding row each, and residual hot bands (many DISTINCT hashes
+    sharing one 16-bit band value — letterboxed frames, shared title
+    cards) route through the recursive 12-bit sub-band pigeonhole
+    instead of the bipartite cross product. Codegen popcount verify once
+    per distinct cross pair, output-bounded expansion to (image, frame)
+    matches, one keyed roll-up per (image, video). No self-join, never
+    all-pairs."""
     _require_banding_complete(max_hamming)
-
-    def _banded_distinct(hashes: DataFrame, col: str) -> DataFrame:
-        dh = hashes.select(F.col(col).alias("h")).distinct()
-        return dh.select(
-            "h",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band_idx"),
-                            F.shiftrightunsigned(F.col("h"), 16 * i)
-                            .bitwiseAND(F.lit(0xFFFF))
-                            .alias("band_val"),
-                        )
-                        for i in range(PHASH_BANDS)
-                    ]
-                )
-            ).alias("b"),
-        ).select("h", "b.band_idx", "b.band_val")
-
-    li = _banded_distinct(image_hashes, "phash").alias("i")
-    rf = _banded_distinct(frame_hashes, "fhash").alias("f")
-    # bipartite: equal hashes agree on every band, so Hamming-0 matches
-    # fall out of the same join — no separate identical-hash branch
     hp = (
-        li.join(
-            rf,
-            (F.col("i.band_idx") == F.col("f.band_idx"))
-            & (F.col("i.band_val") == F.col("f.band_val")),
-        )
-        .select(F.col("i.h").alias("hi"), F.col("f.h").alias("hf"))
-        .dropDuplicates(["hi", "hf"])
+        _bipartite_distinct_band_pairs(image_hashes, "phash", frame_hashes, "fhash")
+        .select(F.col("hl").alias("hi"), F.col("hr").alias("hf"))
         .withColumn("hamming", F.bit_count(F.col("hi").bitwiseXOR(F.col("hf"))))
         .filter(F.col("hamming") <= max_hamming)
     )
