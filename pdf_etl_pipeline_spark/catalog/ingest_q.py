@@ -25,6 +25,9 @@ from pdf_etl_pipeline_spark.session import load_table, tune
 
 _TOKSH = DD.token_hashes_sql("text")
 _SIG = DD.minhash_signature_sql("text")
+# band VALUES list derived from DD.BANDS so the oracles track the engine's
+# banding if it ever changes (corpus_q's _DC2_BANDS convention)
+_BANDS_SQL = ", ".join(f"({b})" for b in range(DD.BANDS))
 
 
 def _half_ctes(h: int, pred: str) -> str:
@@ -37,7 +40,7 @@ def _half_ctes(h: int, pred: str) -> str:
 b{h} AS MATERIALIZED (
   SELECT doc_id, toks, band,
          array_to_string(sig[band * {r} + 1 : (band + 1) * {r}], '-') AS key
-  FROM s{h}, (VALUES (0), (1), (2), (3)) bb(band)
+  FROM s{h}, (VALUES {_BANDS_SQL}) bb(band)
 ),
 c{h} AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -665,7 +668,7 @@ _ST16_LEAK_CTES = f"""hsig AS MATERIALIZED (
 hb AS MATERIALIZED (
   SELECT doc_id, band,
          array_to_string(sig[band * {DD.ROWS_PER_BAND} + 1 : (band + 1) * {DD.ROWS_PER_BAND}], '-') AS key
-  FROM hsig, (VALUES (0), (1), (2), (3)) bb(band)
+  FROM hsig, (VALUES {_BANDS_SQL}) bb(band)
 ),
 leaks AS MATERIALIZED (
   SELECT DISTINCT doc_id FROM (

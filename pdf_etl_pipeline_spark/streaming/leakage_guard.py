@@ -17,9 +17,11 @@ discipline:
   run rather than screening against half an index);
 - each batch emits ONE FINAL verdict row per train doc — ``(doc_id,
   n_heldout_dups, max_jaccard, leaks)`` — via dc2's BIPARTITE shape:
-  the batch's bands probe the broadcast pinned band index (held-out
-  splits are 10% of the corpus by construction, and only their 64-bit
-  band keys pin — never text), and the exact Jaccard verify touches
+  the batch's bands probe the pinned band index (only 64-bit band keys
+  pin — never text), broadcast while the pin stays under
+  ``PIN_BROADCAST_MAX_ROWS`` band rows (the size is recorded at pin
+  time; a corpus-fraction pin falls back to a shuffle join instead of
+  OOMing a forced broadcast), and the exact Jaccard verify touches
   banding survivors only;
 - batches are screened against the PIN only (never against each
   other), so replays recompute bit-identical rows and
@@ -47,8 +49,17 @@ from pdf_etl_pipeline_spark.llmdata.dedup import (
 
 BANDS_SUBDIR = "heldout_bands"
 TOKS_SUBDIR = "heldout_toks"
+META_SUBDIR = "heldout_meta"
 REPORTS_SUBDIR = "leakage"
 LEAK_THRESHOLD = 0.9
+
+# Above this many pinned band rows the broadcast hint is dropped and
+# Catalyst picks a shuffle join (r13 VERDICT finding 3): the guard's
+# design assumes an eval-suite-sized pin, but nothing enforces it — a
+# corpus-fraction held-out split at 100 TB is a tens-of-GB band index
+# and a forced broadcast would OOM the driver/executors. 8M rows of
+# (long, int, long) is ~200 MB built — the sane broadcast ceiling.
+PIN_BROADCAST_MAX_ROWS = 8_000_000
 
 
 def _bands_path(state_dir: str) -> str:
@@ -57,6 +68,23 @@ def _bands_path(state_dir: str) -> str:
 
 def _toks_path(state_dir: str) -> str:
     return os.path.join(state_dir, TOKS_SUBDIR)
+
+
+def _meta_path(state_dir: str) -> str:
+    return os.path.join(state_dir, META_SUBDIR)
+
+
+def _pin_band_rows(spark, state_dir: str) -> int:
+    """The pinned band index's row count, from the meta relation written at
+    pin time (LAST, after BANDS — a torn meta degrades to a count of the
+    bands parquet, same answer at a scan's cost, never a wrong one)."""
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    if fsutil.list_data_files(_meta_path(state_dir), spark):
+        return int(spark.read.parquet(_meta_path(state_dir)).agg(
+            F.max("n_band_rows")
+        ).first()[0])
+    return int(spark.read.parquet(_bands_path(state_dir)).count())
 
 
 def pin_heldout(heldout_docs: DataFrame, state_dir: str) -> bool:
@@ -86,6 +114,12 @@ def pin_heldout(heldout_docs: DataFrame, state_dir: str) -> bool:
             .write.mode("append")
             .parquet(_bands_path(state_dir))
         )
+        # pin-size meta LAST (pin existence stays judged on BANDS): the
+        # guard reads it to decide whether the pin is broadcastable
+        n_rows = spark.read.parquet(_bands_path(state_dir)).count()
+        spark.createDataFrame(
+            [(n_rows,)], "n_band_rows long"
+        ).write.mode("append").parquet(_meta_path(state_dir))
     finally:
         hashed.unpersist()
     return True
@@ -97,17 +131,25 @@ def leakage_batch_df(
     heldout_toks: DataFrame,
     threshold: float = LEAK_THRESHOLD,
     materialize: bool = False,
+    broadcast_pin: bool = True,
 ) -> DataFrame:
     """The guard plan: one verdict row per incoming train doc —
     (doc_id, n_heldout_dups, max_jaccard, leaks). dc2's bipartite join
     shape with the pin as the build side. ``materialize=False`` returns the
-    lazy plan (for the .explain audit); ``materialize=True`` checkpoints
-    the (small) verdict relation and releases the hashed-token cache
-    (near_decontaminate's convention)."""
-    hashed = hashed_tokens(train_docs).dropDuplicates(["doc_id", "h"]).persist()
+    lazy plan (for the .explain audit — no cache is taken on this path, so
+    nothing leaks into the session); ``materialize=True`` persists the
+    hashed-token relation across its two uses, checkpoints the (small)
+    verdict relation and releases the cache (near_decontaminate's
+    convention). ``broadcast_pin=False`` drops the broadcast hint for an
+    oversized pin (see ``PIN_BROADCAST_MAX_ROWS``) — Catalyst then plans a
+    shuffle join with identical semantics."""
+    hashed = hashed_tokens(train_docs).dropDuplicates(["doc_id", "h"])
+    if materialize:
+        hashed = hashed.persist()
     my_bands = bands_from_signatures(signatures_from_hashed(hashed))
+    pin = F.broadcast(heldout_bands) if broadcast_pin else heldout_bands
     cands = (
-        my_bands.join(F.broadcast(heldout_bands), ["band", "key"])
+        my_bands.join(pin, ["band", "key"])
         .select("doc_id", "heldout_id")
         .dropDuplicates()
     )
@@ -164,6 +206,7 @@ def guard_leakage_batch(
         spark.read.parquet(_toks_path(state_dir)),
         threshold,
         materialize=True,
+        broadcast_pin=_pin_band_rows(spark, state_dir) <= PIN_BROADCAST_MAX_ROWS,
     )
 
 

@@ -838,10 +838,22 @@ def test_split_leakage_flags_planted_contamination(spark):
 
 
 def test_curriculum_order_matches_naive_global_sort(spark, docs):
-    """The two-level rank must equal the naive global-sort position, and the
-    order must be stage-major with quality stages descending."""
+    """The two-level rank must equal the naive global-sort position over
+    (stage, h, doc_id) — h recomputed via _salted_bucket — and the order
+    must be stage-major with quality stages descending."""
     out = CP.curriculum_order(docs).collect()
-    naive = sorted(out, key=lambda r: (r.stage, r.doc_id))  # same stage set
+    ids = spark.createDataFrame([(r.doc_id,) for r in out], "doc_id long")
+    h = {
+        r.doc_id: r.h
+        for r in ids.select(
+            "doc_id",
+            CP._salted_bucket(F.col("doc_id"), CP.CURRICULUM_SALT, 2**31).alias("h"),
+        ).collect()
+    }
+    naive = sorted(out, key=lambda r: (r.stage, h[r.doc_id], r.doc_id))
+    assert {r.doc_id: r.position for r in out} == {
+        r.doc_id: i for i, r in enumerate(naive)
+    }
     assert sorted(r.position for r in out) == list(range(len(out)))
     by_pos = sorted(out, key=lambda r: r.position)
     # stage-major: stages are non-decreasing along the position axis

@@ -2168,6 +2168,64 @@ def test_st15_leakage_guard_stream_and_pin(spark, tmp_path):
     assert read_leakage_reports(spark, state).count() == 3
 
 
+def test_st15_oversized_pin_drops_broadcast_and_matches(spark, tmp_path, monkeypatch):
+    """r13 VERDICT finding 3: the pinned held-out index must not be
+    broadcast unconditionally — a corpus-fraction pin at 100 TB would OOM
+    the forced broadcast. Pin size is recorded at pin time; above
+    PIN_BROADCAST_MAX_ROWS the hint is dropped and Catalyst plans a
+    non-broadcast band join with IDENTICAL verdicts."""
+    from pdf_etl_pipeline_spark.streaming import leakage_guard as LG
+
+    words = [f"tok{i}" for i in range(20)]
+    heldout = spark.createDataFrame(
+        [(1000, " ".join(words))], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, " ".join(reversed(words))),  # same token set -> leaks
+            (2, " ".join(f"fresh{i}" for i in range(15))),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    assert LG.pin_heldout(heldout, state)
+    # the meta relation recorded the pin size (bands of one doc)
+    assert LG._pin_band_rows(spark, state) == 4
+
+    def verdicts():
+        return {
+            r.doc_id: (r.n_heldout_dups, r.max_jaccard, r.leaks)
+            for r in LG.guard_leakage_batch(batch, state, 0).collect()
+        }
+
+    base = verdicts()
+    assert base[1] == (1, 1.0, True) and base[2][2] is False
+
+    # shrink the ceiling so THIS pin counts as oversized, and kill
+    # stats-based auto-broadcast so the hint's absence is observable
+    monkeypatch.setattr(LG, "PIN_BROADCAST_MAX_ROWS", 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lazy = LG.leakage_batch_df(
+            batch,
+            spark.read.parquet(LG._bands_path(state)),
+            spark.read.parquet(LG._toks_path(state)),
+            broadcast_pin=False,
+        )
+        plan = lazy._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert verdicts() == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # meta missing (pre-r14 pin layout): the size degrades to a bands count
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    fsutil.delete(LG._meta_path(state), recursive=True, spark=spark)
+    assert LG._pin_band_rows(spark, state) == 4
+
+
 def test_st16_leakage_guard_in_builder(spark, tmp_path):
     """st16: a train doc whose token set equals a pinned HELD-OUT doc's
     gets a FINAL drop_leaks_heldout verdict, and — the index-isolation
