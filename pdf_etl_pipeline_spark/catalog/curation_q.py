@@ -1074,11 +1074,13 @@ def cc13_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shards — one row per released document carrying its split, curriculum
 # position, shard and offset (val/test rows carry NULLs: held-out sets are
 # never packed into training shards).
-def _cc14_oracle() -> str:
+def cc14_manifest_ctes() -> str:
+    """The cc14 release-manifest pipeline as CTE text ending in a
+    ``manifest`` relation — shared by the cc14 oracle and cc15's
+    multimodal-release oracle (multimodal_q)."""
     t0, t1, t2 = _CP.CURRICULUM_THRESHOLDS
     h = _CP._salted_bucket_sql(_CP.CURRICULUM_SALT, 2**31)
-    return f"""
-WITH {_CC1_CTES},
+    return f"""{_CC1_CTES},
 sp AS (SELECT *, {_CP.split_stage_sql('doc_id')} AS s FROM kept),
 tr AS (
   SELECT *, CASE WHEN quality_score >= {t0} THEN 0
@@ -1095,16 +1097,25 @@ pk AS (
   SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY position ROWS UNBOUNDED PRECEDING)
                  - n_tokens AS BIGINT) AS start_offset
   FROM pos
-)
-SELECT doc_id, {_CP.split_name_sql('s')} AS split, n_tokens, quality_score,
-       CAST(stage AS BIGINT) AS stage, CAST(position AS BIGINT) AS position,
-       CAST(floor(start_offset / {_CP.PACK_BUDGET}) AS BIGINT) AS shard_id,
-       start_offset
-FROM pk
-UNION ALL
-SELECT doc_id, {_CP.split_name_sql('s')} AS split, n_tokens, quality_score,
-       NULL, NULL, NULL, NULL
-FROM sp WHERE s >= 1
+),
+manifest AS (
+  SELECT doc_id, {_CP.split_name_sql('s')} AS split, n_tokens, quality_score,
+         CAST(stage AS BIGINT) AS stage, CAST(position AS BIGINT) AS position,
+         CAST(floor(start_offset / {_CP.PACK_BUDGET}) AS BIGINT) AS shard_id,
+         start_offset
+  FROM pk
+  UNION ALL
+  SELECT doc_id, {_CP.split_name_sql('s')} AS split, n_tokens, quality_score,
+         NULL, NULL, NULL, NULL
+  FROM sp WHERE s >= 1
+)"""
+
+
+def _cc14_oracle() -> str:
+    return f"""
+WITH {cc14_manifest_ctes()}
+SELECT doc_id, split, n_tokens, quality_score, stage, position, shard_id, start_offset
+FROM manifest
 ORDER BY split, position, doc_id"""
 
 

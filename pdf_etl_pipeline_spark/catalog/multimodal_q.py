@@ -305,7 +305,11 @@ def _mm5_manifest_arm(nodes: DataFrame, pairs: DataFrame, modality: str) -> Data
     )
 
 
-def _mm5_oracle() -> str:
+def _mm_img_aud_arm_ctes() -> str:
+    """The image + audio dedup arms as CTE text: synthetic hash relations
+    (himg/haud), brute-force pair/edge/node CTEs, and the converged
+    min-label component rounds (ki_*/ka_*) — shared by the mm5 oracle and
+    cc15's multimodal-release oracle."""
     himg = f"""SELECT doc_id AS asset_id,
          xor({_h64_sql("'img' || CAST(CAST(floor(doc_id / 4) AS BIGINT) AS VARCHAR)")},
              CAST({_MM1_PERTURB} AS BIGINT)) AS h
@@ -324,11 +328,17 @@ e{tag} AS MATERIALIZED (
   UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM p{tag}
 ),
 n{tag} AS (SELECT asset_id AS doc_id FROM h{tag})"""
-    return f"""
-WITH himg AS ({himg}),
+    return f"""himg AS ({himg}),
 haud AS ({haud}),
 {arm('img')},
 {arm('aud')},
+{_label_rounds(_MM5_ROUNDS, nodes="nimg", edges="eimg", prefix="ki_")},
+{_label_rounds(_MM5_ROUNDS, nodes="naud", edges="eaud", prefix="ka_")}"""
+
+
+def _mm5_oracle() -> str:
+    return f"""
+WITH {_mm_img_aud_arm_ctes()},
 {_MM3_FH_CTE},
 vmatched AS (
   SELECT a.asset_id AS asset_a, a.frame_idx AS frame_a,
@@ -356,8 +366,6 @@ evid AS MATERIALIZED (
   UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pvid
 ),
 nvid AS (SELECT DISTINCT asset_id AS doc_id FROM fh),
-{_label_rounds(_MM5_ROUNDS, nodes="nimg", edges="eimg", prefix="ki_")},
-{_label_rounds(_MM5_ROUNDS, nodes="naud", edges="eaud", prefix="ka_")},
 {_label_rounds(_MM5_ROUNDS, nodes="nvid", edges="evid", prefix="kv_")}
 SELECT 'image' AS modality, doc_id AS asset_id, cluster_id,
        doc_id = cluster_id AS is_keeper FROM ki_{_MM5_ROUNDS}
@@ -399,3 +407,77 @@ def mm5_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "video",
     )
     return img.unionByName(aud).unionByName(vid).orderBy("modality", "asset_id")
+
+
+# --- cc15: the MULTIMODAL training-data release manifest ------------------------
+# r13 VERDICT item 4: cc14's release manifest is text-only; a multimodal
+# training release must resolve every released document's attached assets
+# to their mm5 canonical keepers — a doc whose image/audio is a dropped
+# near-duplicate ships the KEEPER's asset id, so the release never
+# contains two copies of the same perceptual content. Composes the two
+# proven fragments verbatim: cc14's manifest (curation -> split ->
+# curriculum -> packing) joined per-doc to the image and audio component
+# closures (video assets attach to a doc subset only and stay in mm5's
+# own manifest). Columns: the cc14 row + (image_asset,
+# image_is_canonical, audio_asset, audio_is_canonical).
+from pdf_etl_pipeline_spark.catalog.curation_q import (  # noqa: E402
+    cc14_manifest_ctes,
+    cc14_release_manifest,
+)
+
+
+def _cc15_oracle() -> str:
+    r = _MM5_ROUNDS
+    return f"""
+WITH {cc14_manifest_ctes()},
+{_mm_img_aud_arm_ctes()}
+SELECT m.doc_id, m.split, m.n_tokens, m.quality_score, m.stage, m.position,
+       m.shard_id, m.start_offset,
+       ki.cluster_id AS image_asset,
+       ki.cluster_id = m.doc_id AS image_is_canonical,
+       ka.cluster_id AS audio_asset,
+       ka.cluster_id = m.doc_id AS audio_is_canonical
+FROM manifest m
+JOIN ki_{r} ki ON ki.doc_id = m.doc_id
+JOIN ka_{r} ka ON ka.doc_id = m.doc_id
+ORDER BY m.split, m.position, m.doc_id"""
+
+
+@register(
+    "cc15_multimodal_release",
+    oracle=_cc15_oracle(),
+    doc="cc15: the MULTIMODAL release manifest — cc14's composed deliverable "
+    "(curation -> hash split -> curriculum order -> packing) with every "
+    "released doc's image and audio assets resolved to their mm5 canonical "
+    "keepers (component closure, not pair deletion): a doc whose asset is a "
+    "dropped near-dup carries the keeper's asset id. Scale: cc14's audited "
+    "two-level-rank/packing plan + two independent per-modality component "
+    "joins on doc_id — no cross-modality join, no new shuffle shape",
+)
+def cc15_multimodal_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    img = _mm5_manifest_arm(
+        _mm1_hashes(docs).select(F.col("asset_id").alias("doc_id")),
+        MM.phash_dup_pairs(_mm1_hashes(docs)),
+        "image",
+    ).select(
+        F.col("asset_id").alias("doc_id"),
+        F.col("cluster_id").alias("image_asset"),
+        F.col("is_keeper").alias("image_is_canonical"),
+    )
+    aud = _mm5_manifest_arm(
+        _mm2_hashes(docs).select(F.col("asset_id").alias("doc_id")),
+        MM.audio_dup_pairs(_mm2_hashes(docs)),
+        "audio",
+    ).select(
+        F.col("asset_id").alias("doc_id"),
+        F.col("cluster_id").alias("audio_asset"),
+        F.col("is_keeper").alias("audio_is_canonical"),
+    )
+    return (
+        cc14_release_manifest(spark, sf_dir)
+        .join(img, "doc_id")
+        .join(aud, "doc_id")
+        .orderBy("split", "position", "doc_id")
+    )

@@ -912,3 +912,34 @@ def test_release_manifest_invariants(spark, sf_dir):
         assert r.split in ("val", "test")
         assert r.stage is None and r.position is None
         assert r.shard_id is None and r.start_offset is None
+
+
+def test_cc15_dropped_duplicate_asset_resolves_to_keeper(spark, sf_dir):
+    """cc15: a released doc whose attached asset is a dropped near-dup
+    must carry the KEEPER's asset id. mm1's planted structure: per group
+    of 4 consecutive doc_ids, members {0,1,2} form one image component
+    (member 1 is an identical twin of 0, member 2 sits at Hamming 2), so
+    their canonical image asset is the group base; member 3 (Hamming 7)
+    keeps its own. Every cc14 row must appear exactly once with both
+    asset columns resolved."""
+    from pdf_etl_pipeline_spark.catalog import load_registry
+
+    reg = load_registry()
+    out = reg["cc15_multimodal_release"].fn(spark, sf_dir).collect()
+    cc14 = reg["cc14_release_manifest"].fn(spark, sf_dir).collect()
+    assert {r.doc_id for r in out} == {r.doc_id for r in cc14}
+    assert len(out) == len(cc14)
+    dup_docs = keeper_docs = 0
+    for r in out:
+        g, m = r.doc_id // 4, r.doc_id % 4
+        if m in (1, 2):  # image is a dropped duplicate -> keeper's id
+            assert r.image_asset == 4 * g and not r.image_is_canonical
+            dup_docs += 1
+        elif m == 3:  # past the Hamming budget -> its own canonical asset
+            assert r.image_asset == r.doc_id and r.image_is_canonical
+            keeper_docs += 1
+        # audio arm resolved for every row (groups of 5; members 0-3 cluster)
+        assert r.audio_asset is not None and r.audio_asset <= r.doc_id
+        if r.doc_id % 5 in (1, 2, 3):
+            assert r.audio_asset == 5 * (r.doc_id // 5) and not r.audio_is_canonical
+    assert dup_docs and keeper_docs

@@ -578,6 +578,27 @@ CHECKS = {
             )
         ],
     },
+    "cc15_multimodal_release": {
+        # cc14's audited release plan + two per-modality keeper joins on
+        # doc_id (the label arms are checkpointed relations — scans, not
+        # recomputation); SinglePartition exchanges must still be fed only
+        # by the tiny per-bucket aggregates, never a raw-corpus sort
+        "must": ["Window", "BroadcastHashJoin", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            "SinglePartition exchange not fed by a per-bucket HashAggregate — "
+            "a partition-less window would sort the raw corpus"
+            for i, l in enumerate(plan.splitlines())
+            if "Exchange SinglePartition" in l
+            and not (
+                i + 1 < len(plan.splitlines())
+                and (
+                    "HashAggregate(keys=[stage" in plan.splitlines()[i + 1]
+                    or "HashAggregate(keys=[bkt" in plan.splitlines()[i + 1]
+                )
+            )
+        ],
+    },
     "tx7_unigram_logprob": {
         # corpus-total must join back as a 1-row broadcast (BNLJ over a
         # single row is the legitimate shape, like ss1's query side) —
