@@ -481,3 +481,93 @@ def cc15_multimodal_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(aud, "doc_id")
         .orderBy("split", "position", "doc_id")
     )
+
+
+# --- st17: incremental MULTIMODAL asset ingest (streaming twin) -----------------
+# st7's on-disk-index admission pattern over 64-bit perceptual hashes
+# (llmdata/mm_ingest.py): intra-batch banding-pair components keep the
+# min-asset_id canonical; survivors probe the band-partitioned index of
+# previously-admitted assets (popcount verify on the joined row — the
+# hash rides in the band row, no second verify relation); admitted band
+# rows append. The registered query unrolls TWO batches (median split of
+# the mm1 synthetic hash relation) against a fresh index — exactly the
+# foreachBatch body — and the oracle recomputes both batches brute-force.
+_ST17_SPLIT = "(SELECT (MAX(doc_id) + 1) // 2 FROM documents)"
+
+
+def _st17_oracle() -> str:
+    r = _MM5_ROUNDS
+    half = lambda tag, pred: f"""h{tag} AS MATERIALIZED (
+  SELECT asset_id, phash FROM hmm WHERE {pred}
+),
+p{tag} AS (
+  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b
+  FROM h{tag} a JOIN h{tag} b ON a.asset_id < b.asset_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+e{tag} AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM p{tag}
+  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM p{tag}
+),
+n{tag} AS (SELECT asset_id AS doc_id FROM h{tag}),
+{_label_rounds(r, nodes=f"n{tag}", edges=f"e{tag}", prefix=f"m{tag}_")},
+keep{tag} AS MATERIALIZED (SELECT doc_id FROM m{tag}_{r} WHERE doc_id = cluster_id)"""
+    return f"""
+WITH hmm AS (
+  SELECT doc_id AS asset_id,
+         xor({_h64_sql("'img' || CAST(CAST(floor(doc_id / 4) AS BIGINT) AS VARCHAR)")},
+             CAST({_MM1_PERTURB} AS BIGINT)) AS phash
+  FROM documents
+),
+{half(1, f"asset_id < {_ST17_SPLIT}")},
+{half(2, f"asset_id >= {_ST17_SPLIT}")},
+xm AS (
+  SELECT DISTINCT a.asset_id AS new_id
+  FROM h2 a JOIN h1 b ON bit_count(xor(a.phash, b.phash)) <= 3
+  WHERE a.asset_id IN (SELECT doc_id FROM keep2)
+    AND b.asset_id IN (SELECT doc_id FROM keep1)
+)
+SELECT doc_id AS asset_id, CAST(0 AS BIGINT) AS batch_id FROM keep1
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM keep2
+WHERE doc_id NOT IN (SELECT new_id FROM xm)
+ORDER BY asset_id"""
+
+
+@register(
+    "st17_multimodal_ingest",
+    oracle=_st17_oracle(),
+    doc="st17: incremental multimodal asset ingest — per batch, exact "
+    "banding-pair components keep one canonical asset, survivors probe the "
+    "band_idx-partitioned on-disk index of admitted assets (PartitionFilters "
+    "prune unprobed partitions; same-asset_id replay exclusion; popcount "
+    "verify on the joined row) and admitted band rows append. Two-batch "
+    "unroll against a brute-force DuckDB oracle. Scale: one equi-join per "
+    "probe, state = 4 band rows per admitted asset, admitted hashes pairwise "
+    "Hamming-separated so the index can never accumulate a degenerate pile",
+)
+def st17_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    import tempfile
+
+    from pdf_etl_pipeline_spark.llmdata.mm_ingest import drop_mm_index, mm_ingest_batch
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = _mm1_hashes(docs)
+    split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    tmp = tempfile.mkdtemp(prefix="st17_index_")
+    try:
+        k1 = mm_ingest_batch(hashes.filter(F.col("asset_id") < split), tmp)
+        k2 = mm_ingest_batch(hashes.filter(F.col("asset_id") >= split), tmp)
+        out = (
+            k1.select("asset_id", F.lit(0).cast("long").alias("batch_id"))
+            .unionAll(k2.select("asset_id", F.lit(1).cast("long").alias("batch_id")))
+            .orderBy("asset_id")
+            # materialize before the temp index directory disappears
+            .localCheckpoint()
+        )
+    finally:
+        drop_mm_index(spark, tmp)
+        fsutil.delete(tmp, recursive=True, spark=spark)
+    return out

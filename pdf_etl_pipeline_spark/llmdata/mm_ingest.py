@@ -1,0 +1,234 @@
+"""Incremental multimodal asset ingest (st17) — st7's on-disk-index
+admission pattern (``llmdata/ingest.py``) applied to 64-bit perceptual
+hashes: new asset batches (images/audio/video frames hashed upstream by
+``multimodal.perceptual_hash`` et al.) are admitted only if they are not
+near-duplicates (Hamming ≤ ``max_hamming``) of what the corpus already
+holds.
+
+Per batch:
+
+1. **Intra-batch canonicalization**: exact pigeonhole banding pairs
+   (``multimodal._banded_hash_pairs`` — distinct-hash candidates,
+   hot-band recursion, popcount verify) → connected components
+   (``dedup.label_components``) → keep the min-``asset_id`` canonical
+   per component.
+2. **Cross-batch admission**: survivors probe the ACCUMULATED index — an
+   on-disk ``(asset_id, h, band_idx, band_val)`` relation partitioned by
+   ``band_idx`` so the probe prunes to the probed band partitions
+   (st7's ``PartitionFilters`` contract). Candidates come from the
+   (band_idx, band_val) equi-join; the popcount verify runs on the
+   joined row itself — the 64-bit hash RIDES IN the band row, so unlike
+   MinHash ingest there is no second verify-set relation to fetch,
+   no torn two-relation write window, and the whole probe is one
+   equi-join + codegen filter.
+3. **Index append**: admitted assets' band rows append, partitioned by
+   ``band_idx``. State grows by ``PHASH_BANDS`` rows per admitted asset.
+
+Replay contract (st7's): the probe excludes same-``asset_id`` index rows
+— an index row with the batch's own asset id can only be the replayed
+batch's own append — and duplicate appends are admission-neutral
+(candidates are ``dropDuplicates``-ed), so a crash-replayed batch
+recomputes a bit-identical admitted set.
+
+Structural dedup guarantee the text path lacks: admitted index entries
+are pairwise Hamming > ``max_hamming`` by construction (an entry within
+the budget of an existing one is rejected at admission), so identical-
+hash pile-ups can never accumulate IN the index — index-side banding
+degeneracy is bounded without any collapse machinery; residual hot
+bands (distinct hashes sharing a band value) stay bounded by the same
+Hamming-separation. Batch-side degeneracy is collapsed by step 1 before
+the probe ever runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_etl_pipeline_spark.llmdata.dedup import STAR_ROUNDS, label_components
+from pdf_etl_pipeline_spark.llmdata.multimodal import (
+    PHASH_BANDS,
+    _banded_hash_pairs,
+    _require_banding_complete,
+)
+
+BANDS_SUBDIR = "mm_bands"
+DEFAULT_MAX_HAMMING = 3
+
+
+def _digest(index_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(index_dir).encode()).hexdigest()[:10]
+
+
+def mm_bands_table(index_dir: str) -> str:
+    return f"st17_bands_{_digest(index_dir)}"
+
+
+def _bands_path(index_dir: str) -> str:
+    return os.path.join(index_dir, BANDS_SUBDIR)
+
+
+def _ensure_registered(spark, index_dir: str) -> bool:
+    """True iff the index exists — registered, or recovered from disk via
+    an external CREATE TABLE + partition repair (st7's catalog
+    discipline: reads go through ``spark.table`` so partition pruning
+    and cache invalidation apply)."""
+    name = mm_bands_table(index_dir)
+    if spark.catalog.tableExists(name):
+        return True
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    path = _bands_path(index_dir)
+    if not fsutil.exists(path, spark):
+        return False
+    loc = path.replace("'", "''")
+    spark.sql(f"CREATE TABLE `{name}` USING parquet LOCATION '{loc}'")
+    spark.sql(f"MSCK REPAIR TABLE `{name}`")
+    return True
+
+
+def drop_mm_index(spark, index_dir: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {mm_bands_table(index_dir)}")
+
+
+def asset_bands(hashes: DataFrame, hash_col: str) -> DataFrame:
+    """Per-ASSET band rows ``(asset_id, h, band_idx, band_val)`` — the
+    index row shape (the distinct-hash collapse lives in the pair/probe
+    plans, not the storage layout; admitted hashes are distinct anyway)."""
+    return hashes.select(
+        "asset_id",
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col(hash_col), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("asset_id", "h", "b.band_idx", "b.band_val")
+
+
+def mm_admission_matches(
+    spark,
+    kept_hashes: DataFrame,
+    index_dir: str,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    probe_bands=None,
+) -> DataFrame:
+    """Assets of ``kept_hashes`` (``asset_id``, ``h``) that near-dup-match
+    the on-disk index: (band_idx, band_val) equi-join candidates against
+    the probed band partitions (static ``PartitionFilters`` — unprobed
+    partitions never read), same-asset_id replay exclusion, codegen
+    popcount verify on the joined row. Probing a band subset trades
+    recall for index I/O (st7's cheap-admission lever)."""
+    probe = list(range(PHASH_BANDS)) if probe_bands is None else sorted(probe_bands)
+    _ensure_registered(spark, index_dir)
+    ix = spark.table(mm_bands_table(index_dir)).filter(F.col("band_idx").isin(probe))
+    nb = asset_bands(kept_hashes, "h").filter(F.col("band_idx").isin(probe))
+    return (
+        nb.alias("n")
+        .join(
+            ix.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_val") == F.col("o.band_val"))
+            # replay exclusion: an index row with the batch's own asset id
+            # is the replayed batch's own append (st7's contract)
+            & (F.col("n.asset_id") != F.col("o.asset_id")),
+        )
+        .filter(
+            F.bit_count(F.col("n.h").bitwiseXOR(F.col("o.h"))) <= max_hamming
+        )
+        .select(F.col("n.asset_id").alias("asset_id"))
+        .distinct()
+    )
+
+
+def mm_ingest_batch(
+    batch_hashes: DataFrame,
+    index_dir: str,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Admit one batch of hashed assets against (and into) the perceptual
+    index at ``index_dir``; returns the admitted ``(asset_id)`` relation,
+    materialized before the index append the next batch will read."""
+    _require_banding_complete(max_hamming)
+    spark = batch_hashes.sparkSession
+    hashes = batch_hashes.select(
+        "asset_id", F.col(hash_col).alias("h")
+    ).localCheckpoint()
+
+    # 1. intra-batch: banding pairs -> components -> min-asset_id keepers
+    pairs = _banded_hash_pairs(hashes, "h", max_hamming).select(
+        F.col("asset_a").alias("doc_a"), F.col("asset_b").alias("doc_b")
+    )
+    kept = (
+        label_components(
+            hashes.select(F.col("asset_id").alias("doc_id")),
+            pairs,
+            rounds=STAR_ROUNDS,
+            doubling=True,
+            until_converged=True,
+        )
+        .filter(F.col("is_keeper"))
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    kept_hashes = hashes.join(kept, "asset_id", "left_semi")
+
+    # 2. cross-batch admission against the accumulated index
+    if _ensure_registered(spark, index_dir):
+        matched = mm_admission_matches(spark, kept_hashes, index_dir, max_hamming)
+        kept_hashes = kept_hashes.join(matched, "asset_id", "left_anti")
+
+    # materialize admissions BEFORE appending to the index this plan reads
+    kept_hashes = kept_hashes.localCheckpoint()
+
+    # 3. append admitted band rows (single relation — no torn-write window)
+    name = mm_bands_table(index_dir)
+    w = (
+        asset_bands(kept_hashes, "h")
+        .write.mode("append")
+        .format("parquet")
+        .partitionBy("band_idx")
+    )
+    if not spark.catalog.tableExists(name):
+        w = w.option("path", _bands_path(index_dir))
+    w.saveAsTable(name)
+    return kept_hashes.select("asset_id")
+
+
+def multimodal_ingest_stream(
+    assets_stream: DataFrame,
+    index_dir: str,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    hash_col: str = "phash",
+    checkpoint_location: str | None = None,
+):
+    """Streaming wrapper (foreachBatch, availableNow): each micro-batch of
+    hashed assets goes through :func:`mm_ingest_batch` — same body as
+    batch, same index on disk, offsets resumed from the checkpoint so a
+    restart never replays the corpus; a crash-replayed batch recomputes
+    bit-identically (see module docstring)."""
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        mm_ingest_batch(batch_df, index_dir, max_hamming, hash_col)
+
+    return (
+        assets_stream.writeStream.outputMode("append")
+        .foreachBatch(_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_location or os.path.join(index_dir, "_checkpoint"),
+        )
+        .trigger(availableNow=True)
+    )

@@ -459,6 +459,117 @@ def test_ingest_streaming_equals_batch_twin_on_staged_drops(spark, sf_dir, tmp_p
     assert stream_kept == batch_kept
 
 
+# --- ST17: incremental multimodal asset ingest ----------------------------------
+def _mm17(spark, rows):
+    return spark.createDataFrame(rows, "asset_id long, phash long")
+
+
+def test_st17_mm_ingest_admission_and_replay_bit_identical(spark, tmp_path):
+    """st17: intra-batch components keep the min asset; a later batch's
+    asset within Hamming 3 of an ADMITTED one is rejected while a distant
+    one admits; and a crash-REPLAYED batch (index rows already appended)
+    recomputes a bit-identical admitted set via the same-asset_id
+    exclusion."""
+    from pdf_etl_pipeline_spark.llmdata.mm_ingest import mm_ingest_batch
+
+    base = 0x1234_5678_9ABC_DEF0
+    far = 0x0F0F_0F0F_0F0F_0F0F
+    ix = str(tmp_path / "mmix")
+    # batch 1: 10/11 identical (H0), 12 at H2 -> one component, keeper 10;
+    # 13 far -> own keeper
+    b1 = _mm17(spark, [(10, base), (11, base), (12, base ^ 0b11), (13, far)])
+    k1 = {r.asset_id for r in mm_ingest_batch(b1, ix).collect()}
+    assert k1 == {10, 13}
+    # batch 2: 20 near the admitted 10 (H1) -> rejected; 21 near the
+    # REJECTED 12's hash but still within H3 of 10 -> rejected; 22 new
+    b2 = _mm17(spark, [(20, base ^ 0b1), (21, base ^ 0b110), (22, 0x7777_0000_1111_2222)])
+    k2 = {r.asset_id for r in mm_ingest_batch(b2, ix).collect()}
+    assert k2 == {22}
+    # crash replay of batch 2: its index rows are already on disk; the
+    # recomputed admitted set must be identical, not empty
+    k2_replay = {r.asset_id for r in mm_ingest_batch(b2, ix).collect()}
+    assert k2_replay == k2
+
+
+def test_st17_probe_prunes_band_partitions(spark, tmp_path):
+    """The admission probe's index scan must carry a band_idx
+    PartitionFilter: probing bands {0, 2} must never read the other band
+    partitions (st7's cheap-admission contract, asset-hash edition)."""
+    from pdf_etl_pipeline_spark.llmdata.mm_ingest import (
+        mm_admission_matches,
+        mm_ingest_batch,
+    )
+
+    ix = str(tmp_path / "mmix_pf")
+    mm_ingest_batch(_mm17(spark, [(1, 0x1111_2222_3333_4444)]), ix)
+    probe = mm_admission_matches(
+        spark,
+        _mm17(spark, [(2, 0x1111_2222_3333_4445)]).select(
+            "asset_id", F.col("phash").alias("h")
+        ),
+        ix,
+        probe_bands=[0, 2],
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert pf and any("IN(0,2)" in ln.replace(" ", "") for ln in pf)
+    assert {r.asset_id for r in probe.collect()} == {2}
+
+
+@pytest.mark.slow
+def test_st17_streaming_equals_batch_twin_and_restart(spark, tmp_path):
+    """Drive the real foreachBatch stream over staged asset drops: the
+    admitted set equals the batch twin run in the same order, and a
+    restart with no new files appends nothing."""
+    import time as _time
+
+    from pdf_etl_pipeline_spark.llmdata.mm_ingest import (
+        drop_mm_index,
+        mm_bands_table,
+        mm_ingest_batch,
+        multimodal_ingest_stream,
+    )
+
+    base = 0x5A5A_1234_00FF_77AA
+    drops = [
+        _mm17(spark, [(1, base), (2, base ^ 0b1), (3, 0x1020_3040_5060_7080)]),
+        _mm17(spark, [(4, base ^ 0b10), (5, 0x0DDB_A11C_0FFE_E000)]),
+    ]
+    drop_dir = str(tmp_path / "asset_drops")
+    for i, d in enumerate(drops):
+        d.coalesce(1).write.mode("append").parquet(drop_dir)
+        if i == 0:
+            _time.sleep(1.1)  # file-source order is mtime order
+
+    ix_s, ix_b = str(tmp_path / "ixs"), str(tmp_path / "ixb")
+
+    def run_stream():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("asset_id long, phash long")
+            .option("maxFilesPerTrigger", 1)
+            .load(drop_dir)
+        )
+        q = multimodal_ingest_stream(stream, ix_s).start()
+        q.awaitTermination(300)
+
+    run_stream()
+    batch_kept: set = set()
+    for d in drops:
+        batch_kept |= {r.asset_id for r in mm_ingest_batch(d, ix_b).collect()}
+    stream_kept = {
+        r.asset_id
+        for r in spark.table(mm_bands_table(ix_s)).select("asset_id").distinct().collect()
+    }
+    assert stream_kept == batch_kept == {1, 3, 5}  # 2 intra-dropped, 4 cross-rejected
+    # restart: no new files -> no index growth
+    n = spark.table(mm_bands_table(ix_s)).count()
+    run_stream()
+    assert spark.table(mm_bands_table(ix_s)).count() == n
+    for ix in (ix_s, ix_b):
+        drop_mm_index(spark, ix)
+
+
 # --- ST8: streaming histogram sketch ------------------------------------------
 def test_streaming_histogram_counts_merge_across_batches(spark, sf_dir, tmp_path):
     """Histogram bin counts are a MERGEABLE sketch, so the streaming form

@@ -318,6 +318,38 @@ def _st7_probe_df(spark, sf_dir):
     return _ST7_AUDIT_TMP["df"]
 
 
+_ST17_AUDIT_TMP: dict = {}
+
+
+def _st17_probe_df(spark, sf_dir):
+    """st17's cross-batch admission probe (the foreachBatch body's index
+    read) against a real half-corpus asset index — band_idx
+    PartitionFilters, one equi-join with codegen popcount verify, no
+    window, no Python."""
+    if "df" not in _ST17_AUDIT_TMP:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from pdf_etl_pipeline_spark.catalog.multimodal_q import _mm1_hashes
+        from pdf_etl_pipeline_spark.llmdata.mm_ingest import (
+            mm_admission_matches,
+            mm_ingest_batch,
+        )
+        from pdf_etl_pipeline_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        hashes = _mm1_hashes(docs)
+        split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+        ix = tempfile.mkdtemp(prefix="st17_audit_")
+        mm_ingest_batch(hashes.filter(F.col("asset_id") < split), ix)
+        batch = hashes.filter(F.col("asset_id") >= split).select(
+            "asset_id", F.col("phash").alias("h")
+        )
+        _ST17_AUDIT_TMP["df"] = mm_admission_matches(spark, batch, ix)
+    return _ST17_AUDIT_TMP["df"]
+
+
 def _no_global_sort(plan: str) -> list[str]:
     """Window operators sort WITHIN partitions (`Sort [...], false`); a
     `Sort [...], true` node is a corpus-global range sort and has no
@@ -1487,6 +1519,31 @@ CHECKS = {
                 "PartitionFilters:" in l and "band#" in l for l in plan.splitlines()
             )
             else ["index bands scan lacks a band PartitionFilter"]
+        ),
+    },
+    "st17_ingest_batch_probe": {
+        # st17's foreachBatch admission probe: the index bands scan must
+        # carry a band_idx PartitionFilter (unprobed partitions never
+        # read), the candidate+verify step is ONE hash equi-join with the
+        # popcount verify as a codegen filter on the joined row — no
+        # window, no nested-loop join, no Python, no global sort
+        "build": _st17_probe_df,
+        "must": ["HashAggregate"],
+        "must_not": [
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "Window",
+        ],
+        "check": lambda plan: _no_global_sort(plan)
+        + (
+            []
+            if any(
+                "PartitionFilters:" in l and "band_idx#" in l
+                for l in plan.splitlines()
+            )
+            else ["index bands scan lacks a band_idx PartitionFilter"]
         ),
     },
     "tx12_ppl_buckets": {
