@@ -305,7 +305,18 @@ def curriculum_rank(
     """The two-level stage-major rank over a PRE-SCORED ``(doc_id,
     quality_score)`` relation — the composition point: cc13 scores the raw
     corpus, cc14 feeds the curated keep set (whose scores were already
-    computed by the curation funnel)."""
+    computed by the curation funnel).
+
+    ``n_buckets`` is the scale dial: per-(stage, bucket) window rows are
+    ~corpus / (stages × n_buckets), so the default 64 is sized for the
+    test SFs and a 100 TB corpus sets n_buckets ≈ corpus_docs / 1e6 to
+    bound each window task at ~1M rows. The offsets relation stays
+    stages × n_buckets rows — still broadcast-sized at billions of docs
+    (4M rows at 1e12); past that the offsets cumsum itself becomes a
+    second two-level pass (pk1's recursion). Measured (SCALE.md r14):
+    per-row cost is FLAT across the 100×→1000× decade (0.086 → 0.083
+    ms/row), i.e. the operator is corpus-linear with bounded tasks —
+    e→1 wall-clock is the honest shape for a full-manifest deliverable."""
     t0, t1, t2 = thresholds
     base = scored.select(
         "doc_id",

@@ -50,7 +50,7 @@ import pandas as pd
 
 from pdf_etl_pipeline_spark.session import get_spark
 
-SCALES = {"1x": 1, "10x": 10, "100x": 100}
+SCALES = {"1x": 1, "10x": 10, "100x": 100, "1000x": 1000}
 BASE = {"documents": 500, "events": 10_000, "embeddings": 500, "lineitem": 60_000}
 
 
@@ -122,11 +122,15 @@ GENS = {
 }
 
 
-def ensure_corpus(spark, workdir: str, tag: str, mult: int, dup_rate: float = 0.10) -> str:
+def ensure_corpus(
+    spark, workdir: str, tag: str, mult: int, dup_rate: float = 0.10, tables=None
+) -> str:
     sub = f"scale_{tag}" if dup_rate == 0.10 else f"scale_hd{int(dup_rate * 100)}_{tag}"
     d = os.path.join(workdir, sub)
     os.makedirs(d, exist_ok=True)
     for name, gen in GENS.items():
+        if tables is not None and name not in tables:
+            continue
         path = os.path.join(d, f"{name}.parquet")
         if not os.path.exists(path):
             if name == "documents":
@@ -277,6 +281,12 @@ def main() -> None:
         "mm5_dedup_manifest": __import__(
             "pdf_etl_pipeline_spark.catalog.multimodal_q", fromlist=["mm5_dedup_manifest"]
         ).mm5_dedup_manifest,
+        "cc15_multimodal_release": __import__(
+            "pdf_etl_pipeline_spark.catalog.multimodal_q", fromlist=["cc15_multimodal_release"]
+        ).cc15_multimodal_release,
+        "st17_multimodal_ingest": __import__(
+            "pdf_etl_pipeline_spark.catalog.multimodal_q", fromlist=["st17_multimodal_ingest"]
+        ).st17_multimodal_ingest,
     }
     # optional comma-separated substring filter (argv[3]): measure a
     # subset without paying for the whole battery
@@ -288,10 +298,17 @@ def main() -> None:
     # high-dup stress regime for the span family (coverage ≈ corpus)
     dup_rate = float(sys.argv[4]) if len(sys.argv) > 4 else 0.10
 
+    # optional table subset (argv[5], comma list): the 1000x decade point
+    # is generated documents-only for the documents-only queries (cc13) —
+    # a full 1000x corpus (60M-row lineitem) buys nothing there
+    tables = sys.argv[5].split(",") if len(sys.argv) > 5 else None
+
     dirs = {}
     for tag, mult in SCALES.items():
         if mult <= cap:
-            dirs[tag] = ensure_corpus(spark, workdir, tag, mult, dup_rate=dup_rate)
+            dirs[tag] = ensure_corpus(
+                spark, workdir, tag, mult, dup_rate=dup_rate, tables=tables
+            )
             print(f"corpus {tag} ready at {dirs[tag]}", file=sys.stderr)
 
     def _reset_memos():
@@ -317,7 +334,7 @@ def main() -> None:
             print(f"{tag} {qname}: {sec}s ({n} rows)", file=sys.stderr)
 
     # per-decade exponents between adjacent measured scales
-    tags = [t for t in ("1x", "10x", "100x") if t in dirs]
+    tags = [t for t in ("1x", "10x", "100x", "1000x") if t in dirs]
     exps = {}
     for qname in QUERIES:
         e = {}
