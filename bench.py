@@ -251,6 +251,13 @@ def main() -> None:
     # -> trim -> pack) need a second execution before tiered JIT and
     # shuffle-path warm-up settle, so they get one extra untimed pass.
     DOUBLE_WARM = {"cc10_trimmed_shard_manifest", "st14_corpus_builder"}
+# st16 (st14's tier successor) was trialed in DOUBLE_WARM in r14 and it did
+# NOT stabilize: back-to-back idle runs read [108.7, 45.7, 42.9] (settling)
+# and then [59.4, 97.5, 89.3] (rising) with calib scalars 0.99 vs 1.12 —
+# the two-index-lifecycle composition is the most HOST-exposed query in
+# the tier, not an under-warmed one; min-of-3 plus the calib scalar is the
+# honest treatment, and two extra ~90 s untimed passes only widen the
+# idle window every other query depends on.
 
     def run_set(names: list[str]) -> dict[str, float]:
         times: dict[str, float] = {}
