@@ -571,3 +571,78 @@ def st17_multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         drop_mm_index(spark, tmp)
         fsutil.delete(tmp, recursive=True, spark=spark)
     return out
+
+
+# --- st18: frame-grab admission guard --------------------------------------------
+# mm4's cross-modal containment as a PINNED admission guard (st13/st15's
+# pattern): the held corpus's video frame hashes pin once; every arriving
+# image batch is screened — one verdict row per image (n_matched_videos,
+# n_matched_frames, best_hamming, is_framegrab). Screening is against the
+# pin only, so the two-batch unroll's verdicts are independent of the
+# batching and the oracle is a single brute-force image × frame pass.
+_ST18_SPLIT = "(SELECT (MAX(doc_id) + 1) // 2 FROM documents)"
+
+_ST18_ORACLE = f"""
+WITH himg AS (
+  SELECT doc_id AS asset_id,
+         xor({_h64_sql("'img' || CAST(CAST(floor(doc_id / 4) AS BIGINT) AS VARCHAR)")},
+             CAST({_MM1_PERTURB} AS BIGINT)) AS phash
+  FROM documents
+),
+{_MM3_FH_CTE},
+m AS (
+  SELECT i.asset_id AS img, f.asset_id AS vid, f.frame_idx,
+         bit_count(xor(i.phash, f.fhash)) AS hd
+  FROM himg i JOIN fh f ON bit_count(xor(i.phash, f.fhash)) <= 3
+)
+SELECT i.asset_id,
+       CAST(COUNT(DISTINCT m.vid) AS BIGINT) AS n_matched_videos,
+       CAST(COUNT(DISTINCT (m.vid, m.frame_idx)) FILTER (WHERE m.vid IS NOT NULL)
+            AS BIGINT) AS n_matched_frames,
+       CAST(MIN(m.hd) AS BIGINT) AS best_hamming,
+       COUNT(m.vid) > 0 AS is_framegrab,
+       CAST(CASE WHEN i.asset_id < {_ST18_SPLIT} THEN 0 ELSE 1 END AS BIGINT) AS batch_id
+FROM himg i LEFT JOIN m ON m.img = i.asset_id
+GROUP BY i.asset_id
+ORDER BY i.asset_id"""
+
+
+@register(
+    "st18_framegrab_guard",
+    oracle=_ST18_ORACLE,
+    doc="st18: frame-grab admission guard — the held videos' frame hashes "
+    "pin write-once; each arriving image batch screens against the pin "
+    "(bipartite distinct-hash banding WITH the hot-band recursion on both "
+    "sides, popcount verify per distinct cross pair, output-bounded asset "
+    "expansion, one keyed roll-up) and emits one verdict row per image. "
+    "Two-batch unroll vs a brute-force oracle. Scale: pin-only screening "
+    "(replay bit-identical), candidates bounded by hash diversity — a "
+    "letterboxed pin cannot go quadratic",
+)
+def st18_framegrab_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    import tempfile
+
+    from pdf_etl_pipeline_spark.llmdata.mm_ingest import (
+        guard_framegrab_batch,
+        pin_frame_index,
+    )
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = _mm1_hashes(docs)
+    split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    tmp = tempfile.mkdtemp(prefix="st18_pin_")
+    try:
+        assert pin_frame_index(_mm3_frame_hashes(docs), tmp)
+        out = None
+        for b, batch in enumerate(
+            (imgs.filter(F.col("asset_id") < split), imgs.filter(F.col("asset_id") >= split))
+        ):
+            rows = guard_framegrab_batch(batch, tmp, b).withColumn(
+                "batch_id", F.lit(b).cast("long")
+            )
+            out = rows if out is None else out.unionByName(rows)
+        return out.orderBy("asset_id").localCheckpoint()
+    finally:
+        fsutil.delete(tmp, recursive=True, spark=spark)

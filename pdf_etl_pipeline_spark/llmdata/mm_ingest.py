@@ -232,3 +232,142 @@ def multimodal_ingest_stream(
         )
         .trigger(availableNow=True)
     )
+
+
+# --- st18: frame-grab admission guard (pinned cross-modal screen) ---------------
+# mm4's image-in-video containment as an ADMISSION GUARD (st13/st15's
+# pinned-state pattern): the held corpus's video frame hashes pin ONCE
+# (write-once, flat (asset_id, frame_idx, h) rows — banding happens in
+# the probe plan, where the full bipartite hot-band recursion applies);
+# every arriving IMAGE batch is screened before admission — an image
+# within Hamming max_hamming of any pinned frame is a frame grab of held
+# footage (provenance/dedup at ingest time). Batches screen against the
+# PIN only (never each other), so replays recompute bit-identical
+# verdict rows and the (batch_id, asset_id) report dedup is exact.
+
+FRAMES_SUBDIR = "fg_frames"
+REPORTS_SUBDIR = "fg_reports"
+
+
+def _frames_path(state_dir: str) -> str:
+    return os.path.join(state_dir, FRAMES_SUBDIR)
+
+
+def pin_frame_index(frame_hashes: DataFrame, state_dir: str) -> bool:
+    """Pin the held videos' frame hashes (write-once). Returns True when
+    this call created the pin, False when one already existed."""
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    spark = frame_hashes.sparkSession
+    if fsutil.list_data_files(_frames_path(state_dir), spark):
+        return False
+    frame_hashes.select(
+        "asset_id", "frame_idx", F.col("fhash").alias("h")
+    ).write.mode("append").parquet(_frames_path(state_dir))
+    return True
+
+
+def framegrab_batch_df(
+    image_hashes: DataFrame,
+    pinned_frames: DataFrame,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+) -> DataFrame:
+    """One verdict row per incoming image — (asset_id, n_matched_videos,
+    n_matched_frames, best_hamming, is_framegrab). Candidates come from
+    :func:`~pdf_etl_pipeline_spark.llmdata.multimodal._bipartite_distinct_band_pairs`
+    (distinct image hashes × distinct pinned frame hashes with the
+    hot-band recursion on BOTH sides — a letterboxed pin can't go
+    quadratic), the popcount verify runs once per distinct cross pair,
+    and the asset expansion is output-bounded."""
+    from pdf_etl_pipeline_spark.llmdata.multimodal import (
+        _bipartite_distinct_band_pairs,
+    )
+
+    _require_banding_complete(max_hamming)
+    imgs = image_hashes.select("asset_id", F.col("phash").alias("h"))
+    hp = (
+        _bipartite_distinct_band_pairs(imgs, "h", pinned_frames, "h")
+        .withColumn("hd", F.bit_count(F.col("hl").bitwiseXOR(F.col("hr"))))
+        .filter(F.col("hd") <= max_hamming)
+    )
+    matched = (
+        hp.join(imgs.select(F.col("h").alias("hl"), "asset_id"), "hl")
+        .join(
+            pinned_frames.select(
+                F.col("h").alias("hr"),
+                F.col("asset_id").alias("asset_vid"),
+                "frame_idx",
+            ),
+            "hr",
+        )
+        .groupBy("asset_id")
+        .agg(
+            F.countDistinct("asset_vid").alias("nv"),
+            F.countDistinct("asset_vid", "frame_idx").alias("nf"),
+            F.min("hd").alias("bh"),
+        )
+    )
+    return image_hashes.select("asset_id").join(matched, "asset_id", "left").select(
+        "asset_id",
+        F.coalesce("nv", F.lit(0)).cast("long").alias("n_matched_videos"),
+        F.coalesce("nf", F.lit(0)).cast("long").alias("n_matched_frames"),
+        F.col("bh").cast("long").alias("best_hamming"),
+        (F.coalesce("nv", F.lit(0)) > 0).alias("is_framegrab"),
+    )
+
+
+def guard_framegrab_batch(
+    image_hashes: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+) -> DataFrame:
+    """Screen one image batch against the pinned frame index; returns the
+    materialized verdict rows. Raises if no index was pinned (st13's
+    contract — a guard with nothing to guard against is a wiring error)."""
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    spark = image_hashes.sparkSession
+    if not fsutil.list_data_files(_frames_path(state_dir), spark):
+        raise ValueError(
+            f"no frame index pinned under {state_dir!r}: call pin_frame_index "
+            "first (an unpinned guard would silently admit everything)"
+        )
+    return framegrab_batch_df(
+        image_hashes, spark.read.parquet(_frames_path(state_dir)), max_hamming
+    ).localCheckpoint()
+
+
+def framegrab_guard_stream(
+    images_stream: DataFrame,
+    state_dir: str,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    checkpoint_location: str | None = None,
+):
+    """Streaming wrapper (foreachBatch, availableNow): epoch ids tag the
+    verdict rows; the frame index must be pinned before the stream
+    starts."""
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = guard_framegrab_batch(batch_df, state_dir, int(epoch_id), max_hamming)
+        rows.withColumn("batch_id", F.lit(int(epoch_id)).cast("long")).write.mode(
+            "append"
+        ).parquet(os.path.join(state_dir, REPORTS_SUBDIR))
+
+    return (
+        images_stream.writeStream.outputMode("append")
+        .foreachBatch(_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_location or os.path.join(state_dir, "_checkpoint"),
+        )
+        .trigger(availableNow=True)
+    )
+
+
+def read_framegrab_reports(spark, state_dir: str) -> DataFrame:
+    """One verdict row per (batch, image): screening is against the
+    immutable pin only, so replays are bit-identical and the dedup exact."""
+    return spark.read.parquet(os.path.join(state_dir, REPORTS_SUBDIR)).dropDuplicates(
+        ["batch_id", "asset_id"]
+    )

@@ -570,6 +570,76 @@ def test_st17_streaming_equals_batch_twin_and_restart(spark, tmp_path):
         drop_mm_index(spark, ix)
 
 
+# --- ST18: frame-grab admission guard -------------------------------------------
+def test_st18_framegrab_guard_pin_replay_and_stream(spark, tmp_path):
+    """st18: an image equal to a pinned frame hash flags at Hamming 0, a
+    2-bit-off image flags at 2, a far image passes; the pin is write-once
+    and an unpinned guard refuses; the real stream's verdict rows replay
+    without duplicates on restart."""
+    import time as _time
+
+    from pdf_etl_pipeline_spark.llmdata.mm_ingest import (
+        framegrab_guard_stream,
+        guard_framegrab_batch,
+        pin_frame_index,
+        read_framegrab_reports,
+    )
+
+    f0, f1 = 0x1111_2222_3333_4444, 0x5555_6666_7777_8888
+    frames = spark.createDataFrame(
+        [(100, 0, f0), (100, 1, f0 ^ 0b1), (200, 0, f1)],
+        "asset_id long, frame_idx int, fhash long",
+    )
+    imgs1 = spark.createDataFrame(
+        [(1, f0), (2, f0 ^ 0b110), (3, 0x0A0B_0C0D_0E0F_1011)],
+        "asset_id long, phash long",
+    )
+    imgs2 = spark.createDataFrame([(4, f1 ^ 0b1)], "asset_id long, phash long")
+
+    state = str(tmp_path / "fg")
+    with pytest.raises(ValueError, match="pin_frame_index"):
+        guard_framegrab_batch(imgs1, state, 0)
+    assert pin_frame_index(frames, state)
+    assert not pin_frame_index(frames.limit(1), state)  # write-once
+
+    got = {
+        r.asset_id: (r.n_matched_videos, r.n_matched_frames, r.best_hamming, r.is_framegrab)
+        for r in guard_framegrab_batch(imgs1, state, 0).collect()
+    }
+    # image 1 == frame (100,0) at H0 and matches (100,1) at H1
+    assert got[1] == (1, 2, 0, True)
+    # image 2 at H2 from (100,0), H3 from (100,1)
+    assert got[2] == (1, 2, 2, True)
+    assert got[3] == (0, 0, None, False)
+    # replay of the same batch is bit-identical (pin-only screening)
+    assert {
+        r.asset_id: (r.n_matched_videos, r.n_matched_frames, r.best_hamming, r.is_framegrab)
+        for r in guard_framegrab_batch(imgs1, state, 0).collect()
+    } == got
+
+    drop_dir = str(tmp_path / "img_drops")
+    imgs1.coalesce(1).write.mode("append").parquet(drop_dir)
+    _time.sleep(1.1)
+    imgs2.coalesce(1).write.mode("append").parquet(drop_dir)
+
+    def run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("asset_id long, phash long")
+            .option("maxFilesPerTrigger", 1)
+            .load(drop_dir)
+        )
+        q = framegrab_guard_stream(stream, state).start()
+        q.awaitTermination(300)
+
+    run()
+    rep = {r.asset_id: r for r in read_framegrab_reports(spark, state).collect()}
+    assert len(rep) == 4
+    assert rep[4].is_framegrab and rep[4].best_hamming == 1
+    run()  # restart: no new files -> no duplicate verdicts
+    assert read_framegrab_reports(spark, state).count() == 4
+
+
 # --- ST8: streaming histogram sketch ------------------------------------------
 def test_streaming_histogram_counts_merge_across_batches(spark, sf_dir, tmp_path):
     """Histogram bin counts are a MERGEABLE sketch, so the streaming form

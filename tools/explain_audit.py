@@ -350,6 +350,38 @@ def _st17_probe_df(spark, sf_dir):
     return _ST17_AUDIT_TMP["df"]
 
 
+_ST18_AUDIT_TMP: dict = {}
+
+
+def _st18_probe_df(spark, sf_dir):
+    """st18's per-batch screen against a real pinned frame index: the
+    bipartite distinct-hash banding with the hot-band recursion, popcount
+    verify, output-bounded expansion, one keyed roll-up — no window over
+    the corpus, no nested-loop join, no Python."""
+    if "df" not in _ST18_AUDIT_TMP:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from pdf_etl_pipeline_spark.catalog.multimodal_q import (
+            _mm1_hashes,
+            _mm3_frame_hashes,
+        )
+        from pdf_etl_pipeline_spark.llmdata.mm_ingest import (
+            framegrab_batch_df,
+            pin_frame_index,
+        )
+        from pdf_etl_pipeline_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        state = tempfile.mkdtemp(prefix="st18_audit_")
+        pin_frame_index(_mm3_frame_hashes(docs), state)
+        _ST18_AUDIT_TMP["df"] = framegrab_batch_df(
+            _mm1_hashes(docs), spark.read.parquet(os.path.join(state, "fg_frames"))
+        )
+    return _ST18_AUDIT_TMP["df"]
+
+
 def _no_global_sort(plan: str) -> list[str]:
     """Window operators sort WITHIN partitions (`Sort [...], false`); a
     `Sort [...], true` node is a corpus-global range sort and has no
@@ -1520,6 +1552,21 @@ CHECKS = {
             )
             else ["index bands scan lacks a band PartitionFilter"]
         ),
+    },
+    "st18_framegrab_batch_body": {
+        # pin-only cross-modal screen: distinct-hash bipartite banding
+        # (HashAggregate distincts + size aggregates), equi-joins only,
+        # one keyed roll-up; the corpus never windows or cross-joins
+        "build": _st18_probe_df,
+        "must": ["HashAggregate"],
+        "must_not": [
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "Window",
+        ],
+        "check": lambda plan: _no_global_sort(plan),
     },
     "st17_ingest_batch_probe": {
         # st17's foreachBatch admission probe: the index bands scan must
