@@ -646,3 +646,87 @@ def st18_framegrab_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.orderBy("asset_id").localCheckpoint()
     finally:
         fsutil.delete(tmp, recursive=True, spark=spark)
+
+
+# --- dq9: MULTIMODAL split leakage ------------------------------------------------
+# dq8's audit extended to attached assets: a held-out doc whose image or
+# audio near-dups a train doc's asset leaks perceptual content across the
+# split even when the texts differ (dq8 would miss it). Same scale shape
+# as dq8 — split staging is a pure projection over each modality's
+# corpus-linear pair relation (asset ids ARE doc ids for the per-doc
+# image/audio arms), 6-row aggregate per arm, split sizes broadcast;
+# modality arms are independent, never a cross-modality join.
+from pdf_etl_pipeline_spark.llmdata import corpus as _CPm  # noqa: E402
+
+
+def _dq9_oracle() -> str:
+    sa, sb = _CPm.split_stage_sql("doc_a"), _CPm.split_stage_sql("doc_b")
+    arm = lambda tag, mod: f"""p9{tag} AS (
+  SELECT a.asset_id AS doc_a, b.asset_id AS doc_b
+  FROM h{tag} a JOIN h{tag} b ON a.asset_id < b.asset_id
+  WHERE bit_count(xor(a.h, b.h)) <= 3
+),
+s9{tag} AS (
+  SELECT least(sa, sb) AS lo_s, greatest(sa, sb) AS hi_s,
+         CASE WHEN sa >= sb THEN doc_a ELSE doc_b END AS hi_doc
+  FROM (SELECT doc_a, doc_b, {sa} AS sa, {sb} AS sb FROM p9{tag})
+),
+a9{tag} AS (
+  SELECT '{mod}' AS modality, lo_s, hi_s,
+         COUNT(*) AS n_pairs, COUNT(DISTINCT hi_doc) AS n_dup_docs
+  FROM s9{tag} GROUP BY 2, 3
+)"""
+    himg = f"""SELECT doc_id AS asset_id,
+         xor({_h64_sql("'img' || CAST(CAST(floor(doc_id / 4) AS BIGINT) AS VARCHAR)")},
+             CAST({_MM1_PERTURB} AS BIGINT)) AS h
+  FROM documents"""
+    haud = f"""SELECT doc_id AS asset_id,
+         xor({_h64_sql("'aud' || CAST(CAST(floor(doc_id / 5) AS BIGINT) AS VARCHAR)")},
+             CAST({_MM2_PERTURB} AS BIGINT)) AS h
+  FROM documents"""
+    return f"""
+WITH himg AS ({himg}),
+haud AS ({haud}),
+{arm('img', 'image')},
+{arm('aud', 'audio')},
+sizes AS (
+  SELECT {_CPm.split_stage_sql('doc_id')} AS hi_s, COUNT(*) AS n_docs_hi
+  FROM documents GROUP BY 1
+),
+un AS (SELECT * FROM a9img UNION ALL SELECT * FROM a9aud)
+SELECT modality, {_CPm.split_name_sql('lo_s')} AS split_lo,
+       {_CPm.split_name_sql('hi_s')} AS split_hi,
+       lo_s <> hi_s AS is_leak, n_pairs, n_dup_docs, n_docs_hi,
+       round(n_dup_docs / n_docs_hi, 6) AS dup_doc_rate
+FROM un JOIN sizes USING (hi_s)
+ORDER BY modality, split_lo, split_hi"""
+
+
+@register(
+    "dq9_multimodal_leakage",
+    oracle=_dq9_oracle(),
+    doc="dq9: multimodal split-leakage audit — dq8 over the image and audio "
+    "near-dup pair relations (a held-out doc whose ASSET near-dups a train "
+    "doc's asset leaks perceptual content even when the texts differ). Per "
+    "(modality, split combination): pair count, distinct held-out docs "
+    "carrying a dup, rate vs split size, is_leak on cross-split rows. "
+    "Scale: pure projection over each arm's banded pair relation, 6-row "
+    "aggregates, sizes broadcast — dq8's audited shape per modality",
+)
+def dq9_multimodal_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    arms = []
+    for mod, pairs in (
+        ("image", MM.phash_dup_pairs(_mm1_hashes(docs))),
+        ("audio", MM.audio_dup_pairs(_mm2_hashes(docs))),
+    ):
+        arms.append(
+            _CPm.split_leakage(
+                docs,
+                pairs.select(
+                    F.col("asset_a").alias("doc_a"), F.col("asset_b").alias("doc_b")
+                ),
+            ).select(F.lit(mod).alias("modality"), "*")
+        )
+    return arms[0].unionByName(arms[1]).orderBy("modality", "split_lo", "split_hi")

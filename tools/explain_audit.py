@@ -600,6 +600,14 @@ CHECKS = {
         "must": ["HashAggregate", "BroadcastHashJoin"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "dq9_multimodal_leakage": {
+        # dq8's shape per modality arm: split staging is a pure projection
+        # over each banded pair relation (no membership join with
+        # documents); the only joins are the banding equi-joins and the
+        # 3-row split-sizes broadcast; arms union, never cross-join
+        "must": ["HashAggregate", "BroadcastHashJoin", "Union"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+    },
     "ss12_filtered_topk": {
         # PRE-filter ANN: the attribute match is an EQUI-join key, so the
         # broadcast probe must be a hash join (ss1's unfiltered BNLJ shape
