@@ -287,6 +287,12 @@ def main() -> None:
         "st17_multimodal_ingest": __import__(
             "pdf_etl_pipeline_spark.catalog.multimodal_q", fromlist=["st17_multimodal_ingest"]
         ).st17_multimodal_ingest,
+        "st18_framegrab_guard": __import__(
+            "pdf_etl_pipeline_spark.catalog.multimodal_q", fromlist=["st18_framegrab_guard"]
+        ).st18_framegrab_guard,
+        "dq9_multimodal_leakage": __import__(
+            "pdf_etl_pipeline_spark.catalog.multimodal_q", fromlist=["dq9_multimodal_leakage"]
+        ).dq9_multimodal_leakage,
     }
     # optional comma-separated substring filter (argv[3]): measure a
     # subset without paying for the whole battery
