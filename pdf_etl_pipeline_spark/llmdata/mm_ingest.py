@@ -207,6 +207,63 @@ def mm_ingest_batch(
     return kept_hashes.select("asset_id")
 
 
+def compact_mm_index(
+    spark,
+    index_dir: str,
+    max_files_per_band: int = 8,
+    target_bytes: int = 128 << 20,
+) -> list:
+    """Steady-state maintenance for the st17 index (st7's
+    ``compact_index`` contract, single-relation edition): each micro-batch
+    appends one file family per ``band_idx`` partition, so admission
+    probes open O(batches) files per probed partition while data volume
+    doesn't grow. Rewrites only the OVER-THRESHOLD partitions via
+    append-then-prune through the catalog table (no renames — object-store
+    safe); admitted-set semantics are bit-identical before/after (the
+    probe is duplicate-insensitive: ``distinct`` on matches), pinned by
+    test. A crash between append and prune leaves duplicate index rows —
+    an I/O cost, never a correctness one; re-running converges."""
+    import re
+    import urllib.parse
+
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    if not _ensure_registered(spark, index_dir):
+        return []
+    name = mm_bands_table(index_dir)
+    compacted: list[str] = []
+    band_type = {
+        f.name: f.dataType.simpleString() for f in spark.table(name).schema
+    }["band_idx"]
+    for pdir in fsutil.list_subdirs(_bands_path(index_dir), spark):
+        base = pdir.rstrip("/").rsplit("/", 1)[-1]
+        if not base.startswith("band_idx="):
+            continue
+        band_val = urllib.parse.unquote(base.split("=", 1)[1])
+        if not re.fullmatch(r"-?\d+", band_val):
+            continue
+        files = [uri for uri, _ in fsutil.list_data_files(pdir, spark)]
+        if len(files) > max_files_per_band:
+            n_out = max(1, -(-fsutil.dir_bytes(pdir, spark) // target_bytes))
+            df = (
+                spark.read.parquet(*files)
+                .withColumn("band_idx", F.lit(band_val).cast(band_type))
+                .repartition(n_out)
+            )
+            (
+                df.write.mode("append")
+                .format("parquet")
+                .partitionBy("band_idx")
+                .saveAsTable(name)
+            )
+            for uri in files:
+                fsutil.delete(uri, spark=spark)
+            compacted.append(base)
+    if compacted:
+        spark.catalog.refreshTable(name)
+    return compacted
+
+
 def multimodal_ingest_stream(
     assets_stream: DataFrame,
     index_dir: str,

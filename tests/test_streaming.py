@@ -570,6 +570,48 @@ def test_st17_streaming_equals_batch_twin_and_restart(spark, tmp_path):
         drop_mm_index(spark, ix)
 
 
+def test_st17_index_compaction_preserves_admission(spark, tmp_path):
+    """compact_mm_index: after many single-row batches the band partitions
+    fragment (one file family per batch); compaction bounds the file count
+    and the next batch's admitted set is bit-identical to an uncompacted
+    twin's."""
+    from pdf_etl_pipeline_spark.llmdata.mm_ingest import (
+        _bands_path,
+        compact_mm_index,
+        mm_ingest_batch,
+    )
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    ix_a, ix_b = str(tmp_path / "ca"), str(tmp_path / "cb")
+    batches = [
+        _mm17(spark, [(i, (0x9000_0000_0000_0000 | (i * 0x0101_0101)) - (1 << 63))])
+        for i in range(6)
+    ]
+    for b in batches:
+        mm_ingest_batch(b, ix_a)
+        mm_ingest_batch(b, ix_b)
+
+    def files_per_band(ix):
+        return max(
+            len(fsutil.list_data_files(p, spark))
+            for p in fsutil.list_subdirs(_bands_path(ix), spark)
+            if "band_idx=" in p
+        )
+
+    before = files_per_band(ix_a)
+    assert before >= 6  # one family per batch
+    compacted = compact_mm_index(spark, ix_a, max_files_per_band=2)
+    assert compacted and files_per_band(ix_a) <= 2
+    # next batch: one near-dup of an admitted asset (rejected), one new
+    probe = _mm17(
+        spark,
+        [(100, (0x9000_0000_0000_0000 | 0x0101_0101 | 0b1) - (1 << 63)), (101, 0x0123_4567_89AB_CDEF)],
+    )
+    got_a = {r.asset_id for r in mm_ingest_batch(probe, ix_a).collect()}
+    got_b = {r.asset_id for r in mm_ingest_batch(probe, ix_b).collect()}
+    assert got_a == got_b == {101}
+
+
 # --- ST18: frame-grab admission guard -------------------------------------------
 def test_st18_framegrab_guard_pin_replay_and_stream(spark, tmp_path):
     """st18: an image equal to a pinned frame hash flags at Hamming 0, a
