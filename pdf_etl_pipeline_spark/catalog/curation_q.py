@@ -29,50 +29,59 @@ _QUALITY = f"""
   - COALESCE(length(regexp_replace(text, '[^0-9]', '', 'g')) / nullif(length(text), 0), 0.0) * 0.2
 """
 
-# CTE body shared by cc1 (the keep set) and cc14 (the release manifest
-# built over it) — ends with a `kept` relation: (doc_id, n_tokens,
+# CTE body shared by cc1 (the keep set), cc14 (the release manifest built
+# over it) and cc16 (the release diff — two prefixed copies over different
+# corpus states) — ends with a `{p}kept` relation: (doc_id, n_tokens,
 # quality_score) after exact dedup, near-dup removal, lang + quality gates.
-_CC1_CTES = f"""exact_keep AS (
-  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+def cc1_ctes(pred: str = "TRUE", p: str = "") -> str:
+    """The cc1 curation pipeline as CTE text, parameterized by a corpus
+    predicate and a CTE-name prefix so two corpus states can coexist in
+    one query (cc16's release diff)."""
+    return f"""{p}docs AS (SELECT * FROM documents WHERE {pred}),
+{p}exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM {p}docs GROUP BY md5(text)
 ),
-sigs AS (
-  SELECT doc_id, {_SIG} AS sig FROM documents
+{p}sigs AS (
+  SELECT doc_id, {_SIG} AS sig FROM {p}docs
 ),
-banded AS (
+{p}banded AS (
   SELECT doc_id, band,
          array_to_string(sig[band * {DD.ROWS_PER_BAND} + 1 : (band + 1) * {DD.ROWS_PER_BAND}], '-') AS key
-  FROM sigs, (VALUES (0), (1), (2), (3)) bb(band)
+  FROM {p}sigs, (VALUES (0), (1), (2), (3)) bb(band)
 ),
-cands AS (
+{p}cands AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
+  FROM {p}banded a JOIN {p}banded b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-toks AS (SELECT doc_id, {_TOKSH} AS th FROM documents),
-near_losers AS (
+{p}toks AS (SELECT doc_id, {_TOKSH} AS th FROM {p}docs),
+{p}near_losers AS (
   SELECT DISTINCT doc_b AS doc_id
-  FROM cands
-  JOIN toks ta ON ta.doc_id = doc_a
-  JOIN toks tb ON tb.doc_id = doc_b
+  FROM {p}cands
+  JOIN {p}toks ta ON ta.doc_id = doc_a
+  JOIN {p}toks tb ON tb.doc_id = doc_b
   WHERE len(list_intersect(ta.th, tb.th)) /
         (len(ta.th) + len(tb.th) - len(list_intersect(ta.th, tb.th))) >= 0.9
 ),
-feats AS (
+{p}feats AS (
   SELECT doc_id,
          len({_TOKS}) AS n_tokens,
          round({_QUALITY}, 6) AS quality_score,
          {TX.lang_id_sql('text')} AS lang_pred
-  FROM documents
+  FROM {p}docs
 ),
-kept AS (
+{p}kept AS (
   SELECT f.doc_id, f.n_tokens, f.quality_score
-  FROM feats f
-  JOIN exact_keep k ON k.doc_id = f.doc_id
-  WHERE f.doc_id NOT IN (SELECT doc_id FROM near_losers)
+  FROM {p}feats f
+  JOIN {p}exact_keep k ON k.doc_id = f.doc_id
+  WHERE f.doc_id NOT IN (SELECT doc_id FROM {p}near_losers)
     AND f.lang_pred = 'en'
     AND f.quality_score >= 0.5
 )"""
+
+
+_CC1_CTES = cc1_ctes()
 
 _CC1_ORACLE = f"""
 WITH {_CC1_CTES}
@@ -1074,40 +1083,41 @@ def cc13_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shards — one row per released document carrying its split, curriculum
 # position, shard and offset (val/test rows carry NULLs: held-out sets are
 # never packed into training shards).
-def cc14_manifest_ctes() -> str:
+def cc14_manifest_ctes(pred: str = "TRUE", p: str = "") -> str:
     """The cc14 release-manifest pipeline as CTE text ending in a
-    ``manifest`` relation — shared by the cc14 oracle and cc15's
-    multimodal-release oracle (multimodal_q)."""
+    ``{p}manifest`` relation — shared by the cc14 oracle, cc15's
+    multimodal-release oracle (multimodal_q) and cc16's release diff
+    (two prefixed copies over different corpus predicates)."""
     t0, t1, t2 = _CP.CURRICULUM_THRESHOLDS
     h = _CP._salted_bucket_sql(_CP.CURRICULUM_SALT, 2**31)
-    return f"""{_CC1_CTES},
-sp AS (SELECT *, {_CP.split_stage_sql('doc_id')} AS s FROM kept),
-tr AS (
+    return f"""{cc1_ctes(pred, p)},
+{p}sp AS (SELECT *, {_CP.split_stage_sql('doc_id')} AS s FROM {p}kept),
+{p}tr AS (
   SELECT *, CASE WHEN quality_score >= {t0} THEN 0
                  WHEN quality_score >= {t1} THEN 1
                  WHEN quality_score >= {t2} THEN 2 ELSE 3 END AS stage,
          {h} AS h
-  FROM sp WHERE s = 0
+  FROM {p}sp WHERE s = 0
 ),
-pos AS (
+{p}pos AS (
   SELECT *, row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS position
-  FROM tr
+  FROM {p}tr
 ),
-pk AS (
+{p}pk AS (
   SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY position ROWS UNBOUNDED PRECEDING)
                  - n_tokens AS BIGINT) AS start_offset
-  FROM pos
+  FROM {p}pos
 ),
-manifest AS (
+{p}manifest AS (
   SELECT doc_id, {_CP.split_name_sql('s')} AS split, n_tokens, quality_score,
          CAST(stage AS BIGINT) AS stage, CAST(position AS BIGINT) AS position,
          CAST(floor(start_offset / {_CP.PACK_BUDGET}) AS BIGINT) AS shard_id,
          start_offset
-  FROM pk
+  FROM {p}pk
   UNION ALL
   SELECT doc_id, {_CP.split_name_sql('s')} AS split, n_tokens, quality_score,
          NULL, NULL, NULL, NULL
-  FROM sp WHERE s >= 1
+  FROM {p}sp WHERE s >= 1
 )"""
 
 
@@ -1134,9 +1144,16 @@ def cc14_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
 
-    kept = curate_corpus(
-        load_table(spark, sf_dir, "documents"), pairs=shared_pairs(spark, sf_dir, 0.9)
-    )
+    return release_manifest_df(
+        load_table(spark, sf_dir, "documents"), shared_pairs(spark, sf_dir, 0.9)
+    ).orderBy("split", "position", "doc_id")
+
+
+def release_manifest_df(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """cc14's manifest over an arbitrary corpus state — the composition
+    point cc16's release diff uses to build v1/v2 manifests from the same
+    audited fragments."""
+    kept = curate_corpus(docs, pairs=pairs)
     sp = kept.withColumn("s", _CP.split_stage(F.col("doc_id")))
     train = sp.filter(F.col("s") == 0)
     ranked = _CP.curriculum_rank(train.select("doc_id", "quality_score"))
@@ -1173,4 +1190,95 @@ def cc14_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("shard_id"),
         F.lit(None).cast("long").alias("start_offset"),
     )
-    return train_rows.unionByName(held_rows).orderBy("split", "position", "doc_id")
+    return train_rows.unionByName(held_rows)
+
+
+# --- CC16: the release DIFF manifest ---------------------------------------------
+# Incremental releases: a corpus grows (crawl drop, partner delivery) and
+# the training loader needs to know exactly which docs entered, which
+# left, and which moved shards — a full re-download is a 100 TB no-op
+# answer. cc16 diffs two cc14 manifests (corpus v1 = first half by
+# doc_id, v2 = full — the two-batch convention of st7/st17): one row per
+# doc in either release with status added/removed/moved/unchanged and
+# both releases' coordinates. "removed" is real, not hypothetical: a new
+# doc can near-dup an old keeper's cluster and flip the kept member, and
+# new quality/near-dup evidence can drop a previously-released doc.
+_CC16_CUT = "(SELECT (MAX(doc_id) + 1) // 2 FROM documents)"
+
+
+def _cc16_oracle() -> str:
+    return f"""
+WITH {cc14_manifest_ctes(f"doc_id < {_CC16_CUT}", "v1_")},
+{cc14_manifest_ctes("TRUE", "v2_")}
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.split <> b.split
+                 OR COALESCE(a.position, -1) <> COALESCE(b.position, -1)
+                 OR COALESCE(a.shard_id, -1) <> COALESCE(b.shard_id, -1)
+              THEN 'moved'
+            ELSE 'unchanged' END AS status,
+       a.split AS old_split, b.split AS new_split,
+       a.position AS old_position, b.position AS new_position,
+       a.shard_id AS old_shard, b.shard_id AS new_shard
+FROM v1_manifest a FULL OUTER JOIN v2_manifest b ON a.doc_id = b.doc_id
+ORDER BY doc_id"""
+
+
+@register(
+    "cc16_release_diff",
+    oracle=_cc16_oracle(),
+    doc="CC16 release diff — incremental training releases: diff two cc14 "
+    "manifests (corpus v1 = first half, v2 = full) into one row per doc "
+    "with status added/removed/moved/unchanged plus both releases' "
+    "split/position/shard coordinates ('removed' is real: new near-dup "
+    "evidence can flip a keeper). Scale: two audited cc14 plans + ONE "
+    "full-outer equi-join on doc_id — no new shuffle shape; the diff "
+    "relation is bounded by the union of the two releases",
+)
+def cc16_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+    from pdf_etl_pipeline_spark.llmdata.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    docs1 = docs.filter(F.col("doc_id") < cut)
+    v1 = release_manifest_df(docs1, minhash_lsh_pairs(docs1, 0.9, materialize=True))
+    v2 = release_manifest_df(docs, shared_pairs(spark, sf_dir, 0.9))
+    cols = ("split", "position", "shard_id")
+    a = v1.select(
+        "doc_id",
+        *[F.col(c).alias(f"old_{c}") for c in cols],
+        F.lit(True).alias("_in_old"),
+    )
+    b = v2.select(
+        "doc_id",
+        *[F.col(c).alias(f"new_{c}") for c in cols],
+        F.lit(True).alias("_in_new"),
+    )
+    changed = (
+        (F.col("old_split") != F.col("new_split"))
+        | (F.coalesce("old_position", F.lit(-1)) != F.coalesce("new_position", F.lit(-1)))
+        | (F.coalesce("old_shard_id", F.lit(-1)) != F.coalesce("new_shard_id", F.lit(-1)))
+    )
+    status = (
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(changed, "moved")
+        .otherwise("unchanged")
+    )
+    return (
+        a.join(b, "doc_id", "full")
+        .select(
+            "doc_id",
+            status.alias("status"),
+            "old_split",
+            "new_split",
+            "old_position",
+            "new_position",
+            F.col("old_shard_id").alias("old_shard"),
+            F.col("new_shard_id").alias("new_shard"),
+        )
+        .orderBy("doc_id")
+    )

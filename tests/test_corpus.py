@@ -914,6 +914,45 @@ def test_release_manifest_invariants(spark, sf_dir):
         assert r.shard_id is None and r.start_offset is None
 
 
+def test_cc16_release_diff_statuses_consistent(spark, sf_dir):
+    """cc16: the diff agrees with the two manifests it composes — 'added'
+    docs are exactly the v2-only docs, every shared doc with different
+    coordinates reads 'moved', identical coordinates read 'unchanged',
+    and coordinates echo the manifests verbatim."""
+    from pdf_etl_pipeline_spark.catalog.curation_q import release_manifest_df
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+    from pdf_etl_pipeline_spark.catalog import load_registry
+    from pdf_etl_pipeline_spark.llmdata.dedup import minhash_lsh_pairs
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    docs1 = docs.filter(F.col("doc_id") < cut)
+    v1 = {
+        r.doc_id: (r.split, r.position, r.shard_id)
+        for r in release_manifest_df(
+            docs1, minhash_lsh_pairs(docs1, 0.9, materialize=True)
+        ).collect()
+    }
+    v2 = {
+        r.doc_id: (r.split, r.position, r.shard_id)
+        for r in release_manifest_df(docs, shared_pairs(spark, sf_dir, 0.9)).collect()
+    }
+    out = {r.doc_id: r for r in load_registry()["cc16_release_diff"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(v1) | set(v2)
+    for d, r in out.items():
+        if r.status == "added":
+            assert d in v2 and d not in v1
+        elif r.status == "removed":
+            assert d in v1 and d not in v2
+        else:
+            assert (r.old_split, r.old_position, r.old_shard) == v1[d]
+            assert (r.new_split, r.new_position, r.new_shard) == v2[d]
+            assert (r.status == "moved") == (v1[d] != v2[d])
+    statuses = {r.status for r in out.values()}
+    assert "added" in statuses and ("moved" in statuses or "unchanged" in statuses)
+
+
 def test_cc15_dropped_duplicate_asset_resolves_to_keeper(spark, sf_dir):
     """cc15: a released doc whose attached asset is a dropped near-dup
     must carry the KEEPER's asset id. mm1's planted structure: per group

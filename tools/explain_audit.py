@@ -671,6 +671,27 @@ CHECKS = {
             )
         ],
     },
+    "cc16_release_diff": {
+        # two audited cc14 manifest plans + one full-outer equi-join on
+        # doc_id; the SinglePartition exchanges are the manifests' tiny
+        # per-bucket offset aggregates (cc14's contract applies to both
+        # copies), never a raw-corpus sort; no Python, no cartesian
+        "must": ["Window", "HashAggregate", "SortMergeJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: [
+            "SinglePartition exchange not fed by a per-bucket HashAggregate — "
+            "a partition-less window would sort the raw corpus"
+            for i, l in enumerate(plan.splitlines())
+            if "Exchange SinglePartition" in l
+            and not (
+                i + 1 < len(plan.splitlines())
+                and (
+                    "HashAggregate(keys=[stage" in plan.splitlines()[i + 1]
+                    or "HashAggregate(keys=[bkt" in plan.splitlines()[i + 1]
+                )
+            )
+        ],
+    },
     "tx7_unigram_logprob": {
         # corpus-total must join back as a 1-row broadcast (BNLJ over a
         # single row is the legitimate shape, like ss1's query side) —
