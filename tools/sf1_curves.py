@@ -293,6 +293,9 @@ def main() -> None:
         "dq9_multimodal_leakage": __import__(
             "pdf_etl_pipeline_spark.catalog.multimodal_q", fromlist=["dq9_multimodal_leakage"]
         ).dq9_multimodal_leakage,
+        "cc16_release_diff": __import__(
+            "pdf_etl_pipeline_spark.catalog.curation_q", fromlist=["cc16_release_diff"]
+        ).cc16_release_diff,
     }
     # optional comma-separated substring filter (argv[3]): measure a
     # subset without paying for the whole battery
