@@ -608,3 +608,47 @@ def dd12_span_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("nd"), F.desc("n_occurrences"), "h")
     )
+
+
+# --- dd15: exact set-containment join (prefix filtering) --------------------------
+# The asymmetric near-dup relation Jaccard misses: an excerpt/quote is
+# CONTAINED in its source at containment ~1.0 while Jaccard is tiny.
+# Prefix filtering (PPJoin) keeps the join EXACT without all-pairs, so —
+# unlike dd3's oracle, which must reproduce the banding — this oracle is
+# TRUE brute force: the operator must find exactly the all-pairs answer.
+_DD15_T = DD.CONTAINMENT_THRESHOLD
+
+_DD15_ORACLE = f"""
+WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+th AS (
+  SELECT doc_id, {_TOKSH} AS ts FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM reps)
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.ts, b.ts)) AS inter,
+         len(a.ts) AS na, len(b.ts) AS nb
+  FROM th a JOIN th b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter / least(na, nb), 6) AS containment,
+       round(inter / (na + nb - inter), 6) AS jaccard
+FROM p
+WHERE inter / least(na, nb) >= {_DD15_T}
+ORDER BY doc_a, doc_b"""
+
+
+@register(
+    "dd15_containment_pairs",
+    oracle=_DD15_ORACLE,
+    doc="dd15: EXACT set-containment join (|A∩B|/min(|A|,|B|) >= 0.9 over "
+    "distinct token sets) via PPJoin prefix filtering — ascending-df token "
+    "order, floor((1-t)n)+1 prefixes, prefix x postings equi-join, exact "
+    "verify; catches excerpts/quotes Jaccard misses. Oracle is TRUE brute "
+    "force (prefix filtering has no false negatives). Scale: exact-dup "
+    "collapse first, candidates bounded by the PPJoin prefix bound, df one "
+    "keyed aggregate, per-doc ordering a doc-partitioned window",
+)
+def dd15_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return DD.containment_pairs(load_table(spark, sf_dir, "documents"))

@@ -1197,3 +1197,85 @@ FROM {table} d
 LEFT JOIN totals t ON d.doc_id = t.doc_id
 LEFT JOIN flagged f ON d.doc_id = f.doc_id
 ORDER BY d.doc_id"""
+
+
+# --- dd15: exact set-containment join (prefix filtering / PPJoin) ----------------
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def containment_pairs(docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD) -> DataFrame:
+    """EXACT set-containment join: (doc_a, doc_b, containment, jaccard)
+    where containment = |A∩B| / min(|A|, |B|) ≥ ``threshold`` over distinct
+    token sets — the asymmetric near-dup relation Jaccard misses (an
+    excerpt or quoted passage is CONTAINED in its source at containment
+    ~1.0 while Jaccard is tiny). Xiao et al.'s prefix-filtering bound
+    (PPJoin, WWW'08) makes the join exact without all-pairs:
+
+    order every doc's tokens by ascending global document frequency
+    (rarest first, hash tie-break) and take its PREFIX of
+    ``floor((1-t)·|A|) + 1`` tokens. If C(A,B) ≥ t with |A| ≤ |B|, then
+    fewer than ``(1-t)|A| + 1`` of A's tokens fall outside B, so at least
+    one PREFIX token of A is in B — joining prefix(A) against the full
+    postings finds every qualifying pair, NO false negatives. The
+    exact-containment verify prunes the false positives.
+
+    Scale shape: exact-duplicate texts collapse to one representative
+    first (md5-group min — the hot-pile discipline; identical docs pair
+    at dd1, not here), candidates are bounded by the PPJoin prefix bound
+    Σ_doc Σ_{h ∈ prefix(doc)} df(h) — ascending-df ordering minimizes it
+    and real (Zipf-vocabulary) corpora keep prefixes rare; a degenerate
+    tiny-vocabulary corpus degrades toward the true pair count, never
+    silently drops a pair. The df relation is one keyed aggregate; the
+    per-doc ordering is a doc_id-partitioned window; the verify is one
+    array_intersect per candidate."""
+    from pyspark.sql.window import Window as W
+
+    reps = (
+        docs.groupBy(F.md5("text").alias("_k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    hashed = (
+        hashed_tokens(docs.join(reps, "doc_id", "left_semi"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+    dfreq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    sized = hashed.join(dfreq, "h").withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    )
+    ranked = sized.withColumn(
+        "_r", F.row_number().over(W.partitionBy("doc_id").orderBy("_df", "h"))
+    )
+    # prefix length floor((1-t)·n) + 1 in DECIMAL arithmetic: the double
+    # 1 - 0.9 is 0.0999…98, so float floor((1-t)·10) reads 0 not 1 and the
+    # prefix silently misses exact-boundary pairs (inter/min == t) — the
+    # decimal-exact discipline of dec_sum, applied to the bound itself
+    one_minus_t = F.lit(1).cast("decimal(12,6)") - F.lit(threshold).cast("decimal(12,6)")
+    plen = F.floor(F.col("_n").cast("decimal(24,6)") * one_minus_t) + 1
+    prefix = ranked.filter(F.col("_r") <= plen).select("doc_id", "h")
+    cands = (
+        prefix.alias("a")
+        .join(hashed.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    toks = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("ts"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    cont = inter / F.least(F.size("ta"), F.size("tb"))
+    jac = inter / (F.size("ta") + F.size("tb") - inter)
+    return (
+        cands.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ta")), "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("tb")), "doc_b")
+        # threshold the UNROUNDED ratio (dc2's convention)
+        .filter(cont >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1597,3 +1597,34 @@ def test_mm5_manifest_keeper_invariants(spark, sf_dir):
     for a in full:
         sizes[img[a].cluster_id].add(a)
     assert {len(v) for v in sizes.values()} <= {1, 3}
+
+
+def test_dd15_containment_excerpt_and_exact_boundary(spark):
+    """dd15: an excerpt (strict token subset) is found at containment 1.0
+    with tiny Jaccard — the pair Jaccard-based dedup misses; a pair at
+    EXACTLY the 0.9 boundary survives (the float 1-0.9 prefix-length trap:
+    floor((1-0.9)*10) must be 1, not 0); an unrelated doc pairs with
+    nothing; identical texts collapse to one representative."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import containment_pairs
+
+    src_words = [f"w{i}" for i in range(40)]
+    boundary = [f"b{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(src_words)),                       # source
+            (2, " ".join(src_words[:8])),                   # excerpt: 8/8 contained
+            (3, " ".join(src_words)),                       # exact dup of 1 -> collapsed
+            (4, " ".join(boundary)),                        # boundary pair, n=10
+            (5, " ".join(boundary[:9] + ["z0"])),           # inter=9 -> cont exactly 0.9
+            (6, "totally unrelated vocabulary here only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.containment, r.jaccard)
+        for r in containment_pairs(docs).collect()
+    }
+    assert got[(1, 2)][0] == 1.0 and got[(1, 2)][1] == 0.2  # excerpt: Jaccard tiny
+    assert got[(4, 5)][0] == 0.9  # the exact-boundary pair the float trap dropped
+    assert all(3 not in p and 6 not in p for p in got)
+    assert set(got) == {(1, 2), (4, 5)}

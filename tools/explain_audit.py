@@ -600,6 +600,20 @@ CHECKS = {
         "must": ["HashAggregate", "BroadcastHashJoin"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
     },
+    "dd15_containment_pairs": {
+        # PPJoin prefix filter: df is one keyed aggregate, the per-doc
+        # ordering windows partition by doc_id, the candidate step is a
+        # hash equi-join on the token hash — no Python, no cartesian, no
+        # partition-less window over the corpus
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "check": lambda plan: [
+            f"window not partitioned by doc_id: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(doc_id#" not in ln
+        ],
+    },
     "dq9_multimodal_leakage": {
         # dq8's shape per modality arm: split staging is a pure projection
         # over each banded pair relation (no membership join with
