@@ -296,6 +296,9 @@ def main() -> None:
         "cc16_release_diff": __import__(
             "pdf_etl_pipeline_spark.catalog.curation_q", fromlist=["cc16_release_diff"]
         ).cc16_release_diff,
+        "dd15_containment_pairs": __import__(
+            "pdf_etl_pipeline_spark.catalog.dedup_q", fromlist=["dd15_containment_pairs"]
+        ).dd15_containment_pairs,
     }
     # optional comma-separated substring filter (argv[3]): measure a
     # subset without paying for the whole battery
