@@ -652,3 +652,87 @@ ORDER BY doc_a, doc_b"""
 def dd15_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return DD.containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --- st19: streaming containment guard (pinned excerpt screen) --------------------
+# dd15 as an admission guard: held reps' token sets + PPJoin prefixes pin
+# once; each incoming batch screens for docs ≥ t contained in (or
+# containing) held content. Screening is pin-only, so the two-batch
+# unroll's verdicts are batch-independent and the oracle is one
+# brute-force incoming × held pass.
+_ST19_CUT = "(SELECT (MAX(doc_id) + 1) // 2 FROM documents)"
+_ST19_MID2 = f"(SELECT ({_ST19_CUT} + MAX(doc_id) + 1) // 2 FROM documents)"
+
+_ST19_ORACLE = f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents WHERE doc_id < {_ST19_CUT}
+  GROUP BY md5(text)
+),
+hth AS (
+  SELECT doc_id AS held_id, {_TOKSH} AS th FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM reps)
+),
+bth AS (
+  SELECT doc_id, {_TOKSH} AS ta FROM documents WHERE doc_id >= {_ST19_CUT}
+),
+m AS (
+  SELECT b.doc_id, h.held_id,
+         len(list_intersect(b.ta, h.th)) /
+           least(len(b.ta), len(h.th)) AS c
+  FROM bth b JOIN hth h
+    ON len(list_intersect(b.ta, h.th)) /
+         least(len(b.ta), len(h.th)) >= {DD.CONTAINMENT_THRESHOLD}
+)
+SELECT b.doc_id,
+       CAST(COUNT(DISTINCT m.held_id) AS BIGINT) AS n_held_matches,
+       round(MAX(m.c), 6) AS max_containment,
+       COUNT(m.held_id) > 0 AS is_excerpt,
+       CAST(CASE WHEN b.doc_id < {_ST19_MID2} THEN 0 ELSE 1 END AS BIGINT) AS batch_id
+FROM bth b LEFT JOIN m ON m.doc_id = b.doc_id
+GROUP BY b.doc_id
+ORDER BY b.doc_id"""
+
+
+@register(
+    "st19_containment_guard",
+    oracle=_ST19_ORACLE,
+    doc="st19: streaming containment guard — dd15's exact PPJoin screen at "
+    "admission time: held reps' token sets + prefixes (pin's df order) pin "
+    "write-once; each batch's candidates are prefix(batch)×postings(pin) ∪ "
+    "postings(batch)×prefix(pin) (exact — the prefix pigeonhole holds for "
+    "ANY prefix of the bound size), exact containment verify on survivors, "
+    "one verdict row per doc. Brute-force oracle over the two-batch unroll. "
+    "Scale: pin-only screening (replay bit-identical), candidates bounded "
+    "by the PPJoin prefix bound, never incoming × held all-pairs",
+)
+def st19_containment_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    import tempfile
+
+    from pdf_etl_pipeline_spark.operators import fsutil
+    from pdf_etl_pipeline_spark.streaming.containment_guard import (
+        guard_containment_batch,
+        pin_containment_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cut = (hi + 1) // 2
+    mid2 = (cut + hi + 1) // 2
+    tmp = tempfile.mkdtemp(prefix="st19_pin_")
+    try:
+        assert pin_containment_index(docs.filter(F.col("doc_id") < cut), tmp)
+        out = None
+        for b, batch in enumerate(
+            (
+                docs.filter((F.col("doc_id") >= cut) & (F.col("doc_id") < mid2)),
+                docs.filter(F.col("doc_id") >= mid2),
+            )
+        ):
+            rows = guard_containment_batch(batch, tmp, b).withColumn(
+                "batch_id", F.lit(b).cast("long")
+            )
+            out = rows if out is None else out.unionByName(rows)
+        return out.orderBy("doc_id").localCheckpoint()
+    finally:
+        fsutil.delete(tmp, recursive=True, spark=spark)

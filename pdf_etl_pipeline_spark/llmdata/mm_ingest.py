@@ -428,3 +428,4 @@ def read_framegrab_reports(spark, state_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(state_dir, REPORTS_SUBDIR)).dropDuplicates(
         ["batch_id", "asset_id"]
     )
+

@@ -682,6 +682,82 @@ def test_st18_framegrab_guard_pin_replay_and_stream(spark, tmp_path):
     assert read_framegrab_reports(spark, state).count() == 4
 
 
+# --- ST19: streaming containment guard -------------------------------------------
+def test_st19_containment_guard_pin_replay_and_stream(spark, tmp_path):
+    """st19: an incoming excerpt (strict token subset of a held doc) flags
+    at containment 1.0; a half-overlap doc passes; a doc CONTAINING a held
+    doc flags (the reverse direction needs the pinned prefixes); unpinned
+    and TORN pins refuse; the stream replays without duplicate verdicts."""
+    import os as _os
+    import time as _time
+
+    from pdf_etl_pipeline_spark.streaming import containment_guard as CG
+
+    words = [f"tok{i}" for i in range(20)]
+    held = spark.createDataFrame(
+        [(1000, " ".join(words)), (1001, "tiny held note")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, " ".join(words[:10])),  # excerpt: 10/10 contained
+            (2, " ".join(words[:8] + [f"x{i}" for i in range(8)])),  # half overlap
+            (3, "tiny held note plus plenty of additional words here"),  # CONTAINS 1001
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(4, " ".join(f"fresh{i}" for i in range(12)))], "doc_id long, text string"
+    )
+
+    state = str(tmp_path / "cg")
+    with pytest.raises(ValueError, match="pin_containment_index"):
+        CG.guard_containment_batch(b1, state, 0)
+    # TORN pin: df + prefixes written, toks (the existence marker) not
+    torn = str(tmp_path / "cg_torn")
+    spark.createDataFrame([(1, 2)], "h long, _df long").write.parquet(
+        _os.path.join(torn, CG.CONT_DF_SUBDIR)
+    )
+    with pytest.raises(ValueError, match="pin_containment_index"):
+        CG.guard_containment_batch(b1, torn, 0)
+
+    assert CG.pin_containment_index(held, state)
+    assert not CG.pin_containment_index(b2, state)  # write-once
+
+    got = {
+        r.doc_id: (r.n_held_matches, r.max_containment, r.is_excerpt)
+        for r in CG.guard_containment_batch(b1, state, 0).collect()
+    }
+    assert got[1] == (1, 1.0, True)
+    assert got[2] == (0, None, False)
+    assert got[3] == (1, 1.0, True)  # containing direction via pinned prefixes
+    assert got == {
+        r.doc_id: (r.n_held_matches, r.max_containment, r.is_excerpt)
+        for r in CG.guard_containment_batch(b1, state, 0).collect()
+    }  # replay bit-identical (pin-only screening)
+
+    drop_dir = str(tmp_path / "cg_drops")
+    b1.coalesce(1).write.mode("append").parquet(drop_dir)
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(drop_dir)
+
+    def run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .load(drop_dir)
+        )
+        q = CG.containment_guard_stream(stream, state).start()
+        q.awaitTermination(300)
+
+    run()
+    rep = {r.doc_id: r for r in CG.read_containment_reports(spark, state).collect()}
+    assert len(rep) == 4 and not rep[4].is_excerpt
+    run()
+    assert CG.read_containment_reports(spark, state).count() == 4
+
+
 # --- ST8: streaming histogram sketch ------------------------------------------
 def test_streaming_histogram_counts_merge_across_batches(spark, sf_dir, tmp_path):
     """Histogram bin counts are a MERGEABLE sketch, so the streaming form

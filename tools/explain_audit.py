@@ -350,6 +350,40 @@ def _st17_probe_df(spark, sf_dir):
     return _ST17_AUDIT_TMP["df"]
 
 
+_ST19_AUDIT_TMP: dict = {}
+
+
+def _st19_probe_df(spark, sf_dir):
+    """st19's per-batch screen against a real pinned containment index:
+    token hashing + the pin-df prefix window (doc_id-partitioned),
+    prefix×postings equi-joins, exact verify on survivors, one keyed
+    verdict aggregate — no corpus window, no nested loop, no Python."""
+    if "df" not in _ST19_AUDIT_TMP:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from pdf_etl_pipeline_spark.session import load_table
+        from pdf_etl_pipeline_spark.streaming.containment_guard import (
+            _cont_paths,
+            containment_batch_df,
+            pin_containment_index,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+        state = tempfile.mkdtemp(prefix="st19_audit_")
+        pin_containment_index(docs.filter(F.col("doc_id") < split), state)
+        toks_p, prefix_p, df_p = _cont_paths(state)
+        _ST19_AUDIT_TMP["df"] = containment_batch_df(
+            docs.filter(F.col("doc_id") >= split),
+            spark.read.parquet(toks_p),
+            spark.read.parquet(prefix_p),
+            spark.read.parquet(df_p),
+        )
+    return _ST19_AUDIT_TMP["df"]
+
+
 _ST18_AUDIT_TMP: dict = {}
 
 
@@ -1595,6 +1629,27 @@ CHECKS = {
             )
             else ["index bands scan lacks a band PartitionFilter"]
         ),
+    },
+    "st19_containment_batch_body": {
+        # pin-only excerpt screen: the only windows are the batch's own
+        # doc_id-partitioned prefix ranks; candidates are hash equi-joins
+        # against the pinned postings/prefixes; verify + verdict are keyed
+        # aggregates — no corpus-global sort, no nested loop, no Python
+        "build": _st19_probe_df,
+        "must": ["HashAggregate", "Window"],
+        "must_not": [
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ],
+        "check": lambda plan: _no_global_sort(plan)
+        + [
+            f"window not partitioned by doc_id: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(doc_id#" not in ln
+        ],
     },
     "st18_framegrab_batch_body": {
         # pin-only cross-modal screen: distinct-hash bipartite banding
