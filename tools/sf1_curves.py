@@ -299,6 +299,9 @@ def main() -> None:
         "dd15_containment_pairs": __import__(
             "pdf_etl_pipeline_spark.catalog.dedup_q", fromlist=["dd15_containment_pairs"]
         ).dd15_containment_pairs,
+        "st19_containment_guard": __import__(
+            "pdf_etl_pipeline_spark.catalog.dedup_q", fromlist=["st19_containment_guard"]
+        ).st19_containment_guard,
     }
     # optional comma-separated substring filter (argv[3]): measure a
     # subset without paying for the whole battery
