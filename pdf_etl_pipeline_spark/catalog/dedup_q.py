@@ -651,7 +651,7 @@ ORDER BY doc_a, doc_b"""
 )
 def dd15_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return DD.containment_pairs(load_table(spark, sf_dir, "documents"))
+    return DD.ppjoin_containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
 # --- st19: streaming containment guard (pinned excerpt screen) --------------------

@@ -173,6 +173,9 @@ def containment_pairs(
     (nearly) contained in doc_b": the quote/boilerplate/subset-document
     detector symmetric Jaccard misses (a tweet quoted inside an article
     has Jaccard ≈ |tweet|/|article| ≈ 0 but containment ≈ 1).
+    (:func:`ppjoin_containment_pairs` is the EXACT variant — prefix
+    filtering instead of lossy DF pruning, at the cost of a heavier
+    candidate join on tiny-vocabulary corpora.)
 
     Same inverted-index + DF-pruning machinery as :func:`jaccard_pairs`
     (one unordered candidate join computes ``n_common`` once); both
@@ -1203,7 +1206,9 @@ ORDER BY d.doc_id"""
 CONTAINMENT_THRESHOLD = 0.9
 
 
-def containment_pairs(docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD) -> DataFrame:
+def ppjoin_containment_pairs(
+    docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
+) -> DataFrame:
     """EXACT set-containment join: (doc_a, doc_b, containment, jaccard)
     where containment = |A∩B| / min(|A|, |B|) ≥ ``threshold`` over distinct
     token sets — the asymmetric near-dup relation Jaccard misses (an

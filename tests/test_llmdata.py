@@ -1605,7 +1605,7 @@ def test_dd15_containment_excerpt_and_exact_boundary(spark):
     EXACTLY the 0.9 boundary survives (the float 1-0.9 prefix-length trap:
     floor((1-0.9)*10) must be 1, not 0); an unrelated doc pairs with
     nothing; identical texts collapse to one representative."""
-    from pdf_etl_pipeline_spark.llmdata.dedup import containment_pairs
+    from pdf_etl_pipeline_spark.llmdata.dedup import ppjoin_containment_pairs
 
     src_words = [f"w{i}" for i in range(40)]
     boundary = [f"b{i}" for i in range(10)]
@@ -1622,7 +1622,7 @@ def test_dd15_containment_excerpt_and_exact_boundary(spark):
     )
     got = {
         (r.doc_a, r.doc_b): (r.containment, r.jaccard)
-        for r in containment_pairs(docs).collect()
+        for r in ppjoin_containment_pairs(docs).collect()
     }
     assert got[(1, 2)][0] == 1.0 and got[(1, 2)][1] == 0.2  # excerpt: Jaccard tiny
     assert got[(4, 5)][0] == 0.9  # the exact-boundary pair the float trap dropped
