@@ -74,17 +74,40 @@ def _meta_path(state_dir: str) -> str:
     return os.path.join(state_dir, META_SUBDIR)
 
 
+# Pin row counts memoized per state_dir: the pin is write-once by contract,
+# so the count can never change under a live guard — without this, a pin
+# created before the meta relation existed (or a torn meta) made EVERY
+# micro-batch pay a full scan of the band index just to decide
+# broadcastability (r14 ADVICE). pin_heldout invalidates its entry when it
+# creates a fresh pin at a reused path.
+_PIN_ROWS_MEMO: dict[str, int] = {}
+
+
 def _pin_band_rows(spark, state_dir: str) -> int:
     """The pinned band index's row count, from the meta relation written at
-    pin time (LAST, after BANDS — a torn meta degrades to a count of the
-    bands parquet, same answer at a scan's cost, never a wrong one)."""
+    pin time (LAST, after BANDS). A torn/missing meta degrades to ONE count
+    of the bands parquet, after which the meta is backfilled and the result
+    memoized — same answer, paid once instead of per batch."""
     from pdf_etl_pipeline_spark.operators import fsutil
 
+    key = os.path.abspath(state_dir)
+    if key in _PIN_ROWS_MEMO:
+        return _PIN_ROWS_MEMO[key]
     if fsutil.list_data_files(_meta_path(state_dir), spark):
-        return int(spark.read.parquet(_meta_path(state_dir)).agg(
+        n = int(spark.read.parquet(_meta_path(state_dir)).agg(
             F.max("n_band_rows")
         ).first()[0])
-    return int(spark.read.parquet(_bands_path(state_dir)).count())
+    else:
+        n = int(spark.read.parquet(_bands_path(state_dir)).count())
+        # backfill so pre-meta pins stop paying the fallback scan even
+        # across sessions (write-once contract: bands are immutable, the
+        # count backfilled here is the count a pin-time write would have
+        # recorded)
+        spark.createDataFrame(
+            [(n,)], "n_band_rows long"
+        ).write.mode("append").parquet(_meta_path(state_dir))
+    _PIN_ROWS_MEMO[key] = n
+    return n
 
 
 def pin_heldout(heldout_docs: DataFrame, state_dir: str) -> bool:
@@ -99,6 +122,8 @@ def pin_heldout(heldout_docs: DataFrame, state_dir: str) -> bool:
     spark = heldout_docs.sparkSession
     if fsutil.list_data_files(_bands_path(state_dir), spark):
         return False
+    # a fresh pin at a reused path must not read a stale memoized count
+    _PIN_ROWS_MEMO.pop(os.path.abspath(state_dir), None)
     hashed = hashed_tokens(heldout_docs).dropDuplicates(["doc_id", "h"]).persist()
     try:
         (
