@@ -634,7 +634,11 @@ SELECT doc_a, doc_b,
        round(inter / least(na, nb), 6) AS containment,
        round(inter / (na + nb - inter), 6) AS jaccard
 FROM p
-WHERE inter / least(na, nb) >= {_DD15_T}
+-- nullif guards an empty/punctuation-only doc (len(ts) = 0): the Spark
+-- operator emits no candidate for a tokenless doc (it has no hashed rows
+-- at all), so the oracle must read NULL >= t (no match), not divide by
+-- zero (r14 ADVICE)
+WHERE inter / nullif(least(na, nb), 0) >= {_DD15_T}
 ORDER BY doc_a, doc_b"""
 
 
@@ -676,12 +680,15 @@ bth AS (
   SELECT doc_id, {_TOKSH} AS ta FROM documents WHERE doc_id >= {_ST19_CUT}
 ),
 m AS (
+  -- nullif: a tokenless doc (empty/punctuation-only text) must read as
+  -- no-match, not a division by zero — the Spark guard never generates a
+  -- candidate for a doc with no hashed token rows (r14 ADVICE)
   SELECT b.doc_id, h.held_id,
          len(list_intersect(b.ta, h.th)) /
-           least(len(b.ta), len(h.th)) AS c
+           nullif(least(len(b.ta), len(h.th)), 0) AS c
   FROM bth b JOIN hth h
     ON len(list_intersect(b.ta, h.th)) /
-         least(len(b.ta), len(h.th)) >= {DD.CONTAINMENT_THRESHOLD}
+         nullif(least(len(b.ta), len(h.th)), 0) >= {DD.CONTAINMENT_THRESHOLD}
 )
 SELECT b.doc_id,
        CAST(COUNT(DISTINCT m.held_id) AS BIGINT) AS n_held_matches,

@@ -1206,6 +1206,60 @@ ORDER BY d.doc_id"""
 CONTAINMENT_THRESHOLD = 0.9
 
 
+def ppjoin_candidates(
+    hashed: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    positional_filter: bool = True,
+    length_filter: bool = True,
+) -> DataFrame:
+    """The PPJoin candidate relation over a distinct (doc_id, h) token
+    relation: deduped unordered (doc_a, doc_b) pairs guaranteed to contain
+    every pair with containment ≥ ``threshold`` (prefix-filter pigeonhole;
+    see :func:`ppjoin_containment_pairs` for the proof sketch and the
+    positional/length filter arguments). The filter flags exist so the
+    candidate-volume win is measurable (tests / skew studies) — disabling
+    them never changes the verified RESULT, only the verify fan-out."""
+    from pyspark.sql.window import Window as W
+
+    dfreq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    sized = hashed.join(dfreq, "h").withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    )
+    ranked = sized.withColumn(
+        "_r", F.row_number().over(W.partitionBy("doc_id").orderBy("_df", "h"))
+    )
+    # prefix length floor((1-t)·n) + 1 in DECIMAL arithmetic: the double
+    # 1 - 0.9 is 0.0999…98, so float floor((1-t)·10) reads 0 not 1 and the
+    # prefix silently misses exact-boundary pairs (inter/min == t) — the
+    # decimal-exact discipline of dec_sum, applied to the bound itself
+    one_minus_t = F.lit(1).cast("decimal(12,6)") - F.lit(threshold).cast("decimal(12,6)")
+    plen = F.floor(F.col("_n").cast("decimal(24,6)") * one_minus_t) + 1
+    prefix = ranked.filter(F.col("_r") <= plen).select("doc_id", "h", "_r", "_n")
+    posts = ranked.select("doc_id", "h", "_r", "_n")
+    cond = (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id"))
+    if length_filter:
+        # length/direction filter: only the smaller set's prefix is
+        # load-bearing (ties generate both directions; pair dedup absorbs)
+        cond = cond & (F.col("a._n") <= F.col("b._n"))
+    joined = prefix.alias("a").join(posts.alias("b"), cond)
+    if positional_filter:
+        # positional upper bound on |A∩B| for a match at ranks (ra, rb):
+        # min(ra-1, rb-1) common tokens can precede h + h itself + the
+        # shorter remaining suffix; required overlap t·min(na, nb) decimal
+        pos_bound = F.least(F.col("a._r"), F.col("b._r")) + F.least(
+            F.col("a._n") - F.col("a._r"), F.col("b._n") - F.col("b._r")
+        )
+        req_overlap = (
+            F.least(F.col("a._n"), F.col("b._n")).cast("decimal(24,6)")
+            * F.lit(threshold).cast("decimal(12,6)")
+        )
+        joined = joined.filter(pos_bound.cast("decimal(24,6)") >= req_overlap)
+    return joined.select(
+        F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+        F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+    ).dropDuplicates(["doc_a", "doc_b"])
+
+
 def ppjoin_containment_pairs(
     docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
 ) -> DataFrame:
@@ -1224,17 +1278,37 @@ def ppjoin_containment_pairs(
     postings finds every qualifying pair, NO false negatives. The
     exact-containment verify prunes the false positives.
 
+    Two further PPJoin filters prune candidates BEFORE the collect_set
+    verify joins (Xiao et al. WWW'08 §3.2), both exactness-preserving:
+
+    - **length/direction filter**: the pigeonhole only needs the
+      SMALLER set's prefix to hit the larger set's postings, so the
+      candidate join keeps only rows with prefix-side |A| ≤ postings-
+      side |B| (ties generate both directions; the pair dedup absorbs
+      them) — halves the candidate volume for free.
+    - **positional filter**: both sides carry their (rank, size) under
+      the SAME global (df, h) order, so a match on token h at ranks
+      (ra, rb) bounds the overlap row-locally:
+      ``overlap ≤ min(ra-1, rb-1) + 1 + min(na-ra, nb-rb)`` — common
+      tokens before h number at most min(ra-1, rb-1) (identical sort
+      order both sides), h itself is 1, and after h at most the shorter
+      remaining suffix. Rows whose bound falls below the required
+      overlap ``t·min(na, nb)`` (decimal-exact) are dropped; for a
+      QUALIFYING pair every generating row's bound ≥ its true overlap
+      ≥ the requirement, so no qualifying pair loses all its rows — the
+      filter only sheds rows the verify would have rejected at
+      |cands|·|tokens| cost.
+
     Scale shape: exact-duplicate texts collapse to one representative
     first (md5-group min — the hot-pile discipline; identical docs pair
     at dd1, not here), candidates are bounded by the PPJoin prefix bound
     Σ_doc Σ_{h ∈ prefix(doc)} df(h) — ascending-df ordering minimizes it
     and real (Zipf-vocabulary) corpora keep prefixes rare; a degenerate
     tiny-vocabulary corpus degrades toward the true pair count, never
-    silently drops a pair. The df relation is one keyed aggregate; the
-    per-doc ordering is a doc_id-partitioned window; the verify is one
-    array_intersect per candidate."""
-    from pyspark.sql.window import Window as W
-
+    silently drops a pair (the positional bound caps the verify fan-out
+    a skewed vocabulary would otherwise pay). The df relation is one
+    keyed aggregate; the per-doc ordering is a doc_id-partitioned
+    window; the verify is one array_intersect per surviving candidate."""
     reps = (
         docs.groupBy(F.md5("text").alias("_k"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -1244,29 +1318,7 @@ def ppjoin_containment_pairs(
         hashed_tokens(docs.join(reps, "doc_id", "left_semi"))
         .dropDuplicates(["doc_id", "h"])
     )
-    dfreq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
-    sized = hashed.join(dfreq, "h").withColumn(
-        "_n", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
-    )
-    ranked = sized.withColumn(
-        "_r", F.row_number().over(W.partitionBy("doc_id").orderBy("_df", "h"))
-    )
-    # prefix length floor((1-t)·n) + 1 in DECIMAL arithmetic: the double
-    # 1 - 0.9 is 0.0999…98, so float floor((1-t)·10) reads 0 not 1 and the
-    # prefix silently misses exact-boundary pairs (inter/min == t) — the
-    # decimal-exact discipline of dec_sum, applied to the bound itself
-    one_minus_t = F.lit(1).cast("decimal(12,6)") - F.lit(threshold).cast("decimal(12,6)")
-    plen = F.floor(F.col("_n").cast("decimal(24,6)") * one_minus_t) + 1
-    prefix = ranked.filter(F.col("_r") <= plen).select("doc_id", "h")
-    cands = (
-        prefix.alias("a")
-        .join(hashed.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id")))
-        .select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cands = ppjoin_candidates(hashed, threshold)
     toks = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("ts"))
     inter = F.size(F.array_intersect("ta", "tb"))
     cont = inter / F.least(F.size("ta"), F.size("tb"))

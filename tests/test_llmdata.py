@@ -1628,3 +1628,54 @@ def test_dd15_containment_excerpt_and_exact_boundary(spark):
     assert got[(4, 5)][0] == 0.9  # the exact-boundary pair the float trap dropped
     assert all(3 not in p and 6 not in p for p in got)
     assert set(got) == {(1, 2), (4, 5)}
+
+
+def test_dd15_positional_length_filters_prune_skewed_vocab(spark):
+    """PPJoin's positional + length filters on a planted SKEWED vocabulary
+    (20 hub tokens shared across 30 docs — every prefix token is common,
+    the prefix pigeonhole alone joins nearly all-pairs): the filtered
+    candidate relation is a fraction of the unfiltered one, and the
+    verified result still equals Python brute force exactly (the filters
+    shed only rows the verify would have rejected)."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import (
+        hashed_tokens,
+        ppjoin_candidates,
+        ppjoin_containment_pairs,
+    )
+
+    # 30 docs, each a 30-token cyclic run over a 61-token hub vocabulary
+    # (every token in ~15 docs — every PREFIX token is common); runs with
+    # start offset within ±1 intersect in >= 27 tokens -> genuine
+    # containment-0.9 pairs exist INSIDE the skewed regime; all texts
+    # distinct (no exact-dup collapse interference)
+    hubs = [f"hub{i:02d}" for i in range(61)]
+    rows = [(i, " ".join(hubs[(i * 3 + j) % 61] for j in range(30))) for i in range(30)]
+    # a rare-vocab near-dup pair as a control: 29/30 shared
+    uniq = [f"d{i}" for i in range(30)]
+    rows += [(100, " ".join(uniq)), (101, " ".join(uniq[:29] + ["rare_tail"]))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sets = {i: set(t.split()) for i, t in rows}
+    expect = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                if inter / min(len(sets[a]), len(sets[b])) >= 0.9:
+                    expect.add((a, b))
+    assert len(expect) >= 5  # the plant really produces in-regime pairs
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ppjoin_containment_pairs(docs).collect()
+    }
+    assert set(got) == expect and got[(100, 101)] == round(29 / 30, 6)
+
+    hashed = hashed_tokens(docs).dropDuplicates(["doc_id", "h"])
+    n_raw = ppjoin_candidates(
+        hashed, positional_filter=False, length_filter=False
+    ).count()
+    n_filtered = ppjoin_candidates(hashed).count()
+    # the skewed regime without filters candidates toward all-pairs;
+    # the positional bound collapses that
+    assert n_filtered <= n_raw / 2, (n_filtered, n_raw)
+    assert n_filtered >= len(expect)  # still a superset of the true pairs
