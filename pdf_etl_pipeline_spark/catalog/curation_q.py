@@ -1225,27 +1225,12 @@ FROM v1_manifest a FULL OUTER JOIN v2_manifest b ON a.doc_id = b.doc_id
 ORDER BY doc_id"""
 
 
-@register(
-    "cc16_release_diff",
-    oracle=_cc16_oracle(),
-    doc="CC16 release diff — incremental training releases: diff two cc14 "
-    "manifests (corpus v1 = first half, v2 = full) into one row per doc "
-    "with status added/removed/moved/unchanged plus both releases' "
-    "split/position/shard coordinates ('removed' is real: new near-dup "
-    "evidence can flip a keeper). Scale: two audited cc14 plans + ONE "
-    "full-outer equi-join on doc_id — no new shuffle shape; the diff "
-    "relation is bounded by the union of the two releases",
-)
-def cc16_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune(spark)
-    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
-    from pdf_etl_pipeline_spark.llmdata.dedup import minhash_lsh_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    cut = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
-    docs1 = docs.filter(F.col("doc_id") < cut)
-    v1 = release_manifest_df(docs1, minhash_lsh_pairs(docs1, 0.9, materialize=True))
-    v2 = release_manifest_df(docs, shared_pairs(spark, sf_dir, 0.9))
+def release_diff_df(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """Diff two cc14-shaped release manifests (v1 old, v2 new): one row
+    per doc in either release — status added/removed/moved/unchanged plus
+    both releases' split/position/shard coordinates. ONE full-outer
+    equi-join on doc_id; the manifests may be built plans (cc16) or
+    pruned scans of persisted releases (cc17)."""
     cols = ("split", "position", "shard_id")
     a = v1.select(
         "doc_id",
@@ -1282,3 +1267,97 @@ def cc16_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "cc16_release_diff",
+    oracle=_cc16_oracle(),
+    doc="CC16 release diff — incremental training releases: diff two cc14 "
+    "manifests (corpus v1 = first half, v2 = full) into one row per doc "
+    "with status added/removed/moved/unchanged plus both releases' "
+    "split/position/shard coordinates ('removed' is real: new near-dup "
+    "evidence can flip a keeper). Scale: two audited cc14 plans + ONE "
+    "full-outer equi-join on doc_id — no new shuffle shape; the diff "
+    "relation is bounded by the union of the two releases",
+)
+def cc16_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+    from pdf_etl_pipeline_spark.llmdata.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    docs1 = docs.filter(F.col("doc_id") < cut)
+    v1 = release_manifest_df(docs1, minhash_lsh_pairs(docs1, 0.9, materialize=True))
+    v2 = release_manifest_df(docs, shared_pairs(spark, sf_dir, 0.9))
+    return release_diff_df(v1, v2)
+
+
+# --- CC17: release diff against a PERSISTED v1 manifest ---------------------------
+# r14 VERDICT finding 3: cc16 rebuilds BOTH manifests inside the query —
+# right for a self-contained oracle, wrong as the operator a 100 TB
+# incremental release actually runs. A release manifest is an immutable
+# artifact: v1 was WRITTEN when v1 shipped, and the next release diffs
+# its freshly-built v2 against the STORED v1 — the dominant cost (the v1
+# curation/LSH chain) is paid zero times, and the diff can never silently
+# re-derive different v1 coordinates than the ones training actually
+# consumed. cc17 is that operator: release_write persists a manifest
+# (parquet, split-partitioned); release_diff_stored scans it back and
+# feeds release_diff_df. Semantics pinned equal to cc16 on the same
+# inputs (oracle + test).
+
+
+def release_write(manifest: DataFrame, path: str) -> None:
+    """Persist a release manifest as the immutable artifact a shipped
+    release IS: parquet, partitioned by split (training loaders and the
+    diff's future split-scoped readers prune at the directory level)."""
+    manifest.write.mode("overwrite").partitionBy("split").parquet(path)
+
+
+def release_read(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def release_diff_stored(spark: SparkSession, v1_path: str, v2: DataFrame) -> DataFrame:
+    """Diff a freshly-built v2 manifest against the PERSISTED v1 at
+    ``v1_path`` — the v1 side of the full-outer join is a pruned parquet
+    scan (doc_id/split/position/shard_id columns only), never a rebuild."""
+    return release_diff_df(
+        release_read(spark, v1_path).select("doc_id", "split", "position", "shard_id"),
+        v2,
+    )
+
+
+@register(
+    "cc17_stored_release_diff",
+    oracle=_cc16_oracle(),
+    doc="CC17 release diff against a PERSISTED v1 manifest — the operator an "
+    "incremental release actually runs: v1's manifest is written once "
+    "(parquet, split-partitioned) when v1 ships; the next release builds "
+    "only v2 and full-outer-joins it against the STORED artifact. Identical "
+    "semantics to cc16 (same oracle; equality is test-pinned) at half the "
+    "build cost, and the training-consumed v1 coordinates can never be "
+    "silently re-derived. Scale: one audited cc14 build + a column-pruned "
+    "scan of the v1 parquet + one equi-join on doc_id",
+)
+def cc17_stored_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    import tempfile
+
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+    from pdf_etl_pipeline_spark.llmdata.dedup import minhash_lsh_pairs
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    docs1 = docs.filter(F.col("doc_id") < cut)
+    v1 = release_manifest_df(docs1, minhash_lsh_pairs(docs1, 0.9, materialize=True))
+    tmp = tempfile.mkdtemp(prefix="cc17_v1_")
+    try:
+        release_write(v1, tmp)
+        v2 = release_manifest_df(docs, shared_pairs(spark, sf_dir, 0.9))
+        # materialize before the persisted artifact (temp here; immutable
+        # storage in production) disappears
+        return release_diff_stored(spark, tmp, v2).localCheckpoint()
+    finally:
+        fsutil.delete(tmp, recursive=True, spark=spark)

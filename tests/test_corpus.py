@@ -953,6 +953,42 @@ def test_cc16_release_diff_statuses_consistent(spark, sf_dir):
     assert "added" in statuses and ("moved" in statuses or "unchanged" in statuses)
 
 
+def test_cc17_stored_diff_equals_rebuild_diff(spark, sf_dir, tmp_path):
+    """cc17: diffing a freshly-built v2 against the PERSISTED v1 manifest
+    is row-identical to cc16's rebuild-both diff on the same inputs — the
+    stored artifact path changes the COST shape (v1 becomes a pruned
+    parquet scan), never the answer. Also pins the write/read round-trip:
+    release_read returns exactly what release_write was given."""
+    from pdf_etl_pipeline_spark.catalog import load_registry
+    from pdf_etl_pipeline_spark.catalog.curation_q import (
+        release_diff_stored,
+        release_manifest_df,
+        release_read,
+        release_write,
+    )
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+    from pdf_etl_pipeline_spark.llmdata.dedup import minhash_lsh_pairs
+    from pdf_etl_pipeline_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    docs1 = docs.filter(F.col("doc_id") < cut)
+    v1 = release_manifest_df(docs1, minhash_lsh_pairs(docs1, 0.9, materialize=True))
+    v1_rows = sorted(map(tuple, v1.collect()))
+    path = str(tmp_path / "release_v1")
+    release_write(v1, path)
+    assert sorted(
+        map(tuple, release_read(spark, path).select(*v1.columns).collect())
+    ) == v1_rows
+
+    v2 = release_manifest_df(docs, shared_pairs(spark, sf_dir, 0.9))
+    stored = sorted(map(tuple, release_diff_stored(spark, path, v2).collect()))
+    rebuilt = sorted(
+        map(tuple, load_registry()["cc16_release_diff"].fn(spark, sf_dir).collect())
+    )
+    assert stored == rebuilt
+
+
 def test_cc15_dropped_duplicate_asset_resolves_to_keeper(spark, sf_dir):
     """cc15: a released doc whose attached asset is a dropped near-dup
     must carry the KEEPER's asset id. mm1's planted structure: per group
