@@ -173,14 +173,21 @@ def _mm3_frame_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
-_MM3_FH_CTE = f"""fh AS (
+def _mm3_fh_cte(name: str = "fh", pred: str = "TRUE") -> str:
+    """The mm3 synthetic frame-hash relation as CTE text, predicate-
+    parameterized (st20 pins only the HELD docs' frames)."""
+    return f"""{name} AS (
   SELECT CAST(floor(doc_id / 4) AS BIGINT) AS asset_id,
          CAST(doc_id % 4 AS INT) AS frame_idx,
          xor({_h64_sql("'vid' || CAST(CAST(floor(doc_id / 8) AS BIGINT) AS VARCHAR) || 'f' || CAST(CAST(doc_id % 4 AS INT) AS VARCHAR)")},
              CASE WHEN CAST(floor(doc_id / 4) AS BIGINT) % 2 = 1
                   THEN CAST({_MM3_ODD_PERTURB} AS BIGINT) ELSE 0 END) AS fhash
   FROM documents
+  WHERE {pred}
 )"""
+
+
+_MM3_FH_CTE = _mm3_fh_cte()
 
 
 @register(
@@ -730,3 +737,251 @@ def dq9_multimodal_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(mod).alias("modality"), "*")
         )
     return arms[0].unionByName(arms[1]).orderBy("modality", "split_lo", "split_hi")
+
+
+# --- st20: multimodal guarded streaming RELEASE (the composed capstone) -----------
+# st16's shape for the multimodal side: per micro-batch of (doc_id, text,
+# phash) documents — st19 containment guard (pinned held-corpus text),
+# st18 frame-grab guard (pinned held-video frames), st17 asset admission
+# with cc15's canonical-keeper resolution, and a per-batch delivery
+# manifest over the admit verdicts. Verdict precedence: contained >
+# frame-grab > dup-asset > admit; both guard families drop BEFORE the
+# asset index sees the doc. The registered queries unroll TWO real
+# batches (median doc_id split of the train-stage corpus) against fresh
+# pins; the oracle recomputes everything brute-force — guards as all-pairs
+# screens, per-batch components as unrolled min-label rounds, the
+# cross-batch canonical as the min admitted batch-0 asset within Hamming
+# budget.
+#
+# Synthetic doc->image attachment: most docs draw their phash from a
+# 64-family 'mmr' pool (family = doc_id % 64 — families SPAN the batch
+# split, so cross-batch admission dedup really fires) perturbed by
+# doc_id % 3 into {0, 2, 3} (pairwise Hamming <= 2 — family members are
+# genuine near-dups); every 8th doc (doc_id % 8 = 7) instead carries a
+# FRAME GRAB of its scene's video (mm3/mm4's 'vid' seed), which hits the
+# pin whenever that frame's holder is a held doc.
+from pdf_etl_pipeline_spark.llmdata.dedup import (  # noqa: E402
+    SHINGLE_N as _ST20_SHINGLE_N,
+    tokens_sql as _st20_tokens_sql,
+)
+
+_ST20_SPLIT = "(SELECT (MAX(doc_id) + 1) // 2 FROM documents)"
+_ST20_PERTURB = "CASE doc_id % 3 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 0 END"
+_ST20_SEED_SQL = (
+    "CASE WHEN doc_id % 8 = 7 THEN "
+    "'vid' || CAST(CAST(floor(doc_id / 8) AS BIGINT) AS VARCHAR) || 'f' || "
+    "CAST(CAST(doc_id % 4 AS INT) AS VARCHAR) "
+    "ELSE 'mmr' || CAST(doc_id % 64 AS VARCHAR) END"
+)
+# the containment unit is word SHINGLES (see mm_release.CONT_UNIT_N): on a
+# tiny shared vocabulary, bag-of-words containment flags everything —
+# shingle containment flags exactly the planted cross-split excerpts
+_ST20_TOKSH = _CPm._shingle_hashes_sql("text", _ST20_SHINGLE_N)
+_ST20_NTOK = f"CAST(len({_st20_tokens_sql('text', distinct=False)}) AS BIGINT)"
+_ST20_ROUNDS = _MM5_ROUNDS
+
+
+def _st20_doc_assets(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, phash) — the synthetic multimodal attachment
+    (Spark twin of _ST20_SEED_SQL/_ST20_PERTURB)."""
+    d = F.col("doc_id")
+    m = d % 3
+    perturb = F.when(m == 1, F.lit(2)).when(m == 2, F.lit(3)).otherwise(F.lit(0))
+    seed = F.when(
+        d % 8 == 7,
+        F.concat(
+            F.lit("vid"),
+            F.floor(d / F.lit(8)).cast("long").cast("string"),
+            F.lit("f"),
+            (d % 4).cast("int").cast("string"),
+        ),
+    ).otherwise(F.concat(F.lit("mmr"), (d % 64).cast("string")))
+    return docs.select(
+        "doc_id", "text", _h64(seed).bitwiseXOR(perturb.cast("long")).alias("phash")
+    )
+
+
+def _st20_ver_ctes() -> str:
+    stage = _CPm.split_stage_sql("doc_id")
+    held = f"({stage}) >= 1"
+    corpus = f"({stage}) = 0"
+    batch_pairs = lambda b: f"""p{b} AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM h{b} a JOIN h{b} b ON a.doc_id < b.doc_id
+   AND bit_count(xor(a.phash, b.phash)) <= 3
+),
+e{b} AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM p{b}
+  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM p{b}
+),
+n{b} AS (SELECT doc_id FROM h{b})"""
+    return f"""mh AS MATERIALIZED (
+  SELECT doc_id, xor({_h64_sql(_ST20_SEED_SQL)},
+                     CAST({_ST20_PERTURB} AS BIGINT)) AS phash
+  FROM documents WHERE {corpus}
+),
+{_mm3_fh_cte("hfh", held)},
+creps AS (SELECT MIN(doc_id) AS doc_id FROM documents WHERE {held} GROUP BY md5(text)),
+hth AS MATERIALIZED (
+  SELECT doc_id AS held_id, {_ST20_TOKSH} AS th FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM creps)
+),
+bt AS MATERIALIZED (SELECT doc_id, {_ST20_TOKSH} AS ta FROM documents WHERE {corpus}),
+contained AS MATERIALIZED (
+  SELECT DISTINCT b.doc_id FROM bt b JOIN hth h
+    ON len(list_intersect(b.ta, h.th)) /
+         nullif(least(len(b.ta), len(h.th)), 0) >= 0.9
+),
+s1 AS MATERIALIZED (
+  SELECT doc_id, phash FROM mh
+  WHERE doc_id NOT IN (SELECT doc_id FROM contained)
+),
+grabbed AS MATERIALIZED (
+  SELECT DISTINCT i.doc_id FROM s1 i JOIN hfh f
+    ON bit_count(xor(i.phash, f.fhash)) <= 3
+),
+h1 AS MATERIALIZED (
+  SELECT doc_id, phash FROM s1
+  WHERE doc_id NOT IN (SELECT doc_id FROM grabbed) AND doc_id < {_ST20_SPLIT}
+),
+h2 AS MATERIALIZED (
+  SELECT doc_id, phash FROM s1
+  WHERE doc_id NOT IN (SELECT doc_id FROM grabbed) AND doc_id >= {_ST20_SPLIT}
+),
+{batch_pairs(1)},
+{batch_pairs(2)},
+{_label_rounds(_ST20_ROUNDS, nodes="n1", edges="e1", prefix="sk1_")},
+{_label_rounds(_ST20_ROUNDS, nodes="n2", edges="e2", prefix="sk2_")},
+adm1 AS MATERIALIZED (
+  SELECT k.doc_id, h.phash FROM sk1_{_ST20_ROUNDS} k JOIN h1 h USING (doc_id)
+  WHERE k.doc_id = k.cluster_id
+),
+match2 AS (
+  SELECT k.doc_id AS keeper, MIN(a.doc_id) AS idx_canon
+  FROM sk2_{_ST20_ROUNDS} k JOIN h2 h ON h.doc_id = k.doc_id
+  JOIN adm1 a ON bit_count(xor(h.phash, a.phash)) <= 3
+  WHERE k.doc_id = k.cluster_id
+  GROUP BY 1
+),
+canon AS MATERIALIZED (
+  SELECT doc_id, cluster_id AS canonical FROM sk1_{_ST20_ROUNDS}
+  UNION ALL
+  SELECT l.doc_id, COALESCE(m.idx_canon, l.cluster_id) AS canonical
+  FROM sk2_{_ST20_ROUNDS} l LEFT JOIN match2 m ON m.keeper = l.cluster_id
+),
+ver20 AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(CASE WHEN d.doc_id < {_ST20_SPLIT} THEN 0 ELSE 1 END AS BIGINT)
+           AS batch_id,
+         {_ST20_NTOK} AS n_tokens,
+         CASE WHEN d.doc_id IN (SELECT doc_id FROM contained)
+                THEN 'drop_contained'
+              WHEN d.doc_id IN (SELECT doc_id FROM grabbed)
+                THEN 'drop_framegrab'
+              WHEN c.canonical <> d.doc_id THEN 'drop_dup_asset'
+              ELSE 'admit' END AS verdict,
+         c.canonical AS canonical_asset
+  FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
+  WHERE ({_CPm.split_stage_sql('d.doc_id')}) = 0
+)"""
+
+
+_ST20_VERDICTS_ORACLE = f"""
+WITH {_st20_ver_ctes()}
+SELECT doc_id, batch_id, n_tokens, verdict, canonical_asset
+FROM ver20 ORDER BY doc_id"""
+
+_ST20_MANIFEST_ORACLE = f"""
+WITH {_st20_ver_ctes()},
+packed20 AS (
+  SELECT batch_id, doc_id, n_tokens,
+         CAST(floor(CAST(CAST(SUM(n_tokens) OVER (PARTITION BY batch_id
+                            ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                          - n_tokens AS BIGINT) AS DOUBLE)
+                    / {_CPm.PACK_BUDGET}) AS BIGINT) AS shard_id
+  FROM ver20 WHERE verdict = 'admit'
+)
+SELECT batch_id, shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id
+FROM packed20 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+_ST20_MEMO: dict = {}
+
+
+def _st20_outputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two real multimodal ingest batches through the composed release body
+    (fresh pins + fresh asset index), verdicts and manifests materialized
+    before the temp state disappears. Memoized per (session, sf_dir): the
+    verdict and manifest registrations share one unroll."""
+    import tempfile
+
+    from pdf_etl_pipeline_spark.streaming.mm_release import (
+        drop_mm_release_state,
+        mm_release_batch,
+        pin_mm_release_state,
+    )
+
+    key = (id(spark), sf_dir)
+    if key in _ST20_MEMO:
+        return _ST20_MEMO[key]
+    docs = load_table(spark, sf_dir, "documents")
+    stage = _CPm.split_stage(F.col("doc_id"))
+    held = docs.filter(stage >= 1)
+    corpus = _st20_doc_assets(docs.filter(stage == 0))
+    split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    tmp = tempfile.mkdtemp(prefix="st20_state_")
+    try:
+        assert pin_mm_release_state(held, _mm3_frame_hashes(held), tmp)
+        v1, m1 = mm_release_batch(corpus.filter(F.col("doc_id") < split), tmp, 0)
+        v2, m2 = mm_release_batch(corpus.filter(F.col("doc_id") >= split), tmp, 1)
+        tag = lambda df, b: df.withColumn("batch_id", F.lit(b).cast("long"))
+        out = (
+            tag(v1, 0).unionByName(tag(v2, 1)),
+            tag(m1, 0).unionByName(tag(m2, 1)),
+        )
+    finally:
+        drop_mm_release_state(spark, tmp)
+    _ST20_MEMO.clear()
+    _ST20_MEMO[key] = out
+    return out
+
+
+@register(
+    "st20_mm_release_verdicts",
+    oracle=_ST20_VERDICTS_ORACLE,
+    doc="ST20 multimodal guarded streaming release — the per-doc verdict "
+    "relation: st19 containment guard (pinned held text), st18 frame-grab "
+    "guard (pinned held video frames), st17 asset admission with cc15's "
+    "canonical-keeper resolution; one FINAL row per incoming doc, "
+    "precedence contained > frame-grab > dup-asset > admit, guard drops "
+    "isolated from the asset index. Two-batch unroll vs a brute-force "
+    "oracle (all-pairs screens + unrolled min-label components). Scale: "
+    "two pin probes + one pruned-partition index equi-join per batch — "
+    "nothing stream-global",
+)
+def st20_mm_release_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    verdicts, _ = _st20_outputs(spark, sf_dir)
+    return verdicts.select(
+        "doc_id", "batch_id", "n_tokens", "verdict", "canonical_asset"
+    ).orderBy("doc_id").localCheckpoint()
+
+
+@register(
+    "st20_mm_release_manifest",
+    oracle=_ST20_MANIFEST_ORACLE,
+    doc="ST20 multimodal guarded streaming release — the per-batch DELIVERY "
+    "manifest: the batch's admit verdicts (guarded, asset-canonical) packed "
+    "into 2048-token shards (pk1's two-level cumsum, shard ids batch-local), "
+    "one row per (batch, shard) — what a multimodal training loader pulls "
+    "from a streaming ingest. Scale: a filter over the batch's bounded "
+    "materialized verdict relation into bucketed cumsum windows",
+)
+def st20_mm_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    _, manifest = _st20_outputs(spark, sf_dir)
+    return manifest.select(
+        "batch_id", "shard_id", "n_docs", "total_tokens",
+        "first_doc_id", "last_doc_id",
+    ).orderBy("batch_id", "shard_id").localCheckpoint()

@@ -153,6 +153,36 @@ def mm_admission_matches(
     )
 
 
+def mm_admission_canonicals(
+    spark,
+    kept_hashes: DataFrame,
+    index_dir: str,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+) -> DataFrame:
+    """:func:`mm_admission_matches` with the CANONICAL resolution st20's
+    release manifest needs: for each matched probe asset, the MIN admitted
+    index asset_id within the Hamming budget — ``(asset_id,
+    index_canonical)``. Same probe plan (pruned band partitions, same-asset
+    replay exclusion, popcount verify on the joined row); MIN is duplicate-
+    insensitive, so crash-replayed appends never change the resolution."""
+    probe = list(range(PHASH_BANDS))
+    _ensure_registered(spark, index_dir)
+    ix = spark.table(mm_bands_table(index_dir)).filter(F.col("band_idx").isin(probe))
+    nb = asset_bands(kept_hashes, "h").filter(F.col("band_idx").isin(probe))
+    return (
+        nb.alias("n")
+        .join(
+            ix.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_val") == F.col("o.band_val"))
+            & (F.col("n.asset_id") != F.col("o.asset_id")),
+        )
+        .filter(F.bit_count(F.col("n.h").bitwiseXOR(F.col("o.h"))) <= max_hamming)
+        .groupBy(F.col("n.asset_id").alias("asset_id"))
+        .agg(F.min(F.col("o.asset_id")).alias("index_canonical"))
+    )
+
+
 def mm_ingest_batch(
     batch_hashes: DataFrame,
     index_dir: str,

@@ -758,6 +758,116 @@ def test_st19_containment_guard_pin_replay_and_stream(spark, tmp_path):
     assert CG.read_containment_reports(spark, state).count() == 4
 
 
+# --- ST20: multimodal guarded streaming release -----------------------------------
+def test_st20_mm_release_precedence_replay_and_stream(spark, tmp_path):
+    """st20: the composed multimodal release body — verdict precedence
+    containment > frame-grab > dup-asset (a doc failing several screens
+    gets the highest-precedence drop), canonical resolution follows cc15
+    (intra-batch dup -> component keeper; cross-batch dup -> min admitted
+    index asset), guard-dropped assets never enter the index, batches
+    replay bit-identically, and the stream readers dedup exactly."""
+    import os as _os
+    import time as _time
+
+    from pdf_etl_pipeline_spark.streaming import mm_release as MR
+
+    held_words = [f"hw{i}" for i in range(20)]
+    held = spark.createDataFrame(
+        [(1000, " ".join(held_words))], "doc_id long, text string"
+    )
+    H0 = 1 << 20
+    frames = spark.createDataFrame(
+        [(500, 0, H0)], "asset_id long, frame_idx int, fhash long"
+    )
+    P = 31 << 40  # popcount 5, Hamming > 3 from H0 and every perturbation used
+    fresh = lambda i: " ".join(f"t{i}w{j}" for j in range(12))
+    b1 = spark.createDataFrame(
+        [
+            # excerpt of held text AND carries the pinned frame hash AND
+            # dups doc 2 — precedence must read drop_contained
+            (1, " ".join(held_words[:10]), H0),
+            # frame grab (Hamming 1 of the pin) AND mutual near-dup with
+            # doc 7 — precedence must read drop_framegrab
+            (2, fresh(2), H0 ^ 1),
+            (7, fresh(7), H0 ^ 2),
+            (3, fresh(3), P),          # novel asset -> admit
+            (4, fresh(4), P ^ 1),      # intra-batch dup of 3 -> keeper 3
+        ],
+        "doc_id long, text string, phash long",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (5, fresh(5), P ^ 2),      # cross-batch dup of admitted 3
+            (6, fresh(6), (1 << 55) + 9),  # novel -> admit
+        ],
+        "doc_id long, text string, phash long",
+    )
+
+    state = str(tmp_path / "mmr")
+    with pytest.raises(ValueError, match="pin"):
+        MR.mm_release_batch(b1, state, 0)
+    assert MR.pin_mm_release_state(held, frames, state)
+
+    v1, m1 = MR.mm_release_batch(b1, state, 0)
+    got = {r.doc_id: (r.verdict, r.canonical_asset) for r in v1.collect()}
+    assert got[1] == ("drop_contained", None)
+    assert got[2] == ("drop_framegrab", None)
+    assert got[7] == ("drop_framegrab", None)
+    assert got[3] == ("admit", 3)
+    assert got[4] == ("drop_dup_asset", 3)
+    man1 = m1.collect()
+    assert len(man1) == 1 and man1[0].n_docs == 1 and man1[0].first_doc_id == 3
+
+    v2, _ = MR.mm_release_batch(b2, state, 1)
+    got2 = {r.doc_id: (r.verdict, r.canonical_asset) for r in v2.collect()}
+    assert got2[5] == ("drop_dup_asset", 3)  # min admitted index asset
+    assert got2[6] == ("admit", 6)
+
+    # replay batch 1: bit-identical verdicts (guards pin-only; admission
+    # excludes the batch's own appends; admitted assets Hamming-separated)
+    v1r, _ = MR.mm_release_batch(b1, state, 0)
+    assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v1r.collect()))
+
+    # the guard-dropped assets never entered the index: replaying a doc
+    # with doc 2's hash still reads FRAMEGRAB, not dup of 2
+    v3, _ = MR.mm_release_batch(
+        spark.createDataFrame([(8, fresh(8), H0 ^ 1)],
+                              "doc_id long, text string, phash long"),
+        state, 2,
+    )
+    assert v3.collect()[0].verdict == "drop_framegrab"
+
+    # stream wrapper: two files -> two batches, readers dedup exactly
+    state2 = str(tmp_path / "mmr2")
+    assert MR.pin_mm_release_state(held, frames, state2)
+    drop_dir = str(tmp_path / "mmr_drops")
+    b1.coalesce(1).write.mode("append").parquet(drop_dir)
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(drop_dir)
+
+    def run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string, phash long")
+            .option("maxFilesPerTrigger", 1)
+            .load(drop_dir)
+        )
+        q = MR.mm_release_stream(stream, state2).start()
+        q.awaitTermination(300)
+
+    run()
+    ver = MR.read_mm_release_verdicts(spark, state2)
+    assert ver.count() == 7
+    assert {r.verdict for r in ver.collect()} == {
+        "drop_contained", "drop_framegrab", "drop_dup_asset", "admit"
+    }
+    run()  # restart: checkpoint resumes, no duplicate verdicts
+    assert MR.read_mm_release_verdicts(spark, state2).count() == 7
+    assert MR.read_mm_release_manifest(spark, state2).count() == 2
+    MR.drop_mm_release_state(spark, state)
+    MR.drop_mm_release_state(spark, state2)
+
+
 # --- ST8: streaming histogram sketch ------------------------------------------
 def test_streaming_histogram_counts_merge_across_batches(spark, sf_dir, tmp_path):
     """Histogram bin counts are a MERGEABLE sketch, so the streaming form
