@@ -111,29 +111,123 @@ LOAD_WAIT_SEC = 600
 LOAD_POLL_SEC = 15
 
 
+# The 5-min average gates too (r14 VERDICT finding 1): both the r13 and
+# r14 inflated driver runs passed the 1-min-only gate while the 5-min
+# average read 2.7-3.0 — a DRAINING box whose co-tenant load returns in
+# bursts that miss a 1-min snapshot but land on the long 32-way queries.
+LOAD5_MAX = 2.5
+
+
 def _require_idle() -> list[float]:
-    """Block until the 1-min load drops under LOAD_MAX; return the loadavg
-    triple observed at pass time. That snapshot — not one taken after the
-    benchmark's own JVM has been warming up — is what load_avg.before
-    records, so the committed JSON answers 'was the MACHINE idle when the
-    run started', the question round-over-round comparability depends on."""
+    """Block until the 1-min load drops under LOAD_MAX AND the 5-min
+    average under LOAD5_MAX; return the loadavg triple observed at pass
+    time. That snapshot — not one taken after the benchmark's own JVM has
+    been warming up — is what load_avg.before records, so the committed
+    JSON answers 'was the MACHINE idle when the run started', the question
+    round-over-round comparability depends on."""
     if os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1":
         print("WARNING: load guard bypassed (SPARK_GRAFT_BENCH_FORCE=1)", file=sys.stderr)
         return list(os.getloadavg())
     deadline = time.time() + LOAD_WAIT_SEC
     while True:
-        load1 = os.getloadavg()[0]
-        if load1 < LOAD_MAX:
+        load1, load5, _ = os.getloadavg()
+        if load1 < LOAD_MAX and load5 < LOAD5_MAX:
             return list(os.getloadavg())
         if time.time() >= deadline:
             print(
-                f"ABORT: 1-min load {load1:.2f} >= {LOAD_MAX} after waiting "
-                f"{LOAD_WAIT_SEC}s — refusing to emit a noise-corrupted bench JSON",
+                f"ABORT: load {load1:.2f}/{load5:.2f} (1m/5m) >= "
+                f"{LOAD_MAX}/{LOAD5_MAX} after waiting {LOAD_WAIT_SEC}s — "
+                "refusing to emit a noise-corrupted bench JSON",
                 file=sys.stderr,
             )
             sys.exit(3)
-        print(f"load {load1:.2f} >= {LOAD_MAX}; waiting for idle...", file=sys.stderr)
+        print(
+            f"load {load1:.2f}/{load5:.2f} (1m/5m) over gate; waiting for idle...",
+            file=sys.stderr,
+        )
         time.sleep(LOAD_POLL_SEC)
+
+
+# --- window calibration (r14 VERDICT finding 1) -----------------------------------
+# The probe calibration below times two SHORT workloads once, before the
+# tier — bursty co-tenant load that misses the probes but lands on the
+# long 32-way queries passes as "host at reference speed" (r14: driver
+# scalar 1.0057 on a run reading 18.7 s where idle runs read 14.5-15.4).
+# The WINDOW calibration instead measures the whole bench span from
+# cumulative /proc/stat counters: busy jiffies are snapshotted around
+# every query's timed section, OUR OWN process tree's jiffies (this
+# python + the Spark JVM it owns) are subtracted, and what remains is
+# CPU burned by other tenants INSIDE the measured window — per query and
+# for the whole run. other_cores is directly interpretable: 0 = clean,
+# 2.0 = two stolen cores for the window's whole duration. Caveat: a
+# co-tenant process that STARTS AND EXITS entirely inside one window
+# under-counts (its jiffies vanish from /proc when it dies); sub-window
+# churn shorter than a query is rare for the builds/CI that actually
+# contend on this box, and the whole-run window catches what per-query
+# windows miss.
+_HZ = os.sysconf("SC_CLK_TCK")
+_NCPU = os.cpu_count() or 1
+
+
+def _machine_busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return sum(vals) - idle
+
+
+def _tree_jiffies() -> int:
+    """utime+stime summed over this process and every live descendant
+    (the Spark JVM and its children live under us)."""
+    me = os.getpid()
+    ppid_of: dict[int, int] = {}
+    cpu_of: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        # field 2 (comm) may contain spaces/parens — split after the LAST ')'
+        rest = s[s.rindex(")") + 2 :].split()
+        pid = int(d)
+        ppid_of[pid] = int(rest[1])
+        cpu_of[pid] = int(rest[11]) + int(rest[12])  # utime + stime
+    total = 0
+    for pid, cpu in cpu_of.items():
+        p = pid
+        for _ in range(64):  # ancestor walk, bounded
+            if p == me:
+                total += cpu
+                break
+            p = ppid_of.get(p, 0)
+            if p <= 1:
+                break
+    return total
+
+
+class _Window:
+    """Snapshot-delta window: other-tenant CPU cores burned while open."""
+
+    def __init__(self) -> None:
+        self.t0 = time.time()
+        self.b0 = _machine_busy_jiffies()
+        self.o0 = _tree_jiffies()
+
+    def close(self) -> dict:
+        wall = max(time.time() - self.t0, 1e-6)
+        busy = (_machine_busy_jiffies() - self.b0) / _HZ / wall
+        own = (_tree_jiffies() - self.o0) / _HZ / wall
+        other = max(busy - own, 0.0)
+        return {
+            "wall_s": round(wall, 3),
+            "busy_cores": round(busy, 2),
+            "own_cores": round(own, 2),
+            "other_cores": round(other, 2),
+        }
 
 
 # Host-speed calibration (r13 VERDICT finding 1): the 12.1–19.1 s headline
@@ -182,11 +276,15 @@ def _calibrate(spark) -> dict:
         assert n == (4_000_000_000 // 1000) * 499_500
         return time.time() - t0
 
-    cpu_s = round(min(cpu_once() for _ in range(3)), 3)
-    spark_s = round(min(spark_once() for _ in range(3)), 3)
+    cpu_reps = [round(cpu_once(), 3) for _ in range(3)]
+    spark_reps = [round(spark_once(), 3) for _ in range(3)]
+    cpu_s, spark_s = min(cpu_reps), min(spark_reps)
     return {
         "cpu_s": cpu_s,
         "spark_s": spark_s,
+        # per-rep raws make the normalization itself auditable (r14 ADVICE)
+        "cpu_reps": cpu_reps,
+        "spark_reps": spark_reps,
         "cpu_ref_s": CALIB_CPU_REF_S,
         "spark_ref_s": CALIB_SPARK_REF_S,
         "scalar": round((cpu_s / CALIB_CPU_REF_S + spark_s / CALIB_SPARK_REF_S) / 2, 4),
@@ -218,6 +316,56 @@ def _reset_session_memos(spark=None) -> None:
         spark.catalog.clearCache()
         gc.collect()  # drop py4j refs so the JVM side becomes collectable
         spark._jvm.System.gc()
+
+
+def _st16_steady_state(spark, sf_dir: str, windows: dict) -> dict:
+    """st16 STEADY-STATE: per-batch admission latency with the pins and
+    curation indexes already built OUTSIDE the timed window — the number a
+    100 TB deployment actually cares about (the full-lifecycle st16 tier
+    entry pays two pin builds + two index lifecycles per measurement and
+    is the most host-exposed query in the tier; its 44-109 s idle spread
+    is all lifecycle). Batch 1 runs untimed (builds the indexes and warms
+    the probe paths); batch 2's full guarded body is then timed min-of-N.
+    Timed replays append duplicate index rows — admission-neutral by the
+    replay contract (verdicts bit-identical), and min-of-N lands on the
+    first rep before the file-count growth matters."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.llmdata import corpus as CP
+    from pdf_etl_pipeline_spark.session import load_table
+    from pdf_etl_pipeline_spark.streaming.contamination_guard import pin_benchmark
+    from pdf_etl_pipeline_spark.streaming.corpus_builder import (
+        LEAKAGE_SUBDIR,
+        build_corpus_batch,
+        drop_builder_state,
+    )
+    from pdf_etl_pipeline_spark.streaming.leakage_guard import pin_heldout
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = CP.split_stage(F.col("doc_id"))
+    bench_docs = docs.filter(F.col("doc_id") % CP.BENCH_MOD == 0)
+    heldout = docs.filter(stage >= 1)
+    corpus = docs.filter((F.col("doc_id") % CP.BENCH_MOD != 0) & (stage == 0))
+    split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    b1 = corpus.filter(F.col("doc_id") < split)
+    b2 = corpus.filter(F.col("doc_id") >= split)
+    tmp = tempfile.mkdtemp(prefix="st16_steady_")
+    try:
+        assert pin_benchmark(bench_docs, tmp)
+        assert pin_heldout(heldout, os.path.join(tmp, LEAKAGE_SUBDIR))
+        build_corpus_batch(b1, tmp, batch_id=0, leakage_guard=True)  # untimed
+        raw: list[float] = []
+        w = _Window()
+        for _ in range(RUNS):
+            t0 = time.time()
+            build_corpus_batch(b2, tmp, batch_id=1, leakage_guard=True)
+            raw.append(round(time.time() - t0, 3))
+        windows["st16_steady_batch"] = w.close()
+    finally:
+        drop_builder_state(spark, tmp)
+    return {"st16_steady_batch": min(raw), "runs": raw}
 
 
 def main() -> None:
@@ -259,6 +407,11 @@ def main() -> None:
 # honest treatment, and two extra ~90 s untimed passes only widen the
 # idle window every other query depends on.
 
+    # per-query other-tenant CPU windows (finding 1 — the contention signal
+    # the probe scalar can't see); run_window spans every timed section
+    windows: dict[str, dict] = {}
+    run_window = _Window()
+
     def run_set(names: list[str]) -> dict[str, float]:
         times: dict[str, float] = {}
         for name in names:
@@ -272,18 +425,34 @@ def main() -> None:
                 _reset_session_memos(spark)
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             raw: list[float] = []
+            w = _Window()
             for _ in range(RUNS):
                 _reset_session_memos(spark)
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 raw.append(round(time.time() - t0, 3))
+            windows[name] = w.close()
             runs_detail[name] = raw
             times[name] = min(raw)
         return times
 
     times = run_set(BENCH_QUERIES)
     extended = run_set(EXTENDED_QUERIES)
+    steady = _st16_steady_state(spark, sf_dir, windows)
+    win_total = run_window.close()
     load_after = os.getloadavg()
+    # the per-window availability scalar: fraction of the box's cores NOT
+    # burned by other tenants during the measured spans. 1.0 = clean run;
+    # the r14 failure mode (probe scalar ~1.0, wall-clocks inflated) now
+    # reads as avail < 1 with the guilty queries' windows carrying the
+    # other_cores. Diagnostic next to the probe calib — raw totals stay
+    # the headline.
+    worst_other = max((w["other_cores"] for w in windows.values()), default=0.0)
+    calib["window"] = {
+        "run": win_total,
+        "avail_scalar": round(max(_NCPU - win_total["other_cores"], 0.0) / _NCPU, 4),
+        "worst_query_other_cores": worst_other,
+    }
 
     total = round(sum(times.values()), 3)
     load_avg = {
@@ -304,18 +473,24 @@ def main() -> None:
                 # tier; see ROTATED_OUT) — extended_total is NOT comparable
                 # to pre-r12 artifacts; the headline composition is unchanged
                 "extended_tier": "r13-fixed",
+                "steady": steady,
                 "sf": sf,
                 "runs": RUNS,
                 "runs_detail": runs_detail,
+                "windows": windows,
                 "load_avg": load_avg,
                 "calib": calib,
+                # diagnostic, never the headline (r14 ADVICE): raw totals
+                # are the comparable number; value_norm only contextualizes
+                # a slow-host reading, and the window scalar flags it
                 "value_norm": round(total / calib["scalar"], 3),
             }
         )
     )
     # ...compact headline LAST (the driver's bounded tail capture parses
     # the final JSON line; keep this one small by construction — no
-    # runs_detail, no per-extended-query map)
+    # runs_detail, no per-extended-query map, probe-calib scalar + window
+    # availability only)
     print(
         json.dumps(
             {
@@ -324,10 +499,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "extended_total": round(sum(extended.values()), 3),
+                "st16_steady": steady["st16_steady_batch"],
                 "sf": sf,
                 "runs": RUNS,
                 "load_avg": load_avg,
-                "calib": calib,
+                "calib": {
+                    "scalar": calib["scalar"],
+                    "window_avail": calib["window"]["avail_scalar"],
+                    "window_other_cores": calib["window"]["run"]["other_cores"],
+                },
                 "value_norm": round(total / calib["scalar"], 3),
             }
         )

@@ -1,0 +1,46 @@
+"""Pins bench.py's window calibration (r14 VERDICT finding 1): the
+/proc/stat snapshot-delta window must SEPARATE our own process tree's CPU
+from other tenants' — that separation is what lets a committed bench JSON
+prove (or indict) host contention the short pre-run probes can't see."""
+
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+_BURN = "import time\nend = time.time() + 3\nwhile time.time() < end: pass"
+
+
+def test_window_counts_own_tree_as_own():
+    """A burner that IS our child (like the Spark JVM) lands in own_cores,
+    not other_cores — our own 32-way queries must never read as foreign
+    load."""
+    p = subprocess.Popen([sys.executable, "-c", _BURN])
+    try:
+        w = bench._Window()
+        time.sleep(2.5)
+        r = w.close()
+    finally:
+        p.wait()
+    assert r["own_cores"] > 0.5, r
+
+
+def test_window_detects_external_load():
+    """A burner reparented OUTSIDE our tree (double-fork) lands in
+    other_cores — the r14 failure mode (co-tenant load inflating
+    wall-clocks while the probe scalar read 'host at reference speed')
+    is now measured, not adjudicated."""
+    outer = (
+        "import subprocess, sys; "
+        f"subprocess.Popen([sys.executable, '-c', {_BURN!r}])"
+    )
+    p = subprocess.Popen([sys.executable, "-c", outer])
+    p.wait()  # middle process exits -> burner reparents away from our tree
+    w = bench._Window()
+    time.sleep(2.5)
+    r = w.close()
+    assert r["other_cores"] > 0.5, r
