@@ -38,10 +38,18 @@ _ROTATING_SLOTS = 10
 
 
 def _round_index() -> int:
-    """Next round number, read from the committed CORRECTNESS_r*.json
-    artifacts beside this file — deterministic within a round, advances
-    between rounds."""
+    """Current round number, read from the COMMITTED ``ROUND`` file beside
+    this file (bumped once per round by hand — source-controlled, so a
+    clean checkout rotates identically to the working tree; r14 ADVICE:
+    seeding from artifact globs silently reset the window to round 0 on
+    a checkout without artifacts). Falls back to the CORRECTNESS_r*.json
+    glob only when ROUND is absent."""
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "ROUND")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        pass
     ns = [
         int(m.group(1))
         for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
