@@ -24,39 +24,61 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _cc13_tiny_window_input(plan: str) -> list[str]:
-    """cc13's partition-less offsets window is safe ONLY because its input
-    is the per-(stage, bkt) aggregate (stages x 64 rows) — same contract as
-    pk1; a refactor globalizing a raw-corpus sort must fail here."""
+# Physical-plan lines that can legitimately sit BETWEEN a SinglePartition
+# exchange and the tiny per-bucket aggregate feeding it: pure rendering /
+# runtime indirection, never an operator that changes what flows through.
+_PLAN_DECOR = ("WholeStageCodegen", "InputAdapter", "ReusedExchange", "AQEShuffleRead")
+
+
+def _sp_fed_by_bucket_agg(
+    plan: str, key_markers: tuple[str, ...], lookahead: int = 4
+) -> list[str]:
+    """Every ``Exchange SinglePartition`` must be fed by a HashAggregate on
+    one of ``key_markers`` (the tiny per-bucket offsets relation) — the
+    partition-less window downstream is safe ONLY because its input is
+    #buckets rows, not the raw corpus. The plan is split ONCE and the
+    feeding aggregate searched within a small look-ahead window that skips
+    decoration-only lines (codegen annotations, ReusedExchange indirection),
+    so a cosmetic plan-rendering change can't turn the audit into a false
+    failure (r14 ADVICE)."""
     lines = plan.splitlines()
     idxs = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
     if not idxs:
         return ["missing: Exchange SinglePartition (the tiny offsets cumsum)"]
-    return [
-        "SinglePartition exchange not fed by HashAggregate(keys=[stage,bkt...]) — "
-        "the partition-less window would sort the raw corpus"
-        for i in idxs
-        if i + 1 >= len(lines) or "HashAggregate(keys=[stage" not in lines[i + 1]
-    ]
+    markers = tuple(f"HashAggregate(keys=[{k}" for k in key_markers)
+    bad = []
+    for i in idxs:
+        fed = False
+        for j in range(i + 1, min(i + 1 + lookahead, len(lines))):
+            ln = lines[j]
+            if any(m in ln for m in markers):
+                fed = True
+                break
+            if not any(d in ln for d in _PLAN_DECOR):
+                break  # first substantive line is NOT the bucket aggregate
+        if not fed:
+            bad.append(
+                "SinglePartition exchange not fed by a per-bucket "
+                f"HashAggregate(keys=[{'|'.join(key_markers)}...]) — the "
+                "partition-less window would sort the raw corpus"
+            )
+    return bad
+
+
+def _cc13_tiny_window_input(plan: str) -> list[str]:
+    """cc13's partition-less offsets window is safe ONLY because its input
+    is the per-(stage, bkt) aggregate (stages x 64 rows) — same contract as
+    pk1; a refactor globalizing a raw-corpus sort must fail here."""
+    return _sp_fed_by_bucket_agg(plan, ("stage",))
 
 
 def _pk1_tiny_window_input(plan: str) -> list[str]:
     """The partition-less offsets window is safe ONLY because its input is
     the per-bucket aggregate (#buckets rows), not the raw corpus. Assert
     the structure, not the comment: every SinglePartition exchange in the
-    plan must be fed DIRECTLY by the HashAggregate on bkt, so a refactor
-    that globalizes a full-corpus sort fails the audit instead of shipping.
-    """
-    lines = plan.splitlines()
-    idxs = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
-    if not idxs:
-        return ["missing: Exchange SinglePartition (the tiny offsets cumsum)"]
-    return [
-        "SinglePartition exchange not fed by HashAggregate(keys=[bkt...]) — "
-        "the partition-less window would sort the raw corpus"
-        for i in idxs
-        if i + 1 >= len(lines) or "HashAggregate(keys=[bkt" not in lines[i + 1]
-    ]
+    plan must be fed by the HashAggregate on bkt, so a refactor that
+    globalizes a full-corpus sort fails the audit instead of shipping."""
+    return _sp_fed_by_bucket_agg(plan, ("bkt",))
 
 
 _FORGET_TMP: dict = {}
@@ -350,14 +372,51 @@ def _st17_probe_df(spark, sf_dir):
     return _ST17_AUDIT_TMP["df"]
 
 
+_ST20_AUDIT_TMP: dict = {}
+
+
+def _st20_resolve_body_df(spark, sf_dir):
+    """st20's NEW plan fragment (its guards are covered by the st18/st19
+    body audits; its admission append by st17's): the canonical-keeper
+    RESOLUTION — the pruned-partition index probe with the MIN-asset
+    aggregate that redirects a deduped doc to the asset the release
+    actually ships."""
+    if "df" not in _ST20_AUDIT_TMP:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from pdf_etl_pipeline_spark.catalog.multimodal_q import _st20_doc_assets
+        from pdf_etl_pipeline_spark.llmdata.mm_ingest import (
+            mm_admission_canonicals,
+            mm_ingest_batch,
+        )
+        from pdf_etl_pipeline_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        assets = _st20_doc_assets(docs).select(
+            F.col("doc_id").alias("asset_id"), F.col("phash").alias("h")
+        )
+        split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+        ix = tempfile.mkdtemp(prefix="st20_audit_")
+        mm_ingest_batch(
+            assets.filter(F.col("asset_id") < split), ix, hash_col="h"
+        )
+        _ST20_AUDIT_TMP["df"] = mm_admission_canonicals(
+            spark, assets.filter(F.col("asset_id") >= split), ix
+        )
+    return _ST20_AUDIT_TMP["df"]
+
+
 _ST19_AUDIT_TMP: dict = {}
 
 
 def _st19_probe_df(spark, sf_dir):
     """st19's per-batch screen against a real pinned containment index:
-    token hashing + the pin-df prefix window (doc_id-partitioned),
-    prefix×postings equi-joins, exact verify on survivors, one keyed
-    verdict aggregate — no corpus window, no nested loop, no Python."""
+    token hashing + the pin-df rank window (doc_id-partitioned),
+    prefix×postings equi-joins with the positional/length pre-filters,
+    exact verify on survivors, one keyed verdict aggregate — no corpus
+    window, no nested loop, no Python."""
     if "df" not in _ST19_AUDIT_TMP:
         import tempfile
 
@@ -374,11 +433,11 @@ def _st19_probe_df(spark, sf_dir):
         split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
         state = tempfile.mkdtemp(prefix="st19_audit_")
         pin_containment_index(docs.filter(F.col("doc_id") < split), state)
-        toks_p, prefix_p, df_p = _cont_paths(state)
+        toks_p, posts_p, df_p = _cont_paths(state)
         _ST19_AUDIT_TMP["df"] = containment_batch_df(
             docs.filter(F.col("doc_id") >= split),
             spark.read.parquet(toks_p),
-            spark.read.parquet(prefix_p),
+            spark.read.parquet(posts_p),
             spark.read.parquet(df_p),
         )
     return _ST19_AUDIT_TMP["df"]
@@ -475,6 +534,57 @@ def _g2a_sample_before_join(plan: str) -> list[str]:
     if "md5(" not in plan:
         return ["missing: the md5 sampling predicate"]
     return [f"md5 draw not over raw edge columns: {l}" for l in bad]
+
+
+_CC17_AUDIT_TMP: dict = {}
+
+
+def _cc17_diff_body_df(spark, sf_dir):
+    """cc17's real body: v1's manifest persisted to disk (as a shipped
+    release would be), v2 built fresh, the diff read LAZILY so the audit
+    sees the join plan — v1 must enter as a column-pruned parquet scan."""
+    if "df" not in _CC17_AUDIT_TMP:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from pdf_etl_pipeline_spark.catalog.curation_q import (
+            release_diff_stored,
+            release_manifest_df,
+            release_write,
+        )
+        from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+        from pdf_etl_pipeline_spark.llmdata.dedup import minhash_lsh_pairs
+        from pdf_etl_pipeline_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        cut = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+        docs1 = docs.filter(F.col("doc_id") < cut)
+        path = tempfile.mkdtemp(prefix="cc17_audit_v1_")
+        release_write(
+            release_manifest_df(docs1, minhash_lsh_pairs(docs1, 0.9, materialize=True)),
+            path,
+        )
+        v2 = release_manifest_df(docs, shared_pairs(spark, sf_dir, 0.9))
+        _CC17_AUDIT_TMP["df"] = release_diff_stored(spark, path, v2)
+    return _CC17_AUDIT_TMP["df"]
+
+
+def _cc17_v1_is_scan(plan: str) -> list[str]:
+    """The v1 side must be a parquet SCAN of the persisted manifest, pruned
+    to the diff's columns — a ReadSchema still carrying the build-side
+    columns (quality_score/n_tokens/start_offset) means pruning regressed;
+    no scan line at all means the operator silently rebuilt v1."""
+    scans = [
+        ln for ln in plan.splitlines() if "Scan parquet" in ln and "cc17_audit_v1" in ln
+    ]
+    if not scans:
+        return ["v1 side is not a scan of the persisted manifest (rebuild?)"]
+    return [
+        f"v1 manifest scan not column-pruned: {ln.strip()[:120]}"
+        for ln in scans
+        if any(c in ln for c in ("quality_score", "n_tokens", "start_offset"))
+    ]
 
 
 _TK5_BATCH = [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")]
@@ -684,19 +794,7 @@ CHECKS = {
         # per-bucket aggregates, never a raw-corpus sort
         "must": ["Window", "BroadcastHashJoin", "HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
-        "check": lambda plan: [
-            "SinglePartition exchange not fed by a per-bucket HashAggregate — "
-            "a partition-less window would sort the raw corpus"
-            for i, l in enumerate(plan.splitlines())
-            if "Exchange SinglePartition" in l
-            and not (
-                i + 1 < len(plan.splitlines())
-                and (
-                    "HashAggregate(keys=[stage" in plan.splitlines()[i + 1]
-                    or "HashAggregate(keys=[bkt" in plan.splitlines()[i + 1]
-                )
-            )
-        ],
+        "check": lambda plan: _sp_fed_by_bucket_agg(plan, ("stage", "bkt")),
     },
     "cc15_multimodal_release": {
         # cc14's audited release plan + two per-modality keeper joins on
@@ -705,19 +803,7 @@ CHECKS = {
         # by the tiny per-bucket aggregates, never a raw-corpus sort
         "must": ["Window", "BroadcastHashJoin", "HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
-        "check": lambda plan: [
-            "SinglePartition exchange not fed by a per-bucket HashAggregate — "
-            "a partition-less window would sort the raw corpus"
-            for i, l in enumerate(plan.splitlines())
-            if "Exchange SinglePartition" in l
-            and not (
-                i + 1 < len(plan.splitlines())
-                and (
-                    "HashAggregate(keys=[stage" in plan.splitlines()[i + 1]
-                    or "HashAggregate(keys=[bkt" in plan.splitlines()[i + 1]
-                )
-            )
-        ],
+        "check": lambda plan: _sp_fed_by_bucket_agg(plan, ("stage", "bkt")),
     },
     "cc16_release_diff": {
         # two audited cc14 manifest plans + one full-outer equi-join on
@@ -726,19 +812,17 @@ CHECKS = {
         # copies), never a raw-corpus sort; no Python, no cartesian
         "must": ["Window", "HashAggregate", "SortMergeJoin"],
         "must_not": ["BatchEvalPython", "CartesianProduct"],
-        "check": lambda plan: [
-            "SinglePartition exchange not fed by a per-bucket HashAggregate — "
-            "a partition-less window would sort the raw corpus"
-            for i, l in enumerate(plan.splitlines())
-            if "Exchange SinglePartition" in l
-            and not (
-                i + 1 < len(plan.splitlines())
-                and (
-                    "HashAggregate(keys=[stage" in plan.splitlines()[i + 1]
-                    or "HashAggregate(keys=[bkt" in plan.splitlines()[i + 1]
-                )
-            )
-        ],
+        "check": lambda plan: _sp_fed_by_bucket_agg(plan, ("stage", "bkt")),
+    },
+    "cc17_stored_release_diff": {
+        # ONE audited cc14 build (v2) + a column-pruned parquet scan of the
+        # persisted v1 + the full-outer equi-join — the v1 side must be a
+        # SCAN, never a rebuild (that is cc17's entire reason to exist)
+        "build": _cc17_diff_body_df,
+        "must": ["Window", "HashAggregate"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: _sp_fed_by_bucket_agg(plan, ("stage", "bkt"))
+        + _cc17_v1_is_scan(plan),
     },
     "tx7_unigram_logprob": {
         # corpus-total must join back as a 1-row broadcast (BNLJ over a
@@ -1665,6 +1749,30 @@ CHECKS = {
             "Window",
         ],
         "check": lambda plan: _no_global_sort(plan),
+    },
+    "st20_canonical_resolution_body": {
+        # st20's keeper resolution probe: the index bands scan must carry
+        # a band_idx PartitionFilter, the candidate+verify is ONE hash
+        # equi-join with the codegen popcount filter, the resolution is
+        # one keyed MIN aggregate — no window, no nested loop, no Python
+        "build": _st20_resolve_body_df,
+        "must": ["HashAggregate"],
+        "must_not": [
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "Window",
+        ],
+        "check": lambda plan: _no_global_sort(plan)
+        + (
+            []
+            if any(
+                "PartitionFilters:" in l and "band_idx#" in l
+                for l in plan.splitlines()
+            )
+            else ["index bands scan lacks a band_idx PartitionFilter"]
+        ),
     },
     "st17_ingest_batch_probe": {
         # st17's foreachBatch admission probe: the index bands scan must

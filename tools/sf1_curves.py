@@ -54,16 +54,38 @@ SCALES = {"1x": 1, "10x": 10, "100x": 100, "1000x": 1000}
 BASE = {"documents": 500, "events": 10_000, "embeddings": 500, "lineitem": 60_000}
 
 
-def gen_documents(n: int, seed: int = 11, dup_rate: float = 0.10) -> pd.DataFrame:
+def gen_documents(
+    n: int, seed: int = 11, dup_rate: float = 0.10, vocab: str = "ns"
+) -> pd.DataFrame:
+    """``vocab='ns'`` (default): per-doc token namespaces + planted
+    near-copies — the dup-controlled regime. ``vocab='zipf<s>'`` (e.g.
+    ``zipf1.0``): tokens drawn from a Zipf(s) distribution over a
+    Heaps-law vocabulary (V ~ 30·√n) — the MID-SKEW regime where common
+    tokens land in many prefixes and PPJoin's positional/length filters
+    earn their keep (r15: bounding the dd15/st19 filter win). Near-copy
+    planting applies in both modes so true containment pairs exist."""
     rng = np.random.default_rng(seed)
     rows = []
     n_tok = 40
+    zipf_s = float(vocab[4:]) if vocab.startswith("zipf") else None
+    if zipf_s is not None:
+        V = max(1_000, 30 * int(math.sqrt(n)))
+        p = 1.0 / np.arange(1, V + 1) ** zipf_s
+        p /= p.sum()
     for i in range(n):
         if i > 0 and rng.random() < dup_rate:
             src = int(rng.integers(0, i))
-            base = [f"d{src}t{k}" for k in range(n_tok)]
+            if zipf_s is not None:
+                # near-copy of src's ACTUAL zipf-drawn text
+                base = list(rows[src][1].split())
+            else:
+                # src's pristine namespace (bit-identical to the pre-r15
+                # generator — decade numbers stay comparable across rounds)
+                base = [f"d{src}t{k}" for k in range(n_tok)]
             for k in rng.choice(n_tok, size=2, replace=False):
                 base[int(k)] = f"d{i}r{int(k)}"
+        elif zipf_s is not None:
+            base = [f"z{int(k)}" for k in rng.choice(V, size=n_tok, p=p)]
         else:
             base = [f"d{i}t{k}" for k in range(n_tok)]
         text = " ".join(base)
@@ -123,9 +145,12 @@ GENS = {
 
 
 def ensure_corpus(
-    spark, workdir: str, tag: str, mult: int, dup_rate: float = 0.10, tables=None
+    spark, workdir: str, tag: str, mult: int, dup_rate: float = 0.10, tables=None,
+    vocab: str = "ns",
 ) -> str:
     sub = f"scale_{tag}" if dup_rate == 0.10 else f"scale_hd{int(dup_rate * 100)}_{tag}"
+    if vocab != "ns":
+        sub = f"scale_{vocab}_{tag}"
     d = os.path.join(workdir, sub)
     os.makedirs(d, exist_ok=True)
     for name, gen in GENS.items():
@@ -134,7 +159,7 @@ def ensure_corpus(
         path = os.path.join(d, f"{name}.parquet")
         if not os.path.exists(path):
             if name == "documents":
-                pdf = gen(BASE[name] * mult, dup_rate=dup_rate)
+                pdf = gen(BASE[name] * mult, dup_rate=dup_rate, vocab=vocab)
             else:
                 pdf = gen(BASE[name] * mult)
             if name == "embeddings":
@@ -302,6 +327,14 @@ def main() -> None:
         "st19_containment_guard": __import__(
             "pdf_etl_pipeline_spark.catalog.dedup_q", fromlist=["st19_containment_guard"]
         ).st19_containment_guard,
+        "st20_mm_release_verdicts": __import__(
+            "pdf_etl_pipeline_spark.catalog.multimodal_q",
+            fromlist=["st20_mm_release_verdicts"],
+        ).st20_mm_release_verdicts,
+        "cc17_stored_release_diff": __import__(
+            "pdf_etl_pipeline_spark.catalog.curation_q",
+            fromlist=["cc17_stored_release_diff"],
+        ).cc17_stored_release_diff,
     }
     # optional comma-separated substring filter (argv[3]): measure a
     # subset without paying for the whole battery
@@ -318,11 +351,16 @@ def main() -> None:
     # a full 1000x corpus (60M-row lineitem) buys nothing there
     tables = sys.argv[5].split(",") if len(sys.argv) > 5 else None
 
+    # optional vocabulary mode (argv[6]): 'ns' (default) or 'zipf<s>' —
+    # the mid-skew regime for the dd15/st19 positional-filter bound
+    vocab = sys.argv[6] if len(sys.argv) > 6 else "ns"
+
     dirs = {}
     for tag, mult in SCALES.items():
         if mult <= cap:
             dirs[tag] = ensure_corpus(
-                spark, workdir, tag, mult, dup_rate=dup_rate, tables=tables
+                spark, workdir, tag, mult, dup_rate=dup_rate, tables=tables,
+                vocab=vocab,
             )
             print(f"corpus {tag} ready at {dirs[tag]}", file=sys.stderr)
 
