@@ -1206,6 +1206,20 @@ ORDER BY d.doc_id"""
 CONTAINMENT_THRESHOLD = 0.9
 
 
+def ppjoin_threshold_micro(threshold: float) -> int:
+    """The containment threshold scaled to MICROS, decimal-exact (the
+    float 0.9 reprs as '0.9', never 0.8999…): all per-row PPJoin bound
+    arithmetic is then exact long multiply/compare — no per-row decimals
+    (BigDecimal codegen, measured 6× the join cost), no float floors."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        (Decimal(repr(threshold)) * 1_000_000).to_integral_value(
+            rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def ppjoin_candidates(
     hashed: DataFrame,
     threshold: float = CONTAINMENT_THRESHOLD,
@@ -1228,13 +1242,21 @@ def ppjoin_candidates(
     ranked = sized.withColumn(
         "_r", F.row_number().over(W.partitionBy("doc_id").orderBy("_df", "h"))
     )
-    # prefix length floor((1-t)·n) + 1 in DECIMAL arithmetic: the double
-    # 1 - 0.9 is 0.0999…98, so float floor((1-t)·10) reads 0 not 1 and the
-    # prefix silently misses exact-boundary pairs (inter/min == t) — the
-    # decimal-exact discipline of dec_sum, applied to the bound itself
-    one_minus_t = F.lit(1).cast("decimal(12,6)") - F.lit(threshold).cast("decimal(12,6)")
-    plen = F.floor(F.col("_n").cast("decimal(24,6)") * one_minus_t) + 1
-    prefix = ranked.filter(F.col("_r") <= plen).select("doc_id", "h", "_r", "_n")
+    # exact threshold arithmetic in scaled LONGS: the double 1 - 0.9 is
+    # 0.0999...98, so float floor((1-t)*10) reads 0 not 1 and the prefix
+    # silently misses exact-boundary pairs (inter/min == t). t is scaled
+    # to micros ONCE (driver-side, decimal-exact) and every per-row
+    # comparison is integer multiply/compare -- the earlier decimal(24,6)
+    # per-row arithmetic rode Spark's BigDecimal codegen path and cost 6x
+    # the join it was filtering (measured, dup-saturated sf0.1 corpus)
+    t_micro = ppjoin_threshold_micro(threshold)
+    # prefix condition _r <= floor((1-t)*n) + 1, division-free:
+    # _r - 1 <= floor(n*(1e6 - t_micro) / 1e6)  <=>
+    # (_r - 1) * 1e6 <= n*(1e6 - t_micro)   (exact long comparison)
+    prefix = ranked.filter(
+        (F.col("_r") - 1) * F.lit(1_000_000)
+        <= F.col("_n") * F.lit(1_000_000 - t_micro)
+    ).select("doc_id", "h", "_r", "_n")
     posts = ranked.select("doc_id", "h", "_r", "_n")
     cond = (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id"))
     if length_filter:
@@ -1243,17 +1265,17 @@ def ppjoin_candidates(
         cond = cond & (F.col("a._n") <= F.col("b._n"))
     joined = prefix.alias("a").join(posts.alias("b"), cond)
     if positional_filter:
-        # positional upper bound on |A∩B| for a match at ranks (ra, rb):
-        # min(ra-1, rb-1) common tokens can precede h + h itself + the
-        # shorter remaining suffix; required overlap t·min(na, nb) decimal
+        # positional upper bound on |A intersect B| for a match at ranks
+        # (ra, rb): min(ra-1, rb-1) common tokens can precede h + h itself
+        # + the shorter remaining suffix; required overlap t*min(na, nb),
+        # exact in scaled longs
         pos_bound = F.least(F.col("a._r"), F.col("b._r")) + F.least(
             F.col("a._n") - F.col("a._r"), F.col("b._n") - F.col("b._r")
         )
-        req_overlap = (
-            F.least(F.col("a._n"), F.col("b._n")).cast("decimal(24,6)")
-            * F.lit(threshold).cast("decimal(12,6)")
+        joined = joined.filter(
+            pos_bound * F.lit(1_000_000)
+            >= F.lit(t_micro) * F.least(F.col("a._n"), F.col("b._n"))
         )
-        joined = joined.filter(pos_bound.cast("decimal(24,6)") >= req_overlap)
     return joined.select(
         F.least("a.doc_id", "b.doc_id").alias("doc_a"),
         F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),

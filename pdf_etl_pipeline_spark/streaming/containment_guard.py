@@ -76,11 +76,17 @@ def _ranked_of(hashed: DataFrame, dfreq: DataFrame) -> DataFrame:
     ).select("doc_id", "h", "_r", "_n")
 
 
-def _plen(threshold: float):
-    """PPJoin prefix length floor((1−t)·_n)+1 in decimal-exact arithmetic
-    (dd15's float-trap fix: the double 1−0.9 is 0.0999…98)."""
-    one_minus_t = F.lit(1).cast("decimal(12,6)") - F.lit(threshold).cast("decimal(12,6)")
-    return F.floor(F.col("_n").cast("decimal(24,6)") * one_minus_t) + 1
+def _prefix_cond(threshold: float, r="_r", n="_n"):
+    """The PPJoin prefix condition ``rank <= floor((1−t)·n)+1`` as an
+    exact division-free LONG comparison (dd15's discipline: threshold
+    scaled to micros once, per-row arithmetic stays integer — never
+    per-row decimals, never float floors)."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import ppjoin_threshold_micro
+
+    t_micro = ppjoin_threshold_micro(threshold)
+    return (F.col(r) - 1) * F.lit(1_000_000) <= F.col(n) * F.lit(
+        1_000_000 - t_micro
+    )
 
 
 def pin_containment_index(held_docs: DataFrame, state_dir: str,
@@ -141,19 +147,19 @@ def containment_batch_df(
     length filter (only the smaller set's prefix is load-bearing) and
     positional overlap bound before the exact containment verify touches
     the survivors. ``unit_col`` must match the pin's."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import ppjoin_threshold_micro
+
     hashed = _hashed_units(batch_docs, unit_col)
     my_ranked = _ranked_of(hashed, pinned_df)
-    plen = _plen(threshold)
-    my_prefix = my_ranked.filter(F.col("_r") <= plen)
-    pin_prefix = pinned_posts.filter(F.col("_r") <= plen)
+    my_prefix = my_ranked.filter(_prefix_cond(threshold))
+    pin_prefix = pinned_posts.filter(_prefix_cond(threshold))
+    t_micro = ppjoin_threshold_micro(threshold)
     pos_bound = F.least(F.col("a._r"), F.col("p._r")) + F.least(
         F.col("a._n") - F.col("a._r"), F.col("p._n") - F.col("p._r")
     )
-    req_overlap = (
-        F.least(F.col("a._n"), F.col("p._n")).cast("decimal(24,6)")
-        * F.lit(threshold).cast("decimal(12,6)")
+    bound_ok = pos_bound * F.lit(1_000_000) >= F.lit(t_micro) * F.least(
+        F.col("a._n"), F.col("p._n")
     )
-    bound_ok = pos_bound.cast("decimal(24,6)") >= req_overlap
     c1 = (
         my_prefix.alias("a")
         .join(
