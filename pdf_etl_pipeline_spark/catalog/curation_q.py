@@ -1307,6 +1307,16 @@ def cc16_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inputs (oracle + test).
 
 
+# the cc14 manifest row shape — also the explicit read schema, so a
+# release that shipped ZERO documents (legal: a curation gate can reject
+# an entire drop) still reads back as an empty relation instead of
+# failing parquet schema inference
+_MANIFEST_SCHEMA = (
+    "doc_id long, split string, n_tokens long, quality_score double, "
+    "stage long, position long, shard_id long, start_offset long"
+)
+
+
 def release_write(manifest: DataFrame, path: str) -> None:
     """Persist a release manifest as the immutable artifact a shipped
     release IS: parquet, partitioned by split (training loaders and the
@@ -1315,7 +1325,15 @@ def release_write(manifest: DataFrame, path: str) -> None:
 
 
 def release_read(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Read a persisted manifest with the EXPLICIT manifest schema (the
+    split partition column folds back in by name): schema inference over
+    an empty release has nothing to infer from, and a schema pinned at
+    read time also refuses silent column drift in the stored artifact."""
+    return (
+        spark.read.schema(_MANIFEST_SCHEMA)
+        .parquet(path)
+        .select(*[c.split(" ")[0] for c in _MANIFEST_SCHEMA.split(", ")])
+    )
 
 
 def release_diff_stored(spark: SparkSession, v1_path: str, v2: DataFrame) -> DataFrame:

@@ -989,6 +989,29 @@ def test_cc17_stored_diff_equals_rebuild_diff(spark, sf_dir, tmp_path):
     assert stored == rebuilt
 
 
+def test_cc17_empty_persisted_release_reads_and_diffs(spark, tmp_path):
+    """A release that shipped ZERO documents is a legal persisted artifact
+    (a curation gate can reject an entire drop): release_read must return
+    an empty relation with the manifest schema — not fail parquet schema
+    inference — and the diff against it reads every v2 doc as 'added'."""
+    from pdf_etl_pipeline_spark.catalog.curation_q import (
+        _MANIFEST_SCHEMA,
+        release_diff_stored,
+        release_read,
+        release_write,
+    )
+
+    path = str(tmp_path / "empty_v1")
+    release_write(spark.createDataFrame([], _MANIFEST_SCHEMA), path)
+    assert release_read(spark, path).count() == 0
+    v2 = spark.createDataFrame(
+        [(1, "train", 10, 0.9, 0, 0, 0, 0), (2, "val", 5, 0.8, None, None, None, None)],
+        _MANIFEST_SCHEMA,
+    )
+    d = {r.doc_id: r.status for r in release_diff_stored(spark, path, v2).collect()}
+    assert d == {1: "added", 2: "added"}
+
+
 def test_cc15_dropped_duplicate_asset_resolves_to_keeper(spark, sf_dir):
     """cc15: a released doc whose attached asset is a dropped near-dup
     must carry the KEEPER's asset id. mm1's planted structure: per group
