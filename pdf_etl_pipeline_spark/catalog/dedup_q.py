@@ -658,6 +658,54 @@ def dd15_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ppjoin_containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# --- dd16: exact Jaccard-similarity join (PPJoin, native form) --------------------
+# dd3 approximates this join (MinHash-LSH trades a banding miss
+# probability for index cost); dd16 is the provably-complete exact form:
+# PPJoin with the Jaccard prefix na - ceil(t*na) + 1, the REAL length
+# filter (t*nb <= na), and the positional bound vs ceil(t*(na+nb)/(1+t)).
+# TRUE brute-force oracle, like dd15's.
+_DD16_T = DD.JACCARD_JOIN_THRESHOLD
+
+_DD16_ORACLE = f"""
+WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+th AS (
+  SELECT doc_id, {_TOKSH} AS ts FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM reps)
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.ts, b.ts)) AS inter,
+         len(a.ts) AS na, len(b.ts) AS nb
+  FROM th a JOIN th b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter / (na + nb - inter), 6) AS jaccard,
+       round(inter / least(na, nb), 6) AS containment
+FROM p
+-- nullif: two tokenless docs (na + nb - inter = 0) must read as
+-- no-match, not a division by zero (the operator never generates a
+-- candidate for a doc with no hashed rows)
+WHERE inter / nullif(na + nb - inter, 0) >= {_DD16_T}
+ORDER BY doc_a, doc_b"""
+
+
+@register(
+    "dd16_jaccard_join",
+    oracle=_DD16_ORACLE,
+    doc="dd16: EXACT Jaccard-similarity join (|A∩B|/|A∪B| >= 0.8 over "
+    "distinct token sets) — PPJoin in its native form: Jaccard prefix "
+    "na-ceil(t·na)+1 (shorter than containment's), the REAL length filter "
+    "t·nb <= na, positional bound vs ceil(t·(na+nb)/(1+t)), exact verify; "
+    "the provably-complete companion to dd3's MinHash-LSH approximation. "
+    "TRUE brute-force oracle. Scale: dd15's audited shape — keyed df "
+    "aggregate, doc-partitioned rank window, prefix×postings equi-join "
+    "with integer-arithmetic pre-filters, one array_intersect per survivor",
+)
+def dd16_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return DD.ppjoin_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
 # --- st19: streaming containment guard (pinned excerpt screen) --------------------
 # dd15 as an admission guard: held reps' token sets + PPJoin prefixes pin
 # once; each incoming batch screens for docs ≥ t contained in (or

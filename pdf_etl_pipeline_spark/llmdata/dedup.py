@@ -1225,16 +1225,34 @@ def ppjoin_candidates(
     threshold: float = CONTAINMENT_THRESHOLD,
     positional_filter: bool = True,
     length_filter: bool = True,
+    sim: str = "containment",
 ) -> DataFrame:
     """The PPJoin candidate relation over a distinct (doc_id, h) token
     relation: deduped unordered (doc_a, doc_b) pairs guaranteed to contain
-    every pair with containment ≥ ``threshold`` (prefix-filter pigeonhole;
+    every pair with ``sim`` ≥ ``threshold`` (prefix-filter pigeonhole;
     see :func:`ppjoin_containment_pairs` for the proof sketch and the
-    positional/length filter arguments). The filter flags exist so the
-    candidate-volume win is measurable (tests / skew studies) — disabling
-    them never changes the verified RESULT, only the verify fan-out."""
+    positional/length filter arguments).
+
+    ``sim='containment'`` (|A∩B|/min): prefix floor((1−t)n)+1, no size
+    constraint exists so the length filter is direction-only (smaller
+    side's prefix is the load-bearing one).
+    ``sim='jaccard'`` (|A∩B|/|A∪B|): with na ≤ nb, J ≥ t forces
+    inter ≥ t·nb ≥ t·na, so A's prefix shortens to na − ceil(t·na) + 1
+    AND the REAL length filter applies (t·nb ≤ na — a pair whose sizes
+    differ by more than 1/t can never qualify); the required overlap for
+    the positional bound is ceil(t·(na+nb)/(1+t)).
+
+    All threshold arithmetic is in scaled LONGS (micros): the double
+    1 − 0.9 is 0.0999…98, so float floors silently miss exact-boundary
+    pairs, and per-row decimal(24,6) rides Spark's BigDecimal codegen at
+    6× the join cost (measured) — integer multiply/compare is both exact
+    and codegen-cheap. The filter flags exist so the candidate-volume win
+    is measurable (tests / skew studies) — disabling them never changes
+    the verified RESULT, only the verify fan-out."""
     from pyspark.sql.window import Window as W
 
+    if sim not in ("containment", "jaccard"):
+        raise ValueError(f"unknown sim {sim!r}")
     dfreq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
     sized = hashed.join(dfreq, "h").withColumn(
         "_n", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
@@ -1242,44 +1260,108 @@ def ppjoin_candidates(
     ranked = sized.withColumn(
         "_r", F.row_number().over(W.partitionBy("doc_id").orderBy("_df", "h"))
     )
-    # exact threshold arithmetic in scaled LONGS: the double 1 - 0.9 is
-    # 0.0999...98, so float floor((1-t)*10) reads 0 not 1 and the prefix
-    # silently misses exact-boundary pairs (inter/min == t). t is scaled
-    # to micros ONCE (driver-side, decimal-exact) and every per-row
-    # comparison is integer multiply/compare -- the earlier decimal(24,6)
-    # per-row arithmetic rode Spark's BigDecimal codegen path and cost 6x
-    # the join it was filtering (measured, dup-saturated sf0.1 corpus)
     t_micro = ppjoin_threshold_micro(threshold)
-    # prefix condition _r <= floor((1-t)*n) + 1, division-free:
-    # _r - 1 <= floor(n*(1e6 - t_micro) / 1e6)  <=>
-    # (_r - 1) * 1e6 <= n*(1e6 - t_micro)   (exact long comparison)
-    prefix = ranked.filter(
-        (F.col("_r") - 1) * F.lit(1_000_000)
-        <= F.col("_n") * F.lit(1_000_000 - t_micro)
-    ).select("doc_id", "h", "_r", "_n")
+    M = 1_000_000
+    if sim == "containment":
+        # _r <= floor((1-t)*n) + 1  <=>  (_r-1)*1e6 <= n*(1e6 - t_micro)
+        pref_cond = (F.col("_r") - 1) * F.lit(M) <= F.col("_n") * F.lit(M - t_micro)
+    else:
+        # _r <= n - ceil(t*n) + 1  <=>  ceil(t*n) <= n - _r + 1
+        # <=>  t_micro*n <= (n - _r + 1)*1e6
+        pref_cond = F.lit(t_micro) * F.col("_n") <= (
+            F.col("_n") - F.col("_r") + 1
+        ) * F.lit(M)
+    prefix = ranked.filter(pref_cond).select("doc_id", "h", "_r", "_n")
     posts = ranked.select("doc_id", "h", "_r", "_n")
     cond = (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id"))
     if length_filter:
-        # length/direction filter: only the smaller set's prefix is
-        # load-bearing (ties generate both directions; pair dedup absorbs)
+        # direction: only the smaller set's prefix is load-bearing (ties
+        # generate both directions; pair dedup absorbs)
         cond = cond & (F.col("a._n") <= F.col("b._n"))
+        if sim == "jaccard":
+            # the REAL length filter: J >= t and na <= nb force nb <= na/t
+            cond = cond & (F.lit(t_micro) * F.col("b._n") <= F.lit(M) * F.col("a._n"))
     joined = prefix.alias("a").join(posts.alias("b"), cond)
     if positional_filter:
         # positional upper bound on |A intersect B| for a match at ranks
         # (ra, rb): min(ra-1, rb-1) common tokens can precede h + h itself
-        # + the shorter remaining suffix; required overlap t*min(na, nb),
-        # exact in scaled longs
+        # + the shorter remaining suffix
         pos_bound = F.least(F.col("a._r"), F.col("b._r")) + F.least(
             F.col("a._n") - F.col("a._r"), F.col("b._n") - F.col("b._r")
         )
-        joined = joined.filter(
-            pos_bound * F.lit(1_000_000)
-            >= F.lit(t_micro) * F.least(F.col("a._n"), F.col("b._n"))
-        )
+        if sim == "containment":
+            # required overlap t*min(na, nb)
+            joined = joined.filter(
+                pos_bound * F.lit(M)
+                >= F.lit(t_micro) * F.least(F.col("a._n"), F.col("b._n"))
+            )
+        else:
+            # required overlap ceil(t*(na+nb)/(1+t)); integer bound >=
+            # ceil(x) <=> bound*(1e6+t_micro) >= t_micro*(na+nb)
+            joined = joined.filter(
+                pos_bound * F.lit(M + t_micro)
+                >= F.lit(t_micro) * (F.col("a._n") + F.col("b._n"))
+            )
     return joined.select(
         F.least("a.doc_id", "b.doc_id").alias("doc_a"),
         F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
     ).dropDuplicates(["doc_a", "doc_b"])
+
+
+JACCARD_JOIN_THRESHOLD = 0.8
+
+
+def ppjoin_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_JOIN_THRESHOLD
+) -> DataFrame:
+    """EXACT Jaccard-similarity join: (doc_a, doc_b, jaccard, containment)
+    where J(A,B) = |A∩B| / |A∪B| >= ``threshold`` over distinct token
+    sets -- the exact companion to dd3's MinHash-LSH approximation (LSH
+    trades a banding miss probability for index cost; this join is
+    provably complete) and to dd15's asymmetric containment. PPJoin in
+    its NATIVE form (Xiao et al. WWW'08): with na <= nb, J >= t forces
+    inter >= ceil(t*na), so the probe prefix SHORTENS to
+    na - ceil(t*na) + 1 (vs containment's floor((1-t)n)+1), the REAL
+    length filter applies (t*nb <= na -- sizes differing by more than
+    1/t can never qualify), and the positional bound compares against
+    ceil(t*(na+nb)/(1+t)). Exact-dup collapse first (identical docs pair
+    at dd1); exact verify on the candidates; the brute-force oracle pins
+    completeness -- prefix/length/positional pruning never drops a
+    qualifying pair.
+
+    Scale shape: identical to dd15's -- one keyed df aggregate, one
+    doc-partitioned rank window, prefix x postings equi-join with
+    integer-arithmetic pre-filters, one array_intersect per surviving
+    candidate. The Jaccard prefix is ~(1-t)/(1+...) shorter and the size
+    filter prunes harder than containment's, so candidates are a strict
+    subset of what dd15 generates at the same threshold."""
+    reps = (
+        docs.groupBy(F.md5("text").alias("_k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    hashed = (
+        hashed_tokens(docs.join(reps, "doc_id", "left_semi"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+    cands = ppjoin_candidates(hashed, threshold, sim="jaccard")
+    toks = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("ts"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter / (F.size("ta") + F.size("tb") - inter)
+    cont = inter / F.least(F.size("ta"), F.size("tb"))
+    return (
+        cands.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ta")), "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("tb")), "doc_b")
+        # threshold the UNROUNDED ratio (dc2's convention)
+        .filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def ppjoin_containment_pairs(

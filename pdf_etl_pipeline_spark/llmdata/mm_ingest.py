@@ -261,6 +261,10 @@ def compact_mm_index(
     if not _ensure_registered(spark, index_dir):
         return []
     name = mm_bands_table(index_dir)
+    # driver-side partition loop: bounded by PHASH_BANDS (= 4) band_idx
+    # directories, never by data volume — a wider-banding refactor that
+    # grows the partition count must re-check this bound (same discipline
+    # as _distinct_hash_band_pairs' band comment)
     compacted: list[str] = []
     band_type = {
         f.name: f.dataType.simpleString() for f in spark.table(name).schema

@@ -1679,3 +1679,38 @@ def test_dd15_positional_length_filters_prune_skewed_vocab(spark):
     # the positional bound collapses that
     assert n_filtered <= n_raw / 2, (n_filtered, n_raw)
     assert n_filtered >= len(expect)  # still a superset of the true pairs
+
+
+def test_dd16_jaccard_join_boundaries(spark):
+    """dd16: pairs at EXACTLY the 0.8 Jaccard boundary survive both the
+    ceil-based prefix (9-token sets sharing 8: J = 8/10) and the length
+    filter at its own boundary (8 vs 10 tokens, nb = na/t exactly);
+    sub-threshold overlap is excluded; identical texts collapse; the
+    result equals Python brute force over the rep sets."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import ppjoin_jaccard_pairs
+
+    x = [f"x{i}" for i in range(8)]
+    y = [f"y{i}" for i in range(8)]
+    rows = [
+        (1, " ".join(x + ["a0"])),            # 9 tokens
+        (2, " ".join(x + ["b0"])),            # 9 tokens, inter 8 -> J = 0.8
+        (3, " ".join(y)),                     # 8 tokens
+        (4, " ".join(y + ["d0", "d1"])),      # 10 tokens: nb = na/t exactly
+        (5, " ".join(x + ["a0"])),            # exact dup of 1 -> collapsed
+        (6, " ".join(x[:7] + ["g0", "g1"])),  # inter 7 with doc 1: J = 7/11
+        (7, "entirely different words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard for r in ppjoin_jaccard_pairs(docs).collect()
+    }
+    sets = {i: set(t.split()) for i, t in rows if i != 5}
+    expect = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a < b
+        and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.8
+    }
+    assert set(got) == expect == {(1, 2), (3, 4)}
+    assert got[(1, 2)] == 0.8 and got[(3, 4)] == 0.8

@@ -758,6 +758,20 @@ CHECKS = {
             and "windowspecdefinition(doc_id#" not in ln
         ],
     },
+    "dd16_jaccard_join": {
+        # dd15's audited shape with the Jaccard prefix/length/positional
+        # variants: keyed df aggregate, doc_id-partitioned rank windows,
+        # hash equi-join candidates with integer-arithmetic pre-filters —
+        # no Python, no cartesian, no partition-less corpus window
+        "must": ["HashAggregate", "Window"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "check": lambda plan: [
+            f"window not partitioned by doc_id: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(doc_id#" not in ln
+        ],
+    },
     "dq9_multimodal_leakage": {
         # dq8's shape per modality arm: split staging is a pure projection
         # over each banded pair relation (no membership join with

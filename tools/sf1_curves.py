@@ -327,6 +327,9 @@ def main() -> None:
         "st19_containment_guard": __import__(
             "pdf_etl_pipeline_spark.catalog.dedup_q", fromlist=["st19_containment_guard"]
         ).st19_containment_guard,
+        "dd16_jaccard_join": __import__(
+            "pdf_etl_pipeline_spark.catalog.dedup_q", fromlist=["dd16_jaccard_join"]
+        ).dd16_jaccard_join,
         "st20_mm_release_verdicts": __import__(
             "pdf_etl_pipeline_spark.catalog.multimodal_q",
             fromlist=["st20_mm_release_verdicts"],
