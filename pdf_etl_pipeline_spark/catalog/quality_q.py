@@ -1237,3 +1237,76 @@ def dq8_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.split_leakage(docs, shared_pairs(spark, sf_dir, 0.9)).orderBy(
         "split_lo", "split_hi"
     )
+
+
+# --- DQ10: CONTAINMENT leakage across the hash split ------------------------------
+# dq8 audits near-dup (Jaccard) leakage; the asymmetric tail it misses is
+# the EXCERPT leak: a held-out doc fully contained in a train doc (or the
+# reverse) shares its content across the split at containment ~1.0 while
+# Jaccard is tiny — eval answers literally quoted inside training text.
+# dd15's exact PPJoin containment pairs feed the same zero-shuffle split
+# staging as dq8. Scoped to md5-collapsed reps (dd15's contract): exact
+# cross-split duplicates are dq8/dc1 territory; dq10 adds the asymmetric
+# containment tail.
+def _dq10_oracle() -> str:
+    from pdf_etl_pipeline_spark.catalog.dedup_q import _TOKSH as TOKSH
+    from pdf_etl_pipeline_spark.llmdata import corpus as CP
+    from pdf_etl_pipeline_spark.llmdata import dedup as DDm
+
+    return f"""
+WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+th AS (
+  SELECT doc_id, {TOKSH} AS ts FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM reps)
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.ts, b.ts)) AS inter,
+         len(a.ts) AS na, len(b.ts) AS nb
+  FROM th a JOIN th b ON a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM p
+  WHERE inter / nullif(least(na, nb), 0) >= {DDm.CONTAINMENT_THRESHOLD}
+),
+staged AS (
+  SELECT least(sa, sb) AS lo_s, greatest(sa, sb) AS hi_s,
+         CASE WHEN sa >= sb THEN doc_a ELSE doc_b END AS hi_doc
+  FROM (SELECT doc_a, doc_b, {CP.split_stage_sql('doc_a')} AS sa,
+               {CP.split_stage_sql('doc_b')} AS sb FROM pairs)
+),
+agg AS (
+  SELECT lo_s, hi_s, COUNT(*) AS n_pairs, COUNT(DISTINCT hi_doc) AS n_dup_docs
+  FROM staged GROUP BY 1, 2
+),
+sizes AS (
+  SELECT {CP.split_stage_sql('doc_id')} AS hi_s, COUNT(*) AS n_docs_hi
+  FROM documents GROUP BY 1
+)
+SELECT {CP.split_name_sql('lo_s')} AS split_lo, {CP.split_name_sql('hi_s')} AS split_hi,
+       lo_s <> hi_s AS is_leak, n_pairs, n_dup_docs, n_docs_hi,
+       round(n_dup_docs / n_docs_hi, 6) AS dup_doc_rate
+FROM agg JOIN sizes USING (hi_s)
+ORDER BY split_lo, split_hi"""
+
+
+@register(
+    "dq10_containment_leakage",
+    oracle=_dq10_oracle(),
+    doc="DQ10 CONTAINMENT leakage across the sp1 hash split — the asymmetric "
+    "tail dq8's Jaccard audit misses: a held-out doc contained in (or "
+    "containing) a train doc at containment >= 0.9 leaks eval content even "
+    "when Jaccard is tiny. dd15's exact PPJoin pairs feed dq8's zero-shuffle "
+    "split staging; per split combination: pair count, distinct held-out "
+    "dup docs, rate vs split size, is_leak on cross-split rows. Scale: the "
+    "audited dd15 plan + a pure projection over its corpus-linear pair "
+    "relation; 6-row aggregate; split sizes broadcast",
+)
+def dq10_containment_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_etl_pipeline_spark.llmdata import corpus as CP
+    from pdf_etl_pipeline_spark.llmdata.dedup import ppjoin_containment_pairs
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ppjoin_containment_pairs(docs).select("doc_a", "doc_b")
+    return CP.split_leakage(docs, pairs).orderBy("split_lo", "split_hi")

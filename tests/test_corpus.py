@@ -834,6 +834,38 @@ def test_split_leakage_flags_planted_contamination(spark):
     assert leak.is_leak and leak.n_pairs == 1 and leak.n_dup_docs == 1
 
 
+def test_dq10_flags_cross_split_excerpt_jaccard_misses(spark):
+    """dq10: a held-out doc that is an EXCERPT of a train doc (containment
+    1.0, Jaccard tiny) surfaces as an is_leak row through the dd15 pair
+    relation — the asymmetric leak dq8's Jaccard threshold cannot see."""
+    from pdf_etl_pipeline_spark.llmdata.dedup import ppjoin_containment_pairs
+
+    ids = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    staged = {
+        r.doc_id: r.s
+        for r in ids.select("doc_id", CP.split_stage(F.col("doc_id")).alias("s")).collect()
+    }
+    train_id = next(i for i, s in staged.items() if s == 0)
+    held_id = next(i for i, s in staged.items() if s == 2)
+    long_words = [f"w{i}" for i in range(40)]
+    docs2 = spark.createDataFrame(
+        [
+            (train_id, " ".join(long_words)),          # source (train)
+            (held_id, " ".join(long_words[:8])),       # excerpt (test): J = 0.2
+            (199, "unrelated vocabulary entirely different"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = ppjoin_containment_pairs(docs2).select("doc_a", "doc_b")
+    out = {(r.split_lo, r.split_hi): r for r in CP.split_leakage(docs2, pairs).collect()}
+    leak = out[("train", "test")]
+    assert leak.is_leak and leak.n_pairs == 1 and leak.n_dup_docs == 1
+    # dq8's relation at the same threshold would carry NO such pair
+    from pdf_etl_pipeline_spark.llmdata.dedup import ppjoin_jaccard_pairs
+
+    assert ppjoin_jaccard_pairs(docs2, 0.9).count() == 0
+
+
 # --- cc13 curriculum order -------------------------------------------------------
 
 

@@ -772,6 +772,20 @@ CHECKS = {
             and "windowspecdefinition(doc_id#" not in ln
         ],
     },
+    "dq10_containment_leakage": {
+        # the audited dd15 plan + dq8's zero-shuffle split staging: keyed
+        # df aggregate, doc_id-partitioned rank windows, equi-join
+        # candidates, 6-row leak aggregate with broadcast split sizes —
+        # no Python, no cartesian, no membership join back to documents
+        "must": ["HashAggregate", "Window", "BroadcastHashJoin"],
+        "must_not": ["BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        "check": lambda plan: [
+            f"window not partitioned by doc_id: {ln.strip()[:80]}"
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+            and "windowspecdefinition(doc_id#" not in ln
+        ],
+    },
     "dq9_multimodal_leakage": {
         # dq8's shape per modality arm: split staging is a pure projection
         # over each banded pair relation (no membership join with
