@@ -178,8 +178,15 @@ def _machine_busy_jiffies() -> int:
 
 
 def _tree_jiffies() -> int:
-    """utime+stime summed over this process and every live descendant
-    (the Spark JVM and its children live under us)."""
+    """utime+stime+cutime+cstime summed over this process and every live
+    descendant (the Spark JVM and its children live under us). cutime/
+    cstime (stat fields 16-17) carry the CPU of REAPED children — without
+    them, our own short-lived workers (e.g. non-reused PySpark daemons
+    killed mid-window) vanish from the live-descendant walk and their
+    jiffies get misattributed to other_cores, falsely indicting a clean
+    run (r15 ADVICE). No double count: a live child's time sits only in
+    its own utime/stime (a parent's cutime accumulates at wait() time),
+    a reaped child's only in its parent's cutime/cstime."""
     me = os.getpid()
     ppid_of: dict[int, int] = {}
     cpu_of: dict[int, int] = {}
@@ -195,7 +202,8 @@ def _tree_jiffies() -> int:
         rest = s[s.rindex(")") + 2 :].split()
         pid = int(d)
         ppid_of[pid] = int(rest[1])
-        cpu_of[pid] = int(rest[11]) + int(rest[12])  # utime + stime
+        # utime + stime + cutime + cstime
+        cpu_of[pid] = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
     total = 0
     for pid, cpu in cpu_of.items():
         p = pid
@@ -353,8 +361,13 @@ def _st16_steady_state(spark, sf_dir: str, windows: dict) -> dict:
     b2 = corpus.filter(F.col("doc_id") >= split)
     tmp = tempfile.mkdtemp(prefix="st16_steady_")
     try:
-        assert pin_benchmark(bench_docs, tmp)
-        assert pin_heldout(heldout, os.path.join(tmp, LEAKAGE_SUBDIR))
+        # unconditional calls, then raise on failure: under `python -O`
+        # an assert BODY is never evaluated, so pins created inside an
+        # assert would silently not exist (r15 ADVICE)
+        if not pin_benchmark(bench_docs, tmp):
+            raise RuntimeError("st16 steady-state: benchmark pin not created")
+        if not pin_heldout(heldout, os.path.join(tmp, LEAKAGE_SUBDIR)):
+            raise RuntimeError("st16 steady-state: heldout pin not created")
         build_corpus_batch(b1, tmp, batch_id=0, leakage_guard=True)  # untimed
         raw: list[float] = []
         w = _Window()

@@ -49,6 +49,16 @@ _MODULES = [
 ]
 
 
+def require_pin(created: bool, what: str) -> None:
+    """Raise when a pin call reports failure. Pin creation must be a plain
+    CALL, never the body of an ``assert`` — under ``python -O`` assert
+    bodies are skipped entirely, so the pin would silently not exist and
+    the dependent query would fail later with 'no index pinned'
+    (r15 ADVICE)."""
+    if not created:
+        raise RuntimeError(f"{what}: pin not created")
+
+
 def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple = ()):
     def deco(fn):
         REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc, tags=tags)

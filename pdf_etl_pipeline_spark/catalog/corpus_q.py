@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_etl_pipeline_spark.catalog import register
+from pdf_etl_pipeline_spark.catalog import register, require_pin
 from pdf_etl_pipeline_spark.llmdata import corpus as CP
 from pdf_etl_pipeline_spark.session import load_table, tune
 
@@ -320,7 +320,7 @@ def st13_contamination_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
     tmp = tempfile.mkdtemp(prefix="st13_state_")
     try:
-        assert pin_benchmark(bench, tmp)
+        require_pin(pin_benchmark(bench, tmp), "st13")
         v1 = guard_contamination_batch(
             corpus.filter(F.col("doc_id") < split), tmp, batch_id=0
         ).withColumn("batch_id", F.lit(0).cast("long"))
@@ -421,7 +421,7 @@ def st15_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
     tmp = tempfile.mkdtemp(prefix="st15_state_")
     try:
-        assert pin_heldout(heldout, tmp)
+        require_pin(pin_heldout(heldout, tmp), "st15")
         v1 = guard_leakage_batch(
             train.filter(F.col("doc_id") < split), tmp, batch_id=0
         ).withColumn("batch_id", F.lit(0).cast("long"))

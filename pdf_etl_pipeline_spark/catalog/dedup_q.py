@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_etl_pipeline_spark.catalog import register
+from pdf_etl_pipeline_spark.catalog import register, require_pin
 from pdf_etl_pipeline_spark.llmdata import dedup as DD
 from pdf_etl_pipeline_spark.llmdata import similarity as SIM
 from pdf_etl_pipeline_spark.session import load_table, tune
@@ -776,7 +776,9 @@ def st19_containment_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid2 = (cut + hi + 1) // 2
     tmp = tempfile.mkdtemp(prefix="st19_pin_")
     try:
-        assert pin_containment_index(docs.filter(F.col("doc_id") < cut), tmp)
+        require_pin(
+            pin_containment_index(docs.filter(F.col("doc_id") < cut), tmp), "st19"
+        )
         out = None
         for b, batch in enumerate(
             (

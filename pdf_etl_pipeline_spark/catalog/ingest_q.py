@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_etl_pipeline_spark.catalog import register
+from pdf_etl_pipeline_spark.catalog import register, require_pin
 from pdf_etl_pipeline_spark.catalog.dedup_q import _DD3_JACCARD, _label_rounds
 from pdf_etl_pipeline_spark.llmdata import dedup as DD
 from pdf_etl_pipeline_spark.session import load_table, tune
@@ -590,7 +590,7 @@ def _st14_outputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
     tmp = tempfile.mkdtemp(prefix="st14_state_")
     try:
-        assert pin_benchmark(bench, tmp)
+        require_pin(pin_benchmark(bench, tmp), "st14")
         v1, m1 = build_corpus_batch(
             corpus.filter(F.col("doc_id") < split), tmp, batch_id=0
         )
@@ -745,8 +745,8 @@ def _st16_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
     tmp = tempfile.mkdtemp(prefix="st16_state_")
     try:
-        assert pin_benchmark(bench, tmp)
-        assert pin_heldout(heldout, _os.path.join(tmp, LEAKAGE_SUBDIR))
+        require_pin(pin_benchmark(bench, tmp), "st16")
+        require_pin(pin_heldout(heldout, _os.path.join(tmp, LEAKAGE_SUBDIR)), "st16")
         v1, _ = build_corpus_batch(
             corpus.filter(F.col("doc_id") < split), tmp, batch_id=0, leakage_guard=True
         )

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_etl_pipeline_spark.catalog import register
+from pdf_etl_pipeline_spark.catalog import register, require_pin
 from pdf_etl_pipeline_spark.functions.scalars import portable_hash32, portable_hash32_sql
 from pdf_etl_pipeline_spark.llmdata import multimodal as MM
 from pdf_etl_pipeline_spark.session import load_table, tune
@@ -641,7 +641,7 @@ def st18_framegrab_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
     tmp = tempfile.mkdtemp(prefix="st18_pin_")
     try:
-        assert pin_frame_index(_mm3_frame_hashes(docs), tmp)
+        require_pin(pin_frame_index(_mm3_frame_hashes(docs), tmp), "st18")
         out = None
         for b, batch in enumerate(
             (imgs.filter(F.col("asset_id") < split), imgs.filter(F.col("asset_id") >= split))
@@ -932,7 +932,10 @@ def _st20_outputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
     tmp = tempfile.mkdtemp(prefix="st20_state_")
     try:
-        assert pin_mm_release_state(held, _mm3_frame_hashes(held), tmp)
+        # unconditional call + raise (not assert): under `python -O` the
+        # assert body would never run and the pins would not exist
+        if not pin_mm_release_state(held, _mm3_frame_hashes(held), tmp):
+            raise RuntimeError("st20 pins missing after pin_mm_release_state")
         v1, m1 = mm_release_batch(corpus.filter(F.col("doc_id") < split), tmp, 0)
         v2, m2 = mm_release_batch(corpus.filter(F.col("doc_id") >= split), tmp, 1)
         tag = lambda df, b: df.withColumn("batch_id", F.lit(b).cast("long"))

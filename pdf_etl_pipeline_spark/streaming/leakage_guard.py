@@ -102,10 +102,16 @@ def _pin_band_rows(spark, state_dir: str) -> int:
         # backfill so pre-meta pins stop paying the fallback scan even
         # across sessions (write-once contract: bands are immutable, the
         # count backfilled here is the count a pin-time write would have
-        # recorded)
-        spark.createDataFrame(
-            [(n,)], "n_band_rows long"
-        ).write.mode("append").parquet(_meta_path(state_dir))
+        # recorded). Best-effort: on READ-ONLY pin storage (plausible for
+        # an immutable write-once artifact) the write raises — fall back
+        # to the in-session memo alone instead of turning the previously
+        # working scan path into a per-batch hard crash (r15 ADVICE).
+        try:
+            spark.createDataFrame(
+                [(n,)], "n_band_rows long"
+            ).write.mode("append").parquet(_meta_path(state_dir))
+        except Exception:
+            pass
     _PIN_ROWS_MEMO[key] = n
     return n
 

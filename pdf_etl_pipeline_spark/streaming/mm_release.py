@@ -87,20 +87,32 @@ def pin_mm_release_state(
 ) -> bool:
     """Pin both guard indexes for the release stream (write-once each):
     the held corpus's text containment index under ``<state>/cont`` and
-    its video frame hashes under ``<state>/fg``. Returns True when this
-    call created the pins."""
-    from pdf_etl_pipeline_spark.llmdata.mm_ingest import pin_frame_index
+    its video frame hashes under ``<state>/fg``. Returns True when both
+    pins EXIST after the call — created now, pre-existing, or a mix. The
+    mixed case matters (r15 ADVICE): a crash between the two sub-pin
+    writes leaves a half-pinned state where the retry's first sub-pin
+    reports 'already existed' (False) while the retry genuinely completes
+    the pin — ``a and b`` would then fail every retry forever. Each
+    sub-pin is itself crash-safe (existence judged on its LAST-written
+    relation), so success is judged on post-call existence, not on who
+    created what."""
+    from pdf_etl_pipeline_spark.llmdata.mm_ingest import _frames_path, pin_frame_index
+    from pdf_etl_pipeline_spark.operators import fsutil
     from pdf_etl_pipeline_spark.streaming.containment_guard import (
+        _cont_paths,
         pin_containment_index,
     )
 
-    a = pin_containment_index(
-        held_docs,
-        os.path.join(state_dir, CONT_SUBDIR),
-        unit_col=shingles_col("text", CONT_UNIT_N),
+    spark = held_docs.sparkSession
+    cont_dir = os.path.join(state_dir, CONT_SUBDIR)
+    fg_dir = os.path.join(state_dir, FG_SUBDIR)
+    pin_containment_index(
+        held_docs, cont_dir, unit_col=shingles_col("text", CONT_UNIT_N)
     )
-    b = pin_frame_index(held_frames, os.path.join(state_dir, FG_SUBDIR))
-    return a and b
+    pin_frame_index(held_frames, fg_dir)
+    return bool(fsutil.list_data_files(_cont_paths(cont_dir)[0], spark)) and bool(
+        fsutil.list_data_files(_frames_path(fg_dir), spark)
+    )
 
 
 def mm_release_manifest_df(verdicts: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:

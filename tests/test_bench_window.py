@@ -29,6 +29,20 @@ def test_window_counts_own_tree_as_own():
     assert r["own_cores"] > 0.5, r
 
 
+def test_window_counts_reaped_child_as_own():
+    """A short-lived child that burns and EXITS inside the window (like a
+    non-reused PySpark worker killed mid-window) still lands in own_cores
+    via cutime/cstime (r15 ADVICE): on reap its jiffies vanish from the
+    live-descendant walk, and without the children counters they would be
+    misattributed to other_cores, falsely indicting a clean run."""
+    w = bench._Window()
+    p = subprocess.Popen([sys.executable, "-c", _BURN])
+    p.wait()  # reaped INSIDE the window -> only cutime/cstime still see it
+    time.sleep(0.3)
+    r = w.close()
+    assert r["own_cores"] > 0.5, r
+
+
 def test_window_detects_external_load():
     """A burner reparented OUTSIDE our tree (double-fork) lands in
     other_cores — the r14 failure mode (co-tenant load inflating

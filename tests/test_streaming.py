@@ -868,6 +868,83 @@ def test_st20_mm_release_precedence_replay_and_stream(spark, tmp_path):
     MR.drop_mm_release_state(spark, state2)
 
 
+def test_st20_pin_half_pinned_retry_succeeds(spark, tmp_path):
+    """st20 pin idempotence (r15 ADVICE): a crash between the two sub-pin
+    writes leaves only the containment index pinned; the RETRY completes
+    the frame pin and must report success (both pins exist after the
+    call) — the old `created_a and created_b` return made every retry
+    read False forever, aborting callers on a now-complete state."""
+    import os as _os
+
+    from pdf_etl_pipeline_spark.streaming import mm_release as MR
+    from pdf_etl_pipeline_spark.streaming.containment_guard import (
+        pin_containment_index,
+    )
+    from pdf_etl_pipeline_spark.llmdata.dedup import shingles_col
+
+    held = spark.createDataFrame(
+        [(1000, " ".join(f"hw{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    frames = spark.createDataFrame(
+        [(500, 0, 1 << 20)], "asset_id long, frame_idx int, fhash long"
+    )
+    state = str(tmp_path / "half_pin")
+    # simulate the crash: first sub-pin landed, second never ran
+    assert pin_containment_index(
+        held, _os.path.join(state, MR.CONT_SUBDIR),
+        unit_col=shingles_col("text", MR.CONT_UNIT_N),
+    )
+    # the retry: containment sub-pin reports 'already existed', frame pin
+    # is created now — the call must still report success
+    assert MR.pin_mm_release_state(held, frames, state)
+    # and a fully-pinned state keeps reporting success on re-pin
+    assert MR.pin_mm_release_state(held, frames, state)
+    # the completed state actually runs a batch
+    b = spark.createDataFrame(
+        [(3, " ".join(f"t3w{j}" for j in range(12)), 31 << 40)],
+        "doc_id long, text string, phash long",
+    )
+    v, _ = MR.mm_release_batch(b, state, 0)
+    assert v.collect()[0].verdict == "admit"
+    MR.drop_mm_release_state(spark, state)
+
+
+def test_leakage_pin_meta_backfill_readonly_storage(spark, tmp_path):
+    """_pin_band_rows' meta backfill is best-effort (r15 ADVICE): when the
+    pin storage refuses the write (read-only immutable artifact), the
+    count still comes back from the bands scan and is memoized in-session
+    instead of the backfill turning every batch into a hard crash."""
+    from pdf_etl_pipeline_spark.operators import fsutil
+    from pdf_etl_pipeline_spark.streaming import leakage_guard as LG
+
+    heldout = spark.createDataFrame(
+        [(1000, " ".join(f"hw{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "ro_pin")
+    assert LG.pin_heldout(heldout, state)
+    n = LG._pin_band_rows(spark, state)
+    # pre-meta pin layout on storage that rejects writes: drop the meta,
+    # then hand the guard a session whose write path (createDataFrame ->
+    # parquet append) raises like a read-only filesystem would
+    fsutil.delete(LG._meta_path(state), recursive=True, spark=spark)
+
+    class ROSpark:
+        def __init__(self, real):
+            self._real = real
+
+        def createDataFrame(self, *a, **k):
+            raise OSError("read-only pin storage")
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    LG._PIN_ROWS_MEMO.clear()
+    assert LG._pin_band_rows(ROSpark(spark), state) == n  # fallback, no crash
+    assert LG._pin_band_rows(ROSpark(spark), state) == n  # memoized
+
+
 # --- ST8: streaming histogram sketch ------------------------------------------
 def test_streaming_histogram_counts_merge_across_batches(spark, sf_dir, tmp_path):
     """Histogram bin counts are a MERGEABLE sketch, so the streaming form
