@@ -381,6 +381,60 @@ def _st16_steady_state(spark, sf_dir: str, windows: dict) -> dict:
     return {"st16_steady_batch": min(raw), "runs": raw}
 
 
+def _st20_steady_state(spark, sf_dir: str, windows: dict) -> dict:
+    """st20 STEADY-STATE (r15 VERDICT finding 3): per-batch guarded
+    multimodal admission latency with both pins AND the asset index
+    already built OUTSIDE the timed window — the st20 twin of
+    ``_st16_steady_state``. The full-lifecycle st20 decade curve is
+    near-flat (39.7/38.3/50.7 s at 1×/10×/100×) because per-measurement
+    FIXED cost (two pin builds + the asset-index lifecycle) dominates;
+    what a deployment pays per batch is this number. Batch 1 runs untimed
+    (builds the asset index and warms both guard probe paths); batch 2's
+    full guarded body — containment guard, frame-grab guard, admission
+    with canonical resolution, delivery manifest — is then timed min-of-N.
+    Timed replays append duplicate index rows — admission-neutral by the
+    replay contract (verdicts bit-identical), and min-of-N lands on the
+    first rep before file-count growth matters."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_pipeline_spark.catalog.multimodal_q import (
+        _mm3_frame_hashes,
+        _st20_doc_assets,
+    )
+    from pdf_etl_pipeline_spark.llmdata import corpus as CP
+    from pdf_etl_pipeline_spark.session import load_table
+    from pdf_etl_pipeline_spark.streaming.mm_release import (
+        drop_mm_release_state,
+        mm_release_batch,
+        pin_mm_release_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = CP.split_stage(F.col("doc_id"))
+    held = docs.filter(stage >= 1)
+    corpus = _st20_doc_assets(docs.filter(stage == 0))
+    split = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    b1 = corpus.filter(F.col("doc_id") < split)
+    b2 = corpus.filter(F.col("doc_id") >= split)
+    tmp = tempfile.mkdtemp(prefix="st20_steady_")
+    try:
+        if not pin_mm_release_state(held, _mm3_frame_hashes(held), tmp):
+            raise RuntimeError("st20 steady-state: pins not created")
+        mm_release_batch(b1, tmp, batch_id=0)  # untimed: builds the index
+        raw: list[float] = []
+        w = _Window()
+        for _ in range(RUNS):
+            t0 = time.time()
+            mm_release_batch(b2, tmp, batch_id=1)
+            raw.append(round(time.time() - t0, 3))
+        windows["st20_steady_batch"] = w.close()
+    finally:
+        drop_mm_release_state(spark, tmp)
+    return {"st20_steady_batch": min(raw), "runs": raw}
+
+
 def main() -> None:
     load_before = _require_idle()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -452,6 +506,9 @@ def main() -> None:
     times = run_set(BENCH_QUERIES)
     extended = run_set(EXTENDED_QUERIES)
     steady = _st16_steady_state(spark, sf_dir, windows)
+    s20 = _st20_steady_state(spark, sf_dir, windows)
+    steady["st20_steady_batch"] = s20["st20_steady_batch"]
+    steady["st20_runs"] = s20["runs"]
     win_total = run_window.close()
     load_after = os.getloadavg()
     # the per-window availability scalar: fraction of the box's cores NOT
@@ -513,6 +570,7 @@ def main() -> None:
                 "queries": times,
                 "extended_total": round(sum(extended.values()), 3),
                 "st16_steady": steady["st16_steady_batch"],
+                "st20_steady": steady["st20_steady_batch"],
                 "sf": sf,
                 "runs": RUNS,
                 "load_avg": load_avg,
