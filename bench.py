@@ -169,12 +169,18 @@ _HZ = os.sysconf("SC_CLK_TCK")
 _NCPU = os.cpu_count() or 1
 
 
-def _machine_busy_jiffies() -> int:
+def _machine_busy_jiffies() -> tuple[int, int]:
+    """(busy, steal) cumulative jiffies. busy includes steal: stolen
+    capacity inflates wall-clocks exactly like an in-guest co-tenant, so
+    it belongs in other_cores — but on a VM host the reader needs to tell
+    hypervisor steal (nothing we can drain) apart from in-guest tenants
+    (wait for them to finish), so the window reports it separately too."""
     with open("/proc/stat") as f:
         parts = f.readline().split()
     vals = [int(x) for x in parts[1:]]
     idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
-    return sum(vals) - idle
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals) - idle, steal
 
 
 def _tree_jiffies() -> int:
@@ -222,12 +228,13 @@ class _Window:
 
     def __init__(self) -> None:
         self.t0 = time.time()
-        self.b0 = _machine_busy_jiffies()
+        self.b0, self.s0 = _machine_busy_jiffies()
         self.o0 = _tree_jiffies()
 
     def close(self) -> dict:
         wall = max(time.time() - self.t0, 1e-6)
-        busy = (_machine_busy_jiffies() - self.b0) / _HZ / wall
+        b1, s1 = _machine_busy_jiffies()
+        busy = (b1 - self.b0) / _HZ / wall
         own = (_tree_jiffies() - self.o0) / _HZ / wall
         other = max(busy - own, 0.0)
         return {
@@ -235,6 +242,10 @@ class _Window:
             "busy_cores": round(busy, 2),
             "own_cores": round(own, 2),
             "other_cores": round(other, 2),
+            # hypervisor steal, already inside other_cores (see
+            # _machine_busy_jiffies) — reported so the artifact separates
+            # un-drainable host contention from in-guest co-tenants
+            "steal_cores": round((s1 - self.s0) / _HZ / wall, 2),
         }
 
 

@@ -48,6 +48,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import pandas as pd
 
+import bench  # repo root on sys.path — _Window + _require_idle (r15 VERDICT task 1)
 from pdf_etl_pipeline_spark.session import get_spark
 
 SCALES = {"1x": 1, "10x": 10, "100x": 100, "1000x": 1000}
@@ -378,16 +379,32 @@ def main() -> None:
         similarity_q._CENTROID_CACHE.clear()
         similarity_q._PQ_CACHE.clear()
 
-    out = {"scales": {t: {} for t in dirs}, "rows": {}}
+    # The decade exponents are the repo's load-bearing sublinearity claims,
+    # so they get the same measured-clean treatment BENCH_r15 gave the
+    # headline (r15 VERDICT finding 1): corpus GENERATION above loads the
+    # box, so gate on the 1-min AND 5-min load averages before any timing
+    # starts (bench._require_idle blocks until drained or aborts), and wrap
+    # every timed point in a /proc/stat contention window so each decade
+    # row carries its own other_cores — a contaminated point is identified
+    # from the JSON instead of confessed in prose.
+    load_at_start = bench._require_idle()
+    out = {"scales": {t: {} for t in dirs}, "rows": {}, "windows": {}}
     for tag, d in dirs.items():
         for qname, fn in QUERIES.items():
             _reset_memos()
+            w = bench._Window()
             t0 = time.time()
             n = fn(spark, d).count()
             sec = round(time.time() - t0, 2)
+            win = w.close()
             out["scales"][tag][qname] = sec
             out["rows"].setdefault(qname, {})[tag] = n
-            print(f"{tag} {qname}: {sec}s ({n} rows)", file=sys.stderr)
+            out["windows"].setdefault(qname, {})[tag] = win
+            print(
+                f"{tag} {qname}: {sec}s ({n} rows, "
+                f"other_cores {win['other_cores']})",
+                file=sys.stderr,
+            )
 
     # per-decade exponents between adjacent measured scales
     tags = [t for t in ("1x", "10x", "100x", "1000x") if t in dirs]
@@ -399,7 +416,8 @@ def main() -> None:
             e[f"{lo}->{hi}"] = round(math.log10(r), 3)
         exps[qname] = e
     out["exponents_per_decade"] = exps
-    out["load_avg_before"] = os.getloadavg()[0]
+    out["load_avg_before"] = load_at_start
+    out["load_avg_after"] = [round(x, 2) for x in os.getloadavg()]
     print(json.dumps(out))
 
 
