@@ -895,6 +895,10 @@ def ev2_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
+    # intentional single-partition windows: they run over the per-user
+    # AGGREGATE (|users| rows, ~events/66 — bounded, plan-audited), never
+    # the event relation; at extreme user counts the documented lever is
+    # pc2's histogram-quantile boundaries instead of exact ntile
     r_w = Window.orderBy(F.desc("recency_s"), F.asc("user_id"))
     f_w = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
     m_w = Window.orderBy(F.asc("monetary"), F.asc("user_id"))

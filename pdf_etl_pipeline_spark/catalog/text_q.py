@@ -394,6 +394,8 @@ def tx11_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     top = tc.orderBy(F.desc("cnt"), "tok").limit(_TX11_TOPK)
+    # intentional single-partition window: input is post-limit(_TX11_TOPK)
+    # — at most a few hundred rows regardless of corpus size
     ranked = top.select(
         "cnt", F.row_number().over(Window.orderBy(F.desc("cnt"), "tok")).alias("rank")
     ).withColumn("g", F.lit("corpus"))

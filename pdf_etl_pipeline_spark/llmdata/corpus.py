@@ -236,6 +236,8 @@ def weighted_sample(docs: DataFrame, k: int = 200) -> DataFrame:
     ranked = eligible.select("doc_id", "n_chars", key.alias("key")).orderBy(
         F.desc("key"), F.asc("doc_id")
     )
+    # intentional single-partition window: applied AFTER limit(k), so it
+    # ranks at most k sampled rows, never the corpus
     w = Window.orderBy(F.desc("key"), F.asc("doc_id"))
     return ranked.limit(k).withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "n_chars", "key"
@@ -337,6 +339,8 @@ def curriculum_rank(
     )
     in_b = Window.partitionBy("stage", "bkt").orderBy("h", "doc_id")
     local = base.withColumn("local_rank", F.row_number().over(in_b))
+    # intentional single-partition window: over the (stage, bkt) COUNT
+    # aggregate — one row per bucket, bounded by the fixed bucket count
     off_w = Window.orderBy("stage", "bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         base.groupBy("stage", "bkt")
@@ -410,6 +414,8 @@ def pack_counts(
         Window.unboundedPreceding, 0
     )
     local = d.withColumn("local_cum", F.sum("n_tokens").over(in_bkt))
+    # intentional single-partition window: over the per-bucket TOTAL
+    # aggregate — one row per PACK_BUCKET range, bounded
     totals_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         d.groupBy("bkt")

@@ -549,6 +549,8 @@ def vocab_growth(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
     vstats = first.groupBy(bucket(F.col("fd")).alias("bucket")).agg(
         F.count(F.lit(1)).alias("new_vocab")
     )
+    # intentional single-partition window: runs over the per-BUCKET
+    # aggregate (fixed bucket count), not the token/doc relations
     run = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return (
         dstats.join(vstats, "bucket", "left")
