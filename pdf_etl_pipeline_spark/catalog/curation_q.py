@@ -1379,3 +1379,92 @@ def cc17_stored_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         return release_diff_stored(spark, tmp, v2).localCheckpoint()
     finally:
         fsutil.delete(tmp, recursive=True, spark=spark)
+
+
+# --- CC18: compact release diff + patch-apply -------------------------------------
+# cc16/cc17's diff relation carries one row per doc in EITHER release —
+# at 100 TB that is release-sized even when almost nothing changed. What
+# actually ships between releases is the COMPACT diff (added/removed/
+# moved rows only — bounded by change volume, not corpus size), and the
+# consumer-side operator is the PATCH: reconstruct v2's coordinate
+# manifest from the stored v1 artifact plus the compact diff, without
+# re-running any of v2's curation/LSH chain. cc18 registers the patch
+# with its defining invariant as the oracle: apply(v1, compact(diff(v1,
+# v2))) must equal v2's coordinates EXACTLY, so the oracle builds v2
+# directly and the hash-compare proves the round-trip.
+
+
+def release_diff_compact(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """The SHIPPABLE diff between two release manifests: cc16's full
+    diff minus the 'unchanged' rows. Its size tracks change volume —
+    the artifact an incremental 100 TB release actually transfers."""
+    return release_diff_df(v1, v2).filter(F.col("status") != "unchanged")
+
+
+def release_apply_diff(v1: DataFrame, compact_diff: DataFrame) -> DataFrame:
+    """PATCH: reconstruct the new release's coordinate manifest
+    (doc_id, split, position, shard_id) from the old manifest plus a
+    compact diff. v1 rows not named in the diff keep their coordinates
+    (they were 'unchanged' by construction); diff rows contribute their
+    NEW coordinates unless 'removed'. One left-anti equi-join on doc_id
+    + a union — the diff side is change-volume-sized, so Catalyst
+    broadcasts it against a release-sized v1 scan; nothing rebuilds."""
+    keep = v1.select("doc_id", "split", "position", "shard_id").join(
+        compact_diff.select("doc_id"), "doc_id", "left_anti"
+    )
+    changed = compact_diff.filter(F.col("status") != "removed").select(
+        "doc_id",
+        F.col("new_split").alias("split"),
+        F.col("new_position").alias("position"),
+        F.col("new_shard").alias("shard_id"),
+    )
+    return keep.unionByName(changed)
+
+
+_CC18_ORACLE = f"""
+WITH {cc14_manifest_ctes("TRUE", "v2_")}
+SELECT doc_id, split, CAST(position AS BIGINT) AS position,
+       CAST(shard_id AS BIGINT) AS shard_id
+FROM v2_manifest ORDER BY doc_id"""
+
+
+@register(
+    "cc18_release_patch",
+    oracle=_CC18_ORACLE,
+    doc="CC18 compact diff + patch-apply — the incremental-release round "
+    "trip: v1's manifest persisted (cc17's stored artifact), the COMPACT "
+    "diff computed (added/removed/moved only — change-volume-sized, the "
+    "thing that ships), then v2's coordinates reconstructed from stored v1 "
+    "+ compact diff with one anti-join and a union. The oracle builds v2 "
+    "directly, so the hash-compare IS the patch invariant apply(v1, "
+    "compact(diff(v1, v2))) == v2. Scale: the patch never re-runs the "
+    "curation chain; the diff side broadcasts against the release-sized "
+    "stored-v1 scan",
+)
+def cc18_release_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    import tempfile
+
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+    from pdf_etl_pipeline_spark.llmdata.dedup import minhash_lsh_pairs
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    docs1 = docs.filter(F.col("doc_id") < cut)
+    v1 = release_manifest_df(docs1, minhash_lsh_pairs(docs1, 0.9, materialize=True))
+    tmp = tempfile.mkdtemp(prefix="cc18_v1_")
+    try:
+        release_write(v1, tmp)
+        v2 = release_manifest_df(docs, shared_pairs(spark, sf_dir, 0.9))
+        stored_v1 = release_read(spark, tmp).select(
+            "doc_id", "split", "position", "shard_id"
+        )
+        patch = release_diff_compact(stored_v1, v2)
+        return (
+            release_apply_diff(stored_v1, patch)
+            .orderBy("doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        fsutil.delete(tmp, recursive=True, spark=spark)

@@ -1044,6 +1044,50 @@ def test_cc17_empty_persisted_release_reads_and_diffs(spark, tmp_path):
     assert d == {1: "added", 2: "added"}
 
 
+def test_cc18_patch_apply_semantics(spark):
+    """cc18's patch on planted manifests: unchanged rows keep v1
+    coordinates, moved rows take the diff's NEW coordinates, added rows
+    enter, removed rows leave; an empty diff reconstructs v1 exactly.
+    NULL coordinates (held-out rows) survive the round trip."""
+    from pdf_etl_pipeline_spark.catalog.curation_q import (
+        release_apply_diff,
+        release_diff_compact,
+    )
+
+    schema = "doc_id long, split string, position long, shard_id long"
+    v1 = spark.createDataFrame(
+        [
+            (1, "train", 0, 0),     # unchanged
+            (2, "train", 1, 0),     # moved (position flips)
+            (3, "train", 2, 1),     # removed in v2
+            (5, "val", None, None), # unchanged, NULL coordinates
+        ],
+        schema,
+    )
+    v2 = spark.createDataFrame(
+        [
+            (1, "train", 0, 0),
+            (2, "train", 2, 1),
+            (4, "train", 1, 0),     # added
+            (5, "val", None, None),
+        ],
+        schema,
+    )
+    patch = release_diff_compact(v1, v2)
+    assert {r.doc_id: r.status for r in patch.collect()} == {
+        2: "moved", 3: "removed", 4: "added"
+    }
+    got = sorted(map(tuple, release_apply_diff(v1, patch).collect()))
+    assert got == sorted(map(tuple, v2.collect()))
+
+    # empty diff (v1 == v2): the patch is a no-op reconstruction
+    empty = release_diff_compact(v1, v1)
+    assert empty.count() == 0
+    assert sorted(map(tuple, release_apply_diff(v1, empty).collect())) == sorted(
+        map(tuple, v1.collect())
+    )
+
+
 def test_cc15_dropped_duplicate_asset_resolves_to_keeper(spark, sf_dir):
     """cc15: a released doc whose attached asset is a dropped near-dup
     must carry the KEEPER's asset id. mm1's planted structure: per group

@@ -587,6 +587,64 @@ def _cc17_v1_is_scan(plan: str) -> list[str]:
     ]
 
 
+_CC18_AUDIT_TMP: dict = {}
+
+
+def _cc18_patch_body_df(spark, sf_dir):
+    """cc18's real body, lazily: v1 persisted (the stored artifact), the
+    compact diff + patch-apply built as one plan — the audit must see the
+    stored v1 entering as a pruned scan and the patch as an anti-join,
+    never a second curation rebuild."""
+    if "df" not in _CC18_AUDIT_TMP:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from pdf_etl_pipeline_spark.catalog.curation_q import (
+            release_apply_diff,
+            release_diff_compact,
+            release_manifest_df,
+            release_read,
+            release_write,
+        )
+        from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+        from pdf_etl_pipeline_spark.llmdata.dedup import minhash_lsh_pairs
+        from pdf_etl_pipeline_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        cut = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+        docs1 = docs.filter(F.col("doc_id") < cut)
+        path = tempfile.mkdtemp(prefix="cc18_audit_v1_")
+        release_write(
+            release_manifest_df(docs1, minhash_lsh_pairs(docs1, 0.9, materialize=True)),
+            path,
+        )
+        v2 = release_manifest_df(docs, shared_pairs(spark, sf_dir, 0.9))
+        stored = release_read(spark, path).select(
+            "doc_id", "split", "position", "shard_id"
+        )
+        _CC18_AUDIT_TMP["df"] = release_apply_diff(
+            stored, release_diff_compact(stored, v2)
+        )
+    return _CC18_AUDIT_TMP["df"]
+
+
+def _cc18_v1_is_scan(plan: str) -> list[str]:
+    """Both uses of the stored v1 (the diff's old side and the patch's
+    keep side) must be column-pruned parquet scans of the persisted
+    manifest — no scan means the patch silently rebuilt v1."""
+    scans = [
+        ln for ln in plan.splitlines() if "Scan parquet" in ln and "cc18_audit_v1" in ln
+    ]
+    if not scans:
+        return ["v1 side is not a scan of the persisted manifest (rebuild?)"]
+    return [
+        f"v1 manifest scan not column-pruned: {ln.strip()[:120]}"
+        for ln in scans
+        if any(c in ln for c in ("quality_score", "n_tokens", "start_offset"))
+    ]
+
+
 _TK5_BATCH = [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")]
 
 
@@ -851,6 +909,16 @@ CHECKS = {
         "must_not": ["BatchEvalPython", "CartesianProduct"],
         "check": lambda plan: _sp_fed_by_bucket_agg(plan, ("stage", "bkt"))
         + _cc17_v1_is_scan(plan),
+    },
+    "cc18_release_patch": {
+        # the patch is ONE anti-join (keep side) + the compact diff's
+        # equi-join over a pruned stored-v1 scan and the single audited v2
+        # build — no cartesian, no Python, and v1 must never be rebuilt
+        "build": _cc18_patch_body_df,
+        "must": ["LeftAnti"],
+        "must_not": ["BatchEvalPython", "CartesianProduct"],
+        "check": lambda plan: _sp_fed_by_bucket_agg(plan, ("stage", "bkt"))
+        + _cc18_v1_is_scan(plan),
     },
     "tx7_unigram_logprob": {
         # corpus-total must join back as a 1-row broadcast (BNLJ over a
