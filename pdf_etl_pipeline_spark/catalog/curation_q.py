@@ -1428,6 +1428,145 @@ SELECT doc_id, split, CAST(position AS BIGINT) AS position,
 FROM v2_manifest ORDER BY doc_id"""
 
 
+# --- DQ11: persisted-release integrity certification ------------------------------
+# cc17/cc18 made releases persisted artifacts; dq11 is the gate a loader
+# runs BEFORE trusting one: distributed invariant checks over the stored
+# manifest — duplicate doc_ids, train-position contiguity (via min/max/
+# count-distinct aggregates, deliberately NOT a corpus-wide window),
+# shard_id == floor(start_offset/budget) derivation, the packing
+# endpoint (max(start+len) == total tokens, min offset 0), and the
+# NULL-coordinate discipline (train rows fully coordinated, held-out
+# rows fully uncoordinated). One scan + one shuffle on split; every
+# check is an aggregate, so the certification costs a fraction of the
+# release build it certifies.
+
+
+def certify_release(manifest: DataFrame, budget: int | None = None) -> DataFrame:
+    """Integrity report over a manifest-shaped relation (stored or
+    built): one row per split with count columns that must read 0 and
+    flag columns that must read true on an uncorrupted artifact."""
+    budget = _CP.PACK_BUDGET if budget is None else budget
+    is_train = F.col("split") == "train"
+    coord_null = (
+        F.col("position").isNull()
+        | F.col("shard_id").isNull()
+        | F.col("start_offset").isNull()
+    )
+    coord_set = (
+        F.col("position").isNotNull()
+        | F.col("shard_id").isNotNull()
+        | F.col("start_offset").isNotNull()
+    )
+    g = manifest.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).cast("long").alias("n_dup_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("position").alias("_minp"),
+        F.max("position").alias("_maxp"),
+        F.countDistinct("position").alias("_ndp"),
+        F.sum(
+            F.when(
+                F.col("position").isNotNull()
+                & (
+                    F.col("shard_id")
+                    != F.floor(F.col("start_offset") / budget).cast("long")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_shard_mismatch"),
+        F.min("start_offset").alias("_mino"),
+        F.max(F.col("start_offset") + F.col("n_tokens")).alias("_maxe"),
+        F.sum(
+            F.when(F.when(is_train, coord_null).otherwise(coord_set), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_coord_null_violations"),
+    )
+    return g.select(
+        "split",
+        "n_docs",
+        "n_dup_docs",
+        "total_tokens",
+        F.when(
+            is_train,
+            (F.col("_minp") == 0)
+            & (F.col("_maxp") == F.col("n_docs") - 1)
+            & (F.col("_ndp") == F.col("n_docs")),
+        )
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("positions_contiguous"),
+        "n_shard_mismatch",
+        F.when(
+            is_train,
+            (F.col("_mino") == 0) & (F.col("_maxe") == F.col("total_tokens")),
+        )
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("offsets_endpoint_ok"),
+        "n_coord_null_violations",
+    ).orderBy("split")
+
+
+_DQ11_ORACLE = f"""
+WITH {cc14_manifest_ctes("TRUE", "r_")}
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CASE WHEN split = 'train'
+            THEN MIN(position) = 0 AND MAX(position) = COUNT(*) - 1
+                 AND COUNT(DISTINCT position) = COUNT(*)
+            ELSE NULL END AS positions_contiguous,
+       CAST(COALESCE(SUM(CASE WHEN position IS NOT NULL
+                      AND shard_id <> CAST(floor(start_offset / {_CP.PACK_BUDGET})
+                                           AS BIGINT)
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_shard_mismatch,
+       CASE WHEN split = 'train'
+            THEN MIN(start_offset) = 0
+                 AND MAX(start_offset + n_tokens) = SUM(n_tokens)
+            ELSE NULL END AS offsets_endpoint_ok,
+       CAST(SUM(CASE WHEN split = 'train'
+                     THEN CASE WHEN position IS NULL OR shard_id IS NULL
+                               OR start_offset IS NULL THEN 1 ELSE 0 END
+                     ELSE CASE WHEN position IS NOT NULL OR shard_id IS NOT NULL
+                               OR start_offset IS NOT NULL THEN 1 ELSE 0 END END)
+            AS BIGINT) AS n_coord_null_violations
+FROM r_manifest
+GROUP BY split
+ORDER BY split"""
+
+
+@register(
+    "dq11_release_certification",
+    oracle=_DQ11_ORACLE,
+    doc="DQ11 persisted-release integrity certification — the gate a "
+    "training loader runs before trusting a stored manifest: per split, "
+    "duplicate doc_ids, train-position contiguity (min/max/count-distinct "
+    "aggregates, never a corpus-wide window), shard_id derivation from "
+    "start_offset, packing endpoint, and NULL-coordinate discipline. "
+    "Planted-corruption detection is test-pinned; the registered query "
+    "certifies a freshly persisted artifact (violation columns all "
+    "0/true, count columns real). Scale: one pruned scan of the stored "
+    "release + one shuffle on split",
+)
+def dq11_release_certification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    import tempfile
+
+    from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+    from pdf_etl_pipeline_spark.operators import fsutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = release_manifest_df(docs, shared_pairs(spark, sf_dir, 0.9))
+    tmp = tempfile.mkdtemp(prefix="dq11_release_")
+    try:
+        release_write(manifest, tmp)
+        return certify_release(release_read(spark, tmp)).localCheckpoint()
+    finally:
+        fsutil.delete(tmp, recursive=True, spark=spark)
+
+
 @register(
     "cc18_release_patch",
     oracle=_CC18_ORACLE,

@@ -1088,6 +1088,55 @@ def test_cc18_patch_apply_semantics(spark):
     )
 
 
+def test_dq11_certification_catches_planted_corruption(spark):
+    """dq11 on hand-built manifests: a clean artifact certifies all-zero/
+    true; each corruption class — duplicate doc_id, position gap, wrong
+    shard derivation, broken packing endpoint, coordinate-NULL discipline
+    on either side — flips exactly its own signal."""
+    from pdf_etl_pipeline_spark.catalog.curation_q import (
+        _MANIFEST_SCHEMA,
+        certify_release,
+    )
+
+    rows = [
+        (1, "train", 10, 0.9, 0, 0, 0, 0),
+        (2, "train", 20, 0.8, 0, 1, 0, 10),
+        (3, "train", 5, 0.7, 1, 2, 0, 30),
+        (7, "val", 9, 0.6, None, None, None, None),
+    ]
+
+    def cert(rws):
+        df = certify_release(spark.createDataFrame(rws, _MANIFEST_SCHEMA))
+        return {r.split: r.asDict() for r in df.collect()}
+
+    c = cert(rows)
+    assert c["train"]["n_dup_docs"] == 0
+    assert c["train"]["positions_contiguous"] is True
+    assert c["train"]["n_shard_mismatch"] == 0
+    assert c["train"]["offsets_endpoint_ok"] is True
+    assert c["train"]["n_coord_null_violations"] == 0
+    assert c["val"]["n_coord_null_violations"] == 0
+    assert c["val"]["positions_contiguous"] is None
+
+    # duplicate doc_id
+    assert cert(rows + [(2, "train", 20, 0.8, 0, 3, 0, 35)])["train"]["n_dup_docs"] == 1
+    # position gap (2 -> 5)
+    bad = [rows[0], rows[1], (3, "train", 5, 0.7, 1, 5, 0, 30), rows[3]]
+    assert cert(bad)["train"]["positions_contiguous"] is False
+    # shard_id not derived from start_offset (budget 2048 -> floor = 0)
+    bad = [rows[0], (2, "train", 20, 0.8, 0, 1, 1, 10), rows[2], rows[3]]
+    assert cert(bad)["train"]["n_shard_mismatch"] == 1
+    # packing endpoint broken (last start_offset 40: max(start+len)=45 != 35)
+    bad = [rows[0], rows[1], (3, "train", 5, 0.7, 1, 2, 0, 40), rows[3]]
+    assert cert(bad)["train"]["offsets_endpoint_ok"] is False
+    # held-out row carrying coordinates
+    bad = rows[:3] + [(7, "val", 9, 0.6, None, 3, None, None)]
+    assert cert(bad)["val"]["n_coord_null_violations"] == 1
+    # train row missing coordinates
+    bad = [rows[0], rows[1], (3, "train", 5, 0.7, 1, None, None, None), rows[3]]
+    assert cert(bad)["train"]["n_coord_null_violations"] == 1
+
+
 def test_cc15_dropped_duplicate_asset_resolves_to_keeper(spark, sf_dir):
     """cc15: a released doc whose attached asset is a dropped near-dup
     must carry the KEEPER's asset id. mm1's planted structure: per group

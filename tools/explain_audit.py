@@ -629,6 +629,34 @@ def _cc18_patch_body_df(spark, sf_dir):
     return _CC18_AUDIT_TMP["df"]
 
 
+_DQ11_AUDIT_TMP: dict = {}
+
+
+def _dq11_certify_body_df(spark, sf_dir):
+    """dq11's certification fragment, lazily, over a persisted manifest:
+    the audit pins that every invariant check is an AGGREGATE — position
+    contiguity via min/max/count-distinct, never a corpus-wide window."""
+    if "df" not in _DQ11_AUDIT_TMP:
+        import tempfile
+
+        from pdf_etl_pipeline_spark.catalog.curation_q import (
+            certify_release,
+            release_manifest_df,
+            release_read,
+            release_write,
+        )
+        from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
+        from pdf_etl_pipeline_spark.session import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="dq11_audit_rel_")
+        release_write(
+            release_manifest_df(docs, shared_pairs(spark, sf_dir, 0.9)), path
+        )
+        _DQ11_AUDIT_TMP["df"] = certify_release(release_read(spark, path))
+    return _DQ11_AUDIT_TMP["df"]
+
+
 def _cc18_v1_is_scan(plan: str) -> list[str]:
     """Both uses of the stored v1 (the diff's old side and the patch's
     keep side) must be column-pruned parquet scans of the persisted
@@ -909,6 +937,14 @@ CHECKS = {
         "must_not": ["BatchEvalPython", "CartesianProduct"],
         "check": lambda plan: _sp_fed_by_bucket_agg(plan, ("stage", "bkt"))
         + _cc17_v1_is_scan(plan),
+    },
+    "dq11_release_certification": {
+        # the certification is ONE scan of the stored release + aggregates:
+        # no window anywhere (contiguity via min/max/count-distinct), no
+        # cartesian, no Python
+        "build": _dq11_certify_body_df,
+        "must": ["HashAggregate", "Scan parquet"],
+        "must_not": ["Window", "BatchEvalPython", "CartesianProduct"],
     },
     "cc18_release_patch": {
         # the patch is ONE anti-join (keep side) + the compact diff's
