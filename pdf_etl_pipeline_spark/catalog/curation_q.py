@@ -435,9 +435,8 @@ def cc7_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_etl_pipeline_spark.llmdata.corpus import BENCH_MOD, decontaminate
     from pdf_etl_pipeline_spark.llmdata.dedup import near_dup_clusters, tokens_col
     from pdf_etl_pipeline_spark.llmdata.text import (
-        lang_id,
-        quality_score_col,
         repetition_stats,
+        with_text_features,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -455,11 +454,9 @@ def cc7_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(1).alias("_r"))
     )
     cont = decontaminate(docs).select("doc_id", F.lit(1).alias("_c"))
-    feats = docs.select(
-        "doc_id",
-        lang_id("text").alias("lang_pred"),
-        F.size(tokens_col("text", distinct=False)).cast("long").alias("n_tokens"),
-        quality_score_col("text").alias("quality_score"),
+    # one shared tokenization for the feature triple (r16)
+    feats = with_text_features(docs).select(
+        "doc_id", "lang_pred", "n_tokens", "quality_score"
     )
     flags = (
         feats.join(keepers, "doc_id", "left")
@@ -588,7 +585,7 @@ def cc9_trimmed_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
     from pdf_etl_pipeline_spark.llmdata.dedup import near_dup_clusters, trimmed_docs
-    from pdf_etl_pipeline_spark.llmdata.text import lang_id, quality_score_col
+    from pdf_etl_pipeline_spark.llmdata.text import with_text_gates
 
     docs = load_table(spark, sf_dir, "documents")
     keepers = (
@@ -597,12 +594,13 @@ def cc9_trimmed_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(1).alias("_k"))
     )
     trimmed = trimmed_docs(docs)
-    feats = trimmed.select(
+    # one shared tokenization for both gates (r16)
+    feats = with_text_gates(trimmed, "trimmed_text", "lang_trim", "q_trim").select(
         "doc_id",
         F.col("n_tokens").alias("n_raw"),
         F.col("n_kept").alias("n_trim"),
-        quality_score_col(F.col("trimmed_text")).alias("q_trim"),
-        lang_id(F.col("trimmed_text")).alias("lang_trim"),
+        "q_trim",
+        "lang_trim",
     )
     flags = feats.join(keepers, "doc_id", "left").select(
         "n_raw",
@@ -695,7 +693,7 @@ def cc10_trimmed_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from pdf_etl_pipeline_spark.catalog.dedup_q import shared_pairs
     from pdf_etl_pipeline_spark.llmdata.dedup import near_dup_clusters, trimmed_docs
-    from pdf_etl_pipeline_spark.llmdata.text import lang_id, quality_score_col
+    from pdf_etl_pipeline_spark.llmdata.text import with_text_gates
 
     docs = load_table(spark, sf_dir, "documents")
     keepers = (
@@ -704,10 +702,12 @@ def cc10_trimmed_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     trimmed = trimmed_docs(docs).join(keepers, "doc_id", "left_semi")
-    survivors = trimmed.filter(
-        (lang_id(F.col("trimmed_text")) == "en")
-        & (quality_score_col(F.col("trimmed_text")) >= 0.5)
-    ).select("doc_id", F.col("n_kept").alias("n_tokens"))
+    # gate columns computed once (one shared tokenization, r16), then filtered
+    survivors = (
+        with_text_gates(trimmed, "trimmed_text", "_lang", "_q")
+        .filter((F.col("_lang") == "en") & (F.col("_q") >= 0.5))
+        .select("doc_id", F.col("n_kept").alias("n_tokens"))
+    )
     packed = CP.pack_counts(survivors)
     return (
         packed.groupBy("shard_id")
@@ -1005,12 +1005,13 @@ def cc12_guarded_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(1).alias("_k"))
     )
     trimmed = trimmed_docs(corpus)
-    feats = trimmed.select(
+    # one shared tokenization for both gates (r16)
+    feats = TX.with_text_gates(trimmed, "trimmed_text", "lang_trim", "q_trim").select(
         "doc_id",
         F.col("n_tokens").alias("n_raw"),
         F.col("n_kept").alias("n_trim"),
-        TX.quality_score_col(F.col("trimmed_text")).alias("q_trim"),
-        TX.lang_id(F.col("trimmed_text")).alias("lang_trim"),
+        "q_trim",
+        "lang_trim",
     )
     flags = (
         feats.join(contam.select("doc_id", F.lit(1).alias("_c")), "doc_id", "left")

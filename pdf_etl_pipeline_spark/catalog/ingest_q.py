@@ -782,5 +782,9 @@ def st16_guarded_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_trim", "q_trim", "verdict",
         )
         .orderBy("doc_id")
-        .localCheckpoint()
+        # lazy (r16): both batch verdict relations are already eagerly
+        # checkpointed inside build_corpus_batch (nothing here reads the
+        # dropped state dirs), so the final union+sort need not run twice —
+        # the caller's action materializes it once.
+        .localCheckpoint(eager=False)
     )

@@ -215,6 +215,22 @@ def standardize_columns(df):
 
 
 # ---------------------------------------------------------------------------
+# Native per-row let-binding (r16 optimization) — evaluate an expression
+# ONCE and feed the bound value to a body of dependent expressions:
+# transform(array(v), x -> body(x))[0]. Catalyst assigns every lambda its
+# own variable ids, so common-subexpression elimination treats semantically
+# identical lambda-bearing subtrees (tokenizers, score structs) as
+# distinct; without the binding each reference re-evaluates the whole
+# subtree (the pre-r16 lang_id re-split the text ~35x per row). A lambda
+# variable, by contrast, is evaluated once per element, and the
+# single-element array wrapper makes the whole subtree that element.
+# ---------------------------------------------------------------------------
+def let_col(value: Column, body) -> Column:
+    """Bind ``value`` once per row; ``body`` receives the bound Column."""
+    return F.transform(F.array(value), body).getItem(0)
+
+
+# ---------------------------------------------------------------------------
 # Portable 32-bit hash — used by MinHash / fingerprinting so the DuckDB
 # oracle can reproduce the exact arithmetic (md5 is identical everywhere;
 # fold the first 8 hex chars to an int).

@@ -443,14 +443,25 @@ BENCH_MOD = 97  # synthetic benchmark set: doc_id % 97 == 0
 
 
 def _shingle_hashes(text: Column | str, n: int) -> Column:
-    """Distinct portable hashes of word n-gram shingles."""
+    """Distinct portable hashes of word n-gram shingles.
+
+    The token array is let-bound (r16): the ``element_at`` references
+    inside the gram lambda previously re-ran the whole split+lower
+    tokenizer PER GRAM PER OFFSET — O(n_tokens · n) tokenizer evaluations
+    per row; bound, it runs once."""
+    from pdf_etl_pipeline_spark.functions.scalars import let_col
+
     toks = tokens_col(text, distinct=False)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    mk = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + off) for off in range(n)])
-    grams = F.when(F.size(toks) >= n, F.transform(starts, mk)).otherwise(
-        F.array().cast("array<string>")
-    )
-    return F.array_distinct(F.transform(grams, lambda g: portable_hash32(g) % P31))
+
+    def body(ts: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.greatest(F.size(ts) - (n - 1), F.lit(0)))
+        mk = lambda i: F.concat_ws(" ", *[F.element_at(ts, i + off) for off in range(n)])
+        grams = F.when(F.size(ts) >= n, F.transform(starts, mk)).otherwise(
+            F.array().cast("array<string>")
+        )
+        return F.array_distinct(F.transform(grams, lambda g: portable_hash32(g) % P31))
+
+    return let_col(toks, body)
 
 
 def _shingle_hashes_sql(expr: str, n: int) -> str:

@@ -40,20 +40,16 @@ def curate_corpus(
     ``pairs`` optionally injects a prebuilt near-dup pair relation (the
     LSH index built once per session and shared across queries — the
     scale-correct reuse pattern)."""
-    from pdf_etl_pipeline_spark.llmdata.text import quality_score_col
-    from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col
+    from pdf_etl_pipeline_spark.llmdata.text import with_text_features
 
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, threshold=near_dup_threshold)
     exact_keep = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
     near_losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     # lang, quality and token count attach in ONE projection over the scan
-    # (no text_stats join-back — Catalyst shares the tokenize subtree)
-    feats = docs.select(
-        "doc_id",
-        lang_id("text").alias("lang_pred"),
-        F.size(tokens_col("text", distinct=False)).cast("long").alias("n_tokens"),
-        quality_score_col("text").alias("quality_score"),
+    # with ONE shared tokenization (r16) — no text_stats join-back
+    feats = with_text_features(docs).select(
+        "doc_id", "lang_pred", "n_tokens", "quality_score"
     )
     return (
         feats.join(exact_keep, "doc_id", "left_semi")
@@ -81,19 +77,15 @@ def curate_corpus_clustered(
     an exact-dup group is always one near-dup component and only its min
     doc_id survives; no separate md5 pass needed.
     """
-    from pdf_etl_pipeline_spark.llmdata.text import quality_score_col
-    from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col
+    from pdf_etl_pipeline_spark.llmdata.text import with_text_features
 
     keepers = (
         near_dup_clusters(docs, threshold=near_dup_threshold, pairs=pairs)
         .filter(F.col("is_keeper"))
         .select("doc_id")
     )
-    feats = docs.select(
-        "doc_id",
-        lang_id("text").alias("lang_pred"),
-        F.size(tokens_col("text", distinct=False)).cast("long").alias("n_tokens"),
-        quality_score_col("text").alias("quality_score"),
+    feats = with_text_features(docs).select(
+        "doc_id", "lang_pred", "n_tokens", "quality_score"
     )
     return (
         feats.join(keepers, "doc_id", "left_semi")
@@ -210,16 +202,12 @@ def token_budget_mix(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from pdf_etl_pipeline_spark.llmdata.dedup import tokens_col
-    from pdf_etl_pipeline_spark.llmdata.text import quality_score_col
+    from pdf_etl_pipeline_spark.llmdata.text import with_text_features
 
     # quality and token count attach in the SAME projection as the scan —
-    # no join back to text_stats (see source_cap)
-    scored = docs.select(
-        "doc_id",
-        "source",
-        quality_score_col("text").alias("quality_score"),
-        F.size(tokens_col("text", distinct=False)).cast("long").alias("n_tokens"),
+    # no join back to text_stats (see source_cap); one shared tokenization
+    scored = with_text_features(docs).select(
+        "doc_id", "source", "quality_score", "n_tokens"
     )
     order = [F.desc("quality_score"), F.asc("doc_id")]
     w_rank = Window.partitionBy("source").orderBy(*order)

@@ -66,17 +66,13 @@ def curation_verdict_df(
     (doc_id, n_tokens, n_kept, trimmed_text). Factored out so the
     physical-plan audit can assert the composed batch body without the
     side-effecting index appends."""
-    from pdf_etl_pipeline_spark.llmdata.text import lang_id, quality_score_col
+    from pdf_etl_pipeline_spark.llmdata.text import with_text_gates
 
-    scored = trimmed.select(
-        "doc_id",
-        "n_tokens",
-        "n_kept",
-        lang_id(F.col("trimmed_text")).alias("lang_trim"),
-        # rounded BEFORE the gate so the oracle's round(…, 6) >= 0.5
-        # comparison is bit-identical
-        F.round(quality_score_col(F.col("trimmed_text")), 6).alias("q_trim"),
-    )
+    # one shared tokenization for both gates (r16); q_trim rounded BEFORE
+    # the gate so the oracle's round(…, 6) >= 0.5 comparison is bit-identical
+    scored = with_text_gates(
+        trimmed, "trimmed_text", "lang_trim", "q_trim", round_q=True
+    ).select("doc_id", "n_tokens", "n_kept", "lang_trim", "q_trim")
     flagged = scored.join(
         admitted.select("doc_id", F.lit(1).alias("_a")), "doc_id", "left"
     ).withColumn("admitted", F.col("_a").isNotNull())

@@ -68,13 +68,23 @@ def shingles_col(text: Column | str, n: int = SHINGLE_N) -> Column:
     Shingles are the classic near-dup unit for text (MinHash papers use
     character or word shingles): unlike bag-of-words Jaccard they are
     order-sensitive, so scrambled documents stop looking identical.
-    """
+
+    The token array is let-bound (r16): the ``element_at`` references
+    inside the transform lambda previously re-evaluated the whole
+    split+lower tokenizer PER GRAM PER OFFSET — O(n_tokens · n) tokenizer
+    runs per row; bound, it is evaluated once."""
+    from pdf_etl_pipeline_spark.functions.scalars import let_col
+
     toks = tokens_col(text, distinct=False)
-    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    mk = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + off) for off in range(n)])
-    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(starts, mk))).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def body(ts: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.size(ts) - (n - 1))
+        mk = lambda i: F.concat_ws(" ", *[F.element_at(ts, i + off) for off in range(n)])
+        return F.when(F.size(ts) >= n, F.array_distinct(F.transform(starts, mk))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let_col(toks, body)
 
 
 def shingles_sql(expr: str, n: int = SHINGLE_N) -> str:
@@ -471,7 +481,9 @@ def label_components(
     edges = (
         pairs.select("doc_a", "doc_b")
         .union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-        .localCheckpoint()
+        # lazy checkpoint: the isEmpty probe below is the materializing
+        # action, so the edge relation costs ONE job instead of two (r16)
+        .localCheckpoint(eager=False)
     )
     if edges.isEmpty():
         # Empty pair graph: every node is its own (kept) component. Common
@@ -509,7 +521,12 @@ def label_components(
                     "cluster_id"
                 ),
             )
-        labels = labels.localCheckpoint()
+        # lazy checkpoint fused with the convergence aggregate (r16): the
+        # eager form ran one job to materialize the checkpoint and a second
+        # for the sum — the agg below is now the materializing action, so
+        # each round costs ONE job for both (lineage still truncated; the
+        # next round's joins read the checkpointed blocks)
+        labels = labels.localCheckpoint(eager=False)
         done += 1
         # decimal(38,0) sum: raw int64 sums overflow (ANSI mode: throw) once
         # corpora reach billions of large doc_ids — exactly the scale this

@@ -312,8 +312,14 @@ def ingest_batch(
     )
     # bands: partitioned by band so admission probes prune to the probed
     # band partitions (PartitionFilters on the scan — see admission_matches).
+    # Repartitioned BY BAND before the dynamic-partition write (r16, guide
+    # §6 small files): without it every one of the 32 shuffle tasks opens a
+    # writer per band it touches (up to 32×BANDS tiny files per batch +
+    # commit overhead, measured 4-5 s/append); aligned, the write is one
+    # file per band partition per batch and the probe-side file count grows
+    # BANDS/batch instead of ~32·BANDS/batch.
     _append_to_table(
-        bands.join(kept, "doc_id", "left_semi"),
+        bands.join(kept, "doc_id", "left_semi").repartition("band"),
         bands_table(index_dir),
         os.path.join(index_dir, BANDS_SUBDIR),
         partition_by="band",

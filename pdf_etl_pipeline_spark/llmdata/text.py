@@ -31,30 +31,56 @@ LANG_MARKERS = {
 # BPE-ish pretokenizer: letter runs | single digits | non-space symbols
 BPE_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
 
+LANG_ORDER = ["en", "fr", "es", "de", "zh"]
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
-    toks = tokens_col(text, distinct=False)
-    def hit(words: list[str]):
-        return lambda t: t.isin(*words)
+# Native per-row let-binding (see functions.scalars.let_col): evaluates the
+# token array ONCE per row instead of once per reference — the pre-r16
+# lang_id expanded to ~35 evaluations of split(lower(text)) per row
+# (each score referenced by the when-chain AND inside ``greatest``).
+# Verified by plan inspection: one ``split(`` in the plan vs 35.
+from pdf_etl_pipeline_spark.functions.scalars import let_col as _let  # noqa: E402
 
-    scores = {
-        lang: F.size(F.filter(toks, hit(words))) for lang, words in LANG_MARKERS.items()
-    }
+
+def _hit(words: list[str]):
+    return lambda t: t.isin(*words)
+
+
+def _lang_scores_struct(ts: Column, c: Column) -> Column:
+    """Marker-hit scores per language as ONE struct over the bound token
+    array ``ts`` (zh scored by CJK codepoint count over the raw text)."""
+    fields = [
+        F.size(F.filter(ts, _hit(words))).alias(lang)
+        for lang, words in LANG_MARKERS.items()
+    ]
     # CJK detection by codepoint range (zh has no space-delimited stopwords)
-    c = F.col(text) if isinstance(text, str) else text
-    scores["zh"] = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
-    return scores
+    fields.append(F.length(F.regexp_replace(c, r"[^一-鿿]", "")).alias("zh"))
+    return F.struct(*fields)
+
+
+def _lang_pick(sc: Column) -> Column:
+    """Argmax over a bound score struct with deterministic priority order."""
+    best = F.greatest(*[sc[lang] for lang in LANG_ORDER])
+    out = F.lit("unknown")
+    # reversed so earlier languages win ties (first-match priority en>fr>es>de>zh)
+    for lang in reversed(LANG_ORDER):
+        out = F.when((sc[lang] > 0) & (sc[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def lang_from_tokens(ts: Column, c: Column) -> Column:
+    """Language ID over an already-bound token array (single score pass)."""
+    return _let(_lang_scores_struct(ts, c), _lang_pick)
 
 
 def lang_id(text: Column | str) -> Column:
-    """Argmax over marker hits with deterministic priority order."""
-    s = lang_scores(text)
-    best = F.greatest(*s.values())
-    out = F.lit("unknown")
-    # reversed so earlier languages win ties (first-match priority en>fr>es>de>zh)
-    for lang in reversed(["en", "fr", "es", "de", "zh"]):
-        out = F.when((s[lang] > 0) & (s[lang] == best), F.lit(lang)).otherwise(out)
-    return out
+    """Argmax over marker hits with deterministic priority order.
+
+    Double let-binding: the token array is evaluated once, then the five
+    scores are evaluated once into a struct the when-chain reads — same
+    values as the naive expansion, ~35x less tokenizer work per row."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens_col(c, distinct=False)
+    return _let(toks, lambda ts: lang_from_tokens(ts, c))
 
 
 def lang_id_sql(text_expr: str) -> str:
@@ -72,50 +98,73 @@ def lang_id_sql(text_expr: str) -> str:
     return out
 
 
+def quality_from_tokens(ts: Column, c: Column) -> Column:
+    """The composite quality score over an already-bound token array
+    (single stats pass; ``c`` only feeds the digit-ratio regexp)."""
+
+    def formula(st: Column) -> Column:
+        n_chars = F.length(c)
+        digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+        avg_word_len = st["sum_len"] / F.nullif(st["n_tokens"], F.lit(0))
+        ttr = st["n_distinct"] / F.nullif(st["n_tokens"], F.lit(0))
+        stop_ratio = st["stop_hits"] / F.nullif(st["n_tokens"], F.lit(0))
+        digit_ratio = digits / F.nullif(n_chars, F.lit(0))
+        quality = (
+            F.least(st["n_tokens"] / F.lit(20.0), F.lit(1.0)) * 0.3
+            + F.coalesce(ttr, F.lit(0.0)) * 0.3
+            + F.when((avg_word_len >= 3) & (avg_word_len <= 8), 0.2).otherwise(0.0)
+            + F.coalesce(stop_ratio, F.lit(0.0)) * 0.2
+            - F.coalesce(digit_ratio, F.lit(0.0)) * 0.2
+        )
+        return F.round(quality, 6)
+
+    stats = F.struct(
+        F.size(ts).alias("n_tokens"),
+        F.size(F.array_distinct(ts)).alias("n_distinct"),
+        F.aggregate(ts, F.lit(0), lambda acc, t: acc + F.length(t)).alias("sum_len"),
+        F.size(F.filter(ts, _hit(LANG_MARKERS["en"]))).alias("stop_hits"),
+    )
+    return _let(stats, formula)
+
+
 def quality_score_col(text: Column | str = "text") -> Column:
     """The composite quality score as a pure Column expression (rounded to
     6) — extracted so curation ops can attach it in the SAME projection
     as the scan instead of joining back to text_stats (a corpus-sized
-    self-join on doc_id for a value derivable inline)."""
+    self-join on doc_id for a value derivable inline). Let-bound (r16):
+    the token array and the token stats are each evaluated once per row
+    instead of once per reference."""
     c = F.col(text) if isinstance(text, str) else text
     toks = tokens_col(c, distinct=False)
-    n_chars = F.length(c)
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
-    avg_word_len = sum_len / F.nullif(n_tokens, F.lit(0))
-    ttr = n_distinct / F.nullif(n_tokens, F.lit(0))
-    stop_ratio = stop_hits / F.nullif(n_tokens, F.lit(0))
-    digit_ratio = digits / F.nullif(n_chars, F.lit(0))
-    quality = (
-        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.3
-        + F.coalesce(ttr, F.lit(0.0)) * 0.3
-        + F.when((avg_word_len >= 3) & (avg_word_len <= 8), 0.2).otherwise(0.0)
-        + F.coalesce(stop_ratio, F.lit(0.0)) * 0.2
-        - F.coalesce(digit_ratio, F.lit(0.0)) * 0.2
-    )
-    return F.round(quality, 6)
+    return _let(toks, lambda ts: quality_from_tokens(ts, c))
 
 
 def text_stats(docs: DataFrame) -> DataFrame:
-    """Quality-scoring feature set + composite score."""
+    """Quality-scoring feature set + composite score.
+
+    The token array is materialized ONCE per row in its own projection
+    (r16): CollapseProject declines to inline a non-cheap alias with
+    multiple references, so the stats below read the bound ``_toks``
+    column instead of each re-running split+lower+filter (the pre-r16
+    plan evaluated the tokenizer 20+ times per row)."""
     text = F.col("text")
-    toks = tokens_col(text, distinct=False)
+    bound = docs.select(
+        "doc_id", "text", tokens_col(text, distinct=False).alias("_toks")
+    )
+    toks = F.col("_toks")
     n_chars = F.length(text)
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
     digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    stop_hits = F.size(F.filter(toks, _hit(LANG_MARKERS["en"])))
     avg_word_len = sum_len / F.nullif(n_tokens, F.lit(0))
     ttr = n_distinct / F.nullif(n_tokens, F.lit(0))
     stop_ratio = stop_hits / F.nullif(n_tokens, F.lit(0))
     punct_ratio = punct / F.nullif(n_chars, F.lit(0))
     digit_ratio = digits / F.nullif(n_chars, F.lit(0))
-    return docs.select(
+    return bound.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars_m"),
         n_tokens.cast("long").alias("n_tokens"),
@@ -125,10 +174,70 @@ def text_stats(docs: DataFrame) -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(digit_ratio, 6).alias("digit_ratio"),
-        # the composite formula lives ONCE, in quality_score_col — reported
+        # the composite formula lives ONCE, in quality_from_tokens — reported
         # stats and curation scoring cannot drift apart
-        quality_score_col(text).alias("quality_score"),
+        quality_from_tokens(toks, text).alias("quality_score"),
     ).orderBy("doc_id")
+
+
+def with_text_gates(
+    df: DataFrame,
+    text_col: str | Column,
+    lang_out: str = "lang_trim",
+    q_out: str = "q_trim",
+    round_q: bool = False,
+) -> DataFrame:
+    """Attach BOTH curation gates (language ID + quality score) with ONE
+    tokenization pass: the token array is let-bound per row and shared by
+    the two gate expressions. Values are identical to
+    ``lang_id(text_col)`` / ``quality_score_col(text_col)`` — only the
+    evaluation count changes."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens_col(c, distinct=False)
+    gates = _let(
+        toks,
+        lambda ts: F.struct(
+            lang_from_tokens(ts, c).alias("lang"),
+            quality_from_tokens(ts, c).alias("q"),
+        ),
+    )
+    q = F.col("_gates")["q"]
+    return (
+        df.withColumn("_gates", gates)
+        .withColumn(lang_out, F.col("_gates")["lang"])
+        .withColumn(q_out, F.round(q, 6) if round_q else q)
+        .drop("_gates")
+    )
+
+
+def with_text_features(
+    df: DataFrame,
+    text_col: str | Column = "text",
+    lang_out: str = "lang_pred",
+    n_out: str = "n_tokens",
+    q_out: str = "quality_score",
+) -> DataFrame:
+    """Attach the standard curation feature triple — language ID, token
+    count, quality score — with ONE tokenization pass (same single-pass
+    rationale as :func:`with_text_gates`; values identical to the three
+    separate expressions)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens_col(c, distinct=False)
+    feats = _let(
+        toks,
+        lambda ts: F.struct(
+            lang_from_tokens(ts, c).alias("lang"),
+            F.size(ts).cast("long").alias("n"),
+            quality_from_tokens(ts, c).alias("q"),
+        ),
+    )
+    return (
+        df.withColumn("_feats", feats)
+        .withColumn(lang_out, F.col("_feats")["lang"])
+        .withColumn(n_out, F.col("_feats")["n"])
+        .withColumn(q_out, F.col("_feats")["q"])
+        .drop("_feats")
+    )
 
 
 def token_count_bpe(docs: DataFrame) -> DataFrame:

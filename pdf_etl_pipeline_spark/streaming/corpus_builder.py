@@ -157,8 +157,16 @@ def build_corpus_batch(
     verdicts = v_clean.unionByName(v_cont)
     if v_leak is not None:
         verdicts = verdicts.unionByName(v_leak)
+    # verdicts MUST materialize eagerly: their plan reads the curation
+    # indexes this batch just appended, and a later batch's append would
+    # otherwise leak into a deferred evaluation (replay contract).
     verdicts = verdicts.localCheckpoint()
-    manifest = builder_manifest_df(verdicts, budget).localCheckpoint()
+    # the manifest derives ONLY from the checkpointed verdict relation (no
+    # index reads), so its checkpoint can be lazy (r16): consumers that
+    # need it (the streaming writer, st14) materialize it with their first
+    # action; consumers that don't (st16's verdict-only output) never pay
+    # the packing job.
+    manifest = builder_manifest_df(verdicts, budget).localCheckpoint(eager=False)
     return verdicts, manifest
 
 
