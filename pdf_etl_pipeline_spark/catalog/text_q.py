@@ -469,6 +469,11 @@ def tx13_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     grams = span_hashes_df(docs, _TX13_N).select("doc_id", F.col("h").alias("gram"))
+    # materialized (r16): both aggregates below reference grams and
+    # Catalyst re-planned the explode+hash pass under each (two documents
+    # scans in the before-plan; guide §5 — cache-or-recompute favors one
+    # pass for a relation of two longs per gram)
+    grams = grams.localCheckpoint()
     per_doc = grams.groupBy("doc_id").agg(
         F.count_distinct("gram").alias("n_grams")
     )

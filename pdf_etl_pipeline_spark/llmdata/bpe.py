@@ -257,7 +257,13 @@ def train_bpe_batched(
         if not batch:
             break
         merges.extend(batch)
-        rel = apply_merges_batch(rel, [(a, b) for a, b, _ in batch]).localCheckpoint()
+        # lazy (r16): the next round's bounded top-pairs collect (or the
+        # caller's first action on the returned rel) is the materializing
+        # job, so each round costs ONE job instead of an eager-checkpoint
+        # job plus the collect (lineage still truncated per stage)
+        rel = apply_merges_batch(rel, [(a, b) for a, b, _ in batch]).localCheckpoint(
+            eager=False
+        )
     return merges, rel
 
 
@@ -275,8 +281,10 @@ def train_bpe_on_vocab(vocab: DataFrame, n_merges: int = N_MERGES):
         a, b, _cnt = best
         merges.append(best)
         # checkpoint per stage: truncates the 4-window lineage so stage
-        # N's plan stays constant-size (the label_components discipline)
-        rel = apply_merge(rel, a, b).localCheckpoint()
+        # N's plan stays constant-size (the label_components discipline).
+        # Lazy (r16): the next round's 1-row argmax collect materializes
+        # it — one job per round instead of two
+        rel = apply_merge(rel, a, b).localCheckpoint(eager=False)
     return merges, rel
 
 

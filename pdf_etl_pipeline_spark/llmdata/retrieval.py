@@ -47,8 +47,14 @@ def bm25_topk(docs: DataFrame, queries: dict[int, list[str]], k: int = 5) -> Dat
     toks = docs.select("doc_id", F.explode(tokens_col("text", distinct=False)).alias("tok"))
     postings = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     # doc length from the postings themselves (sum of tf) — the expensive
-    # token explode runs ONCE; dl/df/avgdl all derive from the postings
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # token explode runs ONCE; dl/df/avgdl all derive from the postings.
+    # MATERIALIZED (r16): postings is referenced three times (dl, df, the
+    # contrib join) and Catalyst re-planned the explode+aggregate under
+    # each — the before-plan re-scanned documents 3x (guide §5: cut the
+    # lineage of a many-referenced intermediate). At cluster scale this is
+    # the standard "build the inverted index once" materialization.
+    postings = postings.localCheckpoint()
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl")).localCheckpoint()
     corpus = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
     )

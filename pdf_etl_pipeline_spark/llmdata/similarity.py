@@ -424,8 +424,11 @@ def kmeans_centroids(
             .select("cell_id", F.coalesce("newc", "prev").alias("centroid"))
             # truncate lineage: each round references the previous centroids
             # twice (assignment + empty-cell fallback); left lazy the plan
-            # doubles per round. 16 rows — checkpoint cost is nil.
-            .localCheckpoint()
+            # doubles per round. 16 rows — checkpoint cost is nil. Lazy
+            # checkpoint (r16): the next round's broadcast build (or the
+            # caller's first action) materializes it — one job per round
+            # instead of an eager-checkpoint job plus the round's own.
+            .localCheckpoint(eager=False)
         )
     return cents
 
@@ -513,8 +516,9 @@ def pq_codebooks(embeddings: DataFrame) -> DataFrame:
             cents.select("m", "cell_id", F.col("centroid").alias("prev"))
             .join(new_c, ["m", "cell_id"], "left")
             .select("m", "cell_id", F.coalesce("newc", "prev").alias("centroid"))
-            # 64 rows — truncate lineage so the plan doesn't double per round
-            .localCheckpoint()
+            # 64 rows — truncate lineage so the plan doesn't double per round;
+            # lazy: the next round's broadcast build materializes it (r16)
+            .localCheckpoint(eager=False)
         )
     return cents
 

@@ -67,12 +67,28 @@ def orient(canon: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """1-row (n_nodes, n_edges, n_triangles) for an undirected simple
-    graph given as (u, v) pairs in any order/duplication."""
+    graph given as (u, v) pairs in any order/duplication.
+
+    ``materialize`` localCheckpoints the three shared relations (canon,
+    deg, oriented) — each is referenced 2–4 times downstream and Catalyst
+    does NOT share the subtrees: the r16 before-plan of g2 carried 72
+    parquet scans / 116 exchanges because the edge-construction self-join
+    was re-planned under every reference (optimization guide §3.3/§5 —
+    materialize a many-referenced intermediate to truncate the plan).
+    Measured at sf0.1: 21.7 s → see OPTIMIZATION_r16.md. Pass False to
+    keep the single-plan form (g2a's audit evidence needs the sampling
+    filter visible in the final plan)."""
     canon = canonical_edges(edges)
+    if materialize:
+        canon = canon.localCheckpoint()
     deg = degrees(canon)
+    if materialize:
+        deg = deg.localCheckpoint()
     oriented = orient(canon, deg)
+    if materialize:
+        oriented = oriented.localCheckpoint()
     wedges = oriented.alias("e1").join(
         oriented.alias("e2"), F.col("e1.dst") == F.col("e2.src")
     ).select(
@@ -122,7 +138,12 @@ def triangle_count_sampled(edges: DataFrame, p_num: int, p_den: int) -> DataFram
     canon = canonical_edges(edges)
     sampled = sample_edges(canon, p_num, p_den)
     scale = (p_den / p_num) ** 3
-    counted = triangle_count(sampled)
+    # materialize=False: g2a's audit (_g2a_sample_before_join) verifies the
+    # hash draw sits below the degree/orient joins by reading the FINAL
+    # plan — a checkpoint cut would hide the filter from it, and the
+    # sampled wedge volume is already ~6x down, so the recompute this
+    # keeps is proportionally cheaper than exact g2's was
+    counted = triangle_count(sampled, materialize=False)
     return counted.select(
         F.col("n_edges").alias("n_edges_sampled"),
         F.col("n_triangles").alias("n_triangles_sampled"),
@@ -185,9 +206,12 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     degree relation. No per-node neighborhood materialization: the naive
     "intersect adjacency lists per node" shape is quadratic on hubs.
     """
-    canon = canonical_edges(edges)
-    deg = degrees(canon)
-    oriented = orient(canon, deg)
+    # same shared-relation materialization as triangle_count (canon/deg/
+    # oriented are each referenced 2-4x; Catalyst re-plans the edge
+    # self-join under every reference otherwise — guide §3.3/§5)
+    canon = canonical_edges(edges).localCheckpoint()
+    deg = degrees(canon).localCheckpoint()
+    oriented = orient(canon, deg).localCheckpoint()
     wedges = oriented.alias("e1").join(
         oriented.alias("e2"), F.col("e1.dst") == F.col("e2.src")
     ).select(

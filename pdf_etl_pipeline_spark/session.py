@@ -69,9 +69,78 @@ def get_spark(app_name: str = "pdf_etl_pipeline_spark", cpus: int | None = None)
     return tune(spark)
 
 
+# Tables whose scans feed non-trivial per-row compute (tokenizers, join
+# probes, vector arithmetic). Scans of the OTHER tables are either
+# dimension-sized (broadcast sides) or consumed by one cheap aggregate,
+# where an extra exchange costs more than the spread saves.
+_SPREAD_TABLES = {"documents", "lineitem", "events", "embeddings"}
+
+
+def _input_bytes(path: str) -> int | None:
+    """Total bytes under ``path`` (file or directory), or None when the
+    path is not locally stat-able (object store at cluster scale — the
+    caller then skips the spread, the scale-safe default)."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+    except OSError:
+        return None
+
+
+def spread_scan(spark: SparkSession, df, path: str):
+    """Round-robin repartition a scan that parquet row-group boundaries
+    leave narrower than the session's parallelism (optimization guide
+    §2.5 "input skew: one huge unsplittable file — repartition
+    immediately after the read").
+
+    The testdata tables are ONE parquet file with ONE row group each, so
+    every scan-rooted stage — including the most CPU-expensive stages in
+    the repo (token hashing over ``documents``, the 5-broadcast-join
+    pipeline over ``lineitem``) — ran on ONE core of local[32]
+    (BENCH_r15 windows: busy_cores 1.6–2.7 for most queries).
+
+    Scale-adaptive, not a local[32] tune: the byte gate keeps the
+    repartition OFF whenever the scan can already produce >= parallelism
+    splits (input_bytes >= maxPartitionBytes x parallelism), which is
+    every real multi-file table at cluster scale, and ON only for
+    unsplittable-small inputs where the shuffle is by construction
+    cheaper than one task's serial scan of the same bytes.
+
+    ROUND-ROBIN, not hash-by-key: a key column would be forced into
+    every scan's ReadSchema (widening pruned scans, e.g. dq3's
+    two-column events scan) for no benefit — downstream keys rarely
+    match a table's pk, and map-side partial aggregation already keeps
+    the real shuffles small. Determinism under task retry comes from
+    Spark's sort-before-repartition (SPARK-23207, on by default).
+    The partition count is EXPLICIT so AQE's coalescer cannot fold the
+    tiny partitions straight back to one.
+    """
+    para = spark.sparkContext.defaultParallelism
+    if para <= 1:
+        return df
+    size = _input_bytes(path)
+    if size is None:
+        return df
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    if size >= max_split * para:
+        return df
+    return df.repartition(para)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one synthetic table (TESTDATA.md) as a DataFrame."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one synthetic table (TESTDATA.md) as a DataFrame. Heavy
+    tables are spread to the session's parallelism when the file layout
+    cannot be split that wide (see ``spread_scan``)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name in _SPREAD_TABLES:
+        df = spread_scan(spark, df, path)
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str):
@@ -102,7 +171,8 @@ def load_events(spark: SparkSession, sf_dir: str):
     # been through tune() may carry a machine-local zone, silently shifting
     # ts/ts_ns. Pin it here, next to the other load-critical conf.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    df = spread_scan(spark, spark.read.parquet(path), path)
     ts_type = dict(df.dtypes)["ts"]
     if ts_type in ("bigint", "long"):
         return df.withColumn("ts_ns", F.col("ts")).withColumn(

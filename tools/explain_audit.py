@@ -507,9 +507,16 @@ def _dq3_two_exchanges_pruned_scan(plan: str) -> list[str]:
     import re
 
     problems = []
-    exchanges = re.findall(r"Exchange \w+", plan)
+    # the byte-gated scan-spread (session.spread_scan) adds a RoundRobin
+    # exchange over unsplittably-small local inputs; it is OFF at scale
+    # (the gate), so the scale contract counts only the real shuffles
+    exchanges = [
+        e
+        for e in re.findall(r"Exchange \w+", plan)
+        if e != "Exchange RoundRobinPartitioning"
+    ]
     if len(exchanges) != 2:
-        problems.append(f"expected exactly 2 Exchanges, saw {exchanges}")
+        problems.append(f"expected exactly 2 non-spread Exchanges, saw {exchanges}")
     if "Exchange SinglePartition" not in plan:
         problems.append("missing: the 1-row rollup's SinglePartition exchange")
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
@@ -695,10 +702,16 @@ def _tk5_one_shuffle_k_branches(plan: str) -> list[str]:
     import re
 
     problems = []
-    exchanges = re.findall(r"Exchange \w+", plan)
+    # the byte-gated scan-spread exchange (session.spread_scan) is not a
+    # merge-apply shuffle — see the dq3 audit note
+    exchanges = [
+        e
+        for e in re.findall(r"Exchange \w+", plan)
+        if e != "Exchange RoundRobinPartitioning"
+    ]
     if len(exchanges) != 1 or "hashpartitioning(word" not in plan:
         problems.append(
-            f"expected exactly 1 Exchange (hashpartitioning on word), saw {exchanges}"
+            f"expected exactly 1 non-spread Exchange (hashpartitioning on word), saw {exchanges}"
         )
     if len(re.findall(r"\bWindow ", plan)) < 4:
         problems.append("missing: the 4-window merge-apply chain")
@@ -1321,10 +1334,13 @@ CHECKS = {
         "must_not": ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct", "Window"],
     },
     "tx13_ngram_novelty": {
-        # one corpus-linear explode; the gram aggregation and the
-        # first-doc join share the gram hash exchange; the doc rollup is
-        # keyed — no window, no nested-loop, no Python
-        "must": ["Generate", "HashAggregate"],
+        # one corpus-linear explode, r16: materialized ONCE through
+        # localCheckpoint (the mm5 discipline — both aggregates reference
+        # the gram relation, and left lazy the explode ran twice), so the
+        # FINAL plan is checkpoint scans + the keyed aggregations; the
+        # explode lives in the checkpoint job. No window, no nested-loop,
+        # no Python
+        "must": ["HashAggregate"],
         "must_not": [
             "BatchEvalPython",
             "ArrowEvalPython",
