@@ -72,8 +72,12 @@ def get_spark(app_name: str = "pdf_etl_pipeline_spark", cpus: int | None = None)
 # Tables whose scans feed non-trivial per-row compute (tokenizers, join
 # probes, vector arithmetic). Scans of the OTHER tables are either
 # dimension-sized (broadcast sides) or consumed by one cheap aggregate,
-# where an extra exchange costs more than the spread saves.
-_SPREAD_TABLES = {"documents", "lineitem", "events", "embeddings"}
+# where an extra exchange costs more than the spread saves. ``events`` is
+# deliberately NOT spread: measured A/B (OPTIMIZATION_r16.md) — its
+# queries are window/aggregate-bound (the per-row scan work is trivial),
+# so the extra exchange only added overhead (st2 1.5 -> 2.6 s
+# interleaved-A/B under identical host state).
+_SPREAD_TABLES = {"documents", "lineitem", "embeddings"}
 
 
 def _input_bytes(path: str) -> int | None:
@@ -120,6 +124,8 @@ def spread_scan(spark: SparkSession, df, path: str):
     The partition count is EXPLICIT so AQE's coalescer cannot fold the
     tiny partitions straight back to one.
     """
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD") == "1":  # measurement A/B switch
+        return df
     para = spark.sparkContext.defaultParallelism
     if para <= 1:
         return df
@@ -171,8 +177,8 @@ def load_events(spark: SparkSession, sf_dir: str):
     # been through tune() may carry a machine-local zone, silently shifting
     # ts/ts_ns. Pin it here, next to the other load-critical conf.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = os.path.join(sf_dir, "events.parquet")
-    df = spread_scan(spark, spark.read.parquet(path), path)
+    # events is not spread — see _SPREAD_TABLES (window/aggregate-bound)
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(df.dtypes)["ts"]
     if ts_type in ("bigint", "long"):
         return df.withColumn("ts_ns", F.col("ts")).withColumn(

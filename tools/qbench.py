@@ -33,7 +33,7 @@ def main() -> None:
     spark = get_spark("qbench")
     for t in ("lineitem", "documents", "events", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
-    from bench import _reset_session_memos
+    from bench import _Window, _reset_session_memos
 
     out: dict[str, object] = {}
     for name in names:
@@ -42,13 +42,17 @@ def main() -> None:
         _reset_session_memos(spark)
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         raw = []
+        wins = []
         for i in range(runs):
             _reset_session_memos(spark)
             spark.sparkContext.setJobDescription(f"qbench:{name}:{i}")
+            w = _Window()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             raw.append(round(time.time() - t0, 3))
-        out[name] = {"min": min(raw), "runs": raw}
+            ww = w.close()
+            wins.append((ww["other_cores"], ww["steal_cores"]))
+        out[name] = {"min": min(raw), "runs": raw, "other_steal": wins}
         print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps(out))
     spark.stop()
