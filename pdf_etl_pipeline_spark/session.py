@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 # Runtime-settable confs applied defensively to any session we run on.
 # - UTC timezone: parquet timestamps must compare bit-identical with the
@@ -70,14 +71,19 @@ def get_spark(app_name: str = "pdf_etl_pipeline_spark", cpus: int | None = None)
 
 
 # Tables whose scans feed non-trivial per-row compute (tokenizers, join
-# probes, vector arithmetic). Scans of the OTHER tables are either
+# probes, vector arithmetic), mapped to the HASH key the spread partitions
+# on (the table's row identity). Scans of the OTHER tables are either
 # dimension-sized (broadcast sides) or consumed by one cheap aggregate,
 # where an extra exchange costs more than the spread saves. ``events`` is
 # deliberately NOT spread: measured A/B (OPTIMIZATION_r16.md) — its
 # queries are window/aggregate-bound (the per-row scan work is trivial),
 # so the extra exchange only added overhead (st2 1.5 -> 2.6 s
 # interleaved-A/B under identical host state).
-_SPREAD_TABLES = {"documents", "lineitem", "embeddings"}
+_SPREAD_TABLES = {
+    "documents": "doc_id",
+    "lineitem": "l_orderkey",
+    "embeddings": "vec_id",
+}
 
 
 def _input_bytes(path: str) -> int | None:
@@ -96,11 +102,11 @@ def _input_bytes(path: str) -> int | None:
         return None
 
 
-def spread_scan(spark: SparkSession, df, path: str):
-    """Round-robin repartition a scan that parquet row-group boundaries
-    leave narrower than the session's parallelism (optimization guide
-    §2.5 "input skew: one huge unsplittable file — repartition
-    immediately after the read").
+def spread_scan(spark: SparkSession, df, path: str, key: str):
+    """Hash-repartition a scan that parquet row-group boundaries leave
+    narrower than the session's parallelism (optimization guide §2.5
+    "input skew: one huge unsplittable file — repartition immediately
+    after the read").
 
     The testdata tables are ONE parquet file with ONE row group each, so
     every scan-rooted stage — including the most CPU-expensive stages in
@@ -115,14 +121,23 @@ def spread_scan(spark: SparkSession, df, path: str):
     unsplittable-small inputs where the shuffle is by construction
     cheaper than one task's serial scan of the same bytes.
 
-    ROUND-ROBIN, not hash-by-key: a key column would be forced into
-    every scan's ReadSchema (widening pruned scans, e.g. dq3's
-    two-column events scan) for no benefit — downstream keys rarely
-    match a table's pk, and map-side partial aggregation already keeps
-    the real shuffles small. Determinism under task retry comes from
-    Spark's sort-before-repartition (SPARK-23207, on by default).
-    The partition count is EXPLICIT so AQE's coalescer cannot fold the
-    tiny partitions straight back to one.
+    HASH on the table's row identity, not round-robin (r16 second
+    iteration, measured interleaved-A/B): round-robin scatters every
+    downstream group across ALL partitions, so per-row-keyed aggregates
+    (MinHash's 64 mins per doc_id, w5's per-partkey sums) lose map-side
+    partial aggregation — each of the 32 partitions emits partials for
+    nearly every group and the following exchange carries up to 32x the
+    rows (dd3 6.1 vs 4.3 s, w5 1.9 vs 1.4 s round-robin vs no spread).
+    Hash-by-identity keeps each group's rows in ONE partition (partials
+    stay disjoint), lets pk-keyed groupBys/joins reuse the exchange
+    outright (HashPartitioning(pk, para) with para == shuffle.partitions
+    satisfies their ClusteredDistribution — dd3's groupBy(doc_id) plans
+    with NO further exchange), and needs no sort-before-repartition for
+    retry determinism (hash placement is deterministic by value). The
+    cost is the key column forced into every spread scan's ReadSchema —
+    one int64 per row, and only on inputs the byte gate already proved
+    tiny. The partition count is EXPLICIT so AQE's coalescer cannot fold
+    the tiny partitions straight back to one.
     """
     if os.environ.get("SPARK_GRAFT_NO_SPREAD") == "1":  # measurement A/B switch
         return df
@@ -135,7 +150,7 @@ def spread_scan(spark: SparkSession, df, path: str):
     max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     if size >= max_split * para:
         return df
-    return df.repartition(para)
+    return df.repartition(para, F.col(key))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
@@ -144,8 +159,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     cannot be split that wide (see ``spread_scan``)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name in _SPREAD_TABLES:
-        df = spread_scan(spark, df, path)
+    key = _SPREAD_TABLES.get(name)
+    if key is not None:
+        df = spread_scan(spark, df, path, key)
     return df
 
 

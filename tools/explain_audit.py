@@ -507,13 +507,15 @@ def _dq3_two_exchanges_pruned_scan(plan: str) -> list[str]:
     import re
 
     problems = []
-    # the byte-gated scan-spread (session.spread_scan) adds a RoundRobin
-    # exchange over unsplittably-small local inputs; it is OFF at scale
-    # (the gate), so the scale contract counts only the real shuffles
+    # the byte-gated scan-spread (session.spread_scan) adds an explicit
+    # repartition exchange (REPARTITION_BY_NUM origin) over unsplittably-
+    # small local inputs; it is OFF at scale (the gate), so the scale
+    # contract counts only the organic (ENSURE_REQUIREMENTS) shuffles
     exchanges = [
-        e
-        for e in re.findall(r"Exchange \w+", plan)
-        if e != "Exchange RoundRobinPartitioning"
+        l.strip()
+        for l in plan.splitlines()
+        if "Exchange " in l and "ReusedExchange" not in l
+        and "REPARTITION_BY_NUM" not in l
     ]
     if len(exchanges) != 2:
         problems.append(f"expected exactly 2 non-spread Exchanges, saw {exchanges}")
@@ -702,12 +704,14 @@ def _tk5_one_shuffle_k_branches(plan: str) -> list[str]:
     import re
 
     problems = []
-    # the byte-gated scan-spread exchange (session.spread_scan) is not a
-    # merge-apply shuffle — see the dq3 audit note
+    # the byte-gated scan-spread exchange (session.spread_scan, explicit
+    # REPARTITION_BY_NUM origin) is not a merge-apply shuffle — see the
+    # dq3 audit note
     exchanges = [
-        e
-        for e in re.findall(r"Exchange \w+", plan)
-        if e != "Exchange RoundRobinPartitioning"
+        l.strip()
+        for l in plan.splitlines()
+        if "Exchange " in l and "ReusedExchange" not in l
+        and "REPARTITION_BY_NUM" not in l
     ]
     if len(exchanges) != 1 or "hashpartitioning(word" not in plan:
         problems.append(
@@ -1645,9 +1649,14 @@ CHECKS = {
         # to the three referenced columns
         "must": ["BroadcastHashJoin", "HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
+        # the byte-gated scan-spread (session.spread_scan) adds its hash
+        # key l_orderkey to the ReadSchema on unsplittably-small local
+        # inputs; OFF at scale (the gate), so the pruning contract allows
+        # exactly the three referenced columns plus that key
         "check": lambda plan: (
             []
             if "ReadSchema: struct<l_extendedprice:" in plan
+            or "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:" in plan
             else ["lineitem scan not pruned to extendedprice+group columns"]
         ),
     },
