@@ -117,34 +117,75 @@ LOAD_POLL_SEC = 15
 # bursts that miss a 1-min snapshot but land on the long 32-way queries.
 LOAD5_MAX = 2.5
 
+# Steal-aware pre-run gate (r16 VERDICT finding 3): the r16 driver run
+# passed the loadavg gate (load 0.42) and was then eaten by 1.2-1.8
+# HYPERVISOR-STEAL cores (calib scalar 1.69) — steal never appears in the
+# guest's loadavg, so the load gate is structurally blind to it. Before
+# timing starts, /proc/stat busy+steal deltas are sampled over a short
+# window; CPU burned by anything that is not this process tree (in-guest
+# co-tenants AND hypervisor steal — _machine_busy_jiffies counts both)
+# must stay under PRESTAT_MAX_OTHER cores, with the same wait/abort
+# semantics as the load gate. The passing sample is emitted in the JSON
+# (prestat) so the committed artifact carries the evidence. 0.75 cores
+# catches a single planted burner core (the r15 test) and the r16 steal
+# band while staying above background-daemon noise (~0.1 cores).
+PRESTAT_MAX_OTHER = 0.75
+PRESTAT_SAMPLE_SEC = 3.0
 
-def _require_idle() -> list[float]:
-    """Block until the 1-min load drops under LOAD_MAX AND the 5-min
-    average under LOAD5_MAX; return the loadavg triple observed at pass
-    time. That snapshot — not one taken after the benchmark's own JVM has
-    been warming up — is what load_avg.before records, so the committed
-    JSON answers 'was the MACHINE idle when the run started', the question
-    round-over-round comparability depends on."""
+
+def _prestat_sample(sec: float = PRESTAT_SAMPLE_SEC) -> dict:
+    """Sample machine-wide CPU over ``sec``: cores busy, cores that are
+    ours, cores that are other tenants' (incl. steal), steal separately."""
+    b0, s0 = _machine_busy_jiffies()
+    o0 = _tree_jiffies()
+    time.sleep(sec)
+    b1, s1 = _machine_busy_jiffies()
+    o1 = _tree_jiffies()
+    busy = (b1 - b0) / _HZ / sec
+    own = (o1 - o0) / _HZ / sec
+    return {
+        "sample_s": sec,
+        "busy_cores": round(busy, 2),
+        "own_cores": round(own, 2),
+        "other_cores": round(max(busy - own, 0.0), 2),
+        "steal_cores": round((s1 - s0) / _HZ / sec, 2),
+    }
+
+
+def _require_idle() -> tuple[list[float], dict]:
+    """Block until (1) the 1-min load drops under LOAD_MAX AND the 5-min
+    average under LOAD5_MAX, and (2) a /proc/stat sampling window shows
+    other-tenant CPU (including hypervisor steal, which loadavg cannot
+    see) under PRESTAT_MAX_OTHER cores. Returns (loadavg triple, prestat
+    sample) observed at pass time. Those snapshots — not ones taken after
+    the benchmark's own JVM has been warming up — are what load_avg.before
+    and prestat record, so the committed JSON answers 'was the MACHINE
+    idle when the run started', the question round-over-round
+    comparability depends on."""
     if os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1":
         print("WARNING: load guard bypassed (SPARK_GRAFT_BENCH_FORCE=1)", file=sys.stderr)
-        return list(os.getloadavg())
+        return list(os.getloadavg()), _prestat_sample()
     deadline = time.time() + LOAD_WAIT_SEC
     while True:
         load1, load5, _ = os.getloadavg()
         if load1 < LOAD_MAX and load5 < LOAD5_MAX:
-            return list(os.getloadavg())
+            stat = _prestat_sample()
+            if stat["other_cores"] < PRESTAT_MAX_OTHER:
+                return list(os.getloadavg()), stat
+            msg = (
+                f"prestat other_cores {stat['other_cores']:.2f} "
+                f"(steal {stat['steal_cores']:.2f}) >= {PRESTAT_MAX_OTHER}"
+            )
+        else:
+            msg = f"load {load1:.2f}/{load5:.2f} (1m/5m) over gate"
         if time.time() >= deadline:
             print(
-                f"ABORT: load {load1:.2f}/{load5:.2f} (1m/5m) >= "
-                f"{LOAD_MAX}/{LOAD5_MAX} after waiting {LOAD_WAIT_SEC}s — "
+                f"ABORT: {msg} after waiting {LOAD_WAIT_SEC}s — "
                 "refusing to emit a noise-corrupted bench JSON",
                 file=sys.stderr,
             )
             sys.exit(3)
-        print(
-            f"load {load1:.2f}/{load5:.2f} (1m/5m) over gate; waiting for idle...",
-            file=sys.stderr,
-        )
+        print(f"{msg}; waiting for idle...", file=sys.stderr)
         time.sleep(LOAD_POLL_SEC)
 
 
@@ -362,7 +403,11 @@ def _st16_steady_state(spark, sf_dir: str, windows: dict) -> dict:
     )
     from pdf_etl_pipeline_spark.streaming.leakage_guard import pin_heldout
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread=True matches the registered st16 query's loader (measured
+    # interleaved A/B r17: guarded lifecycle 32.9 s spread vs 43.2 s raw
+    # on a clean window) and the r16 shape these steady numbers have been
+    # tracked under (r16's loader spread every documents consumer)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     stage = CP.split_stage(F.col("doc_id"))
     bench_docs = docs.filter(F.col("doc_id") % CP.BENCH_MOD == 0)
     heldout = docs.filter(stage >= 1)
@@ -422,7 +467,8 @@ def _st20_steady_state(spark, sf_dir: str, windows: dict) -> dict:
         pin_mm_release_state,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread=True: same rationale as _st16_steady_state above
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     stage = CP.split_stage(F.col("doc_id"))
     held = docs.filter(stage >= 1)
     corpus = _st20_doc_assets(docs.filter(stage == 0))
@@ -447,7 +493,7 @@ def _st20_steady_state(spark, sf_dir: str, windows: dict) -> dict:
 
 
 def main() -> None:
-    load_before = _require_idle()
+    load_before, prestat = _require_idle()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -560,6 +606,7 @@ def main() -> None:
                 "runs_detail": runs_detail,
                 "windows": windows,
                 "load_avg": load_avg,
+                "prestat": prestat,
                 "calib": calib,
                 # diagnostic, never the headline (r14 ADVICE): raw totals
                 # are the comparable number; value_norm only contextualizes
@@ -585,6 +632,10 @@ def main() -> None:
                 "sf": sf,
                 "runs": RUNS,
                 "load_avg": load_avg,
+                "prestat": {
+                    "other_cores": prestat["other_cores"],
+                    "steal_cores": prestat["steal_cores"],
+                },
                 "calib": {
                     "scalar": calib["scalar"],
                     "window_avail": calib["window"]["avail_scalar"],

@@ -62,7 +62,7 @@ ORDER BY total_value DESC, invoice_number""",
 def a2_invoice_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return (
-        invoices_df(spark, sf_dir)
+        invoices_df(spark, sf_dir, spread=True)
         .groupBy("invoice_number")
         .agg(dec_sum_distinct("total_amount").alias("total_value"))
         .orderBy(F.desc("total_value"), "invoice_number")
@@ -81,7 +81,7 @@ ORDER BY total_spend DESC, supplier_name LIMIT 5""",
 def a3_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return (
-        invoices_df(spark, sf_dir)
+        invoices_df(spark, sf_dir, spread=True)
         .groupBy("supplier_name")
         .agg(dec_sum("total_amount").alias("total_spend"))
         .orderBy(F.desc("total_spend"), "supplier_name")
@@ -201,7 +201,7 @@ ORDER BY l_returnflag, l_linestatus""",
 )
 def a8_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    l = load_table(spark, sf_dir, "lineitem")
+    l = load_table(spark, sf_dir, "lineitem", spread=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

@@ -695,12 +695,18 @@ def cc10_trimmed_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_etl_pipeline_spark.llmdata.dedup import near_dup_clusters, trimmed_docs
     from pdf_etl_pipeline_spark.llmdata.text import with_text_gates
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     keepers = (
         near_dup_clusters(docs, threshold=0.9, pairs=shared_pairs(spark, sf_dir, 0.9))
         .filter(F.col("is_keeper"))
         .select("doc_id")
     )
+    # deliberately NOT persisting the span relation here (r17, measured):
+    # an interleaved A/B of spans.persist()+eager-manifest-checkpoint vs
+    # this lazy shape read 14.38 vs 14.11 s on a clean window
+    # (plans/r17/ab_cc10.json) — the persist+checkpoint overhead cancels
+    # the saved second hashing pass; profiled stage costs in
+    # OPTIMIZATION_r17.md §5
     trimmed = trimmed_docs(docs).join(keepers, "doc_id", "left_semi")
     # gate columns computed once (one shared tokenization, r16), then filtered
     survivors = (

@@ -91,7 +91,7 @@ def shared_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> Da
     key = (_session_key(spark), sf_dir, threshold)
     if key not in _PAIRS_CACHE:
         _PAIRS_CACHE[key] = DD.minhash_lsh_pairs(
-            load_table(spark, sf_dir, "documents"), threshold, materialize=True
+            load_table(spark, sf_dir, "documents", spread=True), threshold, materialize=True
         )
     return _PAIRS_CACHE[key]
 
@@ -411,7 +411,7 @@ from pdf_etl_pipeline_spark.llmdata.dedup import dup_span_stats, dup_span_stats_
 )
 def dd8_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return dup_span_stats(load_table(spark, sf_dir, "documents"), materialize=True)
+    return dup_span_stats(load_table(spark, sf_dir, "documents", spread=True), materialize=True)
 
 
 # --- DD10: duplicated-token coverage --------------------------------------------
@@ -433,7 +433,7 @@ from pdf_etl_pipeline_spark.llmdata.dedup import (  # noqa: E402
 )
 def dd10_dup_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return dup_token_coverage(load_table(spark, sf_dir, "documents"), materialize=True)
+    return dup_token_coverage(load_table(spark, sf_dir, "documents", spread=True), materialize=True)
 
 
 # --- DD11: duplicated-span TRIM (the actionable transform) ----------------------
@@ -452,7 +452,7 @@ from pdf_etl_pipeline_spark.llmdata.dedup import trim_dup_spans, trim_dup_spans_
 )
 def dd11_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return trim_dup_spans(load_table(spark, sf_dir, "documents"), materialize=True)
+    return trim_dup_spans(load_table(spark, sf_dir, "documents", spread=True), materialize=True)
 
 
 # --- DD13: near-dup cluster-size histogram ---------------------------------------

@@ -707,7 +707,7 @@ FROM lineitem a JOIN lineitem b
 )
 def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select("l_orderkey", "l_partkey")
     edges = (
         li.alias("a")
         .join(

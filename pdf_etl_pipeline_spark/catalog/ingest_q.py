@@ -737,7 +737,7 @@ def _st16_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import os as _os
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     stage = CP.split_stage(F.col("doc_id"))
     bench = docs.filter(F.col("doc_id") % CP.BENCH_MOD == 0)
     heldout = docs.filter(stage >= 1)

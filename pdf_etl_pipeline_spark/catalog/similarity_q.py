@@ -369,7 +369,7 @@ FROM rr WHERE rank <= {k} ORDER BY query_id, rank"""
 def ss8_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return SS.ivf_adc_topk(
-        load_table(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "embeddings", spread=True),
         _QUERY_IDS,
         k=5,
         nprobe=2,

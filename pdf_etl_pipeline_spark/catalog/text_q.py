@@ -68,7 +68,7 @@ FROM base ORDER BY doc_id""",
 )
 def tx2_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    return TX.text_stats(load_table(spark, sf_dir, "documents"))
+    return TX.text_stats(load_table(spark, sf_dir, "documents", spread=True))
 
 
 # --- TX3: token counting ------------------------------------------------------

@@ -282,9 +282,15 @@ def train_bpe_on_vocab(vocab: DataFrame, n_merges: int = N_MERGES):
         merges.append(best)
         # checkpoint per stage: truncates the 4-window lineage so stage
         # N's plan stays constant-size (the label_components discipline).
-        # Lazy (r16): the next round's 1-row argmax collect materializes
-        # it — one job per round instead of two
-        rel = apply_merge(rel, a, b).localCheckpoint(eager=False)
+        # EAGER (r17, reverting the r16 lazy conversion for THIS loop):
+        # interleaved A/B on a clean window read eager 7.69 s vs lazy
+        # 8.14 s for tk6 (plans/r17/ab_tk6.json) — here the materializing
+        # action is next round's argmax (a TakeOrdered limit(1) job), and
+        # folding checkpoint persistence into that job is slightly worse
+        # than a dedicated materialization pass. The lazy form stays in
+        # train_bpe_batched/label_components, whose materializers are
+        # full-relation aggregates (the shape the r16 win was measured on).
+        rel = apply_merge(rel, a, b).localCheckpoint()
     return merges, rel
 
 

@@ -23,9 +23,16 @@ from pyspark.sql import functions as F
 from pdf_etl_pipeline_spark.session import load_table
 
 
-def invoices_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the canonical invoices DataFrame (one row per line item)."""
-    l = load_table(spark, sf_dir, "lineitem")
+def invoices_df(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    """Build the canonical invoices DataFrame (one row per line item).
+
+    ``spread=True`` opts the lineitem scan into the byte-gated spread
+    (session.spread_scan): the spread hashes on ``l_orderkey`` with
+    exactly ``spark.sql.shuffle.partitions`` partitions, so the
+    lineitem⋈orders join REUSES the exchange (no extra shuffle) and the
+    scan-side projection runs at session parallelism. Callers whose
+    downstream is one cheap aggregate keep the default."""
+    l = load_table(spark, sf_dir, "lineitem", spread=spread)
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part")

@@ -70,15 +70,17 @@ def get_spark(app_name: str = "pdf_etl_pipeline_spark", cpus: int | None = None)
     return tune(spark)
 
 
-# Tables whose scans feed non-trivial per-row compute (tokenizers, join
-# probes, vector arithmetic), mapped to the HASH key the spread partitions
-# on (the table's row identity). Scans of the OTHER tables are either
-# dimension-sized (broadcast sides) or consumed by one cheap aggregate,
-# where an extra exchange costs more than the spread saves. ``events`` is
-# deliberately NOT spread: measured A/B (OPTIMIZATION_r16.md) — its
-# queries are window/aggregate-bound (the per-row scan work is trivial),
-# so the extra exchange only added overhead (st2 1.5 -> 2.6 s
-# interleaved-A/B under identical host state).
+# Hash keys the spread partitions on (the table's row identity), for the
+# tables any consumer is allowed to request a spread of. r16 applied the
+# spread to EVERY consumer of these tables inside load_table; the r16
+# verdict adjudicated that as the cause of every real headline regression
+# (dd1 0.31x, ss1 0.87x, w5 0.71x — cheap-aggregate consumers paying a
+# full-table exchange for nothing). r17 makes the spread CONSUMER-GATED:
+# ``load_table(..., spread=True)`` at the call sites whose per-row work
+# is heavy enough to win the exchange back (measured per-consumer
+# interleaved A/B, OPTIMIZATION_r17.md); every other consumer reads the
+# raw scan. ``events`` keeps its r16 adjudication (window/aggregate-bound,
+# st2 1.5 -> 2.6 s with the spread) — no consumer opts in.
 _SPREAD_TABLES = {
     "documents": "doc_id",
     "lineitem": "l_orderkey",
@@ -153,15 +155,22 @@ def spread_scan(spark: SparkSession, df, path: str, key: str):
     return df.repartition(para, F.col(key))
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one synthetic table (TESTDATA.md) as a DataFrame. Heavy
-    tables are spread to the session's parallelism when the file layout
-    cannot be split that wide (see ``spread_scan``)."""
+def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False):
+    """Read one synthetic table (TESTDATA.md) as a DataFrame.
+
+    ``spread=True`` opts this CONSUMER into the byte-gated scan spread
+    (see ``spread_scan``) — for pipelines whose per-row work downstream of
+    the scan (tokenizer/hash chains, multi-join probes) is heavy enough
+    that serializing it on the scan's narrow parallelism dominates the
+    extra exchange. Default off: a cheap aggregate over the raw scan is
+    faster than shuffling the whole table first (r16 verdict: dd1 went
+    0.27 -> 0.59 s paying a spread it could not use)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    key = _SPREAD_TABLES.get(name)
-    if key is not None:
-        df = spread_scan(spark, df, path, key)
+    if spread:
+        key = _SPREAD_TABLES.get(name)
+        if key is not None:
+            df = spread_scan(spark, df, path, key)
     return df
 
 

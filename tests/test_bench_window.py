@@ -58,3 +58,37 @@ def test_window_detects_external_load():
     time.sleep(2.5)
     r = w.close()
     assert r["other_cores"] > 0.5, r
+
+
+def test_prestat_gate_catches_planted_burner():
+    """r16 VERDICT task 2: a planted burner core (the r15 trick — CPU load
+    the loadavg gate needs a minute to even see) must trip the PRE-RUN
+    /proc/stat gate, i.e. read as other_cores >= PRESTAT_MAX_OTHER in the
+    sample taken BEFORE timing starts. One full foreign core over a 1.5 s
+    sample reads ~1.0 >= 0.75."""
+    burn = "import time\nend = time.time() + 2.5\nwhile time.time() < end: pass"
+    outer = (
+        "import subprocess, sys; "
+        f"subprocess.Popen([sys.executable, '-c', {burn!r}])"
+    )
+    p = subprocess.Popen([sys.executable, "-c", outer])
+    p.wait()  # reparented away from our tree -> foreign load
+    time.sleep(0.3)  # let the burner spin up past interpreter start
+    stat = bench._prestat_sample(sec=1.5)
+    assert stat["other_cores"] >= bench.PRESTAT_MAX_OTHER, stat
+
+
+def test_prestat_gate_passes_clean_box():
+    """The converse: with no planted load the sample must come in under
+    the gate, or every clean bench run would hang in the wait loop.
+    Retried a few times, then SKIPPED rather than failed when the box
+    shows real foreign load for the whole window — that is the gate doing
+    its job on a genuinely dirty host, not a bug in the gate."""
+    import pytest
+
+    last = None
+    for _ in range(5):
+        last = bench._prestat_sample(sec=1.0)
+        if last["other_cores"] < bench.PRESTAT_MAX_OTHER:
+            return
+    pytest.skip(f"host busy for the whole retry window: {last}")

@@ -510,13 +510,19 @@ def _dq3_two_exchanges_pruned_scan(plan: str) -> list[str]:
     # the byte-gated scan-spread (session.spread_scan) adds an explicit
     # repartition exchange (REPARTITION_BY_NUM origin) over unsplittably-
     # small local inputs; it is OFF at scale (the gate), so the scale
-    # contract counts only the organic (ENSURE_REQUIREMENTS) shuffles
-    exchanges = [
+    # contract counts only the organic (ENSURE_REQUIREMENTS) shuffles —
+    # and allows AT MOST ONE repartition exchange (the spread), so a
+    # stray .repartition(n, ...) inside the query body stays visible to
+    # the shuffle-count contract (r16 ADVICE)
+    all_ex = [
         l.strip()
         for l in plan.splitlines()
         if "Exchange " in l and "ReusedExchange" not in l
-        and "REPARTITION_BY_NUM" not in l
     ]
+    spreads = [l for l in all_ex if "REPARTITION_BY_NUM" in l]
+    exchanges = [l for l in all_ex if "REPARTITION_BY_NUM" not in l]
+    if len(spreads) > 1:
+        problems.append(f"more than one repartition exchange: {spreads}")
     if len(exchanges) != 2:
         problems.append(f"expected exactly 2 non-spread Exchanges, saw {exchanges}")
     if "Exchange SinglePartition" not in plan:
@@ -706,13 +712,16 @@ def _tk5_one_shuffle_k_branches(plan: str) -> list[str]:
     problems = []
     # the byte-gated scan-spread exchange (session.spread_scan, explicit
     # REPARTITION_BY_NUM origin) is not a merge-apply shuffle — see the
-    # dq3 audit note
-    exchanges = [
+    # dq3 audit note; at most one such exchange is tolerated (r16 ADVICE)
+    all_ex = [
         l.strip()
         for l in plan.splitlines()
         if "Exchange " in l and "ReusedExchange" not in l
-        and "REPARTITION_BY_NUM" not in l
     ]
+    spreads = [l for l in all_ex if "REPARTITION_BY_NUM" in l]
+    exchanges = [l for l in all_ex if "REPARTITION_BY_NUM" not in l]
+    if len(spreads) > 1:
+        problems.append(f"more than one repartition exchange: {spreads}")
     if len(exchanges) != 1 or "hashpartitioning(word" not in plan:
         problems.append(
             f"expected exactly 1 non-spread Exchange (hashpartitioning on word), saw {exchanges}"
@@ -1649,16 +1658,20 @@ CHECKS = {
         # to the three referenced columns
         "must": ["BroadcastHashJoin", "HashAggregate"],
         "must_not": ["BatchEvalPython", "CartesianProduct", "SortMergeJoin"],
-        # the byte-gated scan-spread (session.spread_scan) adds its hash
-        # key l_orderkey to the ReadSchema on unsplittably-small local
-        # inputs; OFF at scale (the gate), so the pruning contract allows
-        # exactly the three referenced columns plus that key
-        "check": lambda plan: (
-            []
-            if "ReadSchema: struct<l_extendedprice:" in plan
-            or "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:" in plan
-            else ["lineitem scan not pruned to extendedprice+group columns"]
-        ),
+        # pruning contract as a column SET (r16 ADVICE: the exact-prefix
+        # string silently depended on column order and types; the dq4/dq5
+        # idiom is order-robust): the scan may read only the referenced
+        # columns, plus the spread hash key l_orderkey when the byte-gated
+        # scan-spread is on (OFF at scale)
+        "check": lambda plan: [
+            f"lineitem scan not pruned to extendedprice+group columns: {cols}"
+            for cols in (
+                sorted(c.split(":")[0] for c in m.split(">")[0].split(","))
+                for m in plan.split("ReadSchema: struct<")[1:]
+            )
+            if not set(cols)
+            <= {"l_orderkey", "l_extendedprice", "l_returnflag", "l_linestatus"}
+        ],
     },
     "dq1_ref_integrity": {
         # small-dim orphan checks are broadcast anti joins; the only
