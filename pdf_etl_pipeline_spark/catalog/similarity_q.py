@@ -115,8 +115,13 @@ def shared_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (_session_key(spark), sf_dir)
     if key not in _CENTROID_CACHE:
+        # spread=True (r17): k-means iterates heavy vector arithmetic over
+        # the embeddings scan; with the scan serialized on one row group
+        # the training dominated every consumer (ss8 10.2 -> 18.7 s when
+        # the r17 consumer-gating first left this loader raw — bench pair
+        # in OPTIMIZATION_r17.md §1)
         _CENTROID_CACHE[key] = SS.kmeans_centroids(
-            load_table(spark, sf_dir, "embeddings")
+            load_table(spark, sf_dir, "embeddings", spread=True)
         ).localCheckpoint()
     return _CENTROID_CACHE[key]
 
@@ -218,8 +223,10 @@ def shared_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (_session_key(spark), sf_dir)
     if key not in _PQ_CACHE:
+        # spread=True: same rationale as shared_centroids (8 subspace
+        # k-means trainings over the same scan)
         _PQ_CACHE[key] = SS.pq_codebooks(
-            load_table(spark, sf_dir, "embeddings")
+            load_table(spark, sf_dir, "embeddings", spread=True)
         ).localCheckpoint()
     return _PQ_CACHE[key]
 
