@@ -123,23 +123,24 @@ def spread_scan(spark: SparkSession, df, path: str, key: str):
     unsplittable-small inputs where the shuffle is by construction
     cheaper than one task's serial scan of the same bytes.
 
-    HASH on the table's row identity, not round-robin (r16 second
-    iteration, measured interleaved-A/B): round-robin scatters every
-    downstream group across ALL partitions, so per-row-keyed aggregates
-    (MinHash's 64 mins per doc_id, w5's per-partkey sums) lose map-side
+    HASH on the table's row identity, not round-robin: round-robin
+    scatters every downstream group across ALL partitions, so
+    per-row-keyed aggregates (MinHash's 64 mins per doc_id) lose map-side
     partial aggregation — each of the 32 partitions emits partials for
     nearly every group and the following exchange carries up to 32x the
-    rows (dd3 6.1 vs 4.3 s, w5 1.9 vs 1.4 s round-robin vs no spread).
-    Hash-by-identity keeps each group's rows in ONE partition (partials
-    stay disjoint), lets pk-keyed groupBys/joins reuse the exchange
-    outright (HashPartitioning(pk, para) with para == shuffle.partitions
-    satisfies their ClusteredDistribution — dd3's groupBy(doc_id) plans
-    with NO further exchange), and needs no sort-before-repartition for
-    retry determinism (hash placement is deterministic by value). The
-    cost is the key column forced into every spread scan's ReadSchema —
-    one int64 per row, and only on inputs the byte gate already proved
-    tiny. The partition count is EXPLICIT so AQE's coalescer cannot fold
-    the tiny partitions straight back to one.
+    rows. Hash-by-identity keeps each group's rows in ONE partition
+    (partials stay disjoint), lets pk-keyed groupBys/joins reuse the
+    exchange outright (HashPartitioning(pk, para) with para ==
+    shuffle.partitions satisfies their ClusteredDistribution — committed
+    evidence: plans/r17/dd3_minhash_lsh_after.txt line 722, the spread
+    exchange IS the signature groupBy's distribution, no further
+    exchange; per-consumer wins in plans/r17/ab_*.json, e.g. dd3 5.68 on
+    vs 6.17 off, tx2 1.19 vs 2.06, st16 32.9 vs 43.2), and needs no
+    sort-before-repartition for retry determinism (hash placement is
+    deterministic by value). The cost is the key column forced into every
+    spread scan's ReadSchema — one int64 per row, and only on inputs the
+    byte gate already proved tiny. The partition count is EXPLICIT so
+    AQE's coalescer cannot fold the tiny partitions straight back to one.
     """
     if os.environ.get("SPARK_GRAFT_NO_SPREAD") == "1":  # measurement A/B switch
         return df
